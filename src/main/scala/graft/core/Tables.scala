@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loading for the driver's TPC-H-ish test corpus (TESTDATA.md).
+  *
+  * Mirrors the reference's source layer (`from_parquet`,
+  * reference `src/dask_awkward/lib/io/parquet.py:251-427`): Spark's parquet
+  * source natively provides per-file/row-group partitioning, footer-schema
+  * metadata, and column pruning, so this is intentionally thin.
+  *
+  * DataFrames are memoized per (session, dir, table) so repeated queries in a
+  * bench run share one analyzed plan (the reference's layer-dedup LRU,
+  * `core.py:881`, is the analogue). Memoization stores the *plan*, not data;
+  * set `SPARK_GRAFT_PERSIST=1` to also cache the scanned data in memory.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((dir, name), {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (sys.env.get("SPARK_GRAFT_PERSIST").contains("1")) df.persist() else df
+    })
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects outright. Read it as raw nanos (legacy conf) and truncate to the
+    * microsecond timestamps DuckDB also uses internally, so oracle results
+    * line up exactly. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((dir, "events"), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      if (sys.env.get("SPARK_GRAFT_PERSIST").contains("1")) df.persist() else df
+    })
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** The canonical nested ("ragged") view: one row per order with its line
+    * items as an array-of-struct column, sorted by line number so downstream
+    * positional ops (`firsts`, `argsort`, slices) are deterministic.
+    *
+    * This is how the flat driver tables exercise the reference's nested data
+    * model (list-of-record rows, reference `tests/conftest.py:24-30`): a
+    * single shuffle on the group key builds the ragged axis; every axis>=1
+    * operator afterwards is row-local (no further shuffle), exactly like the
+    * reference's partitionwise `map_partitions` ops.
+    */
+  def ordersNested(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("l_linenumber").as("linenumber"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"),
+          col("l_returnflag").as("returnflag")
+        ))).as("items"))
+}

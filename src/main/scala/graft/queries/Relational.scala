@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Relational query wave: scans, filtered aggregation, joins (broadcast /
+  * shuffle / semi / anti), window functions, rollup, distinct aggregation,
+  * JSON extraction. These exceed reference parity (the reference has no
+  * joins/group-by at all — SURVEY §2.6/§2.7) but are the Spark-native
+  * backbone every other wave builds on, and the headline bench queries.
+  *
+  * Scale notes (100 TB design):
+  *  - dimension tables (region/nation/supplier/customer/part) are broadcast
+  *    explicitly — no shuffle of the fact table for those joins;
+  *  - fact-fact joins (orders-lineitem) shuffle on the join key once; AQE
+  *    handles skew at runtime;
+  *  - every aggregate is a partial+final Catalyst aggregation (map-side
+  *    combine), so the shuffle carries only group keys x partial states.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    "q6_filter" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    },
+
+    "q3_topk" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < ts("1998-03-15"))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1998-03-15"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    "q5_join" -> { (s, dir) =>
+      val asia = broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA"))
+      val n = broadcast(Tables.nation(s, dir))
+      val sup = broadcast(Tables.supplier(s, dir))
+      val cust = broadcast(Tables.customer(s, dir))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(
+          col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(asia, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    },
+
+    "q4_semijoin" -> { (s, dir) =>
+      val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 48)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    "q_antijoin" -> { (s, dir) =>
+      val recent = Tables.orders(s, dir).filter(col("o_orderdate") >= ts("2001-01-01"))
+      Tables.customer(s, dir)
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    "q_window" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+    },
+
+    "q_rollup" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+    },
+
+    "q_distinct" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+    },
+
+    "ev_json" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("value")), 2).as("sum_value"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge, round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price, round(avg(l_discount),6) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus""",
+    "q6_filter" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+    "q3_topk" ->
+      """SELECT o_orderkey, o_orderdate, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue FROM customer, orders, lineitem WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15' GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q5_join" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue FROM customer, orders, lineitem, supplier, nation, region WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name""",
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48) GROUP BY o_orderpriority""",
+    "q_antijoin" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-01-01') GROUP BY c_mktsegment""",
+    "q_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, round(l_extendedprice,2) AS price FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) t WHERE rn <= 3""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY l_returnflag""",
+    "ev_json" ->
+      """SELECT event_type, round(sum(value),2) AS sum_value, sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k FROM events GROUP BY event_type""")
+}
