@@ -31,8 +31,8 @@ object Relational {
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          Oracles.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          Oracles.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -44,7 +44,7 @@ object Relational {
         .filter(col("l_shipdate") >= ts("1996-01-01") &&
           col("l_shipdate") < ts("1997-01-01") &&
           col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+        .agg(Oracles.moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"))
     },
 
     "q3_topk" -> { (s, dir) =>
@@ -54,7 +54,7 @@ object Relational {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Oracles.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
@@ -74,7 +74,7 @@ object Relational {
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .join(asia, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Oracles.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     },
 
     "q4_semijoin" -> { (s, dir) =>
@@ -126,13 +126,13 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge, round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price, round(avg(l_discount),6) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus""",
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_disc_price, CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_charge, round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price, round(avg(l_discount),6) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus""",
     "q6_filter" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+      """SELECT CAST(round(sum(CAST(l_extendedprice*l_discount AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
     "q3_topk" ->
-      """SELECT o_orderkey, o_orderdate, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue FROM customer, orders, lineitem WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15' GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+      """SELECT o_orderkey, o_orderdate, CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue FROM customer, orders, lineitem WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15' GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""",
     "q5_join" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue FROM customer, orders, lineitem, supplier, nation, region WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name""",
+      """SELECT n_name, CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue FROM customer, orders, lineitem, supplier, nation, region WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name""",
     "q4_semijoin" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48) GROUP BY o_orderpriority""",
     "q_antijoin" ->
