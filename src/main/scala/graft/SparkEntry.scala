@@ -34,7 +34,8 @@ object SparkEntry {
   private val waves: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracle),
-      (_root_.graft.queries.Structure.queries, _root_.graft.queries.Structure.oracle)
+      (_root_.graft.queries.Structure.queries, _root_.graft.queries.Structure.oracle),
+      (_root_.graft.queries.ReducerQueries.queries, _root_.graft.queries.ReducerQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -117,8 +117,8 @@ package object reducers {
     val syy = aggregate(y, lit(0.0), (a, v) => a + dbl(v) * dbl(v))
     val sxy = aggregate(zip_with(x, y, (a, b) => dbl(a) * dbl(b)),
       lit(0.0), (a, v) => a + v)
-    (n * sxy - sx * sy) /
-      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+    val denom = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+    when(denom =!= 0, (n * sxy - sx * sy) / denom) // null on zero variance
   }
 
   /** `ak.covar(x, y, axis=1)` population covariance (reference stub
@@ -138,7 +138,8 @@ package object reducers {
     val sxx = aggregate(x, lit(0.0), (a, v) => a + dbl(v) * dbl(v))
     val sxy = aggregate(zip_with(x, y, (a, b) => dbl(a) * dbl(b)),
       lit(0.0), (a, v) => a + v)
-    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val denom = n * sxx - sx * sx
+    val slope = when(denom =!= 0, (n * sxy - sx * sy) / denom) // null: zero x-variance
     struct(slope.as("slope"), ((sy - slope * sx) / n).as("intercept"))
   }
 }

@@ -23,6 +23,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0 display only; engines should not emit -0
         return f"{v:.10g}"
     if hasattr(v, "tolist"):  # numpy arrays from list columns
         v = v.tolist()
