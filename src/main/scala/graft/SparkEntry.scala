@@ -35,7 +35,8 @@ object SparkEntry {
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracle),
       (_root_.graft.queries.Structure.queries, _root_.graft.queries.Structure.oracle),
-      (_root_.graft.queries.ReducerQueries.queries, _root_.graft.queries.ReducerQueries.oracle)
+      (_root_.graft.queries.ReducerQueries.queries, _root_.graft.queries.ReducerQueries.oracle),
+      (_root_.graft.queries.StringQueries.queries, _root_.graft.queries.StringQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

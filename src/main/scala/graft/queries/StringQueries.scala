@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.strings._
+
+/** String-function wave (SURVEY §2.10, reference `lib/str.py` — the 43
+  * Arrow-kernel wrappers). Driven over `part` (mixed-case via
+  * name+brand+type concatenation). All functions are codegen'd Spark SQL
+  * expressions — no UDFs anywhere.
+  */
+object StringQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** mixed-case probe string, e.g. "red widget Brand#17 ECONOMY" */
+  private def st: Column =
+    concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).withColumn("s", st)
+
+  val queries: Map[String, Q] = Map(
+    // capitalize/title/swapcase/lower/upper/reverse/repeat/length
+    "str_case" -> { (s, dir) =>
+      base(s, dir).select(col("p_partkey"),
+        upperS(col("s")).as("up"),
+        lowerS(col("s")).as("lo"),
+        capitalize(col("s")).as("cap"),
+        title(col("s")).as("ti"),
+        swapcase(col("s")).as("sw"),
+        reverseS(col("s")).as("rev"),
+        repeatS(col("p_name"), 2).as("rep"),
+        lengthS(col("s")).cast("long").as("len"))
+    },
+
+    // lpad/rpad/center/trim family (charset variants)
+    "str_pad_trim" -> { (s, dir) =>
+      base(s, dir).select(col("p_partkey"),
+        lpadS(col("p_name"), 20, "*").as("lp"),
+        rpadS(col("p_name"), 20, ".").as("rp"),
+        center(col("p_name"), 21, "_").as("ce"),
+        trimChars(lpadS(col("p_name"), 20, "*"), "*").as("tr"),
+        ltrimWhitespace(concat(lit("  "), col("p_name"))).as("lt"),
+        rtrimWhitespace(concat(col("p_name"), lit("  "))).as("rt"))
+    },
+
+    // starts/ends/contains/find/count/like/rlike/is_in/index_in
+    "str_search" -> { (s, dir) =>
+      base(s, dir).select(col("p_partkey"),
+        startsWith(col("p_name"), "red").as("sw"),
+        endsWith(col("p_name"), "bolt").as("ew"),
+        matchSubstring(col("p_name"), "id").as("ct"),
+        findSubstring(col("p_name"), "e").cast("long").as("fs"),
+        countSubstring(col("s"), "e").cast("long").as("cs"),
+        matchLike(col("p_name"), "%l_%").as("lk"),
+        matchSubstringRegex(col("p_name"), "^[a-z]+ [a-z]+$").as("re"),
+        isInSet(col("p_type"), Seq("ECONOMY", "PROMO")).as("isin"),
+        indexIn(col("p_type"), Seq("STANDARD", "ECONOMY", "SMALL"))
+          .cast("long").as("idx"))
+    },
+
+    // regexp extract / replace / count + split / join
+    "str_regex" -> { (s, dir) =>
+      base(s, dir).select(col("p_partkey"),
+        extractRegex(col("p_brand"), "Brand#(\\d+)", 1).as("brandno"),
+        replaceSubstringRegex(col("p_name"), "[aeiou]", "_").as("novowel"),
+        countSubstringRegex(col("s"), "[aeiou]").cast("long").as("nvowel"),
+        size(splitWhitespace(col("s"))).cast("long").as("ntok"),
+        joinStrings(splitWhitespace(col("s")), "-").as("joined"),
+        joinElementWise("|", col("p_name"), col("p_type")).as("zipped"))
+    },
+
+    // slice / replace_slice / replace_substring
+    "str_slice" -> { (s, dir) =>
+      base(s, dir).select(col("p_partkey"),
+        sliceString(col("p_name"), 0, 3).as("pre"),
+        sliceString(col("p_name"), 2, 6).as("mid"),
+        replaceSlice(col("p_name"), 1, 4, "XX").as("ovl"),
+        replaceSubstring(col("p_name"), " ", "_").as("und"))
+    },
+
+    // is_* classifiers over the first token + numeric probes
+    "str_classify" -> { (s, dir) =>
+      val tok = element_at(splitWhitespace(col("s")), 1)
+      val keystr = col("p_partkey").cast("string")
+      base(s, dir).select(col("p_partkey"),
+        isAlpha(tok).as("alpha"),
+        isAlnum(col("p_brand")).as("alnum_brand"),
+        isAscii(col("s")).as("ascii"),
+        isDigit(keystr).as("digit"),
+        isNumeric(keystr).as("num"),
+        isLower(tok).as("lo"),
+        isUpper(col("p_type")).as("up"),
+        isSpace(lit(" ")).as("sp"),
+        isTitle(title(col("p_name"))).as("ti"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "str_case" ->
+      """SELECT p_partkey, upper(s) AS up, lower(s) AS lo, upper(s[1])||lower(s[2:]) AS cap, array_to_string(list_transform(string_split(lower(s), ' '), w -> upper(w[1])||lower(w[2:])), ' ') AS ti, array_to_string(list_transform(string_split_regex(s, ''), c -> CASE WHEN c = upper(c) AND c <> lower(c) THEN lower(c) WHEN c = lower(c) AND c <> upper(c) THEN upper(c) ELSE c END), '') AS sw, reverse(s) AS rev, repeat(p_name, 2) AS rep, length(s) AS len FROM (SELECT p_partkey, p_name, p_name || ' ' || p_brand || ' ' || p_type AS s FROM part) t""",
+    "str_pad_trim" ->
+      """SELECT p_partkey, lpad(p_name, 20, '*') AS lp, rpad(p_name, 20, '.') AS rp, rpad(lpad(p_name, CAST(length(p_name) + greatest(21 - length(p_name), 0)//2 AS INT), '_'), 21, '_') AS ce, trim(lpad(p_name, 20, '*'), '*') AS tr, ltrim('  ' || p_name) AS lt, rtrim(p_name || '  ') AS rt FROM part""",
+    "str_search" ->
+      """SELECT p_partkey, starts_with(p_name, 'red') AS sw, suffix(p_name, 'bolt') AS ew, contains(p_name, 'id') AS ct, CAST(strpos(p_name, 'e') - 1 AS BIGINT) AS fs, CAST((length(s) - length(replace(s, 'e', ''))) AS BIGINT) AS cs, p_name LIKE '%l_%' AS lk, regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS re, p_type IN ('ECONOMY','PROMO') AS isin, CAST(nullif(list_position(['STANDARD','ECONOMY','SMALL'], p_type), 0) - 1 AS BIGINT) AS idx FROM (SELECT p_partkey, p_name, p_type, p_name || ' ' || p_brand || ' ' || p_type AS s FROM part) t""",
+    "str_regex" ->
+      """SELECT p_partkey, regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brandno, regexp_replace(p_name, '[aeiou]', '_', 'g') AS novowel, CAST(len(regexp_extract_all(s, '[aeiou]')) AS BIGINT) AS nvowel, CAST(len(string_split_regex(trim(s), '\s+')) AS BIGINT) AS ntok, array_to_string(string_split_regex(trim(s), '\s+'), '-') AS joined, p_name || '|' || p_type AS zipped FROM (SELECT p_partkey, p_name, p_brand, p_type, p_name || ' ' || p_brand || ' ' || p_type AS s FROM part) t""",
+    "str_slice" ->
+      """SELECT p_partkey, p_name[1:3] AS pre, p_name[3:6] AS mid, p_name[1:1] || 'XX' || p_name[5:] AS ovl, replace(p_name, ' ', '_') AS und FROM part""",
+    "str_classify" ->
+      """SELECT p_partkey, regexp_matches(tok, '^\p{L}+$') AS alpha, regexp_matches(p_brand, '^[\p{L}\p{N}]+$') AS alnum_brand, regexp_matches(s, '^[\x00-\x7F]+$') AS ascii, regexp_matches(keystr, '^\p{Nd}+$') AS digit, regexp_matches(keystr, '^\p{N}+$') AS num, regexp_matches(tok, '\p{Ll}') AND NOT regexp_matches(tok, '\p{Lu}') AS lo, regexp_matches(p_type, '\p{Lu}') AND NOT regexp_matches(p_type, '\p{Ll}') AS up, TRUE AS sp, (ti = array_to_string(list_transform(string_split(lower(ti), ' '), w -> upper(w[1])||lower(w[2:])), ' ')) AND regexp_matches(ti, '\p{L}') AS ti FROM (SELECT p_partkey, p_brand, p_type, p_name || ' ' || p_brand || ' ' || p_type AS s, string_split_regex(trim(p_name || ' ' || p_brand || ' ' || p_type), '\s+')[1] AS tok, CAST(p_partkey AS VARCHAR) AS keystr, array_to_string(list_transform(string_split(lower(p_name), ' '), w -> upper(w[1])||lower(w[2:])), ' ') AS ti FROM part) t""")
+}
