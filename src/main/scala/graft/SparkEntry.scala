@@ -36,7 +36,10 @@ object SparkEntry {
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracle),
       (_root_.graft.queries.Structure.queries, _root_.graft.queries.Structure.oracle),
       (_root_.graft.queries.ReducerQueries.queries, _root_.graft.queries.ReducerQueries.oracle),
-      (_root_.graft.queries.StringQueries.queries, _root_.graft.queries.StringQueries.oracle)
+      (_root_.graft.queries.StringQueries.queries, _root_.graft.queries.StringQueries.oracle),
+      (_root_.graft.queries.TextQueries.queries, _root_.graft.queries.TextQueries.oracle),
+      (_root_.graft.queries.DedupQueries.queries, _root_.graft.queries.DedupQueries.oracle),
+      (_root_.graft.queries.SimilarityQueries.queries, _root_.graft.queries.SimilarityQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

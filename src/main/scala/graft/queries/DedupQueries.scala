@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.dedup._
+
+/** Dedup wave: exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding
+  * cosine. MinHash-LSH is approximate-by-construction, so it gets a
+  * rows-only driver check (no oracle) plus a ScalaTest recall check against
+  * the exact pairs; everything else is oracle-checked.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents unioned with a re-keyed copy of itself: a corpus where every
+    * text appears exactly twice — the exact-dedup fixture. */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup over an actually-duplicated corpus
+    "d_exact" -> { (s, dir) =>
+      exactDedup(dupCorpus(s, dir), "doc_id", "text")
+    },
+
+    // exact word-bigram Jaccard >= 0.5 near-dup pairs (inverted-index join;
+    // integer intersection/union — no float in the cut)
+    "d_ngram" -> { (s, dir) =>
+      ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, minJaccardPct = 50)
+    },
+
+    // MinHash(32) + LSH(8 bands x 4 rows) candidates — approximate: driver
+    // records rows-only; ScalaTest checks recall vs d_ngram
+    "d_minhash_lsh" -> { (s, dir) =>
+      minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id1"), col("id2"))
+    },
+
+    // SimHash-48 signatures (deterministic integer arithmetic => oracled)
+    "d_simhash" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        simHash48(col("text")).as("simhash"))
+    },
+
+    // SimHash near-dup pairs at hamming <= 6, label-blocked by lang
+    "d_simhash_pairs" -> { (s, dir) =>
+      val sigs = Tables.documents(s, dir).select(col("doc_id"),
+        col("lang"), simHash48(col("text")).as("sh"))
+      sigs.as("a").join(sigs.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          hamming(col("a.sh"), col("b.sh")).cast("long").as("dist"))
+        .filter(col("dist") <= 6)
+    },
+
+    // embedding-cosine near-dup pairs, blocked by label
+    "d_embed" -> { (s, dir) =>
+      graft.similarity.cosineNearDupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.35)
+        .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+    })
+
+  private val TOKS = """string_split_regex(trim(lower(text)), '\s+')"""
+  private val POLY = """list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(w, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)"""
+
+  val oracle: Map[String, String] = Map(
+    "d_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents) t GROUP BY 1""",
+    "d_ngram" ->
+      s"""WITH sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh) SELECT a.id AS id1, b.id AS id2, count(*) AS inter, a.nsh + b.nsh - count(*) AS uni FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50""",
+    "d_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS w FROM documents), th AS (SELECT doc_id, ($POLY * 2654435761) % 281474976710656 AS h FROM tok), votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v FROM th, range(0, 48) r(j) GROUP BY doc_id, j) SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY doc_id""",
+    "d_simhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS w FROM documents), th AS (SELECT doc_id, ($POLY * 2654435761) % 281474976710656 AS h FROM tok), votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v FROM th, range(0, 48) r(j) GROUP BY doc_id, j), sig AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS sh FROM votes GROUP BY doc_id), sigl AS (SELECT s.doc_id, s.sh, d.lang FROM sig s JOIN documents d ON s.doc_id = d.doc_id) SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(bit_count(xor(CAST(a.sh AS BIGINT), CAST(b.sh AS BIGINT))) AS BIGINT) AS dist FROM sigl a JOIN sigl b ON a.lang = b.lang AND a.doc_id < b.doc_id WHERE bit_count(xor(CAST(a.sh AS BIGINT), CAST(b.sh AS BIGINT))) <= 6""",
+    "d_embed" ->
+      """WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), d AS (SELECT id1, id2, sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) AS dot, sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(ea[CAST(i AS INT)] AS DOUBLE)) AS na2, sum(CAST(eb[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) AS nb2 FROM p, range(1, 65) r(i) GROUP BY id1, id2) SELECT id1, id2, round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos FROM d WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.35""")
+}

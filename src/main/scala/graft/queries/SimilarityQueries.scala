@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.similarity._
+
+/** Similarity-search wave over `embeddings` (64-dim float vectors).
+  * Brute-force cosine top-k carries a full oracle; the LSH variant is
+  * approximate (deterministic, but the SQL mirror would be unreadable) and
+  * gets a rows-only check + ScalaTest recall assertions.
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // exact cosine top-3 for the first 10 query vectors (broadcast join,
+    // per-query top-k via window — corpus scanned once, map-side)
+    "sim_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("cos"), 4).as("cos"))
+    },
+
+    // hyperplane-LSH ANN: 12 planes -> ~2^12 buckets, exact re-rank inside;
+    // approximate (bucket collisions only) => rows-only driver check
+    "sim_lsh" -> { (s, dir) =>
+      lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, nPlanes = 12, k = 3)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("cos"), 4).as("cos"))
+    })
+
+  private val COS =
+    """sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) / (sqrt(sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(ea[CAST(i AS INT)] AS DOUBLE))) * sqrt(sum(CAST(eb[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE))))"""
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS ea, c.embedding AS eb FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), d AS (SELECT qid, nid, $COS AS cos FROM p, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d) SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""")
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.text._
+
+/** Text-analysis wave over `documents`: token counting, quality scoring,
+  * language-ID, fingerprinting. Everything is a deterministic map-side
+  * expression, so each op carries a full DuckDB oracle. */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "t_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        countTokensWs(col("text")).cast("long").as("n_ws"),
+        countTokensBpe(col("text")).cast("long").as("n_bpe"),
+        length(col("text")).cast("long").as("n_chars_computed"))
+    },
+
+    "t_quality" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        round(punctRatio(col("text")), 4).as("punct_ratio"),
+        round(alphaRatio(col("text")), 4).as("alpha_ratio"),
+        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        round(meanTokenLen(col("text")), 4).as("mean_tok_len"),
+        qualityScore(col("text")).as("quality"))
+    },
+
+    "t_langid" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        langId(col("text")).as("pred_lang"),
+        col("lang").as("labeled_lang"))
+    },
+
+    "t_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        bagOfWordsFingerprint(col("text")).as("bow_fp"),
+        rollingHash(col("text")).as("roll_fp"))
+    })
+
+  // DuckDB mirrors. The formulas are kept syntactically parallel to the
+  // Spark expressions so identical doubles reach identical roundings.
+  private val nws = """len(string_split_regex(trim(text), '\s+'))"""
+  private val punct = """CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) ELSE 0.0 END"""
+  private val alpha = """CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) ELSE 0.0 END"""
+  private val stopr = """CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 THEN CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')) ELSE 0.0 END"""
+
+  private def cnt(m: String) =
+    s"""(length(p) - length(replace(p, '$m', ''))) // ${m.length}"""
+  private val langScores = Seq(
+    "de" -> Seq(" der ", " und ", " die "),
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " de ", " la "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "zh" -> Seq("的", "是", "了"))
+    .map { case (l, ms) => l -> ms.map(cnt).mkString(" + ") }
+
+  private val langCase = {
+    val g = "greatest(" + langScores.map("c_" + _._1).mkString(", ") + ")"
+    // tie-break toward lexicographically greatest code = reverse-alpha CASE
+    val cases = langScores.map(_._1).sortBy(identity).reverse
+      .map(l => s"WHEN c_$l = $g THEN '$l'").mkString(" ")
+    s"CASE $cases END"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "t_tokens" ->
+      s"""SELECT doc_id, CAST($nws AS BIGINT) AS n_ws, CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe, CAST(length(text) AS BIGINT) AS n_chars_computed FROM documents""",
+    "t_quality" ->
+      s"""SELECT doc_id, round($punct, 4) AS punct_ratio, round($alpha, 4) AS alpha_ratio, round($stopr, 4) AS stop_ratio, round(CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / $nws, 4) AS mean_tok_len, round(least(CAST(length(text) AS DOUBLE)/200, 1.0)*0.3 + (1.0 - least($punct*5, 1.0))*0.3 + least($stopr*10, 1.0)*0.2 + $alpha*0.2, 4) AS quality FROM documents""",
+    "t_langid" ->
+      s"""SELECT doc_id, $langCase AS pred_lang, lang AS labeled_lang FROM (SELECT doc_id, lang, ${langScores.map { case (l, e) => s"$e AS c_$l" }.mkString(", ")} FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents) u) t""",
+    "t_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS bow_fp, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS roll_fp FROM documents""")
+}

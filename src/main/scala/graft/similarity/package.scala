@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`array<float>`).
+  *
+  * Two paths, per the usual scale trade-off:
+  *  - [[bruteForceTopK]]: exact cosine top-k via a broadcast join of the
+  *    query set against the corpus — the right answer when |queries| is
+  *    small (the corpus is scanned once, map-side, no shuffle of the corpus;
+  *    top-k per query via aggregation, not a global sort);
+  *  - [[lshTopK]]: random-hyperplane LSH — deterministic pseudo-random
+  *    planes, sign-bit signature, bucket equi-join, exact re-rank within
+  *    buckets. Sub-linear candidate sets at the cost of recall; the 100 TB
+  *    path (multi-probe = union several signature prefixes).
+  *
+  * All dot products run in one codegen'd `aggregate(zip_with(...))` pass
+  * with elements cast to double (float32 storage, float64 math).
+  */
+package object similarity {
+
+  /** Cosine similarity of two array<numeric> columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)
+    val na = sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(na =!= 0 && nb =!= 0, dot / (na * nb))
+  }
+
+  /** Exact top-k neighbors for each query row. `queries`/`corpus` need
+    * (idCol, vecCol); self-matches (equal ids) are excluded. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
+    * an LCG over the flat index, mapped to [-0.5, 0.5). Pure integer
+    * arithmetic — reproducible anywhere. */
+  private def planeComponent(j: Int, i: Int): Double = {
+    val x = (1103515245L * (j * 4099 + i) + 12345L) % 2147483648L
+    (if (x < 0) x + 2147483648L else x).toDouble / 2147483648.0 - 0.5
+  }
+
+  /** Sign-bit signature of a vector against `nPlanes` hyperplanes, packed
+    * into a long. Map-side only. */
+  def hyperplaneSignature(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val plane = array((0 until dim).map(i => lit(planeComponent(j, i))): _*)
+      val dot = aggregate(zip_with(vec, plane,
+        (x, p) => x.cast("double") * p), lit(0.0), _ + _)
+      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH ANN: bucket by signature, exact cosine re-rank within buckets.
+    * Recall < 1 by construction; pair with multi-probe for production. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int, k: Int): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneSignature(col(vecCol), dim, nPlanes).as("sig"))
+    val joined = sig.as("a").join(sig.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** All pairs with cosine >= threshold within a blocking key — embedding
+    * near-dup detection. Blocking bounds the quadratic term. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(blockCol).as("blk"))
+    v.as("a").join(v.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

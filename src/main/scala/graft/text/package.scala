@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID heuristics, document
+  * fingerprinting. All pure Column expressions (codegen'd, shuffle-free,
+  * embarrassingly parallel) — at 100 TB these run map-side at scan speed.
+  *
+  * The reference has no text-pipeline module (strings only, `lib/str.py`);
+  * these extend the same columnar style to the data-curation operators a
+  * Spark-based corpus pipeline needs.
+  */
+package object text {
+
+  /** Whitespace token list. */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def countTokensWs(c: Column): Column = size(wsTokens(c))
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, and
+    * individual non-alphanumeric symbols each count as one token —
+    * the classic pre-tokenizer regex. */
+  val bpePattern = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"
+  def countTokensBpe(c: Column): Column = regexp_count(c, lit(bpePattern))
+
+  /** Ratio of punctuation/symbol characters to total characters. */
+  def punctRatio(c: Column): Column =
+    when(length(c) > 0,
+      regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double") / length(c))
+      .otherwise(lit(0.0))
+
+  /** Ratio of alphabetic characters to total characters. */
+  def alphaRatio(c: Column): Column =
+    when(length(c) > 0,
+      regexp_count(c, lit("[A-Za-z]")).cast("double") / length(c))
+      .otherwise(lit(0.0))
+
+  val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Fraction of tokens that are stopwords — a fluency signal. */
+  def stopwordRatio(c: Column, stop: Seq[String] = defaultStopwords): Column = {
+    val toks = wsTokens(c)
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(stop.map(x => x: Any): _*))).cast("double") /
+        size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean whitespace-token length. */
+  def meanTokenLen(c: Column): Column = {
+    val toks = wsTokens(c)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks))
+  }
+
+  /** Composite quality score in [0,1] — the usual length/punctuation/
+    * stopword blend used for corpus filtering. Deterministic arithmetic so
+    * it is oracle-checkable. */
+  def qualityScore(c: Column): Column =
+    round(
+      least(length(c).cast("double") / 200, lit(1.0)) * 0.3 +
+        (lit(1.0) - least(punctRatio(c) * 5, lit(1.0))) * 0.3 +
+        least(stopwordRatio(c) * 10, lit(1.0)) * 0.2 +
+        alphaRatio(c) * 0.2, 4)
+
+  /** Language markers for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die "),
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " de ", " la "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Count of non-overlapping occurrences of `sub` in `c`. */
+  def countOccurrences(c: Column, sub: String): Column =
+    when(length(c) === 0, 0).otherwise(
+      ((length(c) - length(replace(c, lit(sub), lit("")))) / sub.length)
+        .cast("int"))
+
+  /** Heuristic language ID: argmax of marker-hit counts over a padded copy
+    * of the text; ties break toward the lexicographically greatest code
+    * (deterministic). Returns the 2-letter code. */
+  def langId(c: Column): Column = {
+    val padded = concat(lit(" "), c, lit(" "))
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct(
+        markers.map(m => countOccurrences(padded, m))
+          .reduce(_ + _).as("score"),
+        lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Canonical bag-of-words fingerprint: distinct sorted lowercase tokens,
+    * md5-hashed. Near-identical docs that differ only in word order/count
+    * collide — the cheap exact-canonicalization dedup key. */
+  def bagOfWordsFingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(wsTokens(lower(c)))), " "))
+
+  /** Polynomial rolling hash over the characters (base 131, mod 1e9+7) —
+    * an order-sensitive content fingerprint computed in one codegen'd
+    * aggregate pass. */
+  def rollingHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => (acc * 131 + ascii(ch)) % 1000000007L)
+}

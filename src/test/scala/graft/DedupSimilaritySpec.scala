@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup._
+import graft.similarity._
+
+/** Quality checks for the approximate operators that the DuckDB oracle
+  * cannot cover: MinHash-LSH recall against exact Jaccard pairs, and
+  * hyperplane-LSH agreement with brute-force cosine top-k. */
+class DedupSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash-LSH finds every exact bigram-jaccard>=0.5 pair (recall=1)") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val exact = ngramJaccardPairs(docs, "doc_id", "text", 2, 50)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicate pairs")
+    val lsh = minhashLshPairs(docs, "doc_id", "text")
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val missed = exact -- lsh
+    assert(missed.isEmpty,
+      s"LSH missed ${missed.size}/${exact.size} true pairs: $missed")
+  }
+
+  test("minhash signature estimates jaccard within 0.25 for true near-dups") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val exact = ngramJaccardPairs(docs, "doc_id", "text", 2, 50)
+      .withColumn("jac", $"inter".cast("double") / $"uni")
+    val est = minhashLshPairs(docs, "doc_id", "text")
+    val joined = exact.join(est, Seq("id1", "id2"))
+      .select(abs($"jac" - $"est_jaccard").as("err"))
+      .agg(max($"err")).as[Double].head
+    assert(joined < 0.25, s"max |jaccard - estimate| = $joined")
+  }
+
+  test("simhash: near-dup pairs have much smaller hamming than random pairs") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val sigs = docs.select($"doc_id", simHash48($"text").as("sh"))
+    val exact = ngramJaccardPairs(docs, "doc_id", "text", 2, 50)
+    val dupDist = exact
+      .join(sigs.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), "id1")
+      .join(sigs.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), "id2")
+      .agg(avg(hamming($"sh1", $"sh2"))).as[Double].head
+    val randDist = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") + 7 === col("b.doc_id")) // arbitrary non-dup pairing
+      .agg(avg(hamming(col("a.sh"), col("b.sh")))).as[Double].head
+    assert(dupDist < randDist / 2,
+      s"dup avg hamming $dupDist should be well under random $randDist")
+  }
+
+  test("hyperplane-LSH neighbors agree with brute force where buckets collide") {
+    val emb = graft.core.Tables.embeddings(spark, dir).limit(200)
+    val bf = bruteForceTopK(emb.filter($"vec_id" < 5), emb, "vec_id", "embedding", 3)
+      .select($"qid", $"nid", round($"cos", 6).as("cos"))
+    val lsh = lshTopK(emb, "vec_id", "embedding", 64, 8, 3)
+      .filter($"qid" < 5)
+      .select($"qid", $"nid", round($"cos", 6).as("cos"))
+    // every LSH hit must carry the same cosine the brute force computed
+    val disagree = lsh.join(bf, Seq("qid", "nid"), "inner")
+      .filter(abs(lsh("cos") - bf("cos")) > 1e-9)
+    assert(disagree.count() == 0)
+  }
+
+  test("exact dedup collapses the duplicated corpus to one keeper per text") {
+    val d = graft.core.Tables.documents(spark, dir)
+    val dup = d.unionByName(d.withColumn("doc_id", $"doc_id" + 100000))
+    val res = exactDedup(dup, "doc_id", "text")
+    assert(res.count() == d.count())
+    assert(res.agg(max($"n")).as[Long].head == 2)
+    assert(res.agg(max($"keeper")).as[Long].head < 100000)
+  }
+
+  test("wordShingles produces n-1 distinct bigrams for distinct tokens") {
+    val df = Seq("a b c d", "x", "").toDF("t")
+    val got = df.select(wordShingles($"t", 2)).as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a b", "b c", "c d"))
+    assert(got(1) == Seq())
+  }
+}
