@@ -39,7 +39,9 @@ object SparkEntry {
       (_root_.graft.queries.StringQueries.queries, _root_.graft.queries.StringQueries.oracle),
       (_root_.graft.queries.TextQueries.queries, _root_.graft.queries.TextQueries.oracle),
       (_root_.graft.queries.DedupQueries.queries, _root_.graft.queries.DedupQueries.oracle),
-      (_root_.graft.queries.SimilarityQueries.queries, _root_.graft.queries.SimilarityQueries.oracle)
+      (_root_.graft.queries.SimilarityQueries.queries, _root_.graft.queries.SimilarityQueries.oracle),
+      (_root_.graft.queries.EventQueries.queries, _root_.graft.queries.EventQueries.oracle),
+      (_root_.graft.queries.GetitemIoQueries.queries, _root_.graft.queries.GetitemIoQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

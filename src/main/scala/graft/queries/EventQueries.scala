@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Event-time wave over `events`: tumbling/hopping windows, gap-based
+  * sessionization, typed JSON extraction. These run here as batch queries
+  * (oracle-checkable); `graft.streaming` runs the same logic as a real
+  * Structured Streaming job (ScalaTest, memory sink) — the reference has no
+  * streaming at all (SURVEY §2.11), so this is a Spark-native extension.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // 5-minute tumbling window aggregation (the Structured Streaming
+    // groupBy(window(...)) shape, executed on a batch frame)
+    "st_tumbling" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+    },
+
+    // 10-minute windows sliding every 5 minutes (each event in 2 windows)
+    "st_hopping" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("ws"), col("n"))
+    },
+
+    // gap-based sessionization via the native session_window operator
+    "st_sessions" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session"))
+    },
+
+    // typed JSON field extraction with from_json (schema'd parse, not just
+    // path extraction as in ev_json)
+    "st_json_typed" -> { (s, dir) =>
+      val schema = "k INT"
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL(schema))
+            .getField("k").as("k"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("k")).cast("long").as("sum_k"),
+          count(when(col("k").isNull, 1)).as("n_null"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "st_tumbling" ->
+      """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS ws, event_type, count(*) AS n, round(sum(value),2) AS sum_value FROM events GROUP BY 1, 2""",
+    "st_hopping" ->
+      """SELECT ws, count(*) AS n FROM (SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS ws FROM events UNION ALL SELECT CAST(floor(epoch(ts)/300)*300 - 300 AS BIGINT) AS ws FROM events) t GROUP BY 1""",
+    "st_sessions" ->
+      """WITH o AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800 THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM o) SELECT user_id, CAST(count(DISTINCT sess_id) AS BIGINT) AS n_sessions, CAST(sum(cnt) AS BIGINT) AS n_events, CAST(max(cnt) AS BIGINT) AS max_session FROM (SELECT user_id, sess_id, count(*) AS cnt FROM s GROUP BY 1, 2) g GROUP BY user_id""",
+    "st_json_typed" ->
+      """SELECT user_id, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_null FROM events GROUP BY 1""")
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.multimodal.Multimodal
+
+/** Row-selection (getitem, SURVEY §2.2), IO round-trip (§2.1), and
+  * multimodal-stub (§ training-pipeline) waves.
+  *
+  * The reference's divisions-based positional ops (`a[5]`, `a[10:2000]`)
+  * need an ordered view in Spark; `orderBy` on a unique key + offset/limit
+  * reproduces the semantics exactly (SURVEY §2.2 notes).
+  */
+object GetitemIoQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // head(n) — reference lib/core.py:1771
+    "g_head" -> { (s, dir) =>
+      Tables.orders(s, dir).orderBy(col("o_orderkey")).limit(5)
+    },
+
+    // a[100:110] row slice on an ordered view — reference lib/core.py:1419
+    "g_slice_rows" -> { (s, dir) =>
+      Tables.orders(s, dir).orderBy(col("o_orderkey"))
+        .offset(100).limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    },
+
+    // a[5] single-row positional access — reference lib/core.py:1347
+    "g_at" -> { (s, dir) =>
+      Tables.orders(s, dir).orderBy(col("o_orderkey"))
+        .offset(5).limit(1)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+    },
+
+    // deterministic every-Nth decimation (ak.sample) — lib/inspect.py:241
+    "g_sample" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(97)) === 0)
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+
+    // parquet write -> re-read round-trip (from_parquet/to_parquet §2.1):
+    // the aggregate over the re-read copy must equal the direct oracle
+    "io_roundtrip" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_rt").toString + "/li"
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 40)
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    },
+
+    // json lines write -> schema'd re-read round-trip (from_json/to_json)
+    "io_json_roundtrip" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_js").toString + "/docs"
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+    },
+
+    // multimodal decode stub through the typed mapPartitions pipeline
+    "mm_meta" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Multimodal.decodeMeta(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .toDF("doc_id", "n_bytes", "sha256", "width", "height", "format")
+        .withColumn("width", col("width").cast("long"))
+        .withColumn("height", col("height").cast("long"))
+    },
+
+    // frame-sampling stub: every 2nd 64-byte frame
+    "mm_frames" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)), 64, 2)
+        .toDF("doc_id", "frame_idx", "frame_hash")
+        .withColumn("frame_idx", col("frame_idx").cast("long"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "g_head" ->
+      """SELECT * FROM orders ORDER BY o_orderkey LIMIT 5""",
+    "g_slice_rows" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 100""",
+    "g_at" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 5""",
+    "g_sample" ->
+      """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty FROM lineitem WHERE l_orderkey % 97 = 0""",
+    "io_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem WHERE l_quantity >= 40 GROUP BY 1""",
+    "io_json_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1""",
+    "mm_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha256, CAST(16 + octet_length(encode(text)) % 640 AS BIGINT) AS width, CAST(16 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height, CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format FROM documents""",
+    "mm_frames" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, substr(sha256(substr(text, CAST(i*64+1 AS INT), 64)), 1, 16) AS frame_hash FROM documents, range(0, 10) r(i) WHERE i*64 < octet_length(encode(text)) AND i % 2 = 0""")
+}
