@@ -1,0 +1,69 @@
+package graft.inspect
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Introspection surface (SURVEY §2.13): the Spark analogue of the
+  * reference's data-less graph simulation.
+  *
+  * `report_necessary_columns` (reference `lib/inspect.py:118-219`) executes
+  * the whole task graph on typetracer arrays to learn which buffers a
+  * computation touches. Catalyst does the same statically: after
+  * ColumnPruning/SchemaPruning, the `FileSourceScanExec.requiredSchema` IS
+  * the necessary-columns report — no mock execution needed.
+  */
+object Inspect {
+
+  /** Per-scan required columns of the optimized physical plan: a map from
+    * scanned file path root -> pruned column names (nested fields appear as
+    * their struct roots with pruned inner schema). */
+  def necessaryColumns(df: DataFrame): Map[String, Seq[String]] = {
+    val plan = df.queryExecution.executedPlan
+    collectScans(plan).map { scan =>
+      val root = scan.relation.location.rootPaths.headOption
+        .map(_.toString).getOrElse("<unknown>")
+      root -> scan.requiredSchema.fields.map(fieldSpec).toSeq
+    }.toMap
+  }
+
+  /** Flat "a.b.c"-style rendering of a possibly-nested pruned field (list
+    * levels are transparent, like the reference's buffer->column mapping). */
+  private def fieldSpec(f: org.apache.spark.sql.types.StructField): String =
+    spec(f.name, f.dataType)
+
+  private def spec(name: String, dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.map(inner => s"$name.${fieldSpec(inner)}").mkString(",")
+      case a: org.apache.spark.sql.types.ArrayType => spec(name, a.elementType)
+      case m: org.apache.spark.sql.types.MapType => spec(name, m.valueType)
+      case _ => name
+    }
+
+  private def collectScans(plan: SparkPlan): Seq[FileSourceScanExec] =
+    plan match {
+      case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other =>
+        other.children.flatMap(collectScans) ++
+          other.subqueries.flatMap(collectScans)
+    }
+
+  /** Pushed-down data filters per scan (reference has no predicate pushdown
+    * at all — SURVEY §4.1 notes this exceeds parity). */
+  def pushedFilters(df: DataFrame): Map[String, Seq[String]] = {
+    val plan = df.queryExecution.executedPlan
+    collectScans(plan).map { scan =>
+      val root = scan.relation.location.rootPaths.headOption
+        .map(_.toString).getOrElse("<unknown>")
+      root -> scan.dataFilters.map(_.sql)
+    }.toMap
+  }
+
+  /** `ak.fields` / form introspection (reference `lib/describe.py:8-42`):
+    * schema as the reference's "form" tree string. */
+  def form(df: DataFrame): String = df.schema.treeString
+
+  def fields(df: DataFrame): Seq[String] = df.schema.fieldNames.toSeq
+}

@@ -1,0 +1,111 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** IO surface (SURVEY §2.1, reference `lib/io/`). Spark's sources already
+  * provide what the reference hand-builds — file/row-group partitioning,
+  * footer metadata, column projection, byte-chunk line splitting — so these
+  * are thin, defaulted wrappers plus the one genuinely missing piece: the
+  * per-file read *report* stream (`from_parquet(report=True)`,
+  * reference `lib/io/parquet.py:36-61`).
+  */
+object GraftIO {
+
+  /** `from_parquet` (reference `parquet.py:251-427`): columns pushdown via
+    * `select`, row-group splitting via maxPartitionBytes — both native. */
+  def fromParquet(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (columns.isEmpty) df else df.select(columns.map(col): _*)
+  }
+
+  /** The reference's `project_columns` (reference `parquet.py:179-190`) for
+    * nested leaves: read with an explicitly pruned schema so the parquet
+    * reader materializes only the named leaf columns.
+    *
+    * Needed because Catalyst's SchemaPruning does not (yet) look through
+    * higher-order-function lambdas — `transform(items, x -> x.q)` scans the
+    * full struct, while `items.q` or this explicit schema prunes. Paths use
+    * dots, list levels are transparent: "items.quantity". */
+  def fromParquetProjected(spark: SparkSession, path: String,
+      leaves: Seq[String]): DataFrame = {
+    val full = spark.read.parquet(path).schema
+    def prune(st: StructType, paths: Seq[Seq[String]]): StructType =
+      StructType(st.fields.flatMap { f =>
+        val sub = paths.filter(_.head == f.name)
+        if (sub.isEmpty) None
+        else {
+          val rest = sub.map(_.tail).filter(_.nonEmpty)
+          val dt = pruneType(f.dataType, rest)
+          Some(f.copy(dataType = dt))
+        }
+      })
+    def pruneType(dt: org.apache.spark.sql.types.DataType,
+        rest: Seq[Seq[String]]): org.apache.spark.sql.types.DataType = dt match {
+      case s: StructType if rest.nonEmpty => prune(s, rest)
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = pruneType(a.elementType, rest))
+      case other => other
+    }
+    val pruned = prune(full, leaves.map(_.split('.').toSeq))
+    spark.read.schema(pruned).parquet(path)
+  }
+
+  /** `to_parquet` (reference `parquet.py:515-726`): one file per partition
+    * is Spark's native layout; zstd matches the reference default. */
+  def toParquet(df: DataFrame, dest: String,
+      compression: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", compression).parquet(dest)
+
+  /** `from_json` line-delimited with optional explicit schema — schema
+    * pushdown is the reference's JSONSchema trick (`json.py:77-89`) done
+    * natively by the reader's requiredSchema. */
+  def fromJson(spark: SparkSession, path: String,
+      schema: Option[StructType] = None,
+      samplingRatio: Double = 1.0): DataFrame = {
+    val r = spark.read.option("samplingRatio", samplingRatio)
+    schema.fold(r.json(path))(s => r.schema(s).json(path))
+  }
+
+  def toJson(df: DataFrame, dest: String, compression: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+    compression.fold(w)(c => w.option("compression", c)).json(dest)
+  }
+
+  /** `from_text` (reference `lib/io/text.py:54-127`): one string row per
+    * line, custom line separator supported. */
+  def fromText(spark: SparkSession, path: String,
+      lineSep: Option[String] = None): DataFrame = {
+    val r = spark.read
+    lineSep.fold(r)(sep => r.option("lineSep", sep)).text(path)
+  }
+
+  /** `from_lists` / `from_awkward` (reference `lib/io/io.py:79-191`):
+    * in-memory rows -> n partitions. */
+  def fromSeq[T <: Product : org.apache.spark.sql.Encoder](
+      spark: SparkSession, rows: Seq[T], npartitions: Int): Dataset[T] =
+    spark.createDataset(rows).repartition(npartitions)
+
+  /** The `report=True` read: each file yields either its row count or an
+    * error record; bad files don't fail the job (the reference's mock-empty
+    * + error-report path, `parquet.py:168-177`). Returns (data, report). */
+  def fromParquetWithReport(spark: SparkSession, paths: Seq[String])
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val statuses = paths.map { p =>
+      try {
+        val n = spark.read.parquet(p).count()
+        (p, "ok", n, "")
+      } catch {
+        case e: Throwable => (p, "error", 0L, e.getMessage.take(200))
+      }
+    }
+    val good = statuses.collect { case (p, "ok", _, _) => p }
+    val data =
+      if (good.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(good: _*)
+    (data, statuses.toDF("path", "status", "rows", "error"))
+  }
+}

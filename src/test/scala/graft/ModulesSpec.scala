@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Module tests: streaming (real Structured Streaming runs), inspect
+  * (necessary-columns / pushdown reports), behaviors (mixin dispatch),
+  * io (round-trips + report reads), multimodal (typed decode pipeline). */
+class ModulesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** FileStreamSource needs a directory; also re-encode the ns timestamps
+    * to the micros the streaming schema declares. */
+  private lazy val eventsStreamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    graft.core.Tables.events(spark, dir).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("streaming: tumbling counts over a bounded stream match the batch plan") {
+    implicit val s: SparkSession = spark
+    // stream the events parquet as a file source
+    val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
+    val out = graft.streaming.Streaming.runToMemory(
+      graft.streaming.Streaming.tumblingCounts(src), "t_tumb")
+    val batch = graft.core.Tables.events(spark, dir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    // append-mode watermarked aggs only emit windows the watermark passed;
+    // with a bounded input the final watermark leaves the tail pending, so
+    // the emitted set must be a subset with identical counts, and non-empty
+    val got = out.select($"ws", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toMap2
+    val want = batch.select($"window.start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toMap2
+    assert(got.nonEmpty)
+    got.foreach { case (k, n) => assert(want(k) == n, s"window $k") }
+  }
+
+  test("streaming: session windows produce plausible sessions") {
+    implicit val s: SparkSession = spark
+    val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
+    val out = graft.streaming.Streaming.runToMemory(
+      graft.streaming.Streaming.userSessions(src), "t_sess")
+    assert(out.count() > 0)
+    assert(out.filter($"session_end" < $"session_start").count() == 0)
+  }
+
+  test("streaming: dropDuplicatesWithinWatermark dedups a doubled stream") {
+    implicit val s: SparkSession = spark
+    val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
+    val out = graft.streaming.Streaming.runToMemory(
+      graft.streaming.Streaming.dedupedEvents(
+        src.union(src)), "t_dedup")
+    val n = graft.core.Tables.events(spark, dir).count()
+    assert(out.count() == n, s"expected $n deduped events")
+  }
+
+  test("inspect: necessaryColumns reports the pruned scan schema") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val q = li.filter($"l_quantity" > 10).select($"l_orderkey")
+    val nc = graft.inspect.Inspect.necessaryColumns(q)
+    assert(nc.size == 1)
+    val cols = nc.values.head.toSet
+    assert(cols == Set("l_orderkey", "l_quantity"),
+      s"scan should read exactly the needed columns, got $cols")
+  }
+
+  test("inspect: nested-field pruning reaches the scan (SchemaPruning)") {
+    import graft.reducers.sumList
+    // write a nested file, then project one leaf — scan must prune to it
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nested").toString
+    graft.core.Tables.ordersNested(spark, dir).write
+      .mode("overwrite").parquet(tmp)
+    val nested = spark.read.parquet(tmp)
+
+    // direct nested access (GetArrayStructFields) prunes natively
+    val direct = nested.select($"items.quantity")
+    val ncd = graft.inspect.Inspect.necessaryColumns(direct).values.head.mkString(";")
+    assert(ncd.contains("quantity") && !ncd.contains("extendedprice"),
+      s"native nested pruning failed: $ncd")
+
+    // HOF lambdas defeat SchemaPruning (known Catalyst limitation) — the
+    // explicit projected read (reference project_columns) restores it
+    val hof = nested.select(sumList(
+      transform($"items", _.getField("quantity"))).as("s"))
+    val nch = graft.inspect.Inspect.necessaryColumns(hof).values.head.mkString(";")
+    assert(nch.contains("extendedprice"), "if this starts pruning, drop the workaround")
+
+    val projected = graft.io.GraftIO.fromParquetProjected(spark, tmp,
+      Seq("o_orderkey", "items.quantity"))
+    val q2 = projected.select(sumList(
+      transform($"items", _.getField("quantity"))).as("s"))
+    val ncp = graft.inspect.Inspect.necessaryColumns(q2).values.head.mkString(";")
+    assert(ncp.contains("quantity") && !ncp.contains("extendedprice"),
+      s"projected read failed to prune: $ncp")
+    // and the values still come out right
+    val a = q2.as[Double].head
+    val b = hof.as[Double].head
+    assert(a == b)
+  }
+
+  test("inspect: pushedFilters shows predicate pushdown") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val pf = graft.inspect.Inspect.pushedFilters(
+      li.filter($"l_quantity" > 10).select($"l_orderkey"))
+    assert(pf.values.head.exists(_.contains("l_quantity")))
+  }
+
+  test("behaviors: Point mixin methods dispatch over structs and lists") {
+    import graft.behaviors.Behaviors._
+    val df = pointsDf // array<struct<x,y>> rows
+    // get() is null-safe on the empty-list row (ANSI element_at would throw)
+    val firstMag = df.select(
+      new PointColumnOps(get($"points", lit(0))).mag.as("m"))
+      .as[Option[Double]].collect().toSeq
+    assert(math.abs(firstMag.head.get - math.sqrt(49 + 4)) < 1e-12)
+    val mags = df.select(new PointListOps($"points").mags.as("ms"))
+      .as[Seq[Double]].collect()
+    assert(mags(0).size == 3 && mags(1).isEmpty)
+    val named = df.withRecordName("points", "Point")
+    assert(named.recordName("points").contains("Point"))
+    assert(df.recordName("points").isEmpty)
+  }
+
+  test("io: text + json + report reads") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
+    // to_json -> from_json round trip with schema
+    val d = graft.core.Tables.documents(spark, dir).select($"doc_id", $"lang")
+    graft.io.GraftIO.toJson(d, s"$tmp/js")
+    val back = graft.io.GraftIO.fromJson(spark, s"$tmp/js",
+      Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, lang STRING")))
+    assert(back.count() == d.count())
+    // from_text
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/t.txt"), "a\nb\nc\n")
+    assert(graft.io.GraftIO.fromText(spark, s"$tmp/t.txt").count() == 3)
+    // report read: one good file, one missing
+    val (data, report) = graft.io.GraftIO.fromParquetWithReport(spark,
+      Seq(s"$dir/region.parquet", s"$tmp/missing.parquet"))
+    assert(data.count() == 5)
+    val st = report.select($"status").as[String].collect().sorted.toSeq
+    assert(st == Seq("error", "ok"))
+  }
+
+  test("multimodal: decode + frame pipeline shapes and determinism") {
+    implicit val s: SparkSession = spark
+    import graft.multimodal.Multimodal._
+    val media = mediaFromDocuments(graft.core.Tables.documents(spark, dir))
+    val meta = decodeMeta(media)
+    val row = meta.filter($"id" === 0).collect().head
+    assert(row.nBytes > 0 && row.sha256.length == 64)
+    assert(row.width >= 16 && row.width < 16 + 640)
+    // deterministic: same input -> same hash on a second run
+    val again = decodeMeta(media).filter($"id" === 0).collect().head
+    assert(again == row)
+    val frames = sampleFrames(media, 64, 2)
+    // every sampled frame index is even and hashes are 16 hex chars
+    assert(frames.filter($"frameIdx" % 2 =!= 0).count() == 0)
+    assert(frames.filter(length($"frameHash") =!= 16).count() == 0)
+  }
+
+  implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+}
