@@ -25,17 +25,13 @@ package object dedup {
   /** Whitespace tokens. */
   private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
 
-  /** Distinct word n-gram shingles of a text column (n>=1), as strings. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val t = toks(c)
-    if (n == 1) array_distinct(t)
-    else array_distinct(
-      filter(
-        transform(t, (_, i) =>
-          when(i <= size(t) - n,
-            concat_ws(" ", (0 until n).map(k => get(t, i + k)): _*))),
-        x => x.isNotNull))
-  }
+  /** Distinct word n-gram shingles of a text column (n>=1), as strings,
+    * first-occurrence order. Tokenization is codegen'd built-ins; the
+    * n-gram loop is a custom Expression (~100x over the interpreted HOF
+    * form — it sits under an explode on both sides of the inverted-index
+    * join, so it is the hot path of n-gram dedup). */
+  def wordShingles(c: Column, n: Int): Column =
+    graft.functions.HashExprs.wordNgrams(toks(c), n)
 
   /** Deterministic polynomial hash of a string (base 131, mod 1e9+7).
     * The modulus keeps every intermediate below 2^38, so the arithmetic is
@@ -46,19 +42,15 @@ package object dedup {
       (acc, ch) => (acc * 131 + ascii(ch)) % 1000000007L)
 
   /** MinHash signature: k permutations h_i(x) = (a_i*x + b_i) mod p over the
-    * shingle base-hashes, min per permutation. One map-side HOF pass; the
-    * signature is an array<long> of length k. */
-  def minHashSignature(shingles: Column, k: Int, seed: Long = 42L): Column = {
-    val p = 2147483647L // 2^31-1 Mersenne prime; a*h stays under 2^62
-    val rnd = new scala.util.Random(seed)
-    val coefs = Seq.fill(k)((math.abs(rnd.nextLong()) % (p - 1) + 1,
-      math.abs(rnd.nextLong()) % p))
-    val hashes = transform(shingles, s => polyHash(s))
-    array(coefs.map { case (a, b) =>
-      array_min(transform(hashes, h =>
-        pmod(h * lit(a) + lit(b), lit(p))))
-    }: _*)
-  }
+    * shingle base-hashes, min per permutation; array<long> of length k.
+    *
+    * Implemented as a custom Catalyst Expression (one tight-loop eval per
+    * row): the equivalent `aggregate`/`zip_with` HOF form runs interpreted
+    * and is ~100x slower. Base hash = xxhash64 (native, deterministic;
+    * minhash is approximate-by-construction so it needs no cross-engine-
+    * reproducible hash). See graft.functions.HashExprs. */
+  def minHashSignature(shingles: Column, k: Int, seed: Long = 42L): Column =
+    graft.functions.HashExprs.minHashSignature(shingles, k, seed)
 
   /** Band keys for LSH: split the signature into `bands` bands of `rows`
     * values, hash each band — equal band key => candidate pair. Returns
@@ -71,24 +63,13 @@ package object dedup {
     }: _*)
 
   /** SimHash (48-bit, safe in a signed 64-bit lane): per-token deterministic
-    * hash expanded via a Knuth multiply, each bit votes +-1 weighted by
-    * occurrence; the sign vector packs into a long. Entirely map-side. */
-  def simHash48(c: Column): Column = {
-    val t = toks(c)
-    val th = transform(t, s =>
-      pmod(polyHash(s) * 2654435761L, lit(281474976710656L))) // mod 2^48
-    val votes = aggregate(
-      th,
-      array_repeat(lit(0), 48),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(47)),
-        (v, j) => v + when(call_function("shiftright", h, j)
-          .bitwiseAND(1) === 1, 1).otherwise(-1)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(47)),
-        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * hash (polyHash, Knuth-multiplied), each bit votes +-1 weighted by
+    * occurrence; the sign vector packs into a long. Entirely map-side.
+    * Tokenization stays in codegen'd built-ins; the vote loop is a custom
+    * Expression (graft.functions.HashExprs.SimHash48) — bit-exact with the
+    * DuckDB oracle's list_reduce/range(48) formulation. */
+  def simHash48(c: Column): Column =
+    graft.functions.HashExprs.simHash48(toks(c))
 
   /** Hamming distance between two packed signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -100,16 +81,31 @@ package object dedup {
     * df must have columns (idCol: long, textCol: string). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, minJaccardPct: Int = 50): DataFrame = {
+    // Repartition BEFORE the explode: a small input (few parquet splits)
+    // would otherwise run the whole explode -> join-probe -> partial-agg
+    // pipeline in one or two tasks. At 100 TB the scan yields thousands of
+    // splits and this is a near-free 5k-row shuffle; without it the plan
+    // has a serial hot stage at any scale where files < cores.
     val sh = df.select(col(idCol).as("id"),
       wordShingles(col(textCol), n).as("sh"))
       .withColumn("nsh", size(col("sh")))
-    val inv = sh.select(col("id"), col("nsh"), explode(col("sh")).as("g"))
+      // explicit N: AQE would coalesce a bare repartition(col) of a 5k-row
+      // shuffle back to 1 partition — before the 7000x row explosion of
+      // explode + join, partition count must reflect the POST-explosion size
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+    // Group on the two ids only — carrying nsh through the 36M-row pair
+    // stream widens every partial-agg entry; the 5k-row (id, nsh) side
+    // broadcast-joins back in after the heavy aggregate.
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.nsh").as("n1"), col("b.nsh").as("n2"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("inter"))
+    val nshDf = sh.select(col("id"), col("nsh"))
     pairs
+      .join(broadcast(nshDf.withColumnRenamed("nsh", "n1")), col("id1") === col("id")).drop("id")
+      .join(broadcast(nshDf.withColumnRenamed("nsh", "n2")), col("id2") === col("id")).drop("id")
       .withColumn("uni", col("n1") + col("n2") - col("inter"))
       .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
       .select(col("id1"), col("id2"), col("inter"), col("uni"))
@@ -122,21 +118,33 @@ package object dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n"))
 
   /** MinHash-LSH candidate pairs, verified with exact Jaccard on the
-    * signatures (estimate = matching minhash coordinates / k). */
+    * signatures (estimate = matching minhash coordinates / k).
+    *
+    * Candidates are deduped to distinct (id1, id2) BEFORE the similarity
+    * estimate: two docs colliding in b bands would otherwise pay the k-wide
+    * signature compare b times and rely on a wide `distinct` to clean up —
+    * at 100 TB the distinct-on-ints-first ordering is the difference between
+    * shuffling (long, long) and shuffling (long, long, array<long>[k]). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 32, bands: Int = 8): DataFrame = {
     val rows = k / bands
     val sigs = df.select(col(idCol).as("id"),
         minHashSignature(wordShingles(col(textCol), n), k).as("sig"))
-    val buckets = sigs.select(col("id"), col("sig"),
+      .cache() // reused 3x (banding + both sides of the candidate join)
+    val buckets = sigs.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-    buckets.as("a").join(buckets.as("b"),
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-          e => e)).cast("double") / k).as("est_jaccard"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    cand
+      .join(sigs.select(col("id"), col("sig").as("sig1")), col("id1") === col("id"))
+      .drop("id")
+      .join(sigs.select(col("id"), col("sig").as("sig2")), col("id2") === col("id"))
+      .select(col("id1"), col("id2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          e => e)).cast("double") / k).as("est_jaccard"))
   }
 }

@@ -22,16 +22,12 @@ import org.apache.spark.sql.expressions.Window
   */
 package object similarity {
 
-  /** Cosine similarity of two array<numeric> columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b,
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)
-    val na = sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    when(na =!= 0 && nb =!= 0, dot / (na * nb))
-  }
+  /** Cosine similarity of two array<numeric> columns (double math; null
+    * when either norm is 0). Custom Expression — one tight loop per pair
+    * instead of three interpreted HOF aggregates; identical accumulation
+    * order to the DuckDB oracle formulation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
 
   /** Exact top-k neighbors for each query row. `queries`/`corpus` need
     * (idCol, vecCol); self-matches (equal ids) are excluded. */
@@ -57,16 +53,11 @@ package object similarity {
   }
 
   /** Sign-bit signature of a vector against `nPlanes` hyperplanes, packed
-    * into a long. Map-side only. */
-  def hyperplaneSignature(vec: Column, dim: Int, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { j =>
-      val plane = array((0 until dim).map(i => lit(planeComponent(j, i))): _*)
-      val dot = aggregate(zip_with(vec, plane,
-        (x, p) => x.cast("double") * p), lit(0.0), _ + _)
-      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * into a long. Map-side only; custom Expression (the HOF form pays
+    * nPlanes x dim interpreted lambda evals per row), bit-exact with
+    * [[planeComponent]]. */
+  def hyperplaneSignature(vec: Column, dim: Int, nPlanes: Int): Column =
+    graft.functions.VectorExprs.hyperplaneSig(vec, dim, nPlanes)
 
   /** LSH ANN: bucket by signature, exact cosine re-rank within buckets.
     * Recall < 1 by construction; pair with multi-probe for production. */
