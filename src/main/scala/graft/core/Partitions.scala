@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Partition-level operators (SURVEY §2.2; reference `core.py:979-1290`).
+  *
+  * The reference exposes partitions as an indexable axis
+  * (`a.partitions[i]`, `repartition(...)`) because dask graphs make the
+  * chunking explicit. Spark hides partitioning behind the planner, so most
+  * of the family is native (`repartition`/`coalesce`/`repartitionByRange`);
+  * the only genuinely missing piece is selecting partitions by index,
+  * which maps to a mapPartitionsWithIndex filter — a zero-shuffle,
+  * zero-copy pass that drops whole tasks (Spark still schedules the
+  * skipped partitions as no-op tasks; at 100 TB prefer re-listing the
+  * source files when the partitioning comes straight from a file scan).
+  */
+object Partitions {
+
+  /** `a.partitions[from until]` (reference `core.py:1233-1290`): keep only
+    * partitions with index in [from, until). */
+  def partitionsSlice(df: DataFrame, from: Int, until: Int): DataFrame = {
+    val rdd = df.rdd.mapPartitionsWithIndex { (i, it) =>
+      if (i >= from && i < until) it else Iterator.empty
+    }
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
+
+  /** `a.partitions[i]` (reference `core.py:1233-1260`). */
+  def partition(df: DataFrame, i: Int): DataFrame =
+    partitionsSlice(df, i, i + 1)
+
+  /** `repartition(npartitions=)` — grow via full shuffle, shrink via
+    * coalesce (no shuffle), the same split/merge asymmetry the reference
+    * builds as slice-and-concat layers (`lib/structure.py:1346-1439`). */
+  def repartitionN(df: DataFrame, n: Int): DataFrame =
+    if (n >= df.rdd.getNumPartitions) df.repartition(n) else df.coalesce(n)
+
+  /** `repartition(divisions=)` analog: range-partition on an ordering
+    * column — Spark samples range bounds instead of taking explicit
+    * divisions, the scale-correct equivalent. */
+  def repartitionByDivisions(df: DataFrame, n: Int, key: Column): DataFrame =
+    df.repartitionByRange(n, key)
+}

@@ -88,6 +88,48 @@ object GraftIO {
       spark: SparkSession, rows: Seq[T], npartitions: Int): Dataset[T] =
     spark.createDataset(rows).repartition(npartitions)
 
+  /** `from_map` (reference `lib/io/io.py:528-697`): the generic source
+    * builder — a function plus an iterable of per-partition inputs, one
+    * partition per input. The one legitimate RDD use in the library:
+    * per-partition imperative generation that no declarative source
+    * expresses. Schema comes from the Encoder (the analog of the
+    * reference's `meta=`; Catalyst cannot simulate an opaque fn). */
+  def fromMap[I: scala.reflect.ClassTag,
+      T: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](
+      spark: SparkSession, inputs: Seq[I])(fn: I => Iterator[T]): Dataset[T] = {
+    val rdd = spark.sparkContext
+      .parallelize(inputs, math.max(1, inputs.size))
+      .flatMap(fn)
+    spark.createDataset(rdd)
+  }
+
+  /** `from_map` with the reference's per-partition report stream
+    * (`io.py:651-695`): each input yields (rows, status); failures
+    * contribute zero rows plus an error record instead of failing the job.
+    * Statuses travel through a second Dataset, evaluated with the data. */
+  def fromMapWithReport[I: scala.reflect.ClassTag,
+      T: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](
+      spark: SparkSession, inputs: Seq[I])(fn: I => Iterator[T])
+      : (Dataset[T], DataFrame) = {
+    import spark.implicits._
+    // fn runs ON EXECUTORS, once per input; the tried partition is persisted
+    // so the data and report actions share one evaluation (the reference
+    // shares the task between the two output collections the same way).
+    val tried = spark.sparkContext
+      .parallelize(inputs, math.max(1, inputs.size))
+      .map { in =>
+        try { (in.toString, "ok", fn(in).toArray) }
+        catch { case e: Throwable =>
+          (in.toString, "error: " + String.valueOf(e.getMessage).take(200),
+            Array.empty[T]) }
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val data = spark.createDataset(tried.flatMap(_._3))
+    val report = tried.map { case (i, s, a) => (i, s, a.length.toLong) }
+      .toDF("input", "status", "rows")
+    (data, report)
+  }
+
   /** The `report=True` read: each file yields either its row count or an
     * error record; bad files don't fail the job (the reference's mock-empty
     * + error-report path, `parquet.py:168-177`). Returns (data, report). */

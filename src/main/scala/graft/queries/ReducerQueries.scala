@@ -95,6 +95,19 @@ object ReducerQueries {
         (round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4) + lit(0.0)).as("intercept"))
     },
 
+    // ak.sum/count(axis=0) over RAGGED lists — position-wise totals with
+    // awkward's ragged broadcast (row contributes to position p iff
+    // len > p); custom typed Aggregator (reference lib/reducers.py:517,
+    // core.py:2258 tree reduction = Spark partial+final)
+    "r_axis0_ragged" -> { (s, dir) =>
+      val qs = transform(col("items"), _.getField("quantity"))
+      Tables.ordersNested(s, dir)
+        .agg(graft.reducers.ElementwiseAgg.elementwiseSumCount(qs).as("ew"))
+        .select(posexplode(col("ew")).as(Seq("pos", "sc")))
+        .select(col("pos").cast("long").as("pos"),
+          round(col("sc._1"), 2).as("s"), col("sc._2").as("n"))
+    },
+
     // ak.isclose + ak.nan_to_num — reference lib/structure.py:509,601
     "r_isclose_nan" -> { (s, dir) =>
       val l = Tables.lineitem(s, dir)
@@ -121,5 +134,7 @@ object ReducerQueries {
     "r_axis0" ->
       """SELECT round(sum(l_quantity),2) AS sum_qty, CAST(min(l_quantity) AS BIGINT) AS min_qty, CAST(max(l_quantity) AS BIGINT) AS max_qty, count(l_quantity) AS count_qty, count(*) FILTER (WHERE l_discount <> 0) AS n_disc_nonzero, bool_or(l_quantity > 49) AS any_50, bool_and(l_quantity > 0) AS all_pos, round(avg(l_quantity),6) AS avg_qty, round(var_pop(l_quantity),4) AS var_qty, round(stddev_samp(l_quantity),4) AS std1_qty, round(corr(l_quantity, l_extendedprice),6)+0 AS corr_qe, round(regr_slope(l_extendedprice, l_quantity),4)+0 AS slope, round(regr_intercept(l_extendedprice, l_quantity),4)+0 AS intercept FROM lineitem""",
     "r_isclose_nan" ->
-      """SELECT count(*) FILTER (WHERE abs(l_quantity*0.1*10 - l_quantity) <= 1e-15) AS n_close, count(*) FILTER (WHERE l_quantity < 30) AS n_nan, round(sum(CASE WHEN l_quantity < 30 THEN 0 ELSE sqrt(l_quantity-30) END),4) AS sum_sqrt FROM lineitem""")
+      """SELECT count(*) FILTER (WHERE abs(l_quantity*0.1*10 - l_quantity) <= 1e-15) AS n_close, count(*) FILTER (WHERE l_quantity < 30) AS n_nan, round(sum(CASE WHEN l_quantity < 30 THEN 0 ELSE sqrt(l_quantity-30) END),4) AS sum_sqrt FROM lineitem""",
+    "r_axis0_ragged" ->
+      s"""WITH ord AS (SELECT l_orderkey, list(l_quantity ORDER BY $ORD) AS qs FROM lineitem GROUP BY l_orderkey) SELECT CAST(i - 1 AS BIGINT) AS pos, round(sum(qs[CAST(i AS INT)]), 2) AS s, count(*) AS n FROM ord, range(1, 33) r(i) WHERE len(qs) >= i GROUP BY i""")
 }

@@ -80,6 +80,20 @@ object Structure {
           p => p.getField("a") * p.getField("b"))), 2).as("sum_prod"))
     },
 
+    // ak.combinations(n=3) + with-replacement pairs — reference
+    // lib/structure.py:284-331 (general n via custom Expression)
+    "s_comb_n" -> { (s, dir) =>
+      val triples = combinationsN(qtys, 3)
+      val replPairs = combinationsN(qtys, 2, replacement = true)
+      nested(s, dir).select(col("o_orderkey"),
+        num(triples).cast("long").as("n_triples"),
+        round(sumList(transform(triples,
+          t => get(t, lit(0)) * get(t, lit(1)) * get(t, lit(2)))), 2).as("sum_prod3"),
+        num(replPairs).cast("long").as("n_pairs_repl"),
+        round(sumList(transform(replPairs,
+          p => get(p, lit(0)) * get(p, lit(1)))), 2).as("sum_prod2r"))
+    },
+
     // ak.local_index — reference lib/structure.py:561
     "s_local_index" -> { (s, dir) =>
       nested(s, dir).select(col("o_orderkey"),
@@ -211,6 +225,11 @@ object Structure {
       """SELECT l_orderkey AS o_orderkey, count(*)*(count(*)-1)//2 AS n_pairs, round((sum(l_quantity)*sum(l_quantity) - sum(l_quantity*l_quantity))/2, 2) AS sum_prod FROM lineitem GROUP BY 1""",
     "s_local_index" ->
       """SELECT l_orderkey AS o_orderkey, count(*)*(count(*)-1)//2 AS sum_idx FROM lineitem GROUP BY 1""",
+    // sum over 3-combinations of products = elementary symmetric e3 =
+    // (s1^3 - 3*s1*s2 + 2*s3)/6; with-replacement pairs = complete
+    // homogeneous h2 = (s1^2 + s2)/2 (power sums s_k = sum q^k)
+    "s_comb_n" ->
+      """SELECT l_orderkey AS o_orderkey, count(*)*(count(*)-1)*(count(*)-2)//6 AS n_triples, round((pow(sum(l_quantity),3) - 3*sum(l_quantity)*sum(l_quantity*l_quantity) + 2*sum(l_quantity*l_quantity*l_quantity))/6, 2) AS sum_prod3, count(*)*(count(*)+1)//2 AS n_pairs_repl, round((pow(sum(l_quantity),2) + sum(l_quantity*l_quantity))/2, 2) AS sum_prod2r FROM lineitem GROUP BY 1""",
     "s_pad_fill" ->
       """SELECT l_orderkey AS o_orderkey, CASE WHEN count(*) >= 5 THEN count(*) ELSE 5 END AS padded_len, CAST(3 AS BIGINT) AS clipped_len, round(sum(l_quantity),2) AS sum_filled FROM lineitem GROUP BY 1""",
     "s_runlengths" ->

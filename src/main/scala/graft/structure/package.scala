@@ -121,6 +121,19 @@ package object structure {
   def argcombinations2(c: Column): Column =
     combinations2(localIndex(c), "i", "j")
 
+  /** `ak.combinations(n)` for general n (reference
+    * `lib/structure.py:284-331`): per-row n-tuples (strictly increasing
+    * indices, or non-decreasing with `replacement`) of an inner list, in
+    * awkward's index-lexicographic order, as array<array<T>>. Custom
+    * Expression — see graft.functions.CombinatoricsExprs. */
+  def combinationsN(c: Column, n: Int, replacement: Boolean = false): Column =
+    graft.functions.CombinatoricsExprs.combinationsN(c, n, replacement)
+
+  /** `ak.argcombinations(n)` — index n-tuples (reference
+    * `lib/structure.py:124-175`): combinations over the local indices. */
+  def argcombinationsN(c: Column, n: Int): Column =
+    combinationsN(localIndex(c), n)
+
   /** `ak.run_lengths` — lengths of runs of equal adjacent values
     * (reference `lib/structure.py:772-795`). Single `aggregate` HOF pass
     * with a (runs, prev, count) struct accumulator. */

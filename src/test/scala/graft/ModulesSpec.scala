@@ -146,6 +146,37 @@ class ModulesSpec extends SparkSuite {
     assert(st == Seq("error", "ok"))
   }
 
+  test("io: fromMap generic source + per-input report") {
+    val ds = graft.io.GraftIO.fromMap(spark, Seq(1, 2, 3)) { i =>
+      (0 until i).iterator.map(j => (i, j))
+    }
+    assert(ds.rdd.getNumPartitions == 3)
+    assert(ds.count() == 6)
+    val (data, report) = graft.io.GraftIO.fromMapWithReport(
+      spark, Seq(2, -1)) { i =>
+      if (i < 0) throw new IllegalArgumentException("bad input")
+      (0 until i).iterator.map(j => (i, j))
+    }
+    assert(data.count() == 2)
+    val st = report.orderBy($"input").select($"status").as[String].collect()
+    assert(st(1) == "ok" && st(0).startsWith("error"))
+  }
+
+  test("partitions: index selection and repartition family") {
+    import graft.core.Partitions
+    val df = spark.range(100).toDF("x").repartition(4)
+    val one = Partitions.partition(df, 2)
+    assert(one.rdd.getNumPartitions == 4 && one.count() > 0)
+    val sl = Partitions.partitionsSlice(df, 1, 3)
+    assert(sl.count() ==
+      df.rdd.mapPartitionsWithIndex((i, it) =>
+        if (i == 1 || i == 2) it else Iterator.empty).count())
+    assert(Partitions.repartitionN(df, 2).rdd.getNumPartitions == 2)
+    assert(Partitions.repartitionN(df, 8).rdd.getNumPartitions == 8)
+    assert(Partitions.repartitionByDivisions(df, 5, $"x")
+      .rdd.getNumPartitions <= 5)
+  }
+
   test("multimodal: decode + frame pipeline shapes and determinism") {
     implicit val s: SparkSession = spark
     import graft.multimodal.Multimodal._

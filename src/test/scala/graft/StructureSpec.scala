@@ -55,6 +55,34 @@ class StructureSpec extends SparkSuite {
     assert(got(0) == Seq((0, 1), (0, 2), (1, 2)))
   }
 
+  test("combinationsN: general n, lexicographic order, short-list edge") {
+    val df = Seq(Seq(1L, 2L, 3L, 4L)).toDF("xs")
+    assert(df.select(combinationsN($"xs", 3)).as[Seq[Seq[Long]]].head ==
+      Seq(Seq(1, 2, 3), Seq(1, 2, 4), Seq(1, 3, 4), Seq(2, 3, 4)))
+    assert(df.select(combinationsN($"xs", 4)).as[Seq[Seq[Long]]].head ==
+      Seq(Seq(1, 2, 3, 4)))
+    // n > len -> empty; matches combinations2 on empties
+    assert(pointsDf.select(combinationsN(xs, 3)).as[Seq[Seq[Long]]]
+      .collect().toSeq.map(_.size) == Seq(1, 0, 0, 0, 1))
+  }
+
+  test("combinationsN with replacement: non-decreasing index tuples") {
+    val df = Seq(Seq(1L, 2L)).toDF("xs")
+    assert(df.select(combinationsN($"xs", 2, replacement = true))
+      .as[Seq[Seq[Long]]].head ==
+      Seq(Seq(1, 1), Seq(1, 2), Seq(2, 2)))
+    assert(df.select(combinationsN($"xs", 3, replacement = true))
+      .as[Seq[Seq[Long]]].head ==
+      Seq(Seq(1, 1, 1), Seq(1, 1, 2), Seq(1, 2, 2), Seq(2, 2, 2)))
+  }
+
+  test("argcombinationsN index triples") {
+    val got = pointsDf.select(argcombinationsN(xs, 3))
+      .as[Seq[Seq[Int]]].collect().toSeq
+    assert(got(0) == Seq(Seq(0, 1, 2)))
+    assert(got(1) == Seq())
+  }
+
   test("cartesianLists: per-row cross product (ak.cartesian)") {
     val df = Seq((Seq(1, 2), Seq(10, 20))).toDF("a", "b")
     val got = df.select(cartesianLists($"a", $"b")).as[Seq[(Int, Int)]].head
