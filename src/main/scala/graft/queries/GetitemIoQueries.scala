@@ -35,6 +35,40 @@ object GetitemIoQueries {
         .select(col("o_orderkey"), col("o_orderstatus"))
     },
 
+    // map_partitions with an opaque per-row Scala fn + declared schema
+    // (the meta= analog) — reference lib/core.py:2072-2204
+    "g_mapparts" -> { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val out = StructType(Seq(StructField("l_orderkey", LongType),
+        StructField("rev_scaled", LongType)))
+      // exact integer cents x basis-points: immune to cross-engine float
+      // summation order at the rounding boundary
+      val mapped = graft.core.MapPartitionsOps.mapPartitionsRows(
+        Tables.lineitem(s, dir).select(col("l_orderkey"),
+          col("l_extendedprice"), col("l_discount")), out) { it =>
+        it.map { r =>
+          val cents = math.round(r.getDouble(1) * 100)
+          val d100 = math.round(r.getDouble(2) * 100)
+          Row(r.getLong(0), cents * (100 - d100))
+        }
+      }
+      mapped.groupBy(col("l_orderkey"))
+        .agg(sum(col("rev_scaled")).as("revenue_scaled"))
+    },
+
+    // ufunc battery inside transform over ragged lists (np.sin etc. via
+    // __array_ufunc__) — reference lib/core.py:1702, tests/test_ufunc.py
+    "g_ufuncs" -> { (s, dir) =>
+      val qs = transform(col("items"), _.getField("quantity"))
+      Tables.ordersNested(s, dir).select(col("o_orderkey"),
+        round(graft.reducers.sumList(transform(qs, x => sin(x))), 4).as("s_sin"),
+        round(graft.reducers.sumList(transform(qs, x => sqrt(x))), 4).as("s_sqrt"),
+        round(graft.reducers.sumList(transform(qs, x => abs(x - 25))), 2).as("s_absdev"),
+        round(graft.reducers.sumList(transform(qs, x => pow(x, lit(2)))), 2).as("s_sq"),
+        round(graft.reducers.sumList(transform(qs, x => exp(-x / 50))), 4).as("s_exp"))
+    },
+
     // deterministic every-Nth decimation (ak.sample) — lib/inspect.py:241
     "g_sample" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -94,6 +128,10 @@ object GetitemIoQueries {
       """SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 5""",
     "g_sample" ->
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty FROM lineitem WHERE l_orderkey % 97 = 0""",
+    "g_mapparts" ->
+      """SELECT l_orderkey, sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_scaled FROM lineitem GROUP BY 1""",
+    "g_ufuncs" ->
+      """SELECT l_orderkey AS o_orderkey, round(sum(sin(l_quantity)),4) AS s_sin, round(sum(sqrt(l_quantity)),4) AS s_sqrt, round(sum(abs(l_quantity-25)),2) AS s_absdev, round(sum(pow(l_quantity,2)),2) AS s_sq, round(sum(exp(-l_quantity/50)),4) AS s_exp FROM lineitem GROUP BY 1""",
     "io_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem WHERE l_quantity >= 40 GROUP BY 1""",
     "io_json_roundtrip" ->
