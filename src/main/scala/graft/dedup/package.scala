@@ -117,6 +117,58 @@ package object dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n"))
 
+  /** Connected components over near-duplicate pair edges: the step that
+    * turns pairwise matches into dedup CLUSTERS (keep one representative
+    * per component, drop the rest). Iterative min-label propagation —
+    * each round every node adopts the smallest label among itself and its
+    * neighbors; converges in O(component diameter) rounds, which for
+    * near-dup clusters is tiny. Per round: one shuffle join + one
+    * aggregate; lineage is cut with localCheckpoint so the plan does not
+    * grow with iterations (the difference between O(d) and O(d^2) work at
+    * 100 TB, and a driver stack overflow avoided).
+    *
+    * Returns (id, rep) for every node appearing in `edges`, rep = min id
+    * of its component. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"),
+        col(srcCol).cast("long").as("b")))
+      .localCheckpoint() // edges reused every round: evaluate once
+    var labels = sym.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("l")).localCheckpoint()
+    // labels only ever decrease, so sum(l) is a complete convergence
+    // witness — one cheap aggregate per round instead of a self-join diff
+    var lastSum = labels.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val nbr = sym.join(labels, sym("b") === labels("v"))
+        .groupBy(col("a")).agg(min(col("l")).as("nl"))
+      val next = labels.join(nbr, labels("v") === nbr("a"), "left")
+        .select(labels("v"),
+          least(labels("l"), coalesce(col("nl"), labels("l"))).as("l"))
+        .localCheckpoint()
+      val s = next.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)
+      labels = next
+      done = s == lastSum
+      lastSum = s
+      i += 1
+    }
+    labels.select(col("v").as("id"), col("l").as("rep"))
+  }
+
+  /** Drop near-duplicates: keep only cluster representatives (plus every
+    * row with no near-dup edge). `pairs` as from [[ngramJaccardPairs]] /
+    * [[minhashLshPairs]]. */
+  def dropNearDuplicates(df: DataFrame, idCol: String,
+      pairs: DataFrame, id1: String = "id1", id2: String = "id2"): DataFrame = {
+    val losers = connectedComponents(pairs, id1, id2)
+      .filter(col("id") =!= col("rep")).select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** MinHash-LSH candidate pairs, verified with exact Jaccard on the
     * signatures (estimate = matching minhash coordinates / k).
     *

@@ -78,4 +78,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got(0) == Seq("a b", "b c", "c d"))
     assert(got(1) == Seq())
   }
+
+  test("connectedComponents: chain + separate component + dropNearDuplicates") {
+    // chain 1-2-3-4-5 (diameter 4) and pair 10-11: label propagation must
+    // carry the min to the far end of the chain
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id1", "id2")
+    val cc = connectedComponents(edges, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    val docs = spark.range(0, 13).toDF("doc_id")
+    val kept = dropNearDuplicates(docs, "doc_id", edges)
+      .as[Long].collect().sorted.toSeq
+    // losers: 2,3,4,5,11; keepers: reps 1,10 + untouched 0,6,7,8,9,12
+    assert(kept == Seq(0L, 1L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
 }
