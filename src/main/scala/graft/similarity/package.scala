@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (`array<float>`).
@@ -30,19 +29,32 @@ package object similarity {
     graft.functions.VectorExprs.cosineSim(a, b)
 
   /** Exact top-k neighbors for each query row. `queries`/`corpus` need
-    * (idCol, vecCol); self-matches (equal ids) are excluded. */
+    * (idCol, vecCol); self-matches (equal ids) are excluded.
+    *
+    * Top-k per query runs through the bounded [[TopKScoredIds]] aggregator,
+    * not a row_number window: the corpus-side scoring stays map-side (the
+    * query set is broadcast) and the shuffle carries at most k candidates
+    * per (query, partition) instead of every scored pair. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .filter(col("cos").isNotNull)
+    topKPerKey(scored, "qid", "cos", "nid", k)
   }
+
+  /** groupBy(key).top-k(score desc, id asc): shared tail of the exact and
+    * LSH searches. Emits (key, rank, id, score). */
+  private[similarity] def topKPerKey(scored: DataFrame, keyCol: String,
+      scoreCol: String, idCol: String, k: Int): DataFrame =
+    scored.groupBy(col(keyCol))
+      .agg(TopKAgg.topKScoredIds(
+        col(scoreCol).cast("double"), col(idCol).cast("long"), k).as("top"))
+      .select(col(keyCol), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col(keyCol), (col("pos") + 1).cast("int").as("rank"),
+        col("sc._2").as(idCol), col("sc._1").as(scoreCol))
 
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
     * an LCG over the flat index, mapped to [-0.5, 0.5). Pure integer
@@ -69,9 +81,8 @@ package object similarity {
         col("a.sig") === col("b.sig") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("qid"), col("b.id").as("nid"),
         cosine(col("a.v"), col("b.v")).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .filter(col("cos").isNotNull)
+    topKPerKey(joined, "qid", "cos", "nid", k)
   }
 
   /** All pairs with cosine >= threshold within a blocking key — embedding
