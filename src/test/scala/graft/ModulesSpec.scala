@@ -82,12 +82,14 @@ class ModulesSpec extends SparkSuite {
     assert(ncd.contains("quantity") && !ncd.contains("extendedprice"),
       s"native nested pruning failed: $ncd")
 
-    // HOF lambdas defeat SchemaPruning (known Catalyst limitation) — the
-    // explicit projected read (reference project_columns) restores it
+    // HOF lambdas defeat SchemaPruning (known Catalyst limitation) — our
+    // TransformFieldPruning optimizer rule rewrites the single-field case
+    // to GetArrayStructFields, restoring native pruning
     val hof = nested.select(sumList(
       transform($"items", _.getField("quantity"))).as("s"))
     val nch = graft.inspect.Inspect.necessaryColumns(hof).values.head.mkString(";")
-    assert(nch.contains("extendedprice"), "if this starts pruning, drop the workaround")
+    assert(nch.contains("quantity") && !nch.contains("extendedprice"),
+      s"TransformFieldPruning rule failed to restore pruning: $nch")
 
     val projected = graft.io.GraftIO.fromParquetProjected(spark, tmp,
       Seq("o_orderkey", "items.quantity"))
