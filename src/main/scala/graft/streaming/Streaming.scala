@@ -48,6 +48,44 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Custom per-key state machine via flatMapGroupsWithState — the
+    * "arbitrary stateful op" tier that windows can't express: tracks a
+    * running per-user (count, sum, max) and EMITS A ROW ONLY WHEN the
+    * cumulative value crosses a threshold multiple (an alerting shape).
+    * State is a 3-field case class per user; event-time timeout clears
+    * idle users once the watermark passes them. */
+  def valueAlerts(events: DataFrame, step: Double = 100.0): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", "10 minutes")
+      // keep ts as the watermarked TimestampType attribute — casting it
+      // would strip the event-time tag and EventTimeTimeout rejects the plan
+      .select(col("user_id").as[Long], col("value").as[Double],
+        col("ts").as[java.sql.Timestamp])
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+            state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (n, total) = state.getOption.getOrElse((0L, 0.0))
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            rows.foreach { case (_, v, _) =>
+              val before = (total / step).toLong
+              n += 1; total += v
+              val after = (total / step).toLong
+              if (after > before) out += ((user, n, total))
+            }
+            state.update((n, total))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600000L)
+            out.iterator
+          }
+      }
+  }
+
   /** Run a streaming query to completion against a bounded input (test
     * harness: memory sink + processAllAvailable). Returns the sink table. */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append")(

@@ -58,6 +58,27 @@ class ModulesSpec extends SparkSuite {
     assert(out.count() == n, s"expected $n deduped events")
   }
 
+  test("streaming: flatMapGroupsWithState alerting emits on threshold crossings") {
+    implicit val s: SparkSession = spark
+    val alerts = graft.streaming.Streaming.valueAlerts(
+      graft.streaming.Streaming.readEvents(spark, eventsStreamDir), step = 100.0)
+    val got = graft.streaming.Streaming.runToMemory(alerts.toDF(), "alerts")
+    // batch replica of the same state machine
+    val byUser = graft.core.Tables.events(spark, dir)
+      .select($"user_id".as[Long], $"value".as[Double], $"ts".cast("long").as[Long])
+      .collect().sortBy(_._3).groupBy(_._1)
+    var expected = 0L
+    byUser.foreach { case (_, rows) =>
+      var total = 0.0
+      rows.sortBy(_._3).foreach { r =>
+        val before = (total / 100.0).toLong; total += r._2
+        if ((total / 100.0).toLong > before) expected += 1
+      }
+    }
+    assert(got.count() == expected && expected > 0,
+      s"alerts=${got.count()} expected=$expected")
+  }
+
   test("inspect: necessaryColumns reports the pruned scan schema") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val q = li.filter($"l_quantity" > 10).select($"l_orderkey")
