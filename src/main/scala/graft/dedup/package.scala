@@ -131,13 +131,20 @@ package object dedup {
     * of its component. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).cast("long").as("a"),
-        col(dstCol).cast("long").as("b"))
-      .union(edges.select(col(dstCol).cast("long").as("a"),
-        col(srcCol).cast("long").as("b")))
-      .localCheckpoint() // edges reused every round: evaluate once
-    var labels = sym.select(col("a").as("v")).distinct()
-      .select(col("v"), col("v").as("l")).localCheckpoint()
+    // checkpoint the edge computation FIRST: the symmetrizing union has the
+    // edge plan as both branches, so an un-checkpointed (possibly expensive)
+    // pair pipeline would be evaluated twice — and then once more per round
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).localCheckpoint()
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    // seed with one propagation step folded into the init aggregate:
+    // label0(v) = min(v, min neighbor) — for clique-shaped components
+    // (the common near-dup case) this IS the fixpoint, so the loop runs
+    // exactly one confirmation round
+    var labels = sym.groupBy(col("a").as("v"))
+      .agg(least(min(col("b")), first(col("a"))).as("l"))
+      .localCheckpoint()
     // labels only ever decrease, so sum(l) is a complete convergence
     // witness — one cheap aggregate per round instead of a self-join diff
     var lastSum = labels.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)
