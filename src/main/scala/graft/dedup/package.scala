@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   *  - all hashes are deterministic integer arithmetic (no JVM-specific
   *    hashing), so results are reproducible across engines and runs.
   *
-  * At real scale add a document-frequency cap on shingles before the join
-  * (drop shingles appearing in >k docs — they generate quadratic candidate
-  * blowup and carry no signal).
+  * The pair generators take a `dfCap` document-frequency cap: shingles/
+  * band-keys occurring in more than dfCap docs are dropped before the
+  * self-join (they generate quadratic candidate blowup and carry no
+  * signal). Off by default for oracle-exact results; at 100 TB it is the
+  * knob that bounds the worst key's cost to dfCap^2.
   */
 package object dedup {
 
@@ -78,9 +80,13 @@ package object dedup {
     * Returns (id1, id2, inter, uni) with 2*inter >= uni (jaccard >= 0.5
     * as an exact integer predicate — no float rounding in the cut).
     *
-    * df must have columns (idCol: long, textCol: string). */
+    * df must have columns (idCol: long, textCol: string). With dfCap > 0,
+    * shingles in more than dfCap docs are excluded from the intersection
+    * count (denominators stay full-size), making the estimate conservative
+    * — candidate generation cost drops from sum(df^2) over ALL shingles to
+    * over rare ones only. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, minJaccardPct: Int = 50): DataFrame = {
+      n: Int = 2, minJaccardPct: Int = 50, dfCap: Int = 0): DataFrame = {
     // Repartition BEFORE the explode: a small input (few parquet splits)
     // would otherwise run the whole explode -> join-probe -> partial-agg
     // pipeline in one or two tasks. At 100 TB the scan yields thousands of
@@ -94,7 +100,16 @@ package object dedup {
       // explode + join, partition count must reflect the POST-explosion size
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("id"))
-    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("g"))
+    // document-frequency cap: one extra count+join over (g, df), paid
+    // once, to cut the sum(df^2) candidate blowup of stop-word shingles
+    val inv =
+      if (dfCap <= 0) inv0
+      else {
+        val rare = inv0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select(col("g"))
+        inv0.join(rare, "g")
+      }
     // Group on the two ids only — carrying nsh through the 36M-row pair
     // stream widens every partial-agg entry; the 5k-row (id, nsh) side
     // broadcast-joins back in after the heavy aggregate.

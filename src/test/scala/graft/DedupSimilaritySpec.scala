@@ -79,6 +79,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got(1) == Seq())
   }
 
+  test("ngramJaccardPairs dfCap drops pairs held together only by stop shingles") {
+    // "x xx" appears in every doc (df=4 > cap); docs 1/2 share ONLY it,
+    // docs 3/4 are real near-dups sharing rare shingles too
+    val df = Seq(
+      (1L, "x xx a1 a2"), (2L, "x xx b1 b2"),
+      (3L, "x xx c1 c2"), (4L, "x xx c1 c2")).toDF("doc_id", "text")
+    val uncapped = ngramJaccardPairs(df, "doc_id", "text", 2, 20)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((3L, 4L)))
+    val capped = ngramJaccardPairs(df, "doc_id", "text", 2, 20, dfCap = 3)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(capped == Set((3L, 4L)), s"got $capped")
+  }
+
   test("connectedComponents: chain + separate component + dropNearDuplicates") {
     // chain 1-2-3-4-5 (diameter 4) and pair 10-11: label propagation must
     // carry the min to the far end of the chain

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the queries must not just be correct at sf0.01 —
+  * their physical plans must be the ones that survive 100 TB. Guards the
+  * properties the perf work established so a refactor can't silently
+  * reintroduce a cartesian product or lose pushdown/broadcast.
+  */
+class PlanQualitySpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+    }
+  }
+
+  test("q5_join broadcasts the small dimension tables") {
+    val plan = SparkEntry.queries("q5_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q6_filter pushes predicates into the parquet scan") {
+    val pushed = graft.inspect.Inspect.pushedFilters(
+      SparkEntry.queries("q6_filter")(spark, dir))
+    assert(pushed.values.flatten.exists(f => f.contains(">=") || f.contains("<")),
+      s"expected range predicates pushed to scan, got $pushed")
+  }
+
+  test("relational aggregates keep partial (map-side) aggregation") {
+    val plan = SparkEntry.queries("q1_agg")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // partial + final pair: two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("flagship entry: top-k via TakeOrderedAndProject, partial collect") {
+    val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    // limit+orderBy must plan as a bounded top-k, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // nested-fixture build does map-side partial collect before the shuffle
+    assert(plan.contains("partial_collect_list"), plan.take(2000))
+  }
+}
