@@ -43,6 +43,23 @@ object EventQueries {
           max(col("n_events")).as("max_session"))
     },
 
+    // as-of join: each event annotated with the user's most recent
+    // purchase value at-or-before its timestamp (graft.operators.AsofJoin;
+    // DuckDB mirrors with native ASOF JOIN)
+    "ev_asof" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      // unique (user, ts) on the right side => deterministic in any engine
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.AsofJoin.asofJoinLast(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, "user_id", "ts", Seq("pval"))
+        .groupBy(col("user_id"))
+        .agg(count(when(col("asof_pval").isNotNull, 1)).as("n_matched"),
+          round(sum(col("asof_pval")), 2).as("sum_asof"))
+    },
+
     // typed JSON field extraction with from_json (schema'd parse, not just
     // path extraction as in ev_json)
     "st_json_typed" -> { (s, dir) =>
@@ -57,6 +74,8 @@ object EventQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    "ev_asof" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
     "st_tumbling" ->
       """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS ws, event_type, count(*) AS n, round(sum(value),2) AS sum_value FROM events GROUP BY 1, 2""",
     "st_hopping" ->

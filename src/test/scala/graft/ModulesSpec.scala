@@ -185,6 +185,21 @@ class ModulesSpec extends SparkSuite {
     assert(st(1) == "ok" && st(0).startsWith("error"))
   }
 
+  test("asof join: inclusive tie, latest-at-or-before, null when none") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 50L, "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (3L, 1L, 9.0))
+      .toDF("k", "ts", "v")
+    val got = graft.operators.AsofJoin
+      .asofJoinLast(left, right, "k", "ts", Seq("v"))
+      .select($"tag", $"asof_v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got("a") == Some(1.0)) // tie at ts=10 matches inclusively
+    assert(got("b") == Some(2.0)) // latest at-or-before 20 is ts=15
+    assert(got("c") == None)      // nothing at or before ts=5
+    assert(got("d") == None)      // key with no right rows
+  }
+
   test("partitions: index selection and repartition family") {
     import graft.core.Partitions
     val df = spark.range(100).toDF("x").repartition(4)
