@@ -18,6 +18,10 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      // drop caches a query pinned (e.g. LSH signatures): queries are
+      // independent; accumulated cache blocks would evict each other's
+      // checkpoints and skew later timings
+      spark.sharedState.cacheManager.clearCache()
       System.err.println(f"[bench] $name%-20s $dt%8.2fs")
       name -> dt
     }.toMap

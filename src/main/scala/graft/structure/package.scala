@@ -175,6 +175,20 @@ package object structure {
     * (reference `lib/operations.py:50-139`, axis>0 branch). */
   def concatLists(a: Column, b: Column): Column = concat(a, b)
 
+  /** `ak.concatenate(axis=0)` across frames with DIFFERING forms
+    * (reference `lib/operations.py:50-139` `enforce_concatenated_form`):
+    * missing columns null-fill, Catalyst widens common numeric types —
+    * the unified-form coercion the reference hand-builds. */
+  def concatFrames(frames: org.apache.spark.sql.DataFrame*): org.apache.spark.sql.DataFrame =
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** `ak.enforce_type` / `enforce_concatenated_form` for one frame
+    * (reference `lib/structure.py:1442-1461`): coerce to an explicit
+    * schema — Spark 3.4+ `df.to` does the cast/reorder/null-fill. */
+  def enforceType(df: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    df.to(schema)
+
   /** `ak.unflatten(counts, axis=0 within a row)` — regroup a flat inner list
     * into sublists of the given sizes (reference `lib/structure.py:895-921`).
     * Offsets are the running sum of counts; each output sublist is a slice. */

@@ -185,6 +185,23 @@ class ModulesSpec extends SparkSuite {
     assert(st(1) == "ok" && st(0).startsWith("error"))
   }
 
+  test("sources: DSv2 synthetic events — partitions, determinism, pruning") {
+    def read = spark.read.format("graft.sources.EventsSource")
+      .option("rows", "10000").option("partitions", "8").load()
+    assert(read.count() == 10000)
+    assert(read.rdd.getNumPartitions == 8)
+    // deterministic: two reads agree
+    val s1 = read.agg(sum($"value")).as[Double].head
+    val s2 = read.agg(sum($"value")).as[Double].head
+    assert(s1 == s2 && s1 > 0)
+    // column pruning reaches the scan: BatchScan output is only user_id
+    val plan = read.select($"user_id").queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("BatchScan")).get
+    assert(scanLine.contains("user_id") && !scanLine.contains("event_type"),
+      scanLine)
+    assert(read.select($"user_id").distinct().count() <= 1000)
+  }
+
   test("asof join: inclusive tie, latest-at-or-before, null when none") {
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 50L, "d"))
       .toDF("k", "ts", "tag")

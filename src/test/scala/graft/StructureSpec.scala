@@ -76,6 +76,19 @@ class StructureSpec extends SparkSuite {
       Seq(Seq(1, 1, 1), Seq(1, 1, 2), Seq(1, 2, 2), Seq(2, 2, 2)))
   }
 
+  test("concatFrames unifies differing forms; enforceType coerces schema") {
+    val a = Seq((1L, "x")).toDF("id", "s")
+    val b = Seq((2, 3.5)).toDF("id", "v") // narrower id type, extra column
+    val u = concatFrames(a, b).orderBy("id")
+    assert(u.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(u.columns.toSet == Set("id", "s", "v"))
+    assert(u.as[(Long, Option[String], Option[Double])].collect().toSeq ==
+      Seq((1L, Some("x"), None), (2L, None, Some(3.5))))
+    val t = enforceType(a, org.apache.spark.sql.types.StructType.fromDDL(
+      "id INT, s STRING"))
+    assert(t.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
   test("argcombinationsN index triples") {
     val got = pointsDf.select(argcombinationsN(xs, 3))
       .as[Seq[Seq[Int]]].collect().toSeq
