@@ -72,13 +72,25 @@ package object similarity {
     graft.functions.VectorExprs.hyperplaneSig(vec, dim, nPlanes)
 
   /** LSH ANN: bucket by signature, exact cosine re-rank within buckets.
-    * Recall < 1 by construction; pair with multi-probe for production. */
+    *
+    * `multiProbe = true` additionally probes every bucket at hamming
+    * distance 1 from the query's signature (flip each of the nPlanes
+    * bits): the query side explodes to nPlanes+1 probe keys and
+    * equi-joins the corpus's exact signatures — recall recovers the
+    * near-miss vectors that landed one hyperplane away, while candidate
+    * generation stays a shuffle-join on a 64-bit key (never a scan). The
+    * standard production knob: more probes instead of more tables. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nPlanes: Int, k: Int): DataFrame = {
+      dim: Int, nPlanes: Int, k: Int, multiProbe: Boolean = false): DataFrame = {
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       hyperplaneSignature(col(vecCol), dim, nPlanes).as("sig"))
-    val joined = sig.as("a").join(sig.as("b"),
-        col("a.sig") === col("b.sig") && col("a.id") =!= col("b.id"))
+    val qside =
+      if (!multiProbe) sig.select(col("id"), col("v"), col("sig").as("probe"))
+      else sig.select(col("id"), col("v"), explode(array(
+        col("sig") +: (0 until nPlanes).map(j =>
+          col("sig").bitwiseXOR(lit(1L << j))): _*)).as("probe"))
+    val joined = qside.as("a").join(sig.as("b"),
+        col("a.probe") === col("b.sig") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("qid"), col("b.id").as("nid"),
         cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos").isNotNull)

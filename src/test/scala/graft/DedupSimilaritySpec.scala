@@ -63,6 +63,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(disagree.count() == 0)
   }
 
+  test("multi-probe LSH recall dominates exact-bucket recall") {
+    val emb = graft.core.Tables.embeddings(spark, dir).limit(200)
+    val bf = bruteForceTopK(emb, emb, "vec_id", "embedding", 3)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    def hits(multiProbe: Boolean) =
+      lshTopK(emb, "vec_id", "embedding", 64, 8, 3, multiProbe)
+        .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+        .intersect(bf).size
+    val exact = hits(multiProbe = false)
+    val probed = hits(multiProbe = true)
+    assert(probed >= exact, s"multi-probe $probed < exact-bucket $exact")
+    assert(probed > 0)
+  }
+
   test("exact dedup collapses the duplicated corpus to one keeper per text") {
     val d = graft.core.Tables.documents(spark, dir)
     val dup = d.unionByName(d.withColumn("doc_id", $"doc_id" + 100000))
