@@ -31,6 +31,15 @@ object SimilarityQueries {
         dim = 64, nPlanes = 12, k = 3)
         .select(col("qid"), col("rank"), col("nid"),
           round(col("cos"), 4).as("cos"))
+    },
+
+    // IVF ANN: 16 cells, probe the 4 nearest per query; approximate =>
+    // rows-only driver check (+ ScalaTest cosine-exactness assertions)
+    "sim_ivf" -> { (s, dir) =>
+      ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 16, nprobe = 4, k = 3)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("cos"), 4).as("cos"))
     })
 
   private val COS =

@@ -97,6 +97,42 @@ package object similarity {
     topKPerKey(joined, "qid", "cos", "nid", k)
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into cells by nearest
+    * centroid, search only the `nprobe` cells nearest each query.
+    *
+    * Centroids here are a deterministic sample (first `nCells` vectors by
+    * id) — at production scale swap in k-means iterations (each one is a
+    * broadcast-assign + groupBy-average over the corpus, the same shuffle
+    * shape as this assignment pass). Cell assignment broadcasts the
+    * centroid table and keeps scoring map-side; the search is an equi-join
+    * on cell id, so cost scales with corpus/nCells * nprobe per query —
+    * never a corpus scan per query. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, nprobe: Int, k: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val centroids = v.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    // corpus side: each vector in its single nearest cell
+    val assigned = v.join(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cid"),
+        cosine(col("vec"), col("cvec")).as("sim"))
+    val cells = topKPerKey(assigned.withColumnRenamed("id", "key")
+        .select(col("key"), col("sim"), col("cid")), "key", "sim", "cid", 1)
+      .select(col("key").as("id"), col("cid"))
+      .join(v, "id")
+    // query side: nprobe nearest cells each
+    val probes = topKPerKey(assigned.withColumnRenamed("id", "key")
+        .select(col("key"), col("sim"), col("cid")), "key", "sim", "cid", nprobe)
+      .select(col("key").as("qid"), col("cid"))
+      .join(v.select(col("id").as("qid"), col("vec").as("qvec")), "qid")
+    val scored = probes.join(cells, "cid")
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+      .filter(col("cos").isNotNull)
+    topKPerKey(scored, "qid", "cos", "nid", k)
+  }
+
   /** All pairs with cosine >= threshold within a blocking key — embedding
     * near-dup detection. Blocking bounds the quadratic term. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

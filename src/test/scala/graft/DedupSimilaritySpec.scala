@@ -77,6 +77,21 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(probed > 0)
   }
 
+  test("IVF ANN: per-query ranks are 1..k and hits match brute-force cosines") {
+    val emb = graft.core.Tables.embeddings(spark, dir).limit(200)
+    val ivf = ivfTopK(emb, "vec_id", "embedding", nCells = 8, nprobe = 3, k = 3)
+      .select($"qid", $"rank", $"nid", round($"cos", 6).as("icos"))
+    assert(ivf.count() > 0)
+    assert(ivf.groupBy($"qid").agg(min($"rank"), max($"rank"))
+      .filter($"min(rank)" =!= 1 || $"max(rank)" > 3).count() == 0)
+    // hits that brute force also ranked must carry identical cosines
+    val bf = bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
+      .select($"qid", $"nid", round($"cos", 6).as("bcos"))
+    val joined = ivf.join(bf, Seq("qid", "nid"))
+    assert(joined.count() > 0)
+    assert(joined.filter($"icos" =!= $"bcos").count() == 0)
+  }
+
   test("exact dedup collapses the duplicated corpus to one keeper per text") {
     val d = graft.core.Tables.documents(spark, dir)
     val dup = d.unionByName(d.withColumn("doc_id", $"doc_id" + 100000))
