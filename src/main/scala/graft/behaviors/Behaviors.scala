@@ -33,6 +33,27 @@ object Behaviors {
       if (md.contains("graft.record_name")) Some(md.getString("graft.record_name"))
       else None
     }
+
+    /** `ak.with_parameter` / `without_parameters` (reference
+      * `lib/structure.py:1161-1228`): free-form string parameters ride the
+      * same column Metadata channel, namespaced under graft.param. */
+    def withParameter(colName: String, key: String, value: String): DataFrame = {
+      val md: Metadata = new MetadataBuilder()
+        .withMetadata(fieldMetadata(df, colName))
+        .putString(s"graft.param.$key", value).build()
+      df.withColumn(colName, df(colName).as(colName, md))
+    }
+
+    def parameter(colName: String, key: String): Option[String] = {
+      val md = fieldMetadata(df, colName)
+      if (md.contains(s"graft.param.$key")) Some(md.getString(s"graft.param.$key"))
+      else None
+    }
+
+    /** In awkward the record name itself is a parameter (`__record__`),
+      * so dropping parameters drops the name too. */
+    def withoutParameters(colName: String): DataFrame =
+      df.withColumn(colName, df(colName).as(colName, Metadata.empty))
   }
 
   private def fieldMetadata(df: DataFrame, colName: String): Metadata =

@@ -146,6 +146,13 @@ class ModulesSpec extends SparkSuite {
     val named = df.withRecordName("points", "Point")
     assert(named.recordName("points").contains("Point"))
     assert(df.recordName("points").isEmpty)
+    // parameters ride the same metadata channel; dropping params drops all
+    val tagged = named.withParameter("points", "unit", "cm")
+    assert(tagged.parameter("points", "unit").contains("cm"))
+    assert(tagged.recordName("points").contains("Point"))
+    val bare = tagged.withoutParameters("points")
+    assert(bare.parameter("points", "unit").isEmpty &&
+      bare.recordName("points").isEmpty)
   }
 
   test("io: text + json + report reads") {
