@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.structure._
+import graft.reducers._
+
+/** Property-based differential tests: every structure/reducer operator must
+  * agree with a plain-Scala reference implementation on arbitrary ragged
+  * inputs (the reference repo's strategy of differential-testing against
+  * eager awkward, with ScalaCheck generating the corpus; sampled directly
+  * — the scalatest/scalacheck bridge isn't a dependency). */
+class DifferentialFuzzSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val ragged: Gen[List[List[Double]]] =
+    Gen.listOfN(8, Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-50, 50).map(_.toDouble))))
+
+  private def forAllSamples(n: Int = 12)(f: List[List[Double]] => Unit): Unit = {
+    val seed = org.scalacheck.rng.Seed(42L)
+    var s = seed
+    var done = 0
+    while (done < n) {
+      ragged.apply(Gen.Parameters.default, s).foreach { rows => f(rows); done += 1 }
+      s = s.next
+    }
+  }
+
+  private def run[T: org.apache.spark.sql.Encoder](
+      rows: List[List[Double]], c: org.apache.spark.sql.Column): Seq[T] =
+    rows.toDF("xs").select(c).as[T].collect().toSeq
+
+  test("sort/argsort/firsts/num agree with Scala on random ragged rows") {
+    forAllSamples() { rows =>
+      assert(run[Seq[Double]](rows, sortList($"xs")) == rows.map(_.sorted))
+      assert(run[Seq[Int]](rows, argsortList($"xs")) ==
+        rows.map(r => r.zipWithIndex.sortBy { case (v, i) => (v, i) }.map(_._2)))
+      assert(run[Option[Double]](rows, firsts($"xs")) == rows.map(_.headOption))
+      assert(run[Int](rows, num($"xs")) == rows.map(_.size))
+    }
+  }
+
+  test("reducers agree with Scala folds") {
+    forAllSamples() { rows =>
+      assert(run[Double](rows, sumList($"xs")) == rows.map(_.sum))
+      assert(run[Option[Double]](rows, minList($"xs")) ==
+        rows.map(r => if (r.isEmpty) None else Some(r.min)))
+      assert(run[Option[Double]](rows, maxList($"xs")) ==
+        rows.map(r => if (r.isEmpty) None else Some(r.max)))
+      assert(run[Int](rows, countList($"xs")) == rows.map(_.size))
+      assert(run[Option[Long]](rows, argminList($"xs")) ==
+        rows.map(r => if (r.isEmpty) None else Some(r.indexOf(r.min).toLong)))
+    }
+  }
+
+  test("pad/fill/slice agree with Scala") {
+    forAllSamples() { rows =>
+      assert(run[Seq[Option[Double]]](rows, padNone($"xs", 4)) ==
+        rows.map(r => r.map(Some(_)) ++ Seq.fill(math.max(0, 4 - r.size))(None)))
+      assert(run[Seq[Double]](rows, fillNone(padNone($"xs", 4), lit(-1.0))) ==
+        rows.map(r => r ++ Seq.fill(math.max(0, 4 - r.size))(-1.0)))
+      assert(run[Seq[Double]](rows, sliceList($"xs", 1, 3)) ==
+        rows.map(_.slice(1, 3)))
+    }
+  }
+
+  test("combinationsN matches Scala combinations enumeration") {
+    forAllSamples() { rows =>
+      val got = run[Seq[Seq[Double]]](rows, combinationsN($"xs", 2))
+      val want = rows.map(r =>
+        r.indices.flatMap(i => (i + 1 until r.size).map(j => Seq(r(i), r(j)))))
+      assert(got == want)
+    }
+  }
+
+  test("runLengths matches a linear Scala pass") {
+    forAllSamples() { rows =>
+      def rl(r: List[Double]): Seq[Int] = {
+        if (r.isEmpty) return Seq.empty
+        val out = scala.collection.mutable.ArrayBuffer[Int]()
+        var cur = 1
+        for (i <- 1 until r.size) {
+          if (r(i) == r(i - 1)) cur += 1
+          else { out += cur; cur = 1 }
+        }
+        out += cur
+        out.toSeq
+      }
+      assert(run[Seq[Int]](rows, runLengths($"xs")) == rows.map(rl))
+    }
+  }
+}
