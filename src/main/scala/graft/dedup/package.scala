@@ -151,8 +151,9 @@ package object dedup {
     // pair pipeline would be evaluated twice — and then once more per round
     val e = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b")).localCheckpoint()
+    // no checkpoint on sym: a union over the checkpointed edge set is a
+    // near-free narrow recompute, not worth another materialization job
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
     // seed with one propagation step folded into the init aggregate:
     // label0(v) = min(v, min neighbor) — for clique-shaped components
     // (the common near-dup case) this IS the fixpoint, so the loop runs

@@ -89,6 +89,18 @@ object GetitemIoQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
     },
 
+    // nested parquet round-trip + ragged-leaf projection (SURVEY §7's
+    // minimum end-to-end slice: the re-read scan is pruned to
+    // items.quantity by the TransformFieldPruning rule)
+    "io_nested" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_nested_rt").toString + "/ord"
+      Tables.ordersNested(s, dir).write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).select(col("o_orderkey"),
+        round(graft.reducers.sumList(
+          transform(col("items"), _.getField("quantity"))), 2).as("sum_qty"))
+    },
+
     // json lines write -> schema'd re-read round-trip (from_json/to_json)
     "io_json_roundtrip" -> { (s, dir) =>
       val tmp = java.nio.file.Files
@@ -134,6 +146,8 @@ object GetitemIoQueries {
       """SELECT l_orderkey AS o_orderkey, round(sum(sin(l_quantity)),4) AS s_sin, round(sum(sqrt(l_quantity)),4) AS s_sqrt, round(sum(abs(l_quantity-25)),2) AS s_absdev, round(sum(pow(l_quantity,2)),2) AS s_sq, round(sum(exp(-l_quantity/50)),4) AS s_exp FROM lineitem GROUP BY 1""",
     "io_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem WHERE l_quantity >= 40 GROUP BY 1""",
+    "io_nested" ->
+      """SELECT l_orderkey AS o_orderkey, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY 1""",
     "io_json_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1""",
     "mm_meta" ->
