@@ -12,6 +12,18 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // corpus vocabulary stats: top-50 tokens by document frequency —
+    // explode -> two-level aggregate (per (token, doc) then per token),
+    // bounded top-k via TakeOrdered, deterministic tiebreak on the token
+    "t_vocab" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(graft.text.wsTokens(lower(col("text")))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .orderBy(col("df").desc, col("tok"))
+        .limit(50)
+    },
+
     "t_tokens" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         countTokensWs(col("text")).cast("long").as("n_ws"),
@@ -66,6 +78,8 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "t_vocab" ->
+      """SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents) t GROUP BY tok ORDER BY df DESC, tok LIMIT 50""",
     "t_tokens" ->
       s"""SELECT doc_id, CAST($nws AS BIGINT) AS n_ws, CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe, CAST(length(text) AS BIGINT) AS n_chars_computed FROM documents""",
     "t_quality" ->

@@ -48,6 +48,25 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (attribution shape): each purchase joins
+    * the same user's clicks from the preceding 10 minutes. Both sides are
+    * watermarked so state for expired intervals is dropped — the join
+    * condition's time bound is what makes unbounded two-stream state
+    * finite. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
   /** Custom per-key state machine via flatMapGroupsWithState — the
     * "arbitrary stateful op" tier that windows can't express: tracks a
     * running per-user (count, sum, max) and EMITS A ROW ONLY WHEN the

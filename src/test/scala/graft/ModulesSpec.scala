@@ -58,6 +58,17 @@ class ModulesSpec extends SparkSuite {
     assert(out.count() == n, s"expected $n deduped events")
   }
 
+  test("streaming: stream-stream interval join matches the batch join") {
+    implicit val s: SparkSession = spark
+    val streamed = graft.streaming.Streaming.runToMemory(
+      graft.streaming.Streaming.purchaseAttribution(
+        graft.streaming.Streaming.readEvents(spark, eventsStreamDir)),
+      "attribution")
+    val batch = graft.streaming.Streaming.purchaseAttribution(
+      graft.core.Tables.events(spark, dir))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+  }
+
   test("streaming: flatMapGroupsWithState alerting emits on threshold crossings") {
     implicit val s: SparkSession = spark
     val alerts = graft.streaming.Streaming.valueAlerts(
