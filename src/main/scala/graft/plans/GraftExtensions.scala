@@ -43,8 +43,43 @@ object TransformFieldPruning extends Rule[LogicalPlan] {
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions`, or
-  * `SparkSession.builder().withExtensions(new GraftExtensions)`. */
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * Installs the optimizer rule and registers the custom expression kernels
+  * as SQL functions, so the pure-SQL surface reaches them too:
+  * graft_minhash(shingles, k), graft_simhash48(tokens),
+  * graft_word_ngrams(tokens, n), graft_cosine(a, b),
+  * graft_combinations(arr, n). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TransformFieldPruning)
+    def reg(name: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    reg("graft_minhash") { args =>
+      graft.functions.HashExprs.MinHashSignature(args.head,
+        if (args.size > 1) intArg(args(1), "graft_minhash") else 32, 42L)
+    }
+    reg("graft_simhash48")(args =>
+      graft.functions.HashExprs.SimHash48(args.head))
+    reg("graft_word_ngrams") { args =>
+      graft.functions.HashExprs.WordNgrams(args.head,
+        intArg(args(1), "graft_word_ngrams"))
+    }
+    reg("graft_cosine")(args =>
+      graft.functions.VectorExprs.CosineSim(args.head, args(1)))
+    reg("graft_combinations") { args =>
+      graft.functions.CombinatoricsExprs.Combinations(args.head,
+        intArg(args(1), "graft_combinations"), replacement = false)
+    }
+  }
 }

@@ -203,6 +203,20 @@ class ModulesSpec extends SparkSuite {
     assert(st(1) == "ok" && st(0).startsWith("error"))
   }
 
+  test("extensions: kernels are callable from pure SQL") {
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+                graft_word_ngrams(array('a','b','c'), 2) AS g,
+                graft_simhash48(array('hello')) AS s,
+                size(graft_minhash(array('a b'), 8)) AS k,
+                graft_combinations(array(1, 2, 3), 2) AS combos""").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getSeq[String](1) == Seq("a b", "b c"))
+    assert(r.getLong(2) != 0L)
+    assert(r.getInt(3) == 8)
+    assert(r.getSeq[Seq[Int]](4).size == 3)
+  }
+
   test("sources: DSv2 synthetic events — partitions, determinism, pruning") {
     def read = spark.read.format("graft.sources.EventsSource")
       .option("rows", "10000").option("partitions", "8").load()
