@@ -147,6 +147,56 @@ object HashExprs {
   def wordNgrams(tokens: Column, n: Int): Column =
     GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), n))
 
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): polyHash every word k-gram IN SEQUENCE (no dedup), take
+    * the minimum of each sliding window of w hashes, emit the distinct
+    * minima in first-occurrence order. Guarantees any shared substring of
+    * length >= w+k-1 tokens produces a shared fingerprint — the
+    * document-fingerprinting primitive for plagiarism/near-dup detection.
+    * Short docs (< w windows) contribute the single whole-list minimum.
+    * polyHash keeps it DuckDB-reproducible (oracled in TextQueries). */
+  case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val nGrams = m - k + 1
+      if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
+      val hashes = new Array[Long](nGrams)
+      var i = 0
+      while (i < nGrams) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j).toString)
+          j += 1
+        }
+        hashes(i) = polyHash(sb.toString)
+        i += 1
+      }
+      val nWin = math.max(1, nGrams - w + 1)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      i = 0
+      while (i < nWin) {
+        var min = hashes(i)
+        var j = i + 1
+        val end = math.min(i + w, nGrams)
+        while (j < end) { if (hashes(j) < min) min = hashes(j); j += 1 }
+        seen.add(min)
+        i += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def winnowFingerprint(tokens: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowFingerprint(GraftBridge.expression(tokens), k, w))
+
   def minHashSignature(shingles: Column, k: Int, seed: Long = 42L): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), k, seed))
 

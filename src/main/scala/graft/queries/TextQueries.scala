@@ -24,6 +24,16 @@ object TextQueries {
         .limit(50)
     },
 
+    // winnowing fingerprints (MOSS): k=2-gram polyHashes, window w=4
+    // sliding minima, distinct — exact oracle via DuckDB list ops
+    "t_winnow" -> { (s, dir) =>
+      val toks = graft.text.wsTokens(lower(col("text")))
+      val fps = graft.functions.HashExprs.winnowFingerprint(toks, 2, 4)
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(fps).cast("long").as("n_fp"),
+        aggregate(fps, lit(0L), _ + _).as("fp_sum"))
+    },
+
     "t_tokens" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         countTokensWs(col("text")).cast("long").as("n_ws"),
@@ -80,6 +90,8 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "t_vocab" ->
       """SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents) t GROUP BY tok ORDER BY df DESC, tok LIMIT 50""",
+    "t_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok FROM documents), h AS (SELECT doc_id, list_transform(range(1, len(tok)), i -> list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)], ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)) AS hs FROM t), f AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE list_distinct(list_transform(range(1, greatest(1, len(hs) - 3) + 1), i -> list_min(hs[CAST(i AS INT):CAST(least(i + 3, len(hs)) AS INT)]))) END AS fps FROM h) SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum FROM f""",
     "t_tokens" ->
       s"""SELECT doc_id, CAST($nws AS BIGINT) AS n_ws, CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe, CAST(length(text) AS BIGINT) AS n_chars_computed FROM documents""",
     "t_quality" ->

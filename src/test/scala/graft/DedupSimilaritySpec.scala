@@ -122,6 +122,22 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(capped == Set((3L, 4L)), s"got $capped")
   }
 
+  test("winnowing: shared >= w+k-1 token substring implies shared fingerprint") {
+    import graft.functions.HashExprs.winnowFingerprint
+    // both docs contain the same 6-token run (w+k-1 = 5 with k=2, w=4)
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      s"intro text $shared trailing words here",
+      s"completely different head $shared and other tail").toDF("text")
+    val fps = df.select(winnowFingerprint(split(trim(lower($"text")), "\\s+"), 2, 4))
+      .as[Seq[Long]].collect().map(_.toSet)
+    assert(fps(0).intersect(fps(1)).nonEmpty)
+    // short doc: fewer than w windows still yields one fingerprint
+    val short = Seq("a b c").toDF("text")
+      .select(winnowFingerprint(split($"text", " "), 2, 4)).as[Seq[Long]].head
+    assert(short.size == 1)
+  }
+
   test("connectedComponents: chain + separate component + dropNearDuplicates") {
     // chain 1-2-3-4-5 (diameter 4) and pair 10-11: label propagation must
     // carry the min to the far end of the chain
