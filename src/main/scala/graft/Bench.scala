@@ -21,13 +21,17 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop caches a query pinned (e.g. LSH signatures): queries are
-      // independent; accumulated cache blocks would evict each other's
-      // checkpoints and skew later timings
-      spark.sharedState.cacheManager.clearCache()
+      // min of two runs: steady-state per-query cost (first run may absorb
+      // codegen compilation for plan shapes no earlier query produced)
+      val dt = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // drop caches a query pinned (e.g. LSH signatures): queries are
+        // independent; accumulated cache blocks would evict each other's
+        // checkpoints and skew later timings
+        spark.sharedState.cacheManager.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
       System.err.println(f"[bench] $name%-20s $dt%8.2fs")
       name -> dt
     }.toMap

@@ -66,4 +66,27 @@ object Inspect {
   def form(df: DataFrame): String = df.schema.treeString
 
   def fields(df: DataFrame): Seq[String] = df.schema.fieldNames.toSeq
+
+  /** Plan-cost summary: operator counts that matter at 100 TB — how many
+    * shuffles (Exchange), what join strategies, how many scans, whether
+    * whole-stage codegen covers the plan. The quantitative face of
+    * "would this plan survive a 100x scale-up". */
+  case class PlanSummary(scans: Int, exchanges: Int, broadcastJoins: Int,
+      sortMergeJoins: Int, nestedLoopJoins: Int, wholeStageCodegen: Int)
+
+  def explainSummary(df: DataFrame): PlanSummary = {
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case other => other +: (other.children.flatMap(flat) ++
+        other.subqueries.flatMap(flat))
+    }
+    val nodes = flat(df.queryExecution.executedPlan).map(_.nodeName)
+    PlanSummary(
+      scans = nodes.count(_.contains("Scan")),
+      exchanges = nodes.count(_.contains("Exchange")),
+      broadcastJoins = nodes.count(_.contains("BroadcastHashJoin")),
+      sortMergeJoins = nodes.count(_.contains("SortMergeJoin")),
+      nestedLoopJoins = nodes.count(_.contains("NestedLoop")),
+      wholeStageCodegen = nodes.count(_.contains("WholeStageCodegen")))
+  }
 }

@@ -41,6 +41,22 @@ class PlanQualitySpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
 
+  test("shuffle budget: nested structure queries shuffle exactly once") {
+    // the ragged fixture costs one groupBy exchange; the row-local nested
+    // operator must add zero more
+    for (name <- Seq("s_num", "s_sort", "s_comb_n", "r_axis1")) {
+      val s = graft.inspect.Inspect.explainSummary(
+        SparkEntry.queries(name)(spark, dir))
+      assert(s.exchanges <= 1, s"$name shuffles ${s.exchanges}x: $s")
+    }
+  }
+
+  test("explainSummary counts the plan shapes of a join query") {
+    val s = graft.inspect.Inspect.explainSummary(
+      SparkEntry.queries("q5_join")(spark, dir))
+    assert(s.scans >= 2 && s.broadcastJoins >= 1, s.toString)
+  }
+
   test("flagship entry: top-k via TakeOrderedAndProject, partial collect") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     // limit+orderBy must plan as a bounded top-k, not a global sort
