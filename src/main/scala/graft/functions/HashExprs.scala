@@ -147,6 +147,20 @@ object HashExprs {
   def wordNgrams(tokens: Column, n: Int): Column =
     GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), n))
 
+  /** polyHash as a single expression node — same value as the HOF form in
+    * graft.dedup.polyHash and the DuckDB list_reduce mirror, evaluated in
+    * one tight loop instead of per-character interpreted lambdas. */
+  case class PolyHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      HashExprs.polyHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def polyHashFast(c: Column): Column =
+    GraftBridge.column(PolyHash(GraftBridge.expression(c)))
+
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): polyHash every word k-gram IN SEQUENCE (no dedup), take
     * the minimum of each sliding window of w hashes, emit the distinct

@@ -84,6 +84,30 @@ object Multimodal {
     }
   }
 
+  /** STUB feature extraction: a deterministic fake embedding over the
+    * payload text (dim values derived from polyHash — a real pipeline
+    * calls the vision/audio encoder here). Column-level, so it composes
+    * with the relational plan; exact cross-engine oracle since the hash
+    * is engine-reproducible. */
+  def featuresStub(textCol: org.apache.spark.sql.Column, dim: Int)
+      : org.apache.spark.sql.Column = {
+    val h = graft.functions.HashExprs.polyHashFast(textCol)
+    transform(sequence(lit(0), lit(dim - 1)),
+      j => pmod(h * (j + 1), lit(1000L)).cast("double") / 1000.0)
+  }
+
+  /** STUB resize: target box scaling of the fake-decoded dimensions —
+    * real pipelines put the interpolation kernel here; the aspect-ratio
+    * arithmetic and schema are the Spark-side contract. */
+  def resizeStub(width: org.apache.spark.sql.Column,
+      height: org.apache.spark.sql.Column, maxSide: Int)
+      : org.apache.spark.sql.Column = {
+    val scale = least(lit(1.0),
+      lit(maxSide.toDouble) / greatest(width, height).cast("double"))
+    struct(floor(width * scale).cast("int").as("w"),
+      floor(height * scale).cast("int").as("h"))
+  }
+
   /** Build a MediaRow dataset from the documents table (text bytes standing
     * in for image payloads — same plumbing, no codec needed). */
   def mediaFromDocuments(df: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {

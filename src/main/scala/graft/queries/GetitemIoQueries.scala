@@ -122,6 +122,20 @@ object GetitemIoQueries {
         .withColumn("height", col("height").cast("long"))
     },
 
+    // feature-extraction stub (fake embedding from polyHash) + resize
+    // arithmetic — the remaining multimodal pipeline verbs, exact oracle
+    "mm_features" -> { (s, dir) =>
+      val feats = Multimodal.featuresStub(col("text"), 8)
+      val resized = Multimodal.resizeStub(
+        (length(col("text")) % 640 + 1).cast("int"),
+        (length(col("text")) % 480 + 1).cast("int"), 256)
+      Tables.documents(s, dir).select(col("doc_id"),
+        round(get(feats, lit(0)), 3).as("f0"),
+        round(aggregate(feats, lit(0.0), _ + _), 3).as("f_sum"),
+        resized.getField("w").cast("long").as("rw"),
+        resized.getField("h").cast("long").as("rh"))
+    },
+
     // frame-sampling stub: every 2nd 64-byte frame
     "mm_frames" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -150,6 +164,8 @@ object GetitemIoQueries {
       """SELECT l_orderkey AS o_orderkey, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY 1""",
     "io_json_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1""",
+    "mm_features" ->
+      """WITH b AS (SELECT doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 131 + x) % 1000000007) AS h, length(text) AS n FROM documents), f AS (SELECT doc_id, n, list_transform(range(0, 8), j -> CAST((h * (j+1)) % 1000 AS DOUBLE) / 1000.0) AS fe FROM b) SELECT doc_id, round(fe[1], 3) AS f0, round(list_sum(fe), 3) AS f_sum, CAST(floor((n % 640 + 1) * least(1.0, 256.0 / greatest(n % 640 + 1, n % 480 + 1))) AS BIGINT) AS rw, CAST(floor((n % 480 + 1) * least(1.0, 256.0 / greatest(n % 640 + 1, n % 480 + 1))) AS BIGINT) AS rh FROM f""",
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha256, CAST(16 + octet_length(encode(text)) % 640 AS BIGINT) AS width, CAST(16 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height, CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format FROM documents""",
     "mm_frames" ->
