@@ -64,8 +64,13 @@ object GraftIO {
     * natively by the reader's requiredSchema. */
   def fromJson(spark: SparkSession, path: String,
       schema: Option[StructType] = None,
-      samplingRatio: Double = 1.0): DataFrame = {
+      samplingRatio: Double = 1.0,
+      lineDelimited: Boolean = true): DataFrame = {
+    // lineDelimited=false is the reference's one-object-per-file mode
+    // (json.py:484-495) — Spark's multiLine, which gives up intra-file
+    // split parallelism exactly like the reference's one-partition-per-file
     val r = spark.read.option("samplingRatio", samplingRatio)
+      .option("multiLine", !lineDelimited)
     schema.fold(r.json(path))(s => r.schema(s).json(path))
   }
 

@@ -179,6 +179,13 @@ class ModulesSpec extends SparkSuite {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$tmp/t.txt"), "a\nb\nc\n")
     assert(graft.io.GraftIO.fromText(spark, s"$tmp/t.txt").count() == 3)
+    // one-object-per-file json (multiLine)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/obj.json"),
+      "{\n  \"doc_id\": 1,\n  \"lang\": \"en\"\n}")
+    val one = graft.io.GraftIO.fromJson(spark, s"$tmp/obj.json",
+      lineDelimited = false)
+    assert(one.count() == 1 && one.columns.toSet == Set("doc_id", "lang"))
     // report read: one good file, one missing
     val (data, report) = graft.io.GraftIO.fromParquetWithReport(spark,
       Seq(s"$dir/region.parquet", s"$tmp/missing.parquet"))
