@@ -213,6 +213,24 @@ package object structure {
     * (reference `lib/structure.py:478-506,669-687,1231-1249`). */
   def fullLike(c: Column, v: Column): Column = transform(c, _ => v)
 
+  /** `ak.ones_like` / `ak.zeros_like` (reference `lib/structure.py:669-687,
+    * 1231-1249`). */
+  def onesLike(c: Column): Column = fullLike(c, lit(1.0))
+  def zerosLike(c: Column): Column = fullLike(c, lit(0.0))
+
+  /** `ak.to_packed` (reference `lib/structure.py:699-709`): physical
+    * repacking is meaningless under Tungsten rows — identity. */
+  def toPacked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+
+  /** `ak.copy` (reference `lib/structure.py:334-346`): plans are immutable
+    * values — identity. */
+  def copyFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+
+  /** `ak.to_list` (reference `lib/structure.py:690-696`): concretize to the
+    * driver — the one deliberately non-distributed op. */
+  def toList(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] =
+    df.collect().toSeq
+
   /** `ak.broadcast_arrays(list, scalar)` — broadcast a scalar against a
     * ragged array (reference `lib/structure.py:206-241`). */
   def broadcastWith(c: Column, scalar: Column)(op: (Column, Column) => Column): Column =
