@@ -34,10 +34,14 @@ package object strings {
   def upperS(c: Column): Column = upper(c)
 
   /** `str.center(width, padding)` (reference `str.py:43`): lpad half the
-    * deficit, rpad the rest. */
+    * deficit, rpad the rest; strings already >= width pass through
+    * unchanged (Spark's lpad/rpad would TRUNCATE them — Python/Arrow
+    * center never does). */
   def center(c: Column, width: Int, pad: String = " "): Column = {
     val deficit = greatest(lit(width) - length(c), lit(0))
-    rpad(lpad(c, (length(c) + deficit / 2).cast("int"), lit(pad)), width, pad)
+    when(length(c) >= width, c)
+      .otherwise(rpad(lpad(c, (length(c) + deficit / 2).cast("int"), lit(pad)),
+        width, pad))
   }
 
   /** `str.lpad` / `str.rpad` (reference `str.py:462,676`). */
@@ -54,7 +58,8 @@ package object strings {
   /** `str.count_substring` (reference `str.py:63`): non-overlapping count. */
   def countSubstring(c: Column, sub: String): Column =
     when(length(c) === 0, 0).otherwise(
-      (length(c) - length(replace(c, lit(sub), lit("")))) / sub.length)
+      ((length(c) - length(replace(c, lit(sub), lit("")))) / sub.length)
+        .cast("int"))
 
   /** `str.count_substring_regex` (reference `str.py:83`). */
   def countSubstringRegex(c: Column, pattern: String): Column =

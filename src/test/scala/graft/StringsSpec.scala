@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.strings._
+
+/** Unit tests for the trickier §2.10 string kernels — the ones composed
+  * from several built-ins rather than mapped 1:1 (Python-semantics
+  * reference values from the eager Arrow kernels the reference wraps). */
+class StringsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, s: String): String =
+    Seq(s).toDF("s").select(c.cast("string")).as[String].head
+
+  test("capitalize / title / swapcase") {
+    assert(one(capitalize($"s"), "hELLo world") == "Hello world")
+    assert(one(title($"s"), "hELLo wORLD") == "Hello World")
+    assert(one(swapcase($"s"), "aBc9 Xy") == "AbC9 xY")
+    assert(one(swapcase($"s"), "") == "")
+  }
+
+  test("center pads both sides, left-biased deficit split") {
+    assert(one(center($"s", 7, "*"), "abc") == "**abc**")
+    assert(one(center($"s", 6, "*"), "abc") == "*abc**")
+    assert(one(center($"s", 2, "*"), "abc") == "abc") // wider than target
+  }
+
+  test("countSubstring: non-overlapping, empty-safe") {
+    assert(one(countSubstring($"s", "ab"), "abab xab") == "3")
+    assert(one(countSubstring($"s", "aa"), "aaaa") == "2")
+    assert(one(countSubstring($"s", "x"), "") == "0")
+  }
+
+  test("classifiers handle unicode and empties") {
+    assert(one(isAlpha($"s"), "héllo") == "true")
+    assert(one(isAlpha($"s"), "h3llo") == "false")
+    assert(one(isDigit($"s"), "123") == "true")
+    assert(one(isDigit($"s"), "") == "false")
+    assert(one(isSpace($"s"), " \t") == "true")
+    assert(one(isUpper($"s"), "ABC9") == "true")
+    assert(one(isTitle($"s"), "Hello World") == "true")
+    assert(one(isTitle($"s"), "Hello world") == "false")
+  }
+
+  test("find/replace/slice family") {
+    assert(one(findSubstring($"s", "lo"), "hello") == "3") // 0-based
+    assert(one(replaceSlice($"s", 1, 3, "XY"), "hello") == "hXYlo")
+    assert(one(sliceString($"s", 1, 4), "hello") == "ell")
+    assert(one(repeatS($"s", 3), "ab") == "ababab")
+    assert(one(reverseS($"s"), "abc") == "cba")
+  }
+
+  test("nested-depth application via transform") {
+    val got = Seq(Seq("aB", "cD")).toDF("xs")
+      .select(transform($"xs", x => swapcase(x)))
+      .as[Seq[String]].head
+    assert(got == Seq("Ab", "Cd"))
+  }
+}
