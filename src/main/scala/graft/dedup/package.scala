@@ -163,7 +163,7 @@ package object dedup {
       .localCheckpoint()
     // labels only ever decrease, so sum(l) is a complete convergence
     // witness — one cheap aggregate per round instead of a self-join diff
-    var lastSum = labels.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)
+    var lastSum = labels.agg(coalesce(sum(col("l")), lit(0L))).head().getLong(0)
     var i = 0
     var done = false
     while (!done && i < maxIter) {
@@ -173,7 +173,7 @@ package object dedup {
         .select(labels("v"),
           least(labels("l"), coalesce(col("nl"), labels("l"))).as("l"))
         .localCheckpoint()
-      val s = next.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)
+      val s = next.agg(coalesce(sum(col("l")), lit(0L))).head().getLong(0)
       labels = next
       done = s == lastSum
       lastSum = s

@@ -35,7 +35,7 @@ object AsofJoin {
     val r0 = right.select(col(keyCol), col(tsCol), payload.as("__p"))
       .withColumn("__side", lit(0))
     // align to the left schema: non-key left columns are null on right rows
-    val r = r0.select(left.columns.map { c =>
+    val r = r0.select(left.columns.toIndexedSeq.map { c =>
       if (c == keyCol || c == tsCol) col(c)
       else lit(null).cast(left.schema(c).dataType).as(c)
     } :+ col("__side") :+ col("__p"): _*)
@@ -48,7 +48,7 @@ object AsofJoin {
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
-    val out = left.columns.map(col) ++
+    val out = left.columns.toIndexedSeq.map(col) ++
       payloadCols.map(p => col("__m").getField(p).as(s"asof_$p"))
     matched.select(out: _*)
   }

@@ -57,6 +57,18 @@ class PlanQualitySpec extends SparkSuite {
     assert(s.scans >= 2 && s.broadcastJoins >= 1, s.toString)
   }
 
+  test("DSv2 source sustains a 2M-row generate+aggregate (scale smoke)") {
+    val n = 2000000L
+    val df = spark.read.format("graft.sources.EventsSource")
+      .option("rows", n.toString).option("partitions", "16").load()
+    import spark.implicits._
+    val agg = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"), sum(col("event_id")).as("s"))
+      .agg(sum(col("c")), sum(col("s"))).as[(Long, Long)].head()
+    assert(agg._1 == n)
+    assert(agg._2 == n * (n - 1) / 2) // sum of 0..n-1: generation is exact
+  }
+
   test("flagship entry: top-k via TakeOrderedAndProject, partial collect") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     // limit+orderBy must plan as a bounded top-k, not a global sort
