@@ -29,10 +29,16 @@ object VectorExprs {
   /** Cosine similarity; null when either norm is 0 (matches the HOF form's
     * `when(na =!= 0 && nb =!= 0, ...)`), and when the inputs have unequal
     * lengths the shorter prefix is used (zip_with would null-pad — callers
-    * feed fixed-dim vectors, so this branch is theoretical). */
+    * feed fixed-dim vectors, so this branch is theoretical).
+    *
+    * Implements doGenCode (not CodegenFallback): the dot-product loop is
+    * the inner kernel of similarity search, and generated code keeps the
+    * whole scoring projection inside one WholeStageCodegen span — no
+    * per-row virtual call, no boxing. */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     private lazy val etL = left.dataType.asInstanceOf[ArrayType].elementType
     private lazy val etR = right.dataType.asInstanceOf[ArrayType].elementType
 
@@ -49,6 +55,50 @@ object VectorExprs {
       }
       val na = math.sqrt(na2); val nb = math.sqrt(nb2)
       if (na == 0.0 || nb == 0.0) null else dot / (na * nb)
+    }
+
+    private def accessor(arr: String, i: String, et: DataType): String = et match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType => s"(double) $arr.getLong($i)"
+      case other => throw new IllegalArgumentException(s"non-numeric vector: $other")
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val lg = left.genCode(ctx)
+      val rg = right.genCode(ctx)
+      val (n, dot, na2, nb2, i) = (ctx.freshName("n"), ctx.freshName("dot"),
+        ctx.freshName("na2"), ctx.freshName("nb2"), ctx.freshName("i"))
+      val (na, nb) = (ctx.freshName("na"), ctx.freshName("nb"))
+      val code =
+        code"""
+          ${lg.code}
+          ${rg.code}
+          boolean ${ev.isNull} = true;
+          double ${ev.value} = 0.0;
+          if (!${lg.isNull} && !${rg.isNull}) {
+            int $n = java.lang.Math.min(
+              ${lg.value}.numElements(), ${rg.value}.numElements());
+            double $dot = 0.0, $na2 = 0.0, $nb2 = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              double x = ${accessor(lg.value.toString, i, etL)};
+              double y = ${accessor(rg.value.toString, i, etR)};
+              $dot += x * y; $na2 += x * x; $nb2 += y * y;
+            }
+            double $na = java.lang.Math.sqrt($na2);
+            double $nb = java.lang.Math.sqrt($nb2);
+            if ($na != 0.0 && $nb != 0.0) {
+              ${ev.isNull} = false;
+              ${ev.value} = $dot / ($na * $nb);
+            }
+          }
+        """
+      ev.copy(code = code)
     }
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)

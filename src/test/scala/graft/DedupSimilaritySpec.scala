@@ -122,6 +122,25 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(capped == Set((3L, 4L)), s"got $capped")
   }
 
+  test("CosineSim codegen path agrees bit-exactly with interpreted eval") {
+    val emb = graft.core.Tables.embeddings(spark, dir).limit(50)
+      .select($"vec_id", $"embedding")
+    val c = cosine(col("embedding"),
+      org.apache.spark.sql.functions.reverse(col("embedding")))
+    def collectWith(codegen: String): Seq[Option[Double]] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try emb.orderBy($"vec_id").select(c).as[Option[Double]].collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val gen = collectWith("CODEGEN_ONLY")
+    val interp = collectWith("NO_CODEGEN")
+    assert(gen == interp && gen.nonEmpty)
+    // zero-norm vector -> null in both paths
+    val z = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .select(cosine($"a", $"b")).as[Option[Double]].head
+    assert(z.isEmpty)
+  }
+
   test("winnowing: shared >= w+k-1 token substring implies shared fingerprint") {
     import graft.functions.HashExprs.winnowFingerprint
     // both docs contain the same 6-token run (w+k-1 = 5 with k=2, w=4)
