@@ -108,6 +108,18 @@ package object structure {
   def cartesianLists(a: Column, b: Column, an: String = "a", bn: String = "b"): Column =
     flatten(transform(a, x => transform(b, y => struct(x.as(an), y.as(bn)))))
 
+  /** `ak.cartesian(nested=True)` (reference `lib/structure.py:244-281`):
+    * keep the per-left-element grouping — list of lists of pairs instead
+    * of the flattened pair list. */
+  def cartesianNested(a: Column, b: Column,
+      an: String = "a", bn: String = "b"): Column =
+    transform(a, x => transform(b, y => struct(x.as(an), y.as(bn))))
+
+  /** `ak.argcartesian` (reference `lib/structure.py:82-121`): index pairs
+    * instead of value pairs. */
+  def argcartesianLists(a: Column, b: Column): Column =
+    cartesianLists(localIndex(a), localIndex(b), "i", "j")
+
   /** `ak.combinations(n=2)` — per-row unique pairs (i < j) of an inner list
     * (reference `lib/structure.py:284-331`). Each element is paired with the
     * tail slice after it; `slice` past the end yields an empty list, so no

@@ -96,6 +96,14 @@ class StructureSpec extends SparkSuite {
     assert(got(1) == Seq())
   }
 
+  test("cartesianNested keeps per-left grouping; argcartesian gives index pairs") {
+    val df = Seq((Seq(5, 6), Seq(10, 20))).toDF("a", "b")
+    assert(df.select(cartesianNested($"a", $"b")).as[Seq[Seq[(Int, Int)]]].head ==
+      Seq(Seq((5, 10), (5, 20)), Seq((6, 10), (6, 20))))
+    assert(df.select(argcartesianLists($"a", $"b")).as[Seq[(Int, Int)]].head ==
+      Seq((0, 0), (0, 1), (1, 0), (1, 1)))
+  }
+
   test("cartesianLists: per-row cross product (ak.cartesian)") {
     val df = Seq((Seq(1, 2), Seq(10, 20))).toDF("a", "b")
     val got = df.select(cartesianLists($"a", $"b")).as[Seq[(Int, Int)]].head
