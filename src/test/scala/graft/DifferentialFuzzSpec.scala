@@ -75,6 +75,65 @@ class DifferentialFuzzSpec extends SparkSuite {
     }
   }
 
+  test("ngramJaccardPairs matches brute-force set arithmetic on random corpora") {
+    val vocab = Vector("red", "blue", "fox", "jumps", "lazy", "dog", "river")
+    val doc: Gen[String] =
+      Gen.choose(2, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+        .map(_.mkString(" "))
+    val corpus: Gen[List[String]] = Gen.listOfN(12, doc)
+    var s = org.scalacheck.rng.Seed(7L)
+    var done = 0
+    while (done < 8) {
+      corpus.apply(Gen.Parameters.default, s).foreach { docs =>
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = graft.dedup.ngramJaccardPairs(df, "doc_id", "text", 2, 50)
+          .select($"id1", $"id2", $"inter", $"uni")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        def grams(t: String): Set[String] =
+          t.trim.toLowerCase.split("\\s+").sliding(2).filter(_.length == 2)
+            .map(_.mkString(" ")).toSet
+        val want = (for {
+          i <- docs.indices; j <- docs.indices if i < j
+          gi = grams(docs(i)); gj = grams(docs(j))
+          inter = gi.intersect(gj).size; uni = gi.union(gj).size
+          if inter * 100 >= uni * 50 && inter > 0
+        } yield (i.toLong, j.toLong, inter.toLong, uni.toLong)).toSet
+        assert(got == want, s"corpus=$docs")
+        done += 1
+      }
+      s = s.next
+    }
+  }
+
+  test("asofJoinLast matches brute-force latest-at-or-before on random inputs") {
+    val rows: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] = for {
+      l <- Gen.listOfN(20, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
+      r <- Gen.listOfN(10, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
+    } yield (l, r.map { case (k, t) => (k, t, (k * 100 + t).toDouble) }
+      .distinctBy(x => (x._1, x._2))) // unique (key, ts) per contract
+    var s = org.scalacheck.rng.Seed(11L)
+    var done = 0
+    while (done < 8) {
+      rows.apply(Gen.Parameters.default, s).foreach { case (l, r) =>
+        val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("row_id", "k", "ts")
+        val right = r.toDF("k", "ts", "v")
+        val got = graft.operators.AsofJoin
+          .asofJoinLast(left, right, "k", "ts", Seq("v"))
+          .select($"row_id", $"asof_v").as[(Long, Option[Double])]
+          .collect().toMap
+        l.zipWithIndex.foreach { case ((k, t), i) =>
+          val want = r.filter(x => x._1 == k && x._2 <= t)
+            .sortBy(_._2).lastOption.map(_._3)
+          assert(got(i.toLong) == want, s"row $i key=$k ts=$t l=$l r=$r")
+        }
+        done += 1
+      }
+      s = s.next
+    }
+  }
+
   test("runLengths matches a linear Scala pass") {
     forAllSamples() { rows =>
       def rl(r: List[Double]): Seq[Int] = {
