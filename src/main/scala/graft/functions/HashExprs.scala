@@ -44,7 +44,7 @@ object HashExprs {
     * lanes at the identity p (matches the HOF form's array_repeat(p, k)
     * accumulator). */
   case class MinHashSignature(child: Expression, k: Int, seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
     private val p = 2147483647L
@@ -54,6 +54,38 @@ object HashExprs {
       val b = Array.fill(k)(math.abs(rnd.nextLong()) % p)
       (a, b)
     }
+
+    /** Generated form of the same loop: the signature projection stays in
+      * whole-stage codegen, coefficients travel as reference objects, the
+      * base hash calls the same XXH64 static Spark's own xxhash64 emits. */
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+        val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+        val (n, i, j, mins, s, h, v) = (ctx.freshName("n"), ctx.freshName("i"),
+          ctx.freshName("j"), ctx.freshName("mins"), ctx.freshName("s"),
+          ctx.freshName("h"), ctx.freshName("v"))
+        s"""
+          int $n = $c.numElements();
+          long[] $mins = new long[$k];
+          java.util.Arrays.fill($mins, ${p}L);
+          for (int $i = 0; $i < $n; $i++) {
+            org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
+            long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
+                $s.numBytes(), 42L) % ${p}L;
+            if ($h < 0) $h += ${p}L;
+            for (int $j = 0; $j < $k; $j++) {
+              long $v = ($h * $asRef[$j] + $bsRef[$j]) % ${p}L;
+              if ($v < $mins[$j]) $mins[$j] = $v;
+            }
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+        """
+      })
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]

@@ -122,6 +122,19 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(capped == Set((3L, 4L)), s"got $capped")
   }
 
+  test("MinHashSignature codegen path agrees bit-exactly with interpreted eval") {
+    val docs = graft.core.Tables.documents(spark, dir).limit(100)
+    val sig = minHashSignature(wordShingles($"text", 2), 32)
+    def collectWith(mode: String): Seq[Seq[Long]] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try docs.orderBy($"doc_id").select(sig).as[Seq[Long]].collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val gen = collectWith("CODEGEN_ONLY")
+    val interp = collectWith("NO_CODEGEN")
+    assert(gen == interp && gen.nonEmpty && gen.head.size == 32)
+  }
+
   test("CosineSim codegen path agrees bit-exactly with interpreted eval") {
     val emb = graft.core.Tables.embeddings(spark, dir).limit(50)
       .select($"vec_id", $"embedding")
