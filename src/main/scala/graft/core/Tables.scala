@@ -20,11 +20,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Keyed by session identity too: a DataFrame is bound to the session that
+  // built it, and test suites stop/recreate sessions within one JVM — a
+  // (dir, name)-only key would hand back plans bound to a dead session.
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((dir, name), {
+    cache.getOrElseUpdate((System.identityHashCode(spark).toString, dir, name), {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (sys.env.get("SPARK_GRAFT_PERSIST").contains("1")) df.persist() else df
     })
@@ -41,7 +44,7 @@ object Tables {
     * microsecond timestamps DuckDB also uses internally, so oracle results
     * line up exactly. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((dir, "events"), {
+    cache.getOrElseUpdate((System.identityHashCode(spark).toString, dir, "events"), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))

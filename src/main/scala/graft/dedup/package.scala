@@ -126,8 +126,10 @@ package object dedup {
       .select(col("id1"), col("id2"), col("inter"), col("uni"))
   }
 
-  /** Exact dedup: group identical normalized texts, keep the smallest id.
-    * The groupBy key is a hash, so the shuffle carries (hash, id) only. */
+  /** Exact dedup: group byte-identical raw texts (no normalization — run
+    * trim/lower upstream for case/whitespace-insensitive matching), keep the
+    * smallest id. The groupBy key is a hash, so the shuffle carries
+    * (hash, id) only. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n"))

@@ -26,6 +26,12 @@ object AsofJoin {
     * otherwise. */
   def asofJoinLast(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    // internal working columns; fail fast on collision rather than silently
+    // producing wrong results for a left input that already has one of them
+    Seq("__side", "__p", "__m").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"asofJoinLast: input already has a column named '$c' (reserved)")
+    }
     val payload = struct(payloadCols.map(col): _*)
     val rightSchema = right.select(payloadCols.map(col): _*).schema
 

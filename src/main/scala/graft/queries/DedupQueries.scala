@@ -107,9 +107,9 @@ object DedupQueries {
     "d_clusters" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh), e AS (SELECT a.id AS id1, b.id AS id2 FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50), sym AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e), reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM sym) n UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) SELECT a AS id, min(b) AS rep FROM reach GROUP BY a""",
     "d_dropdups" ->
-      s"""WITH RECURSIVE sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh), e AS (SELECT a.id AS id1, b.id AS id2 FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50), sym AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e), reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM sym) n UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), lbl AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY a) SELECT count(*) AS n_kept, sum(doc_id) AS sum_ids FROM documents WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> rep)""",
+      s"""WITH RECURSIVE sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh), e AS (SELECT a.id AS id1, b.id AS id2 FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50), sym AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e), reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM sym) n UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), lbl AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY a) SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM documents WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> rep)""",
     "d_pipeline" ->
-      s"""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 150), keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(text)), surv AS (SELECT d.doc_id, d.text FROM docs d JOIN keep k ON d.doc_id = k.doc_id), sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM surv) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh), e AS (SELECT a.id AS id1, b.id AS id2 FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50), sym AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e), reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM sym) n UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), lbl AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY a) SELECT count(*) AS n_final, sum(doc_id) AS id_sum FROM surv WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> rep)""",
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 150), keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(text)), surv AS (SELECT d.doc_id, d.text FROM docs d JOIN keep k ON d.doc_id = k.doc_id), sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM surv) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh), e AS (SELECT a.id AS id1, b.id AS id2 FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50), sym AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e), reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM sym) n UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), lbl AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY a) SELECT count(*) AS n_final, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM surv WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> rep)""",
     "d_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS w FROM documents), th AS (SELECT doc_id, ($POLY * 2654435761) % 281474976710656 AS h FROM tok), votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v FROM th, range(0, 48) r(j) GROUP BY doc_id, j) SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY doc_id""",
     "d_simhash_pairs" ->

@@ -155,7 +155,7 @@ object GetitemIoQueries {
     "g_sample" ->
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty FROM lineitem WHERE l_orderkey % 97 = 0""",
     "g_mapparts" ->
-      """SELECT l_orderkey, sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_scaled FROM lineitem GROUP BY 1""",
+      """SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_scaled FROM lineitem GROUP BY 1""",
     "g_ufuncs" ->
       """SELECT l_orderkey AS o_orderkey, round(sum(sin(l_quantity)),4) AS s_sin, round(sum(sqrt(l_quantity)),4) AS s_sqrt, round(sum(abs(l_quantity-25)),2) AS s_absdev, round(sum(pow(l_quantity,2)),2) AS s_sq, round(sum(exp(-l_quantity/50)),4) AS s_exp FROM lineitem GROUP BY 1""",
     "io_roundtrip" ->

@@ -144,5 +144,5 @@ object Relational {
     "q_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY l_returnflag""",
     "ev_json" ->
-      """SELECT event_type, round(sum(value),2) AS sum_value, sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k FROM events GROUP BY event_type""")
+      """SELECT event_type, round(sum(value),2) AS sum_value, CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type""")
 }

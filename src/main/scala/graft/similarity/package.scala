@@ -112,10 +112,14 @@ package object similarity {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val centroids = v.orderBy(col("id")).limit(nCells)
       .select(col("id").as("cid"), col("vec").as("cvec"))
-    // corpus side: each vector in its single nearest cell
+    // corpus side: each vector in its single nearest cell. Zero-norm
+    // vectors/centroids yield a null cosine, which the typed TopKScoredIds
+    // aggregator (non-nullable Double) rejects — drop them like the other
+    // search paths do.
     val assigned = v.join(broadcast(centroids))
       .select(col("id"), col("vec"), col("cid"),
         cosine(col("vec"), col("cvec")).as("sim"))
+      .filter(col("sim").isNotNull)
     val cells = topKPerKey(assigned.withColumnRenamed("id", "key")
         .select(col("key"), col("sim"), col("cid")), "key", "sim", "cid", 1)
       .select(col("key").as("id"), col("cid"))

@@ -74,6 +74,13 @@ def main():
                   f"duck={sorted(duck_df.columns)}")
             n_fail += 1
             continue
+        # the driver's hash is dtype-sensitive (e.g. DuckDB HUGEINT sums load
+        # as float/object while Spark writes int64): flag dtype drift even
+        # when normalized values match, so it gets fixed with an oracle CAST.
+        for c in sorted(spark_df.columns):
+            sd, dd = str(spark_df[c].dtype), str(duck_df[c].dtype)
+            if sd != dd:
+                print(f"WARN {name}: dtype drift on '{c}': spark={sd} duck={dd}")
         a, b = canon(spark_df), canon(duck_df)
         if len(a) != len(b):
             print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
