@@ -60,6 +60,24 @@ object EventQueries {
           round(sum(col("asof_pval")), 2).as("sum_asof"))
     },
 
+    // interval-join attribution (the batch face of
+    // graft.streaming.Streaming.purchaseAttribution): each purchase joined
+    // to the same user's clicks in the preceding 10 minutes — the
+    // stream-stream join whose time bound keeps state finite
+    "st_attrib" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      purchases.join(clicks,
+          col("user_id") === col("cu") && col("cts") <= col("ts") &&
+            col("cts") >= col("ts") - expr("INTERVAL 10 MINUTES"), "left")
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("event_id")).as("n_purchases"),
+          count(col("cu")).as("n_clicks_attributed"))
+    },
+
     // typed JSON field extraction with from_json (schema'd parse, not just
     // path extraction as in ev_json)
     "st_json_typed" -> { (s, dir) =>
@@ -83,5 +101,7 @@ object EventQueries {
     "st_sessions" ->
       """WITH o AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800 THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM o) SELECT user_id, CAST(count(DISTINCT sess_id) AS BIGINT) AS n_sessions, CAST(sum(cnt) AS BIGINT) AS n_events, CAST(max(cnt) AS BIGINT) AS max_session FROM (SELECT user_id, sess_id, count(*) AS cnt FROM s GROUP BY 1, 2) g GROUP BY user_id""",
     "st_json_typed" ->
-      """SELECT user_id, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_null FROM events GROUP BY 1""")
+      """SELECT user_id, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_null FROM events GROUP BY 1""",
+    "st_attrib" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'), p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') SELECT p.user_id, count(DISTINCT p.event_id) AS n_purchases, count(c.ts) AS n_clicks_attributed FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE GROUP BY p.user_id""")
 }

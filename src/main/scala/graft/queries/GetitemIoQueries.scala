@@ -101,6 +101,23 @@ object GetitemIoQueries {
           transform(col("items"), _.getField("quantity"))), 2).as("sum_qty"))
     },
 
+    // text write -> from_text re-read round-trip (reference from_text,
+    // lib/io/text.py:54-127): one string row per line, parsed back with
+    // codegen'd split — the log-ingestion shape
+    "io_text" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_txt").toString + "/docs"
+      Tables.documents(s, dir)
+        .select(concat_ws("|", col("lang"), col("n_chars")).as("value"))
+        .write.mode("overwrite").text(tmp)
+      graft.io.GraftIO.fromText(s, tmp)
+        .select(split(col("value"), "\\|").as("p"))
+        .select(col("p").getItem(0).as("lang"),
+          col("p").getItem(1).cast("long").as("nc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("nc")).as("total_chars"))
+    },
+
     // json lines write -> schema'd re-read round-trip (from_json/to_json)
     "io_json_roundtrip" -> { (s, dir) =>
       val tmp = java.nio.file.Files
@@ -163,6 +180,8 @@ object GetitemIoQueries {
     "io_nested" ->
       """SELECT l_orderkey AS o_orderkey, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY 1""",
     "io_json_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1""",
+    "io_text" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1""",
     "mm_features" ->
       """WITH b AS (SELECT doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 131 + x) % 1000000007) AS h, length(text) AS n FROM documents), f AS (SELECT doc_id, n, list_transform(range(0, 8), j -> CAST((h * (j+1)) % 1000 AS DOUBLE) / 1000.0) AS fe FROM b) SELECT doc_id, round(fe[1], 3) AS f0, round(list_sum(fe), 3) AS f_sum, CAST(floor((n % 640 + 1) * least(1.0, 256.0 / greatest(n % 640 + 1, n % 480 + 1))) AS BIGINT) AS rw, CAST(floor((n % 480 + 1) * least(1.0, 256.0 / greatest(n % 640 + 1, n % 480 + 1))) AS BIGINT) AS rh FROM f""",

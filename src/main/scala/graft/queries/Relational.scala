@@ -122,6 +122,17 @@ object Relational {
         .groupBy(col("event_type"))
         .agg(round(sum(col("value")), 2).as("sum_value"),
           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+    },
+
+    // Bloom-pruned anti join (graft.operators.BloomAntiJoin): parts never
+    // shipped at quantity >= 49. Exact NOT EXISTS semantics — the Bloom
+    // filter only prunes the shuffle, so this carries a full oracle.
+    "q_bloom_anti" -> { (s, dir) =>
+      val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 49)
+      graft.operators.BloomAntiJoin.bloomAntiJoin(
+          Tables.part(s, dir), big, "p_partkey", "l_partkey")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -144,5 +155,7 @@ object Relational {
     "q_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY l_returnflag""",
     "ev_json" ->
-      """SELECT event_type, round(sum(value),2) AS sum_value, CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type""")
+      """SELECT event_type, round(sum(value),2) AS sum_value, CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type""",
+    "q_bloom_anti" ->
+      """SELECT p_brand, count(*) AS n FROM part p WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49) GROUP BY p_brand""")
 }

@@ -40,6 +40,17 @@ object SimilarityQueries {
         nCells = 16, nprobe = 4, k = 3)
         .select(col("qid"), col("rank"), col("nid"),
           round(col("cos"), 4).as("cos"))
+    },
+
+    // IVF with k-means-trained centroids (2 spherical rounds): same search
+    // shape, better-balanced cells => higher recall at equal nprobe.
+    // Approximate => rows-only driver check (+ ScalaTest recall-vs-seeded
+    // and exact-mean assertions)
+    "sim_kmeans" -> { (s, dir) =>
+      ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 16, nprobe = 4, k = 3, trainIters = 2)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("cos"), 4).as("cos"))
     })
 
   private val COS =

@@ -97,21 +97,65 @@ package object similarity {
     topKPerKey(joined, "qid", "cos", "nid", k)
   }
 
+  /** Deterministic seed centroids: the first `nCells` vectors by id.
+    * `cid` is the seed vector's id (stable across iterations/runs). */
+  private def seedCentroids(v: DataFrame, nCells: Int): DataFrame =
+    v.orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cid"), col("vec").cast("array<double>").as("cvec"))
+
+  /** Spherical k-means training: `iters` rounds of assign-to-nearest-by-
+    * cosine + per-cell elementwise mean. Fully deterministic: seeds are the
+    * first `k` vectors by id, ties in assignment break to the smallest cid.
+    *
+    * Each round is ONE broadcast join (centroids are k rows — never
+    * shuffled to the data) + one groupBy(cid) whose partial aggregation
+    * reduces map-side to k * dim doubles per partition; the corpus is
+    * scanned once per round and never shuffled. Cells that lose all
+    * members keep their previous centroid. `localCheckpoint` cuts the
+    * per-round lineage so the plan stays O(1) across iterations.
+    * Input rows with a null cosine against every centroid (zero-norm
+    * vectors) drop out of training. Returns (cid, cvec: array<double>). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    var centroids = seedCentroids(v, k).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val near = v.join(broadcast(centroids))
+        .select(col("id"), col("vec"), col("cid"),
+          cosine(col("vec"), col("cvec")).as("sim"))
+        .filter(col("sim").isNotNull)
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("cid"), col("vec")),
+          struct(col("sim"), -col("cid"))).as("b"))
+        .select(col("b.cid").as("cid"),
+          col("b.vec").cast("array<double>").as("vec"))
+      val means = near.groupBy(col("cid"))
+        .agg(graft.reducers.ElementwiseAgg.elementwiseSumCount(col("vec")).as("sc"))
+        .select(col("cid"),
+          transform(col("sc"), p => p.getField("_1") / p.getField("_2")).as("mean"))
+      centroids = centroids.as("c")
+        .join(means.as("m"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("m.mean"), col("c.cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into cells by nearest
     * centroid, search only the `nprobe` cells nearest each query.
     *
-    * Centroids here are a deterministic sample (first `nCells` vectors by
-    * id) — at production scale swap in k-means iterations (each one is a
-    * broadcast-assign + groupBy-average over the corpus, the same shuffle
-    * shape as this assignment pass). Cell assignment broadcasts the
-    * centroid table and keeps scoring map-side; the search is an equi-join
-    * on cell id, so cost scales with corpus/nCells * nprobe per query —
-    * never a corpus scan per query. */
+    * With `trainIters > 0` the centroids are k-means-trained
+    * ([[kmeansCentroids]]); otherwise they are the deterministic seed
+    * sample. Cell assignment broadcasts the centroid table and keeps
+    * scoring map-side; the search is an equi-join on cell id, so cost
+    * scales with corpus/nCells * nprobe per query — never a corpus scan
+    * per query. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, nprobe: Int, k: Int): DataFrame = {
+      nCells: Int, nprobe: Int, k: Int, trainIters: Int = 0): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val centroids = v.orderBy(col("id")).limit(nCells)
-      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val centroids =
+      if (trainIters > 0) kmeansCentroids(df, idCol, vecCol, nCells, trainIters)
+      else seedCentroids(v, nCells)
     // corpus side: each vector in its single nearest cell. Zero-norm
     // vectors/centroids yield a null cosine, which the typed TopKScoredIds
     // aggregator (non-nullable Double) rejects — drop them like the other

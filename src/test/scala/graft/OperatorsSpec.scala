@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BloomAntiJoin
+import graft.similarity._
+
+/** Bloom-pruned anti join and k-means IVF training. */
+class OperatorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bloomAntiJoin matches a plain left_anti join exactly") {
+    val pa = graft.core.Tables.part(spark, dir)
+    val li = graft.core.Tables.lineitem(spark, dir)
+      .filter($"l_quantity" >= 49)
+    val expected = pa.join(li, $"p_partkey" === $"l_partkey", "left_anti")
+      .select($"p_partkey").as[Long].collect().toSet
+    val got = BloomAntiJoin.bloomAntiJoin(pa, li, "p_partkey", "l_partkey")
+      .select($"p_partkey").as[Long].collect().toSet
+    assert(got == expected)
+    assert(expected.nonEmpty && expected.size < pa.count(),
+      "fixture should have both kept and dropped parts")
+  }
+
+  test("bloomAntiJoin is exact even with a tiny, high-fpp filter") {
+    // near-degenerate filter => almost everything is a candidate; results
+    // must still be exact because the residual join clears false positives
+    val pa = graft.core.Tables.part(spark, dir)
+    val li = graft.core.Tables.lineitem(spark, dir)
+      .filter($"l_quantity" >= 49)
+    val expected = pa.join(li, $"p_partkey" === $"l_partkey", "left_anti")
+      .count()
+    val got = BloomAntiJoin.bloomAntiJoin(pa, li, "p_partkey", "l_partkey",
+      expectedItems = 8, fpp = 0.5).count()
+    assert(got == expected)
+  }
+
+  test("kmeansCentroids computes exact per-cell means on separable data") {
+    // two well-separated direction clusters; seeds (ids 0,1) fall one in
+    // each, so a single round must land on the exact arithmetic means
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (4L, Seq(0.8f, 0.2f)),
+      (1L, Seq(0.0f, 1.0f)), (3L, Seq(0.1f, 0.9f)), (5L, Seq(0.2f, 0.8f))
+    ).toDF("id", "vec")
+    val cents = kmeansCentroids(df, "id", "vec", k = 2, iters = 1)
+      .orderBy($"cid").as[(Long, Seq[Double])].collect()
+    assert(cents.length == 2)
+    // input vectors are float32, so the means land within float precision
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.size == b.size && a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-6 }
+    assert(close(cents(0)._2, Seq(0.9, 0.1)), s"cell 0 mean was ${cents(0)._2}")
+    assert(close(cents(1)._2, Seq(0.1, 0.9)), s"cell 1 mean was ${cents(1)._2}")
+  }
+
+  test("kmeans keeps empty cells at their previous centroid") {
+    // seed 1 is strictly closer to every point than seed 0 except itself…
+    // actually make cell 1 lose: every vector aligns with seed 0's direction
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.001f)),
+      (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f))
+    ).toDF("id", "vec")
+    val cents = kmeansCentroids(df, "id", "vec", k = 2, iters = 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(cents.keySet == Set(0L, 1L), "both cells survive")
+  }
+
+  test("trained IVF recall >= seeded IVF recall at equal nprobe") {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val truth = bruteForceTopK(emb.filter($"vec_id" < 20), emb,
+        "vec_id", "embedding", 3)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    def recall(trainIters: Int): Double = {
+      val hits = ivfTopK(emb, "vec_id", "embedding", 16, 4, 3, trainIters)
+        .filter($"qid" < 20)
+        .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+      (truth & hits).size.toDouble / truth.size
+    }
+    val seeded = recall(0)
+    val trained = recall(2)
+    assert(trained >= seeded - 0.05,
+      s"trained recall $trained should not regress vs seeded $seeded")
+    assert(trained > 0.3, s"trained recall $trained unexpectedly low")
+  }
+}
