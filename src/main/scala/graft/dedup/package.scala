@@ -174,11 +174,18 @@ package object dedup {
       val next = labels.join(nbr, labels("v") === nbr("a"), "left")
         .select(labels("v"),
           least(labels("l"), coalesce(col("nl"), labels("l"))).as("l"))
-        .localCheckpoint()
+      // probe convergence BEFORE materializing: labels only decrease, so an
+      // unchanged sum means next == labels and the round's checkpoint can be
+      // skipped entirely (the common case — the min-seeded init is already
+      // the fixpoint for clique-shaped near-dup components). A non-converged
+      // round evaluates `next` twice, but both evals join two checkpointed
+      // tiny frames, far cheaper than an extra materialization job.
       val s = next.agg(coalesce(sum(col("l")), lit(0L))).head().getLong(0)
-      labels = next
-      done = s == lastSum
-      lastSum = s
+      if (s == lastSum) done = true
+      else {
+        labels = next.localCheckpoint()
+        lastSum = s
+      }
       i += 1
     }
     labels.select(col("v").as("id"), col("l").as("rep"))
