@@ -58,4 +58,41 @@ object AsofJoin {
       payloadCols.map(p => col("__m").getField(p).as(s"asof_$p"))
     matched.select(out: _*)
   }
+
+  /** The same operator as a native planner node
+    * ([[graft.plans.AsofJoinPlan]] -> AsofJoinExec): hash-clustered +
+    * (key, ts)-sorted children, one streaming merge per partition.
+    * Declares its distribution/ordering needs to the planner, so an
+    * already-bucketed/sorted input pays NO shuffle — the property the
+    * union+window encoding cannot express. Requires a long key and a
+    * long/timestamp ts; same output contract as [[asofJoinLast]].
+    *
+    * Requires the session to carry [[graft.plans.GraftExtensions]] (the
+    * strategy is injected there). */
+  def asofJoinNative(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val spark = left.sparkSession
+    // re-alias the right side so its attribute ids never collide with the
+    // left's (self-join shape), and key/ts names never shadow payload names
+    val r = right.select(
+      col(keyCol).as("__asof_key") +: col(tsCol).as("__asof_ts") +:
+        payloadCols.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = p.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"asofJoinNative: no column '$name'"))
+    val (lk, lt) = (attr(lPlan, keyCol), attr(lPlan, tsCol))
+    val (rk, rt) = (attr(rPlan, "__asof_key"), attr(rPlan, "__asof_ts"))
+    for (a <- Seq(lk, rk)) require(a.dataType == LongType,
+      s"asofJoinNative: key must be long, got ${a.dataType} — cast upstream")
+    for (a <- Seq(lt, rt)) require(
+      a.dataType == LongType || a.dataType == TimestampType,
+      s"asofJoinNative: ts must be long/timestamp, got ${a.dataType}")
+    val payload = payloadCols.map(c => attr(rPlan, c))
+    GraftBridge.ofRows(spark,
+      graft.plans.AsofJoinPlan(lPlan, rPlan, lk, lt, rk, rt, payload))
+  }
 }

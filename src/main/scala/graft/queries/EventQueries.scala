@@ -60,6 +60,22 @@ object EventQueries {
           round(sum(col("asof_pval")), 2).as("sum_asof"))
     },
 
+    // same as-of semantics through the NATIVE planner operator
+    // (graft.plans.AsofJoinPlan -> AsofJoinExec: hash-clustered children,
+    // one streaming merge per partition) — same oracle as ev_asof
+    "ev_asof_native" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.AsofJoin.asofJoinNative(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, "user_id", "ts", Seq("pval"))
+        .groupBy(col("user_id"))
+        .agg(count(when(col("asof_pval").isNotNull, 1)).as("n_matched"),
+          round(sum(col("asof_pval")), 2).as("sum_asof"))
+    },
+
     // interval-join attribution (the batch face of
     // graft.streaming.Streaming.purchaseAttribution): each purchase joined
     // to the same user's clicks in the preceding 10 minutes — the
@@ -93,6 +109,8 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "ev_asof" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
+    "ev_asof_native" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
     "st_tumbling" ->
       """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS ws, event_type, count(*) AS n, round(sum(value),2) AS sum_value FROM events GROUP BY 1, 2""",

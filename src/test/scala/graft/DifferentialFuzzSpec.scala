@@ -119,14 +119,23 @@ class DifferentialFuzzSpec extends SparkSuite {
         val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
           .toDF("row_id", "k", "ts")
         val right = r.toDF("k", "ts", "v")
-        val got = graft.operators.AsofJoin
-          .asofJoinLast(left, right, "k", "ts", Seq("v"))
-          .select($"row_id", $"asof_v").as[(Long, Option[Double])]
-          .collect().toMap
-        l.zipWithIndex.foreach { case ((k, t), i) =>
-          val want = r.filter(x => x._1 == k && x._2 <= t)
-            .sortBy(_._2).lastOption.map(_._3)
-          assert(got(i.toLong) == want, s"row $i key=$k ts=$t l=$l r=$r")
+        // both implementations (union+window AND the native planner exec)
+        // against the brute-force model
+        for (impl <- Seq("window", "native")) {
+          val joined =
+            if (impl == "window") graft.operators.AsofJoin
+              .asofJoinLast(left, right, "k", "ts", Seq("v"))
+            else graft.operators.AsofJoin
+              .asofJoinNative(left, right, "k", "ts", Seq("v"))
+          val got = joined
+            .select($"row_id", $"asof_v").as[(Long, Option[Double])]
+            .collect().toMap
+          l.zipWithIndex.foreach { case ((k, t), i) =>
+            val want = r.filter(x => x._1 == k && x._2 <= t)
+              .sortBy(_._2).lastOption.map(_._3)
+            assert(got(i.toLong) == want,
+              s"[$impl] row $i key=$k ts=$t l=$l r=$r")
+          }
         }
         done += 1
       }

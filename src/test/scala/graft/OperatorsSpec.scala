@@ -65,6 +65,38 @@ class OperatorsSpec extends SparkSuite {
     assert(cents.keySet == Set(0L, 1L), "both cells survive")
   }
 
+  test("native asof join exec matches the union+window form exactly") {
+    val ev = graft.core.Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("pval"))
+    val l = ev.select($"event_id", $"user_id", $"ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"asof_pval")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val window = canon(graft.operators.AsofJoin.asofJoinLast(
+      l, purchases, "user_id", "ts", Seq("pval")))
+    val native = canon(graft.operators.AsofJoin.asofJoinNative(
+      l, purchases, "user_id", "ts", Seq("pval")))
+    assert(native.size == window.size)
+    val diffs = window.collect {
+      case (k, v) if native.get(k) != Some(v) => (k, v, native.get(k))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+    assert(window.values.exists(_.isDefined) && window.values.exists(_.isEmpty),
+      "fixture should produce both matched and unmatched rows")
+  }
+
+  test("native asof join: inclusive tie, strictly-later right row ignored") {
+    val l = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 100L, 10.0), (1L, 150L, 20.0), (2L, 60L, 30.0))
+      .toDF("k", "t", "v")
+    val out = graft.operators.AsofJoin.asofJoinNative(l, r, "k", "t", Seq("v"))
+      .select($"tag", $"asof_v").collect()
+      .map(x => x.getString(0) -> Option(x.get(1))).toMap
+    assert(out == Map("a" -> Some(10.0), "b" -> Some(20.0), "c" -> None))
+  }
+
   test("trained IVF recall >= seeded IVF recall at equal nprobe") {
     val emb = graft.core.Tables.embeddings(spark, dir)
     val truth = bruteForceTopK(emb.filter($"vec_id" < 20), emb,
