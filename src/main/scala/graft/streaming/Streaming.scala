@@ -105,6 +105,22 @@ object Streaming {
       }
   }
 
+  /** Back streaming state with RocksDB instead of the default in-JVM-heap
+    * HDFS-backed store — the 100 TB knob: state size is bounded by local
+    * disk (with block-cache in native memory), not executor heap, so
+    * million-key session/dedup state stops competing with shuffle buffers
+    * for heap and GC. Changelog checkpointing ships deltas, not full
+    * SST dumps, per commit. Takes effect for queries STARTED after the
+    * call; returns the session for chaining. */
+  def withRocksDBState(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    spark
+  }
+
   /** Run a streaming query to completion against a bounded input (test
     * harness: memory sink + processAllAvailable). Returns the sink table. */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append")(

@@ -39,6 +39,21 @@ class ModulesSpec extends SparkSuite {
     got.foreach { case (k, n) => assert(want(k) == n, s"window $k") }
   }
 
+  test("streaming: stateful agg runs on the RocksDB state store") {
+    implicit val s: SparkSession = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    graft.streaming.Streaming.withRocksDBState(spark)
+    try {
+      val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
+      val out = graft.streaming.Streaming.runToMemory(
+        graft.streaming.Streaming.tumblingCounts(src), "t_rocks")
+      assert(out.count() > 0)
+    } finally {
+      prev.fold(spark.conf.unset(key))(p => spark.conf.set(key, p))
+    }
+  }
+
   test("streaming: session windows produce plausible sessions") {
     implicit val s: SparkSession = spark
     val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)

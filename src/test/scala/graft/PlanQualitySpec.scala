@@ -51,6 +51,24 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("native asof join plans AsofJoinExec with exactly two exchanges") {
+    val df = SparkEntry.queries("ev_asof_native")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(2000))
+    // one shuffle per side (key-clustering), then the merge is local; the
+    // downstream per-user aggregate reuses the left clustering, so only the
+    // final rollup may add one more
+    val s = graft.inspect.Inspect.explainSummary(df)
+    assert(s.exchanges <= 3, s"asof pipeline shuffles ${s.exchanges}x: $s")
+  }
+
+  test("bloom anti join: candidate branch joins, miss branch scans only") {
+    val plan = SparkEntry.queries("q_bloom_anti")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+      s"bloom predicate missing from plan:\n${plan.take(2000)}")
+  }
+
   test("explainSummary counts the plan shapes of a join query") {
     val s = graft.inspect.Inspect.explainSummary(
       SparkEntry.queries("q5_join")(spark, dir))
