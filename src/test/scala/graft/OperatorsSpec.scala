@@ -97,6 +97,45 @@ class OperatorsSpec extends SparkSuite {
     assert(out == Map("a" -> Some(10.0), "b" -> Some(20.0), "c" -> None))
   }
 
+  test("native asof join elides shuffles for bucketed, pre-sorted inputs") {
+    // the property the planner-operator encoding exists for: children
+    // already hash-partitioned on the key (bucketed tables with buckets ==
+    // shuffle partitions) satisfy requiredChildDistribution, so
+    // EnsureRequirements inserts NO exchange
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val ev = graft.core.Tables.events(spark, dir)
+    val nb = spark.sessionState.conf.numShufflePartitions
+    ev.select($"event_id", $"user_id", $"ts").write
+      .bucketBy(nb, "user_id").sortBy("user_id", "ts")
+      .option("path", s"$wh/l").mode("overwrite").saveAsTable("asof_l")
+    ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("pval")).write
+      .bucketBy(nb, "user_id").sortBy("user_id", "ts")
+      .option("path", s"$wh/r").mode("overwrite").saveAsTable("asof_r")
+    try {
+      val joined = graft.operators.AsofJoin.asofJoinNative(
+        spark.table("asof_l"), spark.table("asof_r"),
+        "user_id", "ts", Seq("pval"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AsofJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange"),
+        s"bucketed asof join should not shuffle:\n${plan.take(2000)}")
+      // and it still computes the same thing as the window form
+      val window = graft.operators.AsofJoin.asofJoinLast(
+          ev.select($"event_id", $"user_id", $"ts"),
+          ev.filter($"event_type" === "purchase")
+            .groupBy($"user_id", $"ts").agg(max($"value").as("pval")),
+          "user_id", "ts", Seq("pval"))
+        .agg(count($"asof_pval"), round(sum($"asof_pval"), 2)).head
+      val native = joined
+        .agg(count($"asof_pval"), round(sum($"asof_pval"), 2)).head
+      assert(native == window)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_l")
+      spark.sql("DROP TABLE IF EXISTS asof_r")
+    }
+  }
+
   test("trained IVF recall >= seeded IVF recall at equal nprobe") {
     val emb = graft.core.Tables.embeddings(spark, dir)
     val truth = bruteForceTopK(emb.filter($"vec_id" < 20), emb,
