@@ -143,6 +143,38 @@ class DifferentialFuzzSpec extends SparkSuite {
     }
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    val graphs: Gen[List[(Long, Long)]] =
+      Gen.listOfN(40, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))
+        .map(_.filter(e => e._1 != e._2))
+    var s = org.scalacheck.rng.Seed(7L)
+    var done = 0
+    while (done < 6) {
+      graphs.apply(Gen.Parameters.default, s).foreach { edges =>
+        if (edges.nonEmpty) {
+          // reference model: union-find, components labeled by their min id
+          val parent = scala.collection.mutable.Map[Long, Long]()
+          def find(x: Long): Long = {
+            val p = parent.getOrElseUpdate(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          def union(a: Long, b: Long): Unit = {
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          edges.foreach { case (a, b) => union(a, b) }
+          val want = parent.keys.map(v => v -> find(v)).toMap
+          val got = graft.dedup.connectedComponents(
+              edges.toDF("a", "b"), "a", "b")
+            .as[(Long, Long)].collect().toMap
+          assert(got == want, s"edges=$edges")
+        }
+        done += 1
+      }
+      s = s.next
+    }
+  }
+
   test("runLengths matches a linear Scala pass") {
     forAllSamples() { rows =>
       def rl(r: List[Double]): Seq[Int] = {
