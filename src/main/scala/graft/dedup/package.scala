@@ -126,6 +126,58 @@ package object dedup {
       .select(col("id1"), col("id2"), col("inter"), col("uni"))
   }
 
+  /** Exact Jaccard pairs via PPJoin-style prefix filtering: index only each
+    * doc's rarest `p = n - ceil(t*n) + 1` shingles (global rarest-first
+    * order by document frequency); any pair at jaccard >= t must share one
+    * of them, so candidates shrink to prefix collisions, then an exact
+    * `array_intersect` verifies. Bit-identical output to
+    * [[ngramJaccardPairs]] (A/B-verified on the full sf0.1 corpus).
+    *
+    * WHEN TO USE: high-overlap corpora where the inverted-index pair stream
+    * explodes (sum of df^2 over shingles >> candidate pairs). On the bench
+    * corpus (5k docs, low duplication) the df-computation + per-doc
+    * rarest-first sort + per-candidate verification cost 5x MORE than the
+    * plain inverted-index aggregate — measured 11.2s vs 2.3s at sf0.1 —
+    * so [[ngramJaccardPairs]] remains the default; this is the escape
+    * hatch for the boilerplate-heavy web-crawl regime where the pair
+    * stream, not the per-doc work, is the bottleneck. */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, minJaccardPct: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    val t = minJaccardPct / 100.0
+    val sh = df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), n).as("sh"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("id"))
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("g"))
+    val dfreq = inv0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // rarest-first global order (df, g); per-doc prefix of that order
+    val ordered = inv0.join(dfreq, "g")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ogs"))
+      .select(col("id"),
+        transform(col("ogs"), x => x.getField("g")).as("ogs"),
+        size(col("ogs")).as("nsh"))
+    val pref = ordered.select(col("id"),
+      explode(slice(col("ogs"), lit(1),
+        (col("nsh") - ceil(col("nsh") * t) + 1).cast("int"))).as("g"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val full = ordered.select(col("id"), col("ogs"), col("nsh"))
+    cand
+      .join(full.select(col("id"), col("ogs").as("g1"), col("nsh").as("n1")),
+        col("id1") === col("id")).drop("id")
+      .join(full.select(col("id"), col("ogs").as("g2"), col("nsh").as("n2")),
+        col("id2") === col("id")).drop("id")
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
+      .select(col("id1"), col("id2"),
+        col("inter").cast("long").as("inter"),
+        col("uni").cast("long").as("uni"))
+  }
+
   /** Exact dedup: group byte-identical raw texts (no normalization — run
     * trim/lower upstream for case/whitespace-insensitive matching), keep the
     * smallest id. The groupBy key is a hash, so the shuffle carries

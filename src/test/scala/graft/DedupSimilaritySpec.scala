@@ -24,6 +24,15 @@ class DedupSimilaritySpec extends SparkSuite {
       s"LSH missed ${missed.size}/${exact.size} true pairs: $missed")
   }
 
+  test("prefix-filtered jaccard pairs are identical to the inverted index") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val a = ngramJaccardPairs(docs, "doc_id", "text", 2, 50)
+      .collect().map(_.toSeq).toSet
+    val b = ngramJaccardPairsPrefix(docs, "doc_id", "text", 2, 50)
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+  }
+
   test("minhash signature estimates jaccard within 0.25 for true near-dups") {
     val docs = graft.core.Tables.documents(spark, dir)
     val exact = ngramJaccardPairs(docs, "doc_id", "text", 2, 50)
