@@ -11,13 +11,23 @@ class PlanQualitySpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("no query plans a CartesianProduct") {
+  test("no query plans a CartesianProduct or nested-loop join") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan =
         try fn(spark, dir).queryExecution.executedPlan.toString
         catch { case e: Throwable => fail(s"$name failed to plan: $e") }
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$plan")
+      // every join in the suite has an equi key (blocking labels, band
+      // keys, ids) — a nested-loop join appearing means a key got lost.
+      // Exceptions: IVF cell assignment intentionally broadcast-crosses
+      // the corpus with the nCells-row centroid table (score-all-then-
+      // argmax), and brute-force top-k crosses the corpus with the tiny
+      // broadcast query set — the documented exact-scan baselines. A
+      // small-broadcast nested loop IS the right plan there.
+      val crossByDesign = Set("sim_ivf", "sim_kmeans", "sim_topk")
+      assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degrades to a nested-loop join:\n$plan")
     }
   }
 
