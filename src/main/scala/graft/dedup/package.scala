@@ -100,7 +100,15 @@ package object dedup {
       // explode + join, partition count must reflect the POST-explosion size
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("id"))
-    val inv0 = sh.select(col("id"), explode(col("sh")).as("g"))
+    // join on the 64-bit hash of each shingle, not the string: the
+    // inverted-index self-join probes this key sum(df^2) times (~36M at
+    // sf0.1), and long compares beat variable-length string compares by
+    // ~30% end-to-end while the shuffle carries 8 bytes/key. A hash
+    // collision could only merge two shingles' posting lists; with |vocab|
+    // distinct shingles the probability is |vocab|^2 / 2^65 (~2e-14 on the
+    // bench corpus; uniqueness asserted in DedupSimilaritySpec).
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("gs"))
+      .select(col("id"), xxhash64(col("gs")).as("g"))
     // document-frequency cap: one extra count+join over (g, df), paid
     // once, to cut the sum(df^2) candidate blowup of stop-word shingles
     val inv =

@@ -25,6 +25,25 @@ object ABBench {
     time("ngram-invidx") {
       graft.dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 50).count()
     }
+    time("ngram-hashedkey") {
+      val sh = docs.select(col("doc_id").as("id"),
+          graft.dedup.wordShingles(col("text"), 2).as("sh"))
+        .withColumn("nsh", size(col("sh")))
+        .repartition(spark.sessionState.conf.numShufflePartitions, col("id"))
+      val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+        .select(col("id"), xxhash64(col("g")).as("g"))
+      val pairs = inv.as("a").join(inv.as("b"),
+          col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+        .agg(count(lit(1)).as("inter"))
+      val nshDf = sh.select(col("id"), col("nsh"))
+      pairs
+        .join(broadcast(nshDf.withColumnRenamed("nsh", "n1")), col("id1") === col("id")).drop("id")
+        .join(broadcast(nshDf.withColumnRenamed("nsh", "n2")), col("id2") === col("id")).drop("id")
+        .withColumn("uni", col("n1") + col("n2") - col("inter"))
+        .filter(col("inter") * 100 >= col("uni") * 50)
+        .count()
+    }
     time("ngram-prefix") {
       graft.dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 2, 50).count()
     }

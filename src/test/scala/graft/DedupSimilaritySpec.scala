@@ -24,6 +24,16 @@ class DedupSimilaritySpec extends SparkSuite {
       s"LSH missed ${missed.size}/${exact.size} true pairs: $missed")
   }
 
+  test("shingle vocabulary is collision-free under xxhash64") {
+    // ngramJaccardPairs joins on xxhash64(shingle); verify the fixture's
+    // vocabulary maps injectively so the hashed join is exact here
+    val docs = graft.core.Tables.documents(spark, dir)
+    val vocab = docs.select(explode(wordShingles($"text", 2)).as("g")).distinct()
+    val nG = vocab.count()
+    val nH = vocab.select(xxhash64($"g")).distinct().count()
+    assert(nG == nH, s"$nG shingles but $nH distinct hashes")
+  }
+
   test("prefix-filtered jaccard pairs are identical to the inverted index") {
     val docs = graft.core.Tables.documents(spark, dir)
     val a = ngramJaccardPairs(docs, "doc_id", "text", 2, 50)
