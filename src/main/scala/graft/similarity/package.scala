@@ -117,10 +117,18 @@ package object similarity {
     * vectors) drop out of training. Returns (cid, cvec: array<double>). */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    var centroids = seedCentroids(v, k).localCheckpoint()
+    // centroid state is k tiny rows — hold it on the driver and broadcast
+    // each round (the MLlib k-means pattern): one job per iteration, no
+    // lineage-carrying joins or checkpoints. The corpus never leaves the
+    // executors; only k*dim doubles travel per round.
+    var cents: Seq[(Long, Seq[Double])] =
+      seedCentroids(v, k).as[(Long, Seq[Double])].collect().toSeq
     for (_ <- 0 until iters) {
-      val near = v.join(broadcast(centroids))
+      val cdf = cents.toDF("cid", "cvec")
+      val means = v.join(broadcast(cdf))
         .select(col("id"), col("vec"), col("cid"),
           cosine(col("vec"), col("cvec")).as("sim"))
         .filter(col("sim").isNotNull)
@@ -129,16 +137,15 @@ package object similarity {
           struct(col("sim"), -col("cid"))).as("b"))
         .select(col("b.cid").as("cid"),
           col("b.vec").cast("array<double>").as("vec"))
-      val means = near.groupBy(col("cid"))
+        .groupBy(col("cid"))
         .agg(graft.reducers.ElementwiseAgg.elementwiseSumCount(col("vec")).as("sc"))
         .select(col("cid"),
           transform(col("sc"), p => p.getField("_1") / p.getField("_2")).as("mean"))
-      centroids = centroids.as("c")
-        .join(means.as("m"), Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("m.mean"), col("c.cvec")).as("cvec"))
-        .localCheckpoint()
+        .as[(Long, Seq[Double])].collect().toMap
+      // cells that lost all members keep their previous centroid
+      cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
     }
-    centroids
+    cents.toDF("cid", "cvec")
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into cells by nearest
