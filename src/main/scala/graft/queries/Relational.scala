@@ -129,8 +129,12 @@ object Relational {
     // filter only prunes the shuffle, so this carries a full oracle.
     "q_bloom_anti" -> { (s, dir) =>
       val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 49)
+      // size the filter to the filtered right side (~4% of lineitem keys),
+      // not the default 1M: partial filters are OR-merged across
+      // partitions, so bytes scale the build cost directly
       graft.operators.BloomAntiJoin.bloomAntiJoin(
-          Tables.part(s, dir), big, "p_partkey", "l_partkey")
+          Tables.part(s, dir), big, "p_partkey", "l_partkey",
+          expectedItems = 1 << 17)
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"))
     })
