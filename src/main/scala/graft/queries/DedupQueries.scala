@@ -81,7 +81,10 @@ object DedupQueries {
     // near-dup clustering on the survivors -> keep representatives
     "d_pipeline" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).filter(length(col("text")) >= 150)
-      val keepers = docs.groupBy(md5(col("text")).as("h"))
+      // internal dedup key only (never output): xxhash64 groups identically
+      // to the oracle's md5 grouping as long as both are injective on the
+      // corpus, and shuffles 8 bytes instead of a 32-char hex string
+      val keepers = docs.groupBy(xxhash64(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
       val surv = docs.join(keepers, "doc_id")
       val edges = ngramJaccardPairs(surv, "doc_id", "text", 2, 50)

@@ -143,6 +143,32 @@ class DifferentialFuzzSpec extends SparkSuite {
     }
   }
 
+  test("bloomAntiJoin matches left_anti on random key sets") {
+    val sets: Gen[(List[Long], List[Long], Double)] = for {
+      l <- Gen.listOfN(60, Gen.choose(0L, 40L))
+      r <- Gen.listOfN(30, Gen.choose(0L, 40L))
+      fpp <- Gen.oneOf(0.01, 0.2, 0.5) // include near-degenerate filters
+    } yield (l, r, fpp)
+    var s = org.scalacheck.rng.Seed(23L)
+    var done = 0
+    while (done < 6) {
+      sets.apply(Gen.Parameters.default, s).foreach { case (l, r, fpp) =>
+        val left = l.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+          .toDF("row_id", "k")
+        val right = r.toDF("rk")
+        val want = left.join(right, $"k" === $"rk", "left_anti")
+          .select($"row_id").as[Long].collect().toSet
+        val got = graft.operators.BloomAntiJoin
+          .bloomAntiJoin(left, right, "k", "rk",
+            expectedItems = 16, fpp = fpp)
+          .select($"row_id").as[Long].collect().toSet
+        assert(got == want, s"fpp=$fpp l=$l r=$r")
+        done += 1
+      }
+      s = s.next
+    }
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     val graphs: Gen[List[(Long, Long)]] =
       Gen.listOfN(40, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))
