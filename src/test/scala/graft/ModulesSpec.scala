@@ -105,6 +105,17 @@ class ModulesSpec extends SparkSuite {
       s"alerts=${got.count()} expected=$expected")
   }
 
+  test("Tables plan cache is per-session (advisor finding)") {
+    // a second session in the same JVM must get its own plans, not the
+    // first session's cached ones
+    val s2 = spark.newSession()
+    val a = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+    val b = graft.core.Tables.orders(s2, "/root/testdata/sf0.001")
+    assert(a.sparkSession eq spark)
+    assert(b.sparkSession eq s2)
+    assert(b.count() == a.count())
+  }
+
   test("inspect: necessaryColumns reports the pruned scan schema") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val q = li.filter($"l_quantity" > 10).select($"l_orderkey")
