@@ -105,6 +105,22 @@ class ModulesSpec extends SparkSuite {
       s"alerts=${got.count()} expected=$expected")
   }
 
+  test("salted ragged build is bit-identical to the direct collect_list") {
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val direct = graft.core.Tables.ordersNested(spark, dir)
+    val vstruct = struct($"l_linenumber".as("linenumber"),
+      $"l_quantity".as("quantity"), $"l_extendedprice".as("extendedprice"),
+      $"l_discount".as("discount"), $"l_returnflag".as("returnflag"))
+    val salted = graft.core.Skew.saltedCollectSortedList(
+      li.withColumn("o_orderkey", $"l_orderkey"), "o_orderkey",
+      vstruct, "items", salts = 7, saltCols = Seq($"l_linenumber"))
+    assert(salted.count() == direct.count())
+    val diff = direct.join(salted.withColumnRenamed("items", "items2"),
+        "o_orderkey")
+      .filter($"items" =!= $"items2").count()
+    assert(diff == 0, s"$diff orders differ between salted and direct build")
+  }
+
   test("Tables plan cache is per-session (advisor finding)") {
     // a second session in the same JVM must get its own plans, not the
     // first session's cached ones
