@@ -54,6 +54,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(joined < 0.25, s"max |jaccard - estimate| = $joined")
   }
 
+  test("banded simhash pairs are identical to blocked all-pairs") {
+    val sigs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", simHash48($"text").as("sh"))
+    val brute = sigs.as("a").join(sigs.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        hamming(col("a.sh"), col("b.sh")).cast("long").as("dist"))
+      .filter($"dist" <= 6).collect().map(_.toSeq).toSet
+    val banded = simhashBandPairs(sigs, "doc_id", "sh", 6, 48, Some("lang"))
+      .collect().map(_.toSeq).toSet
+    assert(brute.nonEmpty && banded == brute,
+      s"banded=${banded.size} brute=${brute.size}")
+  }
+
   test("simhash: near-dup pairs have much smaller hamming than random pairs") {
     val docs = graft.core.Tables.documents(spark, dir)
     val sigs = docs.select($"doc_id", simHash48($"text").as("sh"))
