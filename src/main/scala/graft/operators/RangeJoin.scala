@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join.
+  *
+  * The reference has no relational joins at all (SURVEY §2.6,
+  * `src/dask_awkward/__init__.py:1-108`); this is a Spark-native extension
+  * for the event-pipeline family (windows, attribution, sensor alignment).
+  *
+  * Spark has no native range-join optimization: a bare
+  * `left.join(right, pt.between(start, end))` has no equi key, so Catalyst
+  * plans a BroadcastNestedLoopJoin (small right) or a cartesian product —
+  * O(|L|x|R|) predicate evaluations, fatal at 100 TB.
+  *
+  * [[pointInInterval]] manufactures an equi key instead: pick a bucket width
+  * `w`, explode each interval to the buckets it overlaps
+  * (`sequence(floor(start/w), floor(end/w))`), map each point to its single
+  * bucket (`floor(pt/w)`), and equi-join on the bucket with the residual
+  * `BETWEEN` predicate attached. Every (point, interval) match shares exactly
+  * one bucket, so results are exact with no duplicates. The join is then a
+  * plain shuffled hash / sort-merge join: partial aggregation, AQE skew
+  * splitting, and broadcast promotion all apply as usual.
+  *
+  * Scale notes (100 TB design):
+  *  - shuffle volume is O(|L| + |R| * avgSpan/w): choose `w` near the median
+  *    interval width so each interval lands in ~1-2 buckets;
+  *  - a hot bucket (many intervals covering one time range) is an ordinary
+  *    skewed join key — AQE skew-join splitting handles it without salting
+  *    because the build side is replicated per split;
+  *  - if the interval table is small, skip all of this and use
+  *    [[pointInIntervalBroadcast]] — one broadcast pass over L with no
+  *    shuffle or row replication is strictly better.
+  */
+object RangeJoin {
+
+  /** Exact inner point-in-interval join via bucket equi-keys.
+    *
+    * `pt`, `start`, `end` must be numeric or timestamp columns in the same
+    * unit (timestamps are cast to epoch seconds). Column names must be
+    * distinct across `left` and `right`.
+    */
+  def pointInInterval(left: DataFrame, right: DataFrame,
+      pt: String, start: String, end: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"left/right column names must be distinct, both have: $overlap")
+    val b = "__rj_bucket"
+    require(!left.columns.contains(b) && !right.columns.contains(b),
+      s"input already has internal column $b")
+
+    def secs(c: Column) = c.cast("double")
+    val lb = left.withColumn(b, floor(secs(col(pt)) / bucketWidth).cast("long"))
+    val rb = right.withColumn(b, explode(sequence(
+      floor(secs(col(start)) / bucketWidth).cast("long"),
+      floor(secs(col(end)) / bucketWidth).cast("long"))))
+    lb.join(rb,
+        lb(b) === rb(b) && col(pt) >= col(start) && col(pt) <= col(end),
+        "inner")
+      .drop(b)
+  }
+
+  /** Small-interval-table path: broadcast nested loop IS the right plan when
+    * R fits in a broadcast — one pass over L, zero shuffle, no row
+    * replication. Caller asserts smallness by choosing this method. */
+  def pointInIntervalBroadcast(left: DataFrame, right: DataFrame,
+      pt: String, start: String, end: String): DataFrame =
+    left.join(broadcast(right),
+      col(pt) >= col(start) && col(pt) <= col(end), "inner")
+}

@@ -94,6 +94,24 @@ object EventQueries {
           count(col("cu")).as("n_clicks_attributed"))
     },
 
+    // point-in-interval range join (graft.operators.RangeJoin): every event
+    // within ±5 minutes of a high-value purchase. A bare BETWEEN join would
+    // plan as a nested loop; the bucketed equi-key keeps it a hash join.
+    "ev_range" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val intervals = ev
+        .filter(col("event_type") === "purchase" && col("value") > 200)
+        .select(col("event_id").as("pid"),
+          (col("ts") - expr("INTERVAL 5 MINUTES")).as("istart"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("iend"))
+      graft.operators.RangeJoin.pointInInterval(
+          ev.select(col("event_id"), col("event_type"), col("ts")),
+          intervals, "ts", "istart", "iend", bucketWidth = 300L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("event_id")).as("n_events"))
+    },
+
     // typed JSON field extraction with from_json (schema'd parse, not just
     // path extraction as in ev_json)
     "st_json_typed" -> { (s, dir) =>
@@ -120,6 +138,8 @@ object EventQueries {
       """WITH o AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800 THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM o) SELECT user_id, CAST(count(DISTINCT sess_id) AS BIGINT) AS n_sessions, CAST(sum(cnt) AS BIGINT) AS n_events, CAST(max(cnt) AS BIGINT) AS max_session FROM (SELECT user_id, sess_id, count(*) AS cnt FROM s GROUP BY 1, 2) g GROUP BY user_id""",
     "st_json_typed" ->
       """SELECT user_id, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_null FROM events GROUP BY 1""",
+    "ev_range" ->
+      """WITH i AS (SELECT event_id AS pid, ts - INTERVAL 5 MINUTE AS istart, ts + INTERVAL 5 MINUTE AS iend FROM events WHERE event_type = 'purchase' AND value > 200) SELECT e.event_type, count(*) AS n_pairs, count(DISTINCT e.event_id) AS n_events FROM events e JOIN i ON e.ts BETWEEN i.istart AND i.iend GROUP BY e.event_type""",
     "st_attrib" ->
       """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'), p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') SELECT p.user_id, count(DISTINCT p.event_id) AS n_purchases, count(c.ts) AS n_clicks_attributed FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE GROUP BY p.user_id""")
 }

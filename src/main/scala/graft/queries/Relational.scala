@@ -137,6 +137,21 @@ object Relational {
           expectedItems = 1 << 17)
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"))
+    },
+
+    // mergeable-sketch aggregates (graft.sketches.Sketches): distinct-count
+    // (HLL) and quantile (KLL-style) state that shuffles KB-sized summaries
+    // instead of raw values. Estimates, so no SQL oracle (driver does the
+    // rows-only check); SketchesSpec asserts error bounds vs exact answers.
+    "q_sketch" -> { (s, dir) =>
+      import graft.sketches.Sketches
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Sketches.hllEstimate(col("l_partkey")).as("approx_parts"),
+          Sketches.hllEstimate(col("l_suppkey")).as("approx_supp"),
+          Sketches.quantileApprox(col("l_quantity"), lit(0.5)).as("median_qty"),
+          count(lit(1)).as("n"))
     })
 
   val oracle: Map[String, String] = Map(

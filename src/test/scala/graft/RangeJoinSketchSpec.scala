@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+import graft.sketches.Sketches
+
+/** Bucketed range join (differential vs the naive inequality join) and
+  * sketch aggregates (error bounds vs exact answers). */
+class RangeJoinSketchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pointInInterval matches the naive inequality join at any bucket width") {
+    val ev = graft.core.Tables.events(spark, dir)
+    val pts = ev.select($"event_id", $"ts")
+    // asymmetric window so start/end bucket rounding is exercised separately
+    val ivs = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("pid"),
+        ($"ts" - expr("INTERVAL 7 MINUTES")).as("istart"),
+        ($"ts" + expr("INTERVAL 3 MINUTES")).as("iend"))
+    val naive = pts.join(ivs, $"ts" >= $"istart" && $"ts" <= $"iend")
+      .select($"event_id", $"pid").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "fixture should produce matches")
+    for (w <- Seq(60L, 300L, 3600L)) {
+      val got = RangeJoin.pointInInterval(pts, ivs, "ts", "istart", "iend", w)
+        .select($"event_id", $"pid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs at bucketWidth=$w")
+      assert(got.toSet == naive, s"pair-set mismatch at bucketWidth=$w")
+    }
+  }
+
+  test("pointInIntervalBroadcast gives the same pairs with zero shuffles") {
+    val ev = graft.core.Tables.events(spark, dir)
+    val pts = ev.select($"event_id", $"ts")
+    val ivs = ev.filter($"event_type" === "purchase" && $"value" > 150)
+      .select($"event_id".as("pid"),
+        ($"ts" - expr("INTERVAL 5 MINUTES")).as("istart"),
+        ($"ts" + expr("INTERVAL 5 MINUTES")).as("iend"))
+    val bucketed = RangeJoin.pointInInterval(pts, ivs, "ts", "istart", "iend", 300L)
+      .select($"event_id", $"pid").as[(Long, Long)].collect().toSet
+    val bcast = RangeJoin.pointInIntervalBroadcast(pts, ivs, "ts", "istart", "iend")
+    assert(bcast.select($"event_id", $"pid").as[(Long, Long)].collect().toSet == bucketed)
+    assert(!bcast.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+      "broadcast path must not shuffle")
+  }
+
+  test("pointInInterval rejects colliding or reserved column names") {
+    val pts = Seq((1L, 5.0)).toDF("id", "t")
+    val ivs = Seq((2L, 0.0, 10.0)).toDF("id", "lo", "hi")
+    assertThrows[IllegalArgumentException](
+      RangeJoin.pointInInterval(pts, ivs, "t", "lo", "hi", 10L))
+    assertThrows[IllegalArgumentException](
+      RangeJoin.pointInInterval(pts, ivs.withColumnRenamed("id", "iid"), "t", "lo", "hi", 0L))
+  }
+
+  test("hll estimate is within 2% of exact and per-group sketches union to the global") {
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val exact = li.select(countDistinct($"l_partkey")).as[Long].head()
+    val est = li.select(Sketches.hllEstimate($"l_partkey")).as[Long].head()
+    assert(math.abs(est - exact).toDouble / exact < 0.02, s"est=$est exact=$exact")
+    // mergeability: union of disjoint per-group sketch states ~ global sketch
+    val merged = li.groupBy($"l_returnflag")
+      .agg(Sketches.hllSketch($"l_partkey").as("sk"))
+      .select(Sketches.hllUnion($"sk")).as[Long].head()
+    assert(math.abs(merged - est) <= math.max(1L, (0.01 * exact).toLong),
+      s"merged=$merged direct=$est")
+  }
+
+  test("count-min counts never underestimate and respect the eps bound") {
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val total = li.count()
+    val eps = 0.01
+    val bytes = li.select(Sketches.cmSketch($"l_suppkey", eps = eps))
+      .head().getAs[Array[Byte]](0)
+    val exacts = li.groupBy($"l_suppkey").count().as[(Long, Long)].collect()
+    exacts.foreach { case (k, n) =>
+      val e = Sketches.cmsCount(bytes, k)
+      assert(e >= n, s"suppkey $k underestimated: $e < $n")
+      assert(e <= n + math.ceil(eps * total).toLong,
+        s"suppkey $k overestimate beyond bound: $e vs $n (total=$total)")
+    }
+  }
+
+  test("quantileApprox returns a real element splitting the data near p") {
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val n = li.count()
+    val med = li.select(Sketches.quantileApprox($"l_quantity", lit(0.5),
+      accuracy = n.toInt + 1)).head().getDouble(0)
+    val below = li.filter($"l_quantity" <= med).count().toDouble / n
+    val strictlyBelow = li.filter($"l_quantity" < med).count().toDouble / n
+    assert(li.filter($"l_quantity" === med).count() > 0, "must be an actual element")
+    assert(strictlyBelow <= 0.5 && below >= 0.5, s"not a median: <=$below <$strictlyBelow")
+  }
+}
