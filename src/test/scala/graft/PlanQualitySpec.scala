@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 /** Plan-shape assertions: the queries must not just be correct at sf0.01 —
@@ -95,6 +97,45 @@ class PlanQualitySpec extends SparkSuite {
       .agg(sum(col("c")), sum(col("s"))).as[(Long, Long)].head()
     assert(agg._1 == n)
     assert(agg._2 == n * (n - 1) / 2) // sum of 0..n-1: generation is exact
+  }
+
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // one hot key carrying 200k rows vs 4-row cold keys: with the skew
+    // thresholds scaled down to the fixture, AQE must replan the sort-merge
+    // join's hot partition into parallel splits (the runtime answer to data
+    // skew this engine relies on at 100 TB — salting is reserved for
+    // aggregates, which AQE does not split).
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.range(200000).select(lit(0L).as("k"), $"id".as("v"))
+        .unionAll(spark.range(400).select(($"id" % 100 + 1).as("k"), $"id".as("v")))
+      val dim = spark.range(101).select($"id".as("dk"), ($"id" * 2).as("dv"))
+      val joined = fact.join(dim, $"k" === $"dk")
+      // execute THIS frame (count() would plan a separate query and leave
+      // joined's adaptive plan unfinalized)
+      assert(joined.toLocalIterator().asScala.length == 200400) // every key matches one dim row
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skewed"),
+        s"AQE did not mark/split the skewed partition:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
   }
 
   test("flagship entry: top-k via TakeOrderedAndProject, partial collect") {
