@@ -62,6 +62,38 @@ object RangeJoin {
       .drop(b)
   }
 
+  /** Exact inner interval-overlap join (`[lstart,lend] ∩ [rstart,rend] ≠ ∅`)
+    * via the same bucket scheme, both sides exploded. An overlapping pair
+    * shares every bucket in `[max(⌊ls/w⌋,⌊rs/w⌋), min(⌊le/w⌋,⌊re/w⌋)]`, so
+    * the join keeps only the FIRST shared bucket (`b = max(⌊ls/w⌋,⌊rs/w⌋)`)
+    * — exactly one surviving copy per pair, no distinct pass over the
+    * output. Shuffle volume is O(|L|·spanL/w + |R|·spanR/w). */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lstart: String, lend: String, rstart: String, rend: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"left/right column names must be distinct, both have: $overlap")
+    val b = "__rj_bucket"
+    require(!left.columns.contains(b) && !right.columns.contains(b),
+      s"input already has internal column $b")
+
+    def secs(c: Column) = c.cast("double")
+    def buckets(s: String, e: String) = explode(sequence(
+      floor(secs(col(s)) / bucketWidth).cast("long"),
+      floor(secs(col(e)) / bucketWidth).cast("long")))
+    val lb = left.withColumn(b, buckets(lstart, lend))
+    val rb = right.withColumn(b, buckets(rstart, rend))
+    lb.join(rb,
+        lb(b) === rb(b) &&
+          col(lstart) <= col(rend) && col(rstart) <= col(lend) &&
+          lb(b) === greatest(
+            floor(secs(col(lstart)) / bucketWidth).cast("long"),
+            floor(secs(col(rstart)) / bucketWidth).cast("long")),
+        "inner")
+      .drop(b)
+  }
+
   /** Small-interval-table path: broadcast nested loop IS the right plan when
     * R fits in a broadcast — one pass over L, zero shuffle, no row
     * replication. Caller asserts smallness by choosing this method. */

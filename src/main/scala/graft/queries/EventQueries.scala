@@ -112,6 +112,30 @@ object EventQueries {
           countDistinct(col("event_id")).as("n_events"))
     },
 
+    // interval-overlap join (RangeJoin.intervalOverlap): which high-value
+    // purchase windows overlap an error burst window — both sides exploded
+    // to buckets, first-shared-bucket filter keeps exactly one copy per
+    // overlapping pair (no distinct pass)
+    "ev_overlap" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase" && col("value") > 200)
+        .select(col("event_id").as("pid"),
+          (col("ts") - expr("INTERVAL 5 MINUTES")).as("pstart"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("pend"))
+      val errors = ev
+        .filter(col("event_type") === "error" && col("value") > 150)
+        .select(col("event_id").as("eid"),
+          (col("ts") - expr("INTERVAL 3 MINUTES")).as("estart"),
+          (col("ts") + expr("INTERVAL 3 MINUTES")).as("eend"))
+      graft.operators.RangeJoin.intervalOverlap(
+          purchases, errors, "pstart", "pend", "estart", "eend",
+          bucketWidth = 300L)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("pid")).as("n_purchases"),
+          countDistinct(col("eid")).as("n_errors"))
+    },
+
     // typed JSON field extraction with from_json (schema'd parse, not just
     // path extraction as in ev_json)
     "st_json_typed" -> { (s, dir) =>
@@ -140,6 +164,8 @@ object EventQueries {
       """SELECT user_id, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_null FROM events GROUP BY 1""",
     "ev_range" ->
       """WITH i AS (SELECT event_id AS pid, ts - INTERVAL 5 MINUTE AS istart, ts + INTERVAL 5 MINUTE AS iend FROM events WHERE event_type = 'purchase' AND value > 200) SELECT e.event_type, count(*) AS n_pairs, count(DISTINCT e.event_id) AS n_events FROM events e JOIN i ON e.ts BETWEEN i.istart AND i.iend GROUP BY e.event_type""",
+    "ev_overlap" ->
+      """WITH p AS (SELECT event_id AS pid, ts - INTERVAL 5 MINUTE AS pstart, ts + INTERVAL 5 MINUTE AS pend FROM events WHERE event_type = 'purchase' AND value > 200), e AS (SELECT event_id AS eid, ts - INTERVAL 3 MINUTE AS estart, ts + INTERVAL 3 MINUTE AS eend FROM events WHERE event_type = 'error' AND value > 150) SELECT count(*) AS n_pairs, count(DISTINCT pid) AS n_purchases, count(DISTINCT eid) AS n_errors FROM p JOIN e ON p.pstart <= e.eend AND e.estart <= p.pend""",
     "st_attrib" ->
       """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'), p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') SELECT p.user_id, count(DISTINCT p.event_id) AS n_purchases, count(c.ts) AS n_clicks_attributed FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE GROUP BY p.user_id""")
 }

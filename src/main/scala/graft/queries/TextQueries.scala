@@ -24,6 +24,20 @@ object TextQueries {
         .limit(50)
     },
 
+    // heavy hitters via per-partition Misra-Gries summaries
+    // (graft.sketches.FrequentItems): capacity 8192 exceeds this corpus's
+    // vocabulary, so counts are exact and the oracle is a plain top-k —
+    // while the shuffle stays bounded at capacity×partitions rows at any
+    // data size
+    "t_heavy" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.text.wsTokens(lower(col("text")))).as("tok"))
+      graft.sketches.FrequentItems.frequentItems(toks, "tok", capacity = 8192)
+        .select(col("item"), col("count_low").as("tf"))
+        .orderBy(col("tf").desc, col("item"))
+        .limit(25)
+    },
+
     // winnowing fingerprints (MOSS): k=2-gram polyHashes, window w=4
     // sliding minima, distinct — exact oracle via DuckDB list ops
     "t_winnow" -> { (s, dir) =>
@@ -90,6 +104,8 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "t_vocab" ->
       """SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents) t GROUP BY tok ORDER BY df DESC, tok LIMIT 50""",
+    "t_heavy" ->
+      """SELECT tok AS item, count(*) AS tf FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents) t GROUP BY tok ORDER BY tf DESC, item LIMIT 25""",
     "t_winnow" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok FROM documents), h AS (SELECT doc_id, list_transform(range(1, len(tok)), i -> list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)], ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)) AS hs FROM t), f AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE list_distinct(list_transform(range(1, greatest(1, len(hs) - 3) + 1), i -> list_min(hs[CAST(i AS INT):CAST(least(i + 3, len(hs)) AS INT)]))) END AS fps FROM h) SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum FROM f""",
     "t_tokens" ->

@@ -45,6 +45,62 @@ class RangeJoinSketchSpec extends SparkSuite {
       "broadcast path must not shuffle")
   }
 
+  test("intervalOverlap matches the naive overlap join, one copy per pair") {
+    val ev = graft.core.Tables.events(spark, dir)
+    val a = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("pid"),
+        ($"ts" - expr("INTERVAL 5 MINUTES")).as("pstart"),
+        ($"ts" + expr("INTERVAL 5 MINUTES")).as("pend"))
+    val b = ev.filter($"event_type" === "error")
+      .select($"event_id".as("eid"),
+        ($"ts" - expr("INTERVAL 3 MINUTES")).as("estart"),
+        ($"ts" + expr("INTERVAL 3 MINUTES")).as("eend"))
+    val naive = a.join(b, $"pstart" <= $"eend" && $"estart" <= $"pend")
+      .select($"pid", $"eid").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "fixture should produce overlaps")
+    // widths well below the interval spans force multi-bucket sharing, so
+    // this exercises the first-shared-bucket dedup
+    for (w <- Seq(30L, 60L, 300L, 3600L)) {
+      val got = RangeJoin.intervalOverlap(a, b, "pstart", "pend", "estart", "eend", w)
+        .select($"pid", $"eid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs at bucketWidth=$w")
+      assert(got.toSet == naive, s"pair-set mismatch at bucketWidth=$w")
+    }
+  }
+
+  test("frequentItems is exact when capacity exceeds the vocabulary") {
+    val toks = graft.core.Tables.documents(spark, dir)
+      .select(explode(graft.text.wsTokens(lower($"text"))).as("tok"))
+    val exact = toks.groupBy($"tok").count()
+      .as[(String, Long)].collect().toMap
+    val got = graft.sketches.FrequentItems.frequentItems(toks, "tok", 1 << 16)
+      .as[(String, Long)].collect().toMap
+    assert(got == exact, s"sizes: got=${got.size} exact=${exact.size}")
+  }
+
+  test("frequentItems under overflow: lower bounds, heavy items survive") {
+    val n = 1000
+    // 500 a's, 300 b's, 200 distinct singletons, one partition => overflows
+    val items = (Seq.fill(500)("a") ++ Seq.fill(300)("b") ++
+      (0 until 200).map(i => s"x$i"))
+    // deterministic interleave so the singletons arrive among the heavies
+    val shuffled = items.zipWithIndex
+      .sortBy { case (s, i) => (i * 131) % n }.map(_._1)
+    val df = shuffled.toDF("item").coalesce(1)
+    val cap = 9
+    val got = graft.sketches.FrequentItems.frequentItems(df, "item", cap)
+      .as[(String, Long)].collect().toMap
+    val bound = n / (cap + 1) // max undercount
+    assert(got.contains("a") && got.contains("b"),
+      s"items above N/(cap+1)=$bound must survive: $got")
+    assert(got("a") <= 500 && got("a") >= 500 - bound, got.toString)
+    assert(got("b") <= 300 && got("b") >= 300 - bound, got.toString)
+    got.foreach { case (k, v) =>
+      val truth = k match { case "a" => 500L; case "b" => 300L; case _ => 1L }
+      assert(v <= truth, s"$k overcounted: $v > $truth")
+    }
+  }
+
   test("pointInInterval rejects colliding or reserved column names") {
     val pts = Seq((1L, 5.0)).toDF("id", "t")
     val ivs = Seq((2L, 0.0, 10.0)).toDF("id", "lo", "hi")
