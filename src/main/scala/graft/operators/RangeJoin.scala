@@ -67,7 +67,11 @@ object RangeJoin {
     * shares every bucket in `[max(⌊ls/w⌋,⌊rs/w⌋), min(⌊le/w⌋,⌊re/w⌋)]`, so
     * the join keeps only the FIRST shared bucket (`b = max(⌊ls/w⌋,⌊rs/w⌋)`)
     * — exactly one surviving copy per pair, no distinct pass over the
-    * output. Shuffle volume is O(|L|·spanL/w + |R|·spanR/w). */
+    * output. Shuffle volume is O(|L|·spanL/w + |R|·spanR/w).
+    *
+    * Degenerate (start > end) intervals follow the raw predicate, exactly
+    * like the SQL form `lstart <= rend AND rstart <= lend` — fuzz-verified
+    * in DifferentialFuzzSpec. */
   def intervalOverlap(left: DataFrame, right: DataFrame,
       lstart: String, lend: String, rstart: String, rend: String,
       bucketWidth: Long): DataFrame = {

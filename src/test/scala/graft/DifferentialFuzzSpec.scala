@@ -201,6 +201,61 @@ class DifferentialFuzzSpec extends SparkSuite {
     }
   }
 
+  test("range joins match brute force on random (incl. negative) intervals") {
+    // random points and intervals over a signed domain: exercises negative
+    // bucket indices (floor-toward-minus-infinity), zero-width intervals,
+    // degenerate start>end intervals (no points can fall inside; overlap
+    // follows the raw predicate), and pairs sharing many buckets (the
+    // overlap dedup)
+    val pointGen = Gen.listOfN(40, Gen.choose(-500L, 500L))
+    val ivGen = Gen.listOfN(25, for {
+      a <- Gen.choose(-500L, 500L)
+      span <- Gen.choose(-40L, 120L) // negative span => degenerate interval
+    } yield (a, a + span))
+    val seed = org.scalacheck.rng.Seed(4242L)
+    var s = seed
+    var done = 0
+    while (done < 8) {
+      val sample = for { ps <- pointGen; is <- ivGen } yield (ps, is)
+      sample.apply(Gen.Parameters.default, s).foreach { case (ps, is) =>
+        val pts = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+          .toDF("lid", "pt")
+        val ivs = is.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+          .toDF("rid", "lo", "hi")
+        val wantPt = (for {
+          (p, i) <- ps.zipWithIndex
+          ((a, b), j) <- is.zipWithIndex
+          if p >= a && p <= b
+        } yield (i.toLong, j.toLong)).toSet
+        for (w <- Seq(7L, 100L)) {
+          val got = graft.operators.RangeJoin
+            .pointInInterval(pts, ivs, "pt", "lo", "hi", w)
+            .select($"lid", $"rid").as[(Long, Long)].collect()
+          assert(got.length == got.toSet.size, s"dup pairs w=$w")
+          assert(got.toSet == wantPt, s"point-in-interval mismatch w=$w")
+        }
+        val ivs2 = is.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+          .toDF("rid2", "lo2", "hi2")
+        // degenerate (start>end) intervals follow the raw predicate, same
+        // as the SQL form `lstart <= rend AND rstart <= lend`
+        val wantOv = (for {
+          ((a, b), i) <- is.zipWithIndex
+          ((c, d), j) <- is.zipWithIndex
+          if a <= d && c <= b
+        } yield (i.toLong, j.toLong)).toSet
+        for (w <- Seq(7L, 100L)) {
+          val got = graft.operators.RangeJoin
+            .intervalOverlap(ivs, ivs2, "lo", "hi", "lo2", "hi2", w)
+            .select($"rid", $"rid2").as[(Long, Long)].collect()
+          assert(got.length == got.toSet.size, s"dup overlap pairs w=$w")
+          assert(got.toSet == wantOv, s"interval-overlap mismatch w=$w")
+        }
+        done += 1
+      }
+      s = s.next
+    }
+  }
+
   test("runLengths matches a linear Scala pass") {
     forAllSamples() { rows =>
       def rl(r: List[Double]): Seq[Int] = {
