@@ -67,6 +67,20 @@ object Streaming {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Watermarked per-window distinct-user estimate PLUS the mergeable HLL
+    * sketch state itself. The streamed sketches land in the sink next to
+    * the estimates, so any coarser rollup (hourly→daily→monthly distinct
+    * users) is a later batch `Sketches.hllUnion` over the stored binaries —
+    * no stream reprocessing, no raw-id retention. This is the streaming
+    * face of the incremental-rollup path on `graft.sketches.Sketches`. */
+  def windowedUserSketches(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        graft.sketches.Sketches.hllSketch(col("user_id")).as("user_sketch"))
+      .select(col("w.start").as("ws"), col("approx_users"), col("user_sketch"))
+
   /** Custom per-key state machine via flatMapGroupsWithState — the
     * "arbitrary stateful op" tier that windows can't express: tracks a
     * running per-user (count, sum, max) and EMITS A ROW ONLY WHEN the

@@ -54,6 +54,36 @@ class ModulesSpec extends SparkSuite {
     }
   }
 
+  test("streaming: windowed HLL sketches union into the cross-window distinct") {
+    implicit val s: SparkSession = spark
+    val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
+    val out = graft.streaming.Streaming.runToMemory(
+      graft.streaming.Streaming.windowedUserSketches(src), "t_sketch")
+    val rows = out.select($"ws", $"approx_users").collect()
+    assert(rows.nonEmpty, "watermark should close at least one window")
+    val emitted = rows.map(_.getTimestamp(0)).toSet
+    val batch = graft.core.Tables.events(spark, dir)
+      .select(window($"ts", "5 minutes")("start").as("ws"), $"user_id")
+      .filter($"ws".isInCollection(emitted))
+    // per-window estimates agree with exact per-window distincts
+    val exactPerW = batch.groupBy($"ws").agg(countDistinct($"user_id").as("d"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    rows.foreach { r =>
+      val exact = exactPerW(r.getTimestamp(0))
+      assert(math.abs(r.getLong(1) - exact) <= math.max(1L, exact / 20),
+        s"window ${r.getTimestamp(0)}: approx=${r.getLong(1)} exact=$exact")
+    }
+    // the persisted sketch states union into the CROSS-window distinct
+    // (which per-window counts cannot give — users repeat across windows)
+    val merged = out.select(graft.sketches.Sketches.hllUnion($"user_sketch"))
+      .as[Long].head()
+    val exactAll = batch.select(countDistinct($"user_id")).as[Long].head()
+    val sumPerW = exactPerW.values.sum
+    assert(sumPerW > exactAll, "fixture: users must repeat across windows")
+    assert(math.abs(merged - exactAll) <= math.max(1L, exactAll / 50),
+      s"merged=$merged exactAll=$exactAll")
+  }
+
   test("streaming: session windows produce plausible sessions") {
     implicit val s: SparkSession = spark
     val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
