@@ -62,6 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TransformFieldPruning)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
     ext.injectPlannerStrategy(session => new AsofJoinStrategy(session))
     def reg(name: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),

@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, NumericType, TimestampType}
+
+/** Optimizer rule: rewrite a bare range join (`pt BETWEEN lo AND hi`, no
+  * equi key) into the bucketed equi-join of
+  * [[graft.operators.RangeJoin]] — automatically.
+  *
+  * Without an equality conjunct Catalyst can only plan a broadcast nested
+  * loop or a cartesian product for such a join — O(|L|·|R|) predicate
+  * evaluations, fatal at 100 TB. With this rule enabled, the same user
+  * query plans as an ordinary shuffled hash / sort-merge join: the point
+  * side gains a `⌊pt/w⌋` bucket column, the bound side explodes to the
+  * buckets its `[lo, hi]` range overlaps, the join key is the bucket, and
+  * the ORIGINAL predicate rides along as the residual — so results are
+  * bit-identical (each matching pair shares exactly one point-bucket; the
+  * monotone bucket map means covering holds for strict or non-strict
+  * bounds, and malformed `lo > hi` rows are vetoed by the residual).
+  *
+  * Opt-in: set `spark.graft.rangeJoin.bucketWidth` (in the column's units,
+  * e.g. seconds for timestamps) to a positive value; pick it near the
+  * median interval width so each interval lands in ~1-2 buckets. The rule
+  * never fires on joins that already have an equality conjunct (those
+  * already hash-join — and this guard also makes the rewrite a fixed
+  * point). The reference has no joins at all (SURVEY §2.6); this is the
+  * engine protecting naive Spark-SQL range joins, same spirit as AQE.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val WidthKey = "spark.graft.rangeJoin.bucketWidth"
+
+  private def width: Long =
+    try conf.getConfString(WidthKey, "0").toLong
+    catch { case _: NumberFormatException => 0L }
+
+  private def bucketable(dt: DataType): Boolean = dt match {
+    case _: NumericType | TimestampType => true
+    case _ => false
+  }
+
+  /** floor(e / w) as a long — monotone in e, identical on both sides. */
+  private def bucket(e: Expression, w: Long): Expression =
+    Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble)))
+
+  /** Is `e` computable from exactly one side? Some(true)=left, Some(false)=right. */
+  private def sideOf(e: Expression, l: LogicalPlan, r: LogicalPlan): Option[Boolean] = {
+    val refs = e.references
+    if (refs.isEmpty || !e.deterministic) None
+    else if (refs.subsetOf(l.outputSet)) Some(true)
+    else if (refs.subsetOf(r.outputSet)) Some(false)
+    else None
+  }
+
+  /** (point, lo, hi, pointIsLeft) if the conjuncts bound one side's
+    * expression from both directions with the other side's expressions. */
+  private def findRange(conjuncts: Seq[Expression], l: LogicalPlan,
+      r: LogicalPlan): Option[(Expression, Expression, Expression, Boolean)] = {
+    // normalize every comparison conjunct to (small, big)
+    val bounds = conjuncts.collect {
+      case GreaterThanOrEqual(a, b) => (b, a)
+      case GreaterThan(a, b)        => (b, a)
+      case LessThanOrEqual(a, b)    => (a, b)
+      case LessThan(a, b)           => (a, b)
+    }
+    val candidates = for {
+      (lo, pt1) <- bounds
+      (pt2, hi) <- bounds
+      if pt1.semanticEquals(pt2) && bucketable(pt1.dataType)
+      ptSide <- sideOf(pt1, l, r)
+      loSide <- sideOf(lo, l, r)
+      hiSide <- sideOf(hi, l, r)
+      if loSide != ptSide && hiSide != ptSide &&
+        bucketable(lo.dataType) && bucketable(hi.dataType)
+    } yield (pt1, lo, hi, ptSide)
+    candidates.headOption
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = width
+    if (w <= 0) return plan
+    plan.transform {
+      case j @ Join(l, r, Inner, Some(cond), hint)
+          if j.resolved && cond.deterministic => {
+        val conjuncts = splitConjunctivePredicates(cond)
+        val hasEquiKey = conjuncts.exists {
+          case EqualTo(a, b) =>
+            (for (sa <- sideOf(a, l, r); sb <- sideOf(b, l, r))
+              yield sa != sb).getOrElse(false)
+          case _ => false
+        }
+        if (hasEquiKey) j
+        else findRange(conjuncts, l, r) match {
+          case None => j
+          case Some((pt, lo, hi, ptIsLeft)) =>
+            val pb = Alias(bucket(pt, w), "__graft_rj_pb")()
+            val ib = AttributeReference("__graft_rj_ib", LongType)()
+            val ptChild = if (ptIsLeft) l else r
+            val ivChild = if (ptIsLeft) r else l
+            val ptSide = Project(ptChild.output :+ pb, ptChild)
+            val ivSide = Generate(
+              // Sequence is TimeZoneAware: a None zone leaves it unresolved
+              Explode(Sequence(bucket(lo, w), bucket(hi, w), None,
+                Some(conf.sessionLocalTimeZone))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(ib), ivChild)
+            val (nl, nr) = if (ptIsLeft) (ptSide, ivSide) else (ivSide, ptSide)
+            val newCond = And(EqualTo(pb.toAttribute, ib), cond)
+            Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+        }
+      }
+    }
+  }
+}

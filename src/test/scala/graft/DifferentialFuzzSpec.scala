@@ -250,6 +250,16 @@ class DifferentialFuzzSpec extends SparkSuite {
           assert(got.length == got.toSet.size, s"dup overlap pairs w=$w")
           assert(got.toSet == wantOv, s"interval-overlap mismatch w=$w")
         }
+        // the optimizer rule must make the NAIVE spelling of the same join
+        // agree too (plan rewritten under the hood)
+        val key = graft.plans.RangeJoinRewrite.WidthKey
+        try {
+          spark.conf.set(key, "7")
+          val got = pts.join(ivs, $"pt" >= $"lo" && $"pt" <= $"hi")
+            .select($"lid", $"rid").as[(Long, Long)].collect()
+          assert(got.length == got.toSet.size, "rule produced duplicates")
+          assert(got.toSet == wantPt, "rule-rewritten join mismatch")
+        } finally spark.conf.unset(key)
         done += 1
       }
       s = s.next

@@ -138,6 +138,47 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("RangeJoinRewrite turns bare BETWEEN joins into hash joins") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, dir)
+    val pts = ev.select($"event_id", $"ts")
+    val ivs = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("pid"),
+        ($"ts" - expr("INTERVAL 7 MINUTES")).as("lo"),
+        ($"ts" + expr("INTERVAL 3 MINUTES")).as("hi"))
+    def weak = pts.join(ivs, $"ts" >= $"lo" && $"ts" <= $"hi")
+    def strictFlipped = ivs.join(pts, $"ts" > $"lo" && $"ts" < $"hi")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"pid").as[(Long, Long)].collect()
+
+    // rule dormant by default: the bare range join nested-loops
+    val offPlan = weak.queryExecution.executedPlan.toString
+    assert(offPlan.contains("BroadcastNestedLoopJoin") ||
+      offPlan.contains("CartesianProduct"), offPlan.take(1500))
+    val wantWeak = pairs(weak).toSet
+    val wantStrict = pairs(strictFlipped).toSet
+    assert(wantWeak.nonEmpty && wantStrict.subsetOf(wantWeak))
+
+    val key = graft.plans.RangeJoinRewrite.WidthKey
+    try {
+      spark.conf.set(key, "300")
+      for ((df, want, label) <- Seq(
+          (weak, wantWeak, "weak"), (strictFlipped, wantStrict, "strict-flipped"))) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          s"$label still nested-loops:\n${plan.take(1500)}")
+        val got = pairs(df)
+        assert(got.length == got.toSet.size, s"$label produced duplicates")
+        assert(got.toSet == want, s"$label pair-set mismatch")
+      }
+      // joins that already have an equi key are left alone (no explode)
+      val equi = pts.join(ivs, $"event_id" === $"pid" && $"ts" >= $"lo" && $"ts" <= $"hi")
+      val equiPlan = equi.queryExecution.executedPlan.toString
+      assert(!equiPlan.contains("Generate"), equiPlan.take(1500))
+    } finally spark.conf.unset(key)
+  }
+
   test("flagship entry: top-k via TakeOrderedAndProject, partial collect") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     // limit+orderBy must plan as a bounded top-k, not a global sort
