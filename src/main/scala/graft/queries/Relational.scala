@@ -139,6 +139,22 @@ object Relational {
         .agg(count(lit(1)).as("n"))
     },
 
+    // q_window's exact result through the bounded top-k AGGREGATE
+    // (graft.operators.GroupTopK): the shuffle carries <=3 rows per
+    // (partition, suppkey) instead of every lineitem row — same oracle as
+    // q_window, different physical contract
+    "q_topk_group" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(graft.operators.GroupTopK.smallestK(
+          struct(negate(col("l_extendedprice")).as("np"),
+            col("l_orderkey"), col("l_linenumber")), 3).as("top"))
+        .select(col("l_suppkey"), posexplode(col("top")))
+        .select(col("l_suppkey"), (col("pos") + 1).as("rn"),
+          col("col.l_orderkey"), col("col.l_linenumber"),
+          round(negate(col("col.np")), 2).as("price"))
+    },
+
     // mergeable-sketch aggregates (graft.sketches.Sketches): distinct-count
     // (HLL) and quantile (KLL-style) state that shuffles KB-sized summaries
     // instead of raw values. Estimates, so no SQL oracle (driver does the
@@ -168,6 +184,8 @@ object Relational {
     "q_antijoin" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-01-01') GROUP BY c_mktsegment""",
     "q_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, round(l_extendedprice,2) AS price FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) t WHERE rn <= 3""",
+    "q_topk_group" ->
       """SELECT l_suppkey, rn, l_orderkey, l_linenumber, round(l_extendedprice,2) AS price FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) t WHERE rn <= 3""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",

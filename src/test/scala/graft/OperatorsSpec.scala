@@ -36,6 +36,37 @@ class OperatorsSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("GroupTopK matches window row_number ranking exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    val want = li.withColumn("rn", row_number().over(w)).filter($"rn" <= 4)
+      .select($"l_suppkey", $"rn", $"l_orderkey", $"l_linenumber")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val got = li.groupBy($"l_suppkey")
+      .agg(graft.operators.GroupTopK.smallestK(
+        struct(negate($"l_extendedprice").as("np"), $"l_orderkey", $"l_linenumber"), 4).as("top"))
+      .select($"l_suppkey", posexplode($"top"))
+      .select($"l_suppkey", ($"pos" + 1).as("rn"), $"col.l_orderkey", $"col.l_linenumber")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == want)
+    // largestK is the mirror: top by price ascending
+    val wantAsc = li.withColumn("rn", row_number().over(
+        Window.partitionBy($"l_suppkey")
+          .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")))
+      .filter($"rn" <= 2).select($"l_suppkey", $"l_orderkey", $"l_linenumber")
+      .as[(Long, Long, Long)].collect().toSet
+    val gotAsc = li.groupBy($"l_suppkey")
+      .agg(graft.operators.GroupTopK.largestK(
+        struct(negate($"l_extendedprice").as("np"), negate($"l_orderkey").as("no"),
+          negate($"l_linenumber").as("nl")), 2).as("top"))
+      .select($"l_suppkey", explode($"top").as("t"))
+      .select($"l_suppkey", negate($"t.no").cast("long"), negate($"t.nl").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotAsc == wantAsc)
+  }
+
   test("kmeansCentroids computes exact per-cell means on separable data") {
     // two well-separated direction clusters; seeds (ids 0,1) fall one in
     // each, so a single round must land on the exact arithmetic means

@@ -138,6 +138,14 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("q_topk_group aggregates with a map-side bounded heap, no window sort") {
+    val plan = SparkEntry.queries("q_topk_group")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_collecttopk") || plan.contains("partial_collect_top_k"),
+      s"no map-side partial top-k:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), s"fell back to a window sort:\n${plan.take(2000)}")
+  }
+
   test("RangeJoinRewrite turns bare BETWEEN joins into hash joins") {
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, dir)
