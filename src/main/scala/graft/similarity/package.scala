@@ -46,15 +46,22 @@ package object similarity {
   }
 
   /** groupBy(key).top-k(score desc, id asc): shared tail of the exact and
-    * LSH searches. Emits (key, rank, id, score). */
+    * LSH searches. Emits (key, rank, id, score).
+    *
+    * Runs on the native bounded-heap aggregate ([[graft.operators.GroupTopK]]
+    * over struct(-score, id): lexicographic ascending = score desc, id asc)
+    * rather than the typed [[TopKScoredIds]] Aggregator — same bounded
+    * shuffle contract, but no per-row encoder serialization on the hot
+    * scoring path. DedupSimilaritySpec pins the two implementations equal. */
   private[similarity] def topKPerKey(scored: DataFrame, keyCol: String,
       scoreCol: String, idCol: String, k: Int): DataFrame =
     scored.groupBy(col(keyCol))
-      .agg(TopKAgg.topKScoredIds(
-        col(scoreCol).cast("double"), col(idCol).cast("long"), k).as("top"))
+      .agg(graft.operators.GroupTopK.smallestK(
+        struct(negate(col(scoreCol).cast("double")).as("ns"),
+          col(idCol).cast("long").as("id")), k).as("top"))
       .select(col(keyCol), posexplode(col("top")).as(Seq("pos", "sc")))
       .select(col(keyCol), (col("pos") + 1).cast("int").as("rank"),
-        col("sc._2").as(idCol), col("sc._1").as(scoreCol))
+        col("sc.id").as(idCol), negate(col("sc.ns")).as(scoreCol))
 
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
     * an LCG over the flat index, mapped to [-0.5, 0.5). Pure integer

@@ -125,6 +125,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(joined.filter($"icos" =!= $"bcos").count() == 0)
   }
 
+  test("typed TopKScoredIds and native GroupTopK rank identically") {
+    // the typed Aggregator is the reference implementation; the similarity
+    // searches run the native heap aggregate — random scored pairs with
+    // deliberate score ties must rank identically through both
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(5).toLong, (rnd.nextInt(20) / 10.0) - 0.5, i.toLong)
+    }
+    val df = rows.toDF("qid", "cos", "nid")
+    val typed = df.groupBy($"qid")
+      .agg(graft.similarity.TopKAgg.topKScoredIds($"cos", $"nid", 7).as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "sc")))
+      .select($"qid", $"pos", $"sc._1".as("cos"), $"sc._2".as("nid"))
+      .as[(Long, Int, Double, Long)].collect().toSet
+    val native = df.groupBy($"qid")
+      .agg(graft.operators.GroupTopK.smallestK(
+        struct(negate($"cos").as("ns"), $"nid".as("id")), 7).as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "sc")))
+      .select($"qid", $"pos", negate($"sc.ns").as("cos"), $"sc.id".as("nid"))
+      .as[(Long, Int, Double, Long)].collect().toSet
+    assert(typed == native)
+    assert(typed.nonEmpty && typed.size == 5 * 7)
+  }
+
   test("exact dedup collapses the duplicated corpus to one keeper per text") {
     val d = graft.core.Tables.documents(spark, dir)
     val dup = d.unionByName(d.withColumn("doc_id", $"doc_id" + 100000))
