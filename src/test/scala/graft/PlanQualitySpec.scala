@@ -99,6 +99,44 @@ class PlanQualitySpec extends SparkSuite {
     assert(agg._2 == n * (n - 1) / 2) // sum of 0..n-1: generation is exact
   }
 
+  test("partitionBy layout prunes directories at the scan") {
+    // the 100 TB table-layout contract: a write partitioned by a low-
+    // cardinality filter column turns that filter into directory pruning —
+    // the scan must list ONE partition directory, not read-and-discard
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_pp").toString
+    graft.core.Tables.events(spark, dir).write.partitionBy("event_type")
+      .mode("overwrite").parquet(d)
+    val q = spark.read.parquet(d).filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"))
+    val exact = graft.core.Tables.events(spark, dir)
+      .filter($"event_type" === "purchase").count()
+    assert(q.collect().head.getLong(0) == exact)
+    def leafScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        // adaptive roots and materialized query stages are leaf nodes that
+        // hide their subtrees — unwrap both
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leafScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          leafScans(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten
+    val scan = leafScans(q.queryExecution.executedPlan)
+      .headOption.getOrElse(fail("no file scan in plan"))
+    assert(scan.toString.contains("PartitionFilters"), scan.toString.take(1500))
+    // the metric proves pruning happened at listing time: only the purchase
+    // directory's files were read, out of 5 event_type directories
+    val purchaseFiles = new java.io.File(s"$d/event_type=purchase")
+      .listFiles().count(_.getName.endsWith(".parquet")).toLong
+    val allFiles = new java.io.File(d).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet")).toLong
+    assert(scan.metrics("numFiles").value == purchaseFiles,
+      s"scanned ${scan.metrics("numFiles").value} files, expected $purchaseFiles of $allFiles")
+    assert(allFiles > purchaseFiles, "fixture must have multiple partitions")
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // one hot key carrying 200k rows vs 4-row cold keys: with the skew
     // thresholds scaled down to the fixture, AQE must replan the sort-merge
