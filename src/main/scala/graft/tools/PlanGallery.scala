@@ -1,0 +1,61 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates docs/PLANS.md: the formatted physical plans of a curated set
+  * of queries, with the scale-relevant plan properties called out. Run via
+  * `sbt "runMain graft.tools.PlanGallery"` after plan-affecting changes
+  * (PlanQualitySpec asserts the properties; this file makes them legible).
+  */
+object PlanGallery {
+
+  private val curated: Seq[(String, String)] = Seq(
+    "q1_agg" -> ("Partial+final hash aggregation: the shuffle carries one " +
+      "partial state per (partition, group), never raw rows; scan reads " +
+      "only the referenced lineitem columns with the date filter pushed."),
+    "q5_join" -> ("Fact-fact join shuffles once on the join key; every " +
+      "dimension table arrives as a BroadcastExchange — the 600k-row " +
+      "lineitem stream is never re-partitioned for them."),
+    "q_topk_group" -> ("Ranking WITHOUT a window sort: partial_collecttopk " +
+      "keeps a bounded k-entry heap map-side, so the exchange moves <=k " +
+      "rows per (partition, suppkey)."),
+    "ev_asof_native" -> ("The custom AsofJoinExec planner operator: both " +
+      "children hash-cluster on user_id and sort on (user_id, ts) once; " +
+      "the exec is a single streaming merge per partition."),
+    "ev_range" -> ("A pure-inequality (range) join planned as a sort-merge " +
+      "join: the bucket equi-key manufactured by RangeJoin turns what " +
+      "would be a nested loop into an ordinary shuffled join."),
+    "d_minhash_lsh" -> ("MinHash-LSH near-dup pairs: codegen'd signature " +
+      "expression, band explosion repartitioned to full parallelism, and " +
+      "the band self-join running as a hash join on 64-bit keys."))
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = new StringBuilder
+    out ++= "# Plan gallery\n\n"
+    out ++= "Formatted physical plans of the headline queries at sf0.001 "
+    out ++= "(regenerate: `sbt \"runMain graft.tools.PlanGallery\"`). "
+    out ++= "PlanQualitySpec asserts these shapes; this file shows them.\n"
+    curated.foreach { case (name, note) =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      out ++= s"\n## $name\n\n$note\n\n```\n"
+      out ++= df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      out ++= "```\n"
+    }
+    Files.createDirectories(Paths.get("docs"))
+    Files.writeString(Paths.get("docs/PLANS.md"), out.toString)
+    println(s"wrote docs/PLANS.md (${curated.size} plans)")
+    spark.stop()
+  }
+}
