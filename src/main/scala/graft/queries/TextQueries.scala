@@ -24,6 +24,29 @@ object TextQueries {
         .limit(50)
     },
 
+    // deterministic hash-based train/valid/test split (graft.text.hashSplit):
+    // reproducible on any cluster/partitioning, no RNG — per-(lang, split)
+    // counts, exact oracle via the same rolling hash in DuckDB
+    "t_split" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), hashSplit(col("text"), 80, 10).as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // deterministic weighted mixture sampling (graft.text.mixtureKeep):
+    // down-weight 'en' to 0.5 and 'es' to 0.25, keep the rest — the
+    // data-mixing filter, map-side and reproducible
+    "t_mix" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          mixtureKeep(col("text"), col("lang"),
+            Map("en" -> 0.5, "es" -> 0.25)).as("keep"))
+        .groupBy(col("lang"))
+        .agg(count(when(col("keep"), 1)).as("n_kept"),
+          count(lit(1)).as("n_total"))
+    },
+
     // heavy hitters via per-partition Misra-Gries summaries
     // (graft.sketches.FrequentItems): capacity 8192 exceeds this corpus's
     // vocabulary, so counts are exact and the oracle is a plain top-k —
@@ -106,6 +129,10 @@ object TextQueries {
       """SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents) t GROUP BY tok ORDER BY df DESC, tok LIMIT 50""",
     "t_heavy" ->
       """SELECT tok AS item, count(*) AS tf FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents) t GROUP BY tok ORDER BY tf DESC, item LIMIT 25""",
+    "t_split" ->
+      """WITH h AS (SELECT lang, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 100 AS b FROM documents) SELECT lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split, count(*) AS n FROM h GROUP BY 1, 2""",
+    "t_mix" ->
+      """WITH h AS (SELECT lang, (list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 10000) / 10000.0 AS b FROM documents) SELECT lang, count(*) FILTER (WHERE b < CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'es' THEN 0.25 ELSE 1.0 END) AS n_kept, count(*) AS n_total FROM h GROUP BY lang""",
     "t_winnow" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok FROM documents), h AS (SELECT doc_id, list_transform(range(1, len(tok)), i -> list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)], ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)) AS hs FROM t), f AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE list_distinct(list_transform(range(1, greatest(1, len(hs) - 3) + 1), i -> list_min(hs[CAST(i AS INT):CAST(least(i + 3, len(hs)) AS INT)]))) END AS fps FROM h) SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum FROM f""",
     "t_tokens" ->

@@ -107,4 +107,36 @@ package object text {
   def rollingHash(c: Column): Column =
     aggregate(split(c, ""), lit(0L),
       (acc, ch) => (acc * 131 + ascii(ch)) % 1000000007L)
+
+  /** Deterministic train/valid/test assignment by content hash: the same
+    * key lands in the same split on any cluster, any run, any partitioning
+    * — no RNG state, no shuffle, no sampling drift between pipeline stages
+    * that each re-read the corpus. Buckets `rollingHash(key) mod 100`:
+    * `[0, trainPct)` → train, `[trainPct, trainPct+validPct)` → valid,
+    * rest → test. */
+  def hashSplit(key: Column, trainPct: Int = 80, validPct: Int = 10): Column = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"invalid split percentages: train=$trainPct valid=$validPct")
+    val b = pmod(rollingHash(key), lit(100L))
+    when(b < trainPct, "train")
+      .when(b < trainPct + validPct, "valid")
+      .otherwise("test")
+  }
+
+  /** Deterministic weighted mixture sampling (data mixing): keep a row iff
+    * its hash bucket falls below its source's weight in [0, 1] — e.g. keep
+    * half of 'en', all of everything else. Same reproducibility contract as
+    * [[hashSplit]]: a pure map-side filter, no RNG, stable under
+    * re-partitioning, and the kept set is monotone in the weight (raising
+    * a source's weight only ADDS documents — reruns stay supersets). */
+  def mixtureKeep(key: Column, source: Column, weights: Map[String, Double],
+      default: Double = 1.0): Column = {
+    require((default +: weights.values.toSeq).forall(w => w >= 0 && w <= 1),
+      s"weights must be in [0,1]: $weights default=$default")
+    val b = pmod(rollingHash(key), lit(10000L)).cast("double") / 10000.0
+    val thr = weights.foldLeft(lit(default)) { case (acc, (s, w)) =>
+      when(source === s, lit(w)).otherwise(acc)
+    }
+    b < thr
+  }
 }

@@ -54,6 +54,30 @@ class ModulesSpec extends SparkSuite {
     }
   }
 
+  test("hashSplit/mixtureKeep: deterministic, repartition-stable, monotone") {
+    val docs = graft.core.Tables.documents(spark, dir).select($"doc_id", $"lang", $"text")
+    val split = docs.select($"doc_id", graft.text.hashSplit($"text").as("s"))
+    // stable under a different partitioning — the reproducibility contract
+    val again = docs.repartition(7).select($"doc_id", graft.text.hashSplit($"text").as("s"))
+    assert(split.as[(Long, String)].collect().toMap ==
+      again.as[(Long, String)].collect().toMap)
+    // fractions land near 80/10/10 (hash uniformity, 500 docs)
+    val frac = split.groupBy($"s").count().as[(String, Long)].collect().toMap
+    val n = frac.values.sum.toDouble
+    assert(math.abs(frac("train") / n - 0.8) < 0.08, frac.toString)
+    assert(math.abs(frac("valid") / n - 0.1) < 0.06, frac.toString)
+    assert(math.abs(frac("test") / n - 0.1) < 0.06, frac.toString)
+    // mixture: kept set is monotone in the weight, fraction tracks it
+    def kept(w: Double) = docs
+      .filter(graft.text.mixtureKeep($"text", $"lang", Map("en" -> w)))
+      .filter($"lang" === "en").select($"doc_id").as[Long].collect().toSet
+    val (k25, k50, k100) = (kept(0.25), kept(0.5), kept(1.0))
+    assert(k25.subsetOf(k50) && k50.subsetOf(k100))
+    val en = docs.filter($"lang" === "en").count().toDouble
+    assert(k100.size == en.toLong)
+    assert(math.abs(k50.size / en - 0.5) < 0.15, s"${k50.size} of $en")
+  }
+
   test("streaming: windowed HLL sketches union into the cross-window distinct") {
     implicit val s: SparkSession = spark
     val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
