@@ -102,11 +102,12 @@ package object text {
     md5(array_join(array_sort(array_distinct(wsTokens(lower(c)))), " "))
 
   /** Polynomial rolling hash over the characters (base 131, mod 1e9+7) —
-    * an order-sensitive content fingerprint computed in one codegen'd
-    * aggregate pass. */
+    * an order-sensitive content fingerprint. Evaluates through the
+    * PolyHash expression's tight per-row loop (the `aggregate` HOF spelling
+    * is interpreted per character); ModulesSpec pins the two equal, and the
+    * DuckDB oracles mirror it with list_reduce. */
   def rollingHash(c: Column): Column =
-    aggregate(split(c, ""), lit(0L),
-      (acc, ch) => (acc * 131 + ascii(ch)) % 1000000007L)
+    graft.functions.HashExprs.polyHashFast(c)
 
   /** Deterministic train/valid/test assignment by content hash: the same
     * key lands in the same split on any cluster, any run, any partitioning

@@ -54,6 +54,15 @@ class ModulesSpec extends SparkSuite {
     }
   }
 
+  test("rollingHash expression equals the interpreted HOF spelling") {
+    val hof = aggregate(split($"text", ""), lit(0L),
+      (acc, ch) => (acc * 131 + ascii(ch)) % 1000000007L)
+    val diff = graft.core.Tables.documents(spark, dir)
+      .select(graft.text.rollingHash($"text").as("fast"), hof.as("slow"))
+      .filter($"fast" =!= $"slow").count()
+    assert(diff == 0)
+  }
+
   test("hashSplit/mixtureKeep: deterministic, repartition-stable, monotone") {
     val docs = graft.core.Tables.documents(spark, dir).select($"doc_id", $"lang", $"text")
     val split = docs.select($"doc_id", graft.text.hashSplit($"text").as("s"))
