@@ -184,6 +184,44 @@ package object dedup {
       .select(col("id1"), col("id2"), col("inter"), col("uni"))
   }
 
+  /** Cross-corpus contamination scan: every (train, eval) document pair
+    * whose n-gram Jaccard is at least `minJaccardPct`/100 — the
+    * decontamination pass that keeps benchmark/eval text out of a training
+    * corpus. Returns (train_id, eval_id, inter, uni); drop the returned
+    * eval_ids (or train_ids) downstream.
+    *
+    * Same machinery and scale posture as [[ngramJaccardPairs]] (explicit
+    * pre-explode repartition, 64-bit shingle keys, exact integer Jaccard
+    * cut, broadcast size-join), but the inverted-index join pairs TRAIN
+    * postings against EVAL postings only — candidate volume is
+    * sum(df_train · df_eval) per shingle, never within-corpus pairs. At
+    * 100 TB train × small eval the eval index is the broadcast side and
+    * no train row ever shuffles twice. */
+  def crossContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 2, minJaccardPct: Int = 50): DataFrame = {
+    val parts = train.sparkSession.sessionState.conf.numShufflePartitions
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .repartition(parts, col("id"))
+    def index(sh: DataFrame) = sh
+      .select(col("id"), explode(col("sh")).as("gs"))
+      .select(col("id"), xxhash64(col("gs")).as("g"))
+    val (shT, shE) = (prep(train), prep(eval))
+    val pairs = index(shT).as("t").join(index(shE).as("e"), col("t.g") === col("e.g"))
+      .groupBy(col("t.id").as("train_id"), col("e.id").as("eval_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(shT.select(col("id"), col("nsh").as("n1"))),
+        col("train_id") === col("id")).drop("id")
+      .join(broadcast(shE.select(col("id"), col("nsh").as("n2"))),
+        col("eval_id") === col("id")).drop("id")
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
+      .select(col("train_id"), col("eval_id"), col("inter"), col("uni"))
+  }
+
   /** Exact Jaccard pairs via PPJoin-style prefix filtering: index only each
     * doc's rarest `p = n - ceil(t*n) + 1` shingles (global rarest-first
     * order by document frequency); any pair at jaccard >= t must share one

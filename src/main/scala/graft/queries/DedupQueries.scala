@@ -33,6 +33,17 @@ object DedupQueries {
         n = 2, minJaccardPct = 50)
     },
 
+    // train/eval contamination scan (dedup.crossContamination): even
+    // doc_ids play the training corpus, odd the eval set; exact bigram
+    // Jaccard >= 0.5 cross pairs only
+    "d_contam" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      crossContamination(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 2, minJaccardPct = 50)
+    },
+
     // MinHash(32) + LSH(8 bands x 4 rows) candidates — approximate: driver
     // records rows-only; ScalaTest checks recall vs d_ngram
     "d_minhash_lsh" -> { (s, dir) =>
@@ -112,6 +123,8 @@ object DedupQueries {
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents) t GROUP BY 1""",
     "d_ngram" ->
       s"""WITH sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh) SELECT a.id AS id1, b.id AS id2, count(*) AS inter, a.nsh + b.nsh - count(*) AS uni FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50""",
+    "d_contam" ->
+      s"""WITH sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh) SELECT t.id AS train_id, e.id AS eval_id, count(*) AS inter, t.nsh + e.nsh - count(*) AS uni FROM inv t JOIN inv e ON t.g = e.g AND t.id % 2 = 0 AND e.id % 2 = 1 GROUP BY t.id, e.id, t.nsh, e.nsh HAVING count(*) * 100 >= (t.nsh + e.nsh - count(*)) * 50""",
     "d_clusters" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh), e AS (SELECT a.id AS id1, b.id AS id2 FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50), sym AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e), reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM sym) n UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) SELECT a AS id, min(b) AS rep FROM reach GROUP BY a""",
     "d_dropdups" ->

@@ -149,6 +149,23 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(typed.nonEmpty && typed.size == 5 * 7)
   }
 
+  test("crossContamination equals the cross-parity slice of all pairs") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val all = graft.dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 50)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+    val want = all.flatMap { case (a, b) =>
+      if (a % 2 == 0 && b % 2 == 1) Some((a, b))
+      else if (a % 2 == 1 && b % 2 == 0) Some((b, a))
+      else None
+    }.toSet
+    val got = graft.dedup.crossContamination(
+        docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text")
+      .select($"train_id", $"eval_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should contain cross-parity near-dups")
+  }
+
   test("exact dedup collapses the duplicated corpus to one keeper per text") {
     val d = graft.core.Tables.documents(spark, dir)
     val dup = d.unionByName(d.withColumn("doc_id", $"doc_id" + 100000))
