@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernels (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011 — public literature; the reference
+  * repo has no similarity search at all, SURVEY §2).
+  *
+  * The corpus compresses to `m` small codes per vector (64-dim float =
+  * 256 B → 8 codes = 8 B at m=8); queries precompute an m×ksub lookup
+  * table ONCE, and each (query, candidate) score is then `m` table lookups
+  * instead of a dim-length dot product. The codebooks ride into the
+  * executors as expression reference objects (one broadcast copy per
+  * task), and every kernel is a tight JVM loop, not an interpreted HOF.
+  *
+  * All three kernels L2-normalize internally, so the ADC score
+  * approximates COSINE (the metric every other search path in
+  * graft.similarity uses); zero-norm or wrong-dimension vectors yield
+  * null, matching CosineSim's null contract.
+  */
+object PqExprs {
+
+  @inline private def elem(arr: ArrayData, i: Int, et: DataType): Double =
+    et match {
+      case FloatType => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case IntegerType => arr.getInt(i).toDouble
+      case LongType => arr.getLong(i).toDouble
+      case _ => throw new IllegalArgumentException(s"non-numeric vector: $et")
+    }
+
+  /** L2-normalized copy of the input, or null for zero-norm / wrong dim. */
+  @inline private def normalized(arr: ArrayData, et: DataType, dim: Int): Array[Double] = {
+    if (arr.numElements() != dim) return null
+    val v = new Array[Double](dim)
+    var n2 = 0.0
+    var i = 0
+    while (i < dim) { val x = elem(arr, i, et); v(i) = x; n2 += x * x; i += 1 }
+    if (n2 == 0.0) return null
+    val inv = 1.0 / math.sqrt(n2)
+    i = 0
+    while (i < dim) { v(i) *= inv; i += 1 }
+    v
+  }
+
+  /** `flat` codebook layout: centroid d of subspace s starts at
+    * `(s*ksub + j) * dsub`. */
+  case class PqEncode(child: Expression, flat: Array[Double],
+      m: Int, ksub: Int, dsub: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    private lazy val et = child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = normalized(input.asInstanceOf[ArrayData], et, m * dsub)
+      if (v == null) return null
+      val codes = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < ksub) {
+          val base = (s * ksub + j) * dsub
+          var d2 = 0.0
+          var d = 0
+          while (d < dsub) {
+            val diff = v(s * dsub + d) - flat(base + d)
+            d2 += diff * diff
+            d += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = j }
+          j += 1
+        }
+        codes(s) = best
+        s += 1
+      }
+      new GenericArrayData(codes)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Per-query ADC lookup table: `table[s*ksub + j] = <q_sub_s, c_sj>` —
+    * computed once per query row, O(ksub·dim). */
+  case class PqTables(child: Expression, flat: Array[Double],
+      m: Int, ksub: Int, dsub: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    private lazy val et = child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(input: Any): Any = {
+      val q = normalized(input.asInstanceOf[ArrayData], et, m * dsub)
+      if (q == null) return null
+      val table = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        var j = 0
+        while (j < ksub) {
+          val base = (s * ksub + j) * dsub
+          var dot = 0.0
+          var d = 0
+          while (d < dsub) { dot += q(s * dsub + d) * flat(base + d); d += 1 }
+          table(s * ksub + j) = dot
+          j += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(table)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** ADC score: `Σ_s table[s*ksub + codes[s]]` — O(m) per candidate pair,
+    * the whole point of the scheme. */
+  case class PqAdcScore(left: Expression, right: Expression, m: Int, ksub: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(tables: Any, codes: Any): Any = {
+      val t = tables.asInstanceOf[ArrayData]
+      val c = codes.asInstanceOf[ArrayData]
+      if (t.numElements() != m * ksub || c.numElements() != m) return null
+      var acc = 0.0
+      var s = 0
+      while (s < m) { acc += t.getDouble(s * ksub + c.getInt(s)); s += 1 }
+      acc
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def pqEncode(c: Column, flat: Array[Double], m: Int, ksub: Int, dsub: Int): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(c), flat, m, ksub, dsub))
+  def pqTables(c: Column, flat: Array[Double], m: Int, ksub: Int, dsub: Int): Column =
+    GraftBridge.column(PqTables(GraftBridge.expression(c), flat, m, ksub, dsub))
+  def pqAdcScore(tables: Column, codes: Column, m: Int, ksub: Int): Column =
+    GraftBridge.column(PqAdcScore(GraftBridge.expression(tables),
+      GraftBridge.expression(codes), m, ksub))
+}

@@ -42,6 +42,19 @@ object SimilarityQueries {
           round(col("cos"), 4).as("cos"))
     },
 
+    // product-quantization ANN (16 subspaces x 32 centroids = 16 B/vector,
+    // a 16x corpus compression) with an ADC shortlist of 50 re-ranked by
+    // exact cosine — approximate => rows-only driver check (+ ScalaTest
+    // recall/exactness/determinism assertions)
+    "sim_pq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val model = Pq.trainPq(emb, "vec_id", "embedding", 64, m = 16, ksub = 32)
+      Pq.pqTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+          k = 3, model, rerank = 50)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("cos"), 4).as("cos"))
+    },
+
     // IVF with k-means-trained centroids (2 spherical rounds): same search
     // shape, better-balanced cells => higher recall at equal nprobe.
     // Approximate => rows-only driver check (+ ScalaTest recall-vs-seeded

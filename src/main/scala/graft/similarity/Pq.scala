@@ -1,0 +1,133 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.PqExprs
+
+/** Product-quantization ANN: the memory-bound scale path of the similarity
+  * family (brute force = exact baseline, LSH/IVF = candidate pruning, PQ =
+  * candidate COMPRESSION).
+  *
+  * At 100 TB of 64-dim float vectors the corpus itself is the bottleneck:
+  * 256 B/vector of scan + cache pressure per query batch. PQ re-encodes
+  * each vector as `m` subspace codes (8 B at m=8, a 32× reduction) against
+  * codebooks trained once; scoring a candidate is `m` table lookups. The
+  * distributed work is all ordinary Spark: one projection to encode the
+  * corpus (done once, persisted like any column), one projection per query
+  * batch for the lookup tables, and the same broadcast-join + bounded
+  * top-k tail every other search path uses.
+  *
+  * Codebook training runs Lloyd's iterations per subspace on a
+  * DETERMINISTIC bounded sample on the driver — the standard PQ recipe
+  * (ksub centroids of a dsub-dim subspace saturate with a few thousand
+  * samples, so sampling is the correct scale posture, not a shortcut;
+  * kmeansCentroids stays the distributed path for full-vector IVF cells).
+  */
+object Pq {
+
+  /** Trained codebooks, flat layout `[(s*ksub + j)*dsub + d]`. */
+  case class PqModel(m: Int, ksub: Int, dsub: Int, flat: Array[Double])
+
+  /** Train per-subspace codebooks on the first `sampleN` vectors by id
+    * (deterministic on any cluster). Vectors are L2-normalized before
+    * slicing, matching the encode/score kernels. */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 12,
+      sampleN: Int = 4096): PqModel = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .orderBy(col("id")).limit(sampleN)
+      .as[(Long, Seq[Double])].collect()
+      .map(_._2.toArray)
+      .flatMap { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (v.length != dim || n == 0.0) None else Some(v.map(_ / n))
+      }
+    require(sample.nonEmpty, "no usable training vectors")
+
+    val flat = new Array[Double](m * ksub * dsub)
+    for (s <- 0 until m) {
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      // deterministic seeding: first ksub distinct subvectors; if the
+      // sample has fewer distinct points, reuse (empty cells then keep
+      // their centroid and never attract points — harmless)
+      val distinct = pts.distinctBy(_.toSeq)
+      val cents = Array.tabulate(ksub)(j => distinct(j % distinct.length).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < ksub) {
+            var d2 = 0.0; var d = 0
+            while (d < dsub) { val t = p(d) - cents(j)(d); d2 += t * t; d += 1 }
+            if (d2 < bestD) { bestD = d2; best = j }
+            j += 1
+          }
+          counts(best) += 1
+          var d = 0
+          while (d < dsub) { sums(best)(d) += p(d); d += 1 }
+        }
+        for (j <- 0 until ksub if counts(j) > 0; d <- 0 until dsub)
+          cents(j)(d) = sums(j)(d) / counts(j)
+        it += 1
+      }
+      for (j <- 0 until ksub; d <- 0 until dsub)
+        flat((s * ksub + j) * dsub + d) = cents(j)(d)
+    }
+    PqModel(m, ksub, dsub, flat)
+  }
+
+  /** Corpus → (idCol, pq_codes). Persist/write this like any column — at
+    * scale it replaces the raw vectors for the scoring pass. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    corpus.select(col(idCol).as("nid"),
+        PqExprs.pqEncode(col(vecCol), model.flat, model.m, model.ksub,
+          model.dsub).as("pq_codes"))
+      .filter(col("pq_codes").isNotNull)
+
+  /** Approximate cosine top-k: ADC scoring over the encoded corpus.
+    * Same output shape as the other search paths (qid, rank, nid, cos).
+    *
+    * With `rerank > k` this runs the production two-stage shape: ADC
+    * produces a `rerank`-size shortlist per query (compressed corpus only),
+    * then ONLY those rows join back their true vectors for an exact cosine
+    * re-rank — the full-width vector column is touched for
+    * `rerank × |queries|` rows, not the whole corpus, and `cos` in the
+    * output is exact. With `rerank <= k` the raw ADC scores rank. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: PqModel, rerank: Int = 0): DataFrame = {
+    val codes = pqEncode(corpus, idCol, vecCol, model)
+    val qt = queries.select(col(idCol).as("qid"),
+        PqExprs.pqTables(col(vecCol), model.flat, model.m, model.ksub,
+          model.dsub).as("tbl"),
+        col(vecCol).as("qv"))
+      .filter(col("tbl").isNotNull)
+    val scored = codes.join(broadcast(qt.select(col("qid"), col("tbl"))),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        PqExprs.pqAdcScore(col("tbl"), col("pq_codes"),
+          model.m, model.ksub).as("cos"))
+      .filter(col("cos").isNotNull)
+    if (rerank <= k) topKPerKey(scored, "qid", "cos", "nid", k)
+    else {
+      val shortlist = topKPerKey(scored, "qid", "cos", "nid", rerank)
+        .select(col("qid"), col("nid"))
+      val exact = shortlist
+        .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid")
+        .join(broadcast(qt.select(col("qid"), col("qv"))), "qid")
+        .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+        .filter(col("cos").isNotNull)
+      topKPerKey(exact, "qid", "cos", "nid", k)
+    }
+  }
+}

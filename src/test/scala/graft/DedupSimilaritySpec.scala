@@ -125,6 +125,42 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(joined.filter($"icos" =!= $"bcos").count() == 0)
   }
 
+  test("PQ: ADC beats chance, rerank recovers exact ranks, deterministic") {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" < 10)
+    val exact10 = graft.similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select($"qid", $"nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val model = graft.similarity.Pq.trainPq(emb, "vec_id", "embedding", 64,
+      m = 16, ksub = 32)
+    // determinism: same corpus -> bit-identical codebooks
+    val model2 = graft.similarity.Pq.trainPq(emb, "vec_id", "embedding", 64,
+      m = 16, ksub = 32)
+    assert(java.util.Arrays.equals(model.flat, model2.flat))
+    def recall(rr: Int): Double = {
+      val got = graft.similarity.Pq
+        .pqTopK(q, emb, "vec_id", "embedding", 10, model, rerank = rr)
+        .select($"qid", $"nid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact10.keys.toSeq.map(k =>
+        (got.getOrElse(k, Set.empty[Long]) & exact10(k)).size.toDouble / exact10(k).size)
+      rs.sum / rs.size
+    }
+    // raw ADC: way above chance (random recall@10 of 500 = 0.02)
+    assert(recall(0) > 0.35, s"raw ADC recall ${recall(0)}")
+    // shortlist-50 exact re-rank: near-exact (measured 0.96 deterministic)
+    assert(recall(50) > 0.85, s"rerank recall ${recall(50)}")
+    // reranked scores ARE exact cosines: spot-check against brute force
+    val bf = graft.similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select($"qid", $"nid", round($"cos", 8).as("c")).as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    graft.similarity.Pq.pqTopK(q, emb, "vec_id", "embedding", 10, model, rerank = 50)
+      .select($"qid", $"nid", round($"cos", 8).as("c")).as[(Long, Long, Double)]
+      .collect().foreach { case (qid, nid, c) =>
+        bf.get((qid, nid)).foreach(exact => assert(exact == c, s"($qid,$nid)"))
+      }
+  }
+
   test("typed TopKScoredIds and native GroupTopK rank identically") {
     // the typed Aggregator is the reference implementation; the similarity
     // searches run the native heap aggregate — random scored pairs with

@@ -27,7 +27,9 @@ class PlanQualitySpec extends SparkSuite {
       // argmax), and brute-force top-k crosses the corpus with the tiny
       // broadcast query set — the documented exact-scan baselines. A
       // small-broadcast nested loop IS the right plan there.
-      val crossByDesign = Set("sim_ivf", "sim_kmeans", "sim_topk")
+      // (sim_pq: the ADC pass broadcast-crosses the tiny query-table set
+      // against the COMPRESSED corpus — that scan is the design)
+      val crossByDesign = Set("sim_ivf", "sim_kmeans", "sim_topk", "sim_pq")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
