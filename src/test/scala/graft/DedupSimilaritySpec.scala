@@ -161,6 +161,19 @@ class DedupSimilaritySpec extends SparkSuite {
       }
   }
 
+  test("PQ kernels: zero-norm and wrong-dim vectors yield null, not garbage") {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val model = graft.similarity.Pq.trainPq(emb, "vec_id", "embedding", 64,
+      m = 8, ksub = 16)
+    val bad = Seq(
+      (1L, Seq.fill(64)(0.0f)),         // zero norm
+      (2L, Seq.fill(10)(1.0f)),         // wrong dimension
+      (3L, Seq.fill(64)(0.5f))          // fine
+    ).toDF("vec_id", "embedding")
+    val enc = graft.similarity.Pq.pqEncode(bad, "vec_id", "embedding", model)
+    assert(enc.select($"nid").as[Long].collect().toSet == Set(3L))
+  }
+
   test("typed TopKScoredIds and native GroupTopK rank identically") {
     // the typed Aggregator is the reference implementation; the similarity
     // searches run the native heap aggregate — random scored pairs with
