@@ -86,6 +86,51 @@ object Pq {
     PqModel(m, ksub, dsub, flat)
   }
 
+  /** IVF-PQ: cell pruning AND code compression — the production ANN
+    * topology. The corpus lives as (cell, codes); a query ADC-scans only
+    * its `nprobe` nearest cells' codes (`corpus/nCells × nprobe × m`
+    * lookups), and the shortlist re-ranks with exact cosines. Per-query
+    * cost is independent of both corpus size (IVF) and vector width (PQ);
+    * the raw vector column is read for `rerank × |queries|` rows only. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, nprobe: Int, k: Int, model: PqModel,
+      rerank: Int, trainIters: Int = 0): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val centroids =
+      if (trainIters > 0) kmeansCentroids(df, idCol, vecCol, nCells, trainIters)
+      else seedCentroids(v, nCells)
+    val assigned = v.join(broadcast(centroids))
+      .select(col("id"), col("cid"), cosine(col("vec"), col("cvec")).as("sim"))
+      .filter(col("sim").isNotNull)
+    // corpus: one (cell, codes) row per vector — the compressed index
+    val cells = topKPerKey(assigned.select(col("id").as("key"), col("sim"),
+        col("cid")), "key", "sim", "cid", 1)
+      .select(col("key").as("nid"), col("cid"))
+      .join(pqEncode(v, "id", "vec", model), "nid")
+    // queries: nprobe cells + one ADC table each
+    val probes = topKPerKey(assigned.select(col("id").as("key"), col("sim"),
+        col("cid")), "key", "sim", "cid", nprobe)
+      .select(col("key").as("qid"), col("cid"))
+      .join(v.select(col("id").as("qid"),
+        PqExprs.pqTables(col("vec"), model.flat, model.m, model.ksub,
+          model.dsub).as("tbl")), "qid")
+      .filter(col("tbl").isNotNull)
+    val scored = probes.join(cells, "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        PqExprs.pqAdcScore(col("tbl"), col("pq_codes"),
+          model.m, model.ksub).as("cos"))
+      .filter(col("cos").isNotNull)
+    val shortlist = topKPerKey(scored, "qid", "cos", "nid", math.max(k, rerank))
+      .select(col("qid"), col("nid"))
+    val exact = shortlist
+      .join(v.select(col("id").as("nid"), col("vec").as("nv")), "nid")
+      .join(v.select(col("id").as("qid"), col("vec").as("qv")), "qid")
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      .filter(col("cos").isNotNull)
+    topKPerKey(exact, "qid", "cos", "nid", k)
+  }
+
   /** Corpus → (idCol, pq_codes). Persist/write this like any column — at
     * scale it replaces the raw vectors for the scoring pass. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,

@@ -106,7 +106,7 @@ package object similarity {
 
   /** Deterministic seed centroids: the first `nCells` vectors by id.
     * `cid` is the seed vector's id (stable across iterations/runs). */
-  private def seedCentroids(v: DataFrame, nCells: Int): DataFrame =
+  private[similarity] def seedCentroids(v: DataFrame, nCells: Int): DataFrame =
     v.orderBy(col("id")).limit(nCells)
       .select(col("id").as("cid"), col("vec").cast("array<double>").as("cvec"))
 

@@ -161,6 +161,33 @@ class DedupSimilaritySpec extends SparkSuite {
       }
   }
 
+  test("IVF-PQ recall stays close to plain IVF at equal nprobe") {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val truth = graft.similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 3)
+        .select($"qid", $"nid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = res.select($"qid", $"nid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = truth.keys.toSeq.map(q =>
+        (got.getOrElse(q, Set.empty[Long]) & truth(q)).size.toDouble / truth(q).size)
+      rs.sum / rs.size
+    }
+    val ivf = recallOf(graft.similarity.ivfTopK(emb, "vec_id", "embedding",
+      nCells = 16, nprobe = 4, k = 3))
+    val model = graft.similarity.Pq.trainPq(emb, "vec_id", "embedding", 64,
+      m = 16, ksub = 32)
+    val ivfpq = recallOf(graft.similarity.Pq.ivfPqTopK(emb, "vec_id", "embedding",
+      nCells = 16, nprobe = 4, k = 3, model, rerank = 50))
+    // the exact re-rank confines the loss to shortlist misses inside the
+    // probed cells — a few points, not a collapse
+    assert(ivfpq >= ivf - 0.1, s"ivfpq=$ivfpq ivf=$ivf")
+    // deterministic 0.483 on this fixture (chance = 3/500); the binding
+    // check is the relative one above — the compression must not cost
+    // more than shortlist misses
+    assert(ivfpq > 0.4, s"ivfpq=$ivfpq")
+  }
+
   test("PQ kernels: zero-norm and wrong-dim vectors yield null, not garbage") {
     val emb = graft.core.Tables.embeddings(spark, dir)
     val model = graft.similarity.Pq.trainPq(emb, "vec_id", "embedding", 64,
