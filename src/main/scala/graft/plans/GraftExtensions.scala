@@ -83,5 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.CombinatoricsExprs.Combinations(args.head,
         intArg(args(1), "graft_combinations"), replacement = false)
     }
+    reg("graft_polyhash")(args =>
+      graft.functions.HashExprs.PolyHash(args.head))
   }
 }
