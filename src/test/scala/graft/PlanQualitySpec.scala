@@ -101,6 +101,38 @@ class PlanQualitySpec extends SparkSuite {
     assert(agg._2 == n * (n - 1) / 2) // sum of 0..n-1: generation is exact
   }
 
+  test("scale smoke: range join, heavy hitters, group top-k at 1M rows") {
+    import spark.implicits._
+    // range join: 1M points, 10k adjacent 100-wide intervals tiling the
+    // domain => EXACTLY one match per point. A duplicate-producing bucket
+    // bug or a quadratic plan both fail loudly here.
+    val pts = spark.range(1000000).select($"id".as("pt"))
+    val ivs = spark.range(10000).select(($"id" * 100).as("lo"),
+      ($"id" * 100 + 99).as("hi"))
+    val joined = graft.operators.RangeJoin
+      .pointInInterval(pts, ivs, "pt", "lo", "hi", bucketWidth = 100)
+    assert(joined.count() == 1000000L)
+
+    // heavy hitters: 1M rows, hot key = 30%, capacity far below the 10k
+    // distinct tail — the hot key must survive with >= (true - N/(cap+1))
+    val items = spark.range(1000000).select(
+      when($"id" % 10 < 3, "hot").otherwise(concat(lit("t"), $"id" % 9973)).as("x"))
+    val hh = graft.sketches.FrequentItems.frequentItems(items, "x", 64)
+      .as[(String, Long)].collect().toMap
+    assert(hh.contains("hot"))
+    assert(hh("hot") <= 300000L && hh("hot") >= 300000L - 1000000L / 65)
+
+    // bounded top-k: 100k groups x 10 rows, k=3 => exactly 300k rows and
+    // per-group maxima are the arithmetic truth
+    val grouped = spark.range(1000000).select(($"id" % 100000).as("g"), $"id".as("v"))
+    val top = grouped.groupBy($"g")
+      .agg(graft.operators.GroupTopK.largestK($"v", 3).as("top"))
+      .select($"g", explode($"top").as("v"))
+    assert(top.count() == 300000L)
+    val g0 = top.filter($"g" === 0).select($"v").as[Long].collect().toSet
+    assert(g0 == Set(900000L, 800000L, 700000L))
+  }
+
   test("partitionBy layout prunes directories at the scan") {
     // the 100 TB table-layout contract: a write partitioned by a low-
     // cardinality filter column turns that filter into directory pruning —
