@@ -59,6 +59,23 @@ object GraftIO {
       compression: String = "zstd"): Unit =
     df.write.mode("overwrite").option("compression", compression).parquet(dest)
 
+  /** Bucketed managed table: co-locate rows by key at WRITE time so every
+    * later join/aggregate on that key elides its exchange — shuffle once
+    * on write, never again. The 100 TB fact-table layout: pick `buckets`
+    * equal to the consumers' `spark.sql.shuffle.partitions` (mismatched
+    * counts re-introduce the exchange), add `sortCols` to feed sort-merge
+    * consumers (e.g. the native as-of join's (key, ts) ordering) without a
+    * per-query sort. ModulesSpec proves a bucketed self-join plus
+    * aggregate plans with zero Exchange nodes. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty && buckets > 0, "need at least one key and bucket")
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** `from_json` line-delimited with optional explicit schema — schema
     * pushdown is the reference's JSONSchema trick (`json.py:77-89`) done
     * natively by the reader's requiredSchema. */

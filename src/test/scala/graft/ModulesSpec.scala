@@ -54,6 +54,37 @@ class ModulesSpec extends SparkSuite {
     }
   }
 
+  test("bucketed tables: join + aggregate on the bucket key, zero exchanges") {
+    val t1 = "graft_bkt_orders"
+    val t2 = "graft_bkt_lines"
+    try {
+      val nb = spark.sessionState.conf.numShufflePartitions
+      graft.io.GraftIO.writeBucketed(
+        graft.core.Tables.orders(spark, dir).select($"o_orderkey", $"o_totalprice"),
+        t1, Seq("o_orderkey"), nb)
+      graft.io.GraftIO.writeBucketed(
+        graft.core.Tables.lineitem(spark, dir)
+          .select($"l_orderkey", $"l_quantity"),
+        t2, Seq("l_orderkey"), nb)
+      val q = spark.table(t2).groupBy($"l_orderkey")
+        .agg(sum($"l_quantity").as("qty"))
+        .join(spark.table(t1), $"l_orderkey" === $"o_orderkey")
+        .agg(count(lit(1)).as("n"), round(sum($"qty"), 2).as("q"))
+      val want = graft.core.Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey").agg(sum($"l_quantity").as("qty"))
+        .join(graft.core.Tables.orders(spark, dir),
+          $"l_orderkey" === $"o_orderkey")
+        .agg(count(lit(1)), round(sum($"qty"), 2)).as[(Long, Double)].head()
+      assert(q.as[(Long, Double)].head() == want)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed layout did not elide the shuffles:\n${plan.take(2000)}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t1")
+      spark.sql(s"DROP TABLE IF EXISTS $t2")
+    }
+  }
+
   test("rollingHash expression equals the interpreted HOF spelling") {
     val hof = aggregate(split($"text", ""), lit(0L),
       (acc, ch) => (acc * 131 + ascii(ch)) % 1000000007L)
