@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, NumericType, TimestampType}
@@ -20,6 +20,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, NumericType, 
   * bit-identical (each matching pair shares exactly one point-bucket; the
   * monotone bucket map means covering holds for strict or non-strict
   * bounds, and malformed `lo > hi` rows are vetoed by the residual).
+  *
+  * Besides inner joins, LEFT/RIGHT outer range joins rewrite too when the
+  * outer side is the point side (its rows are never multiplied, so an
+  * unmatched outer row null-extends exactly once); the opposite
+  * orientation is left untouched.
   *
   * Opt-in: set `spark.graft.rangeJoin.bucketWidth` (in the column's units,
   * e.g. seconds for timestamps) to a positive value; pick it near the
@@ -83,7 +88,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val w = width
     if (w <= 0) return plan
     plan.transform {
-      case j @ Join(l, r, Inner, Some(cond), hint)
+      case j @ Join(l, r, jt @ (Inner | LeftOuter | RightOuter), Some(cond), hint)
           if j.resolved && cond.deterministic => {
         val conjuncts = splitConjunctivePredicates(cond)
         val hasEquiKey = conjuncts.exists {
@@ -95,6 +100,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if (hasEquiKey) j
         else findRange(conjuncts, l, r) match {
           case None => j
+          // outer joins are rewritable ONLY when the outer side is the
+          // POINT side: points keep one bucket (no row multiplication, so
+          // an unmatched outer row null-extends exactly once); an exploded
+          // outer side would null-extend once per bucket. Inner is always
+          // safe (each matching pair shares exactly one point bucket).
+          case Some((_, _, _, ptIsLeft))
+              if (jt == LeftOuter && !ptIsLeft) ||
+                 (jt == RightOuter && ptIsLeft) => j
           case Some((pt, lo, hi, ptIsLeft)) =>
             val pb = Alias(bucket(pt, w), "__graft_rj_pb")()
             val ib = AttributeReference("__graft_rj_ib", LongType)()
@@ -109,7 +122,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               generatorOutput = Seq(ib), ivChild)
             val (nl, nr) = if (ptIsLeft) (ptSide, ivSide) else (ivSide, ptSide)
             val newCond = And(EqualTo(pb.toAttribute, ib), cond)
-            Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+            Project(j.output, Join(nl, nr, jt, Some(newCond), hint))
         }
       }
     }

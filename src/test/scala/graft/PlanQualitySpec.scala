@@ -256,6 +256,23 @@ class PlanQualitySpec extends SparkSuite {
       val equi = pts.join(ivs, $"event_id" === $"pid" && $"ts" >= $"lo" && $"ts" <= $"hi")
       val equiPlan = equi.queryExecution.executedPlan.toString
       assert(!equiPlan.contains("Generate"), equiPlan.take(1500))
+      // LEFT OUTER with points outer: rewritten, row-for-row identical
+      // (unmatched points null-extend exactly once)
+      val lo = pts.join(ivs, $"ts" >= $"lo" && $"ts" <= $"hi", "left")
+      val loPlan = lo.queryExecution.executedPlan.toString
+      assert(!loPlan.contains("BroadcastNestedLoopJoin"), loPlan.take(1500))
+      val loGot = lo.select($"event_id", $"pid").as[(Long, Option[Long])].collect()
+      spark.conf.unset(key)
+      val loWant = pts.join(ivs, $"ts" >= $"lo" && $"ts" <= $"hi", "left")
+        .select($"event_id", $"pid").as[(Long, Option[Long])].collect()
+      assert(loGot.sorted.toSeq == loWant.sorted.toSeq)
+      assert(loWant.exists(_._2.isEmpty), "fixture must have unmatched points")
+      spark.conf.set(key, "300")
+      // LEFT OUTER with the INTERVAL side outer: must NOT rewrite
+      // (an exploded outer side would null-extend per bucket)
+      val loBad = ivs.join(pts, $"ts" >= $"lo" && $"ts" <= $"hi", "left")
+      assert(loBad.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
     } finally spark.conf.unset(key)
   }
 
