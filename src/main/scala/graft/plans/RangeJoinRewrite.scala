@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, NumericType, TimestampType}
@@ -21,10 +21,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, NumericType, 
   * monotone bucket map means covering holds for strict or non-strict
   * bounds, and malformed `lo > hi` rows are vetoed by the residual).
   *
-  * Besides inner joins, LEFT/RIGHT outer range joins rewrite too when the
-  * outer side is the point side (its rows are never multiplied, so an
-  * unmatched outer row null-extends exactly once); the opposite
-  * orientation is left untouched.
+  * Besides inner joins, LEFT/RIGHT outer and LEFT semi/anti range joins
+  * rewrite too when the preserved side is the point side (its rows are
+  * never multiplied, so an unmatched outer row null-extends exactly once
+  * and semi/anti emit at most once); the opposite orientation is left
+  * untouched.
   *
   * Opt-in: set `spark.graft.rangeJoin.bucketWidth` (in the column's units,
   * e.g. seconds for timestamps) to a positive value; pick it near the
@@ -88,7 +89,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val w = width
     if (w <= 0) return plan
     plan.transform {
-      case j @ Join(l, r, jt @ (Inner | LeftOuter | RightOuter), Some(cond), hint)
+      case j @ Join(l, r,
+          jt @ (Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti),
+          Some(cond), hint)
           if j.resolved && cond.deterministic => {
         val conjuncts = splitConjunctivePredicates(cond)
         val hasEquiKey = conjuncts.exists {
@@ -100,14 +103,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if (hasEquiKey) j
         else findRange(conjuncts, l, r) match {
           case None => j
-          // outer joins are rewritable ONLY when the outer side is the
-          // POINT side: points keep one bucket (no row multiplication, so
-          // an unmatched outer row null-extends exactly once); an exploded
-          // outer side would null-extend once per bucket. Inner is always
-          // safe (each matching pair shares exactly one point bucket).
+          // outer/semi/anti joins are rewritable ONLY when the preserved
+          // (outer / semi-probe) side is the POINT side: points keep one
+          // bucket, so an unmatched row null-extends exactly once and a
+          // semi/anti row is emitted at most once. An exploded preserved
+          // side would duplicate per bucket. Inner is always safe (each
+          // matching pair shares exactly one point bucket).
           case Some((_, _, _, ptIsLeft))
               if (jt == LeftOuter && !ptIsLeft) ||
-                 (jt == RightOuter && ptIsLeft) => j
+                 (jt == RightOuter && ptIsLeft) ||
+                 ((jt == LeftSemi || jt == LeftAnti) && !ptIsLeft) => j
           case Some((pt, lo, hi, ptIsLeft)) =>
             val pb = Alias(bucket(pt, w), "__graft_rj_pb")()
             val ib = AttributeReference("__graft_rj_ib", LongType)()

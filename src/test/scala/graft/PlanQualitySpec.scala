@@ -273,6 +273,20 @@ class PlanQualitySpec extends SparkSuite {
       val loBad = ivs.join(pts, $"ts" >= $"lo" && $"ts" <= $"hi", "left")
       assert(loBad.queryExecution.executedPlan.toString
         .contains("BroadcastNestedLoopJoin"))
+      // SEMI/ANTI with points probing: rewritten, exact row sets
+      for (how <- Seq("left_semi", "left_anti")) {
+        val df = pts.join(ivs, $"ts" >= $"lo" && $"ts" <= $"hi", how)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$how still nested-loops:\n${plan.take(1200)}")
+        val got = df.select($"event_id").as[Long].collect()
+        spark.conf.unset(key)
+        val want = pts.join(ivs, $"ts" >= $"lo" && $"ts" <= $"hi", how)
+          .select($"event_id").as[Long].collect()
+        spark.conf.set(key, "300")
+        assert(got.length == got.toSet.size, s"$how duplicated rows")
+        assert(got.toSet == want.toSet, s"$how row-set mismatch")
+      }
     } finally spark.conf.unset(key)
   }
 
