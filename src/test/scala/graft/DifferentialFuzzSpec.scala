@@ -266,6 +266,41 @@ class DifferentialFuzzSpec extends SparkSuite {
     }
   }
 
+  test("frequentItems invariants hold on random streams and capacities") {
+    // MG guarantees regardless of data: (1) counts never overestimate,
+    // (2) undercount bounded by N/(cap+1), (3) anything above the
+    // threshold survives, (4) exact when the vocabulary fits
+    val streamGen = for {
+      nKinds <- Gen.choose(2, 30)
+      n <- Gen.choose(50, 400)
+      items <- Gen.listOfN(n, Gen.choose(0, nKinds - 1))
+      cap <- Gen.choose(2, 40)
+    } yield (items.map(i => s"k$i"), cap)
+    val seed = org.scalacheck.rng.Seed(777L)
+    var s = seed
+    var done = 0
+    while (done < 10) {
+      streamGen.apply(Gen.Parameters.default, s).foreach { case (items, cap) =>
+        val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val n = items.size
+        val got = graft.sketches.FrequentItems
+          .frequentItems(items.toDF("x"), "x", cap)
+          .as[(String, Long)].collect().toMap
+        val bound = n / (cap + 1)
+        got.foreach { case (k, c) =>
+          assert(c <= truth(k), s"$k overcounted: $c > ${truth(k)} (cap=$cap)")
+          assert(c >= truth(k) - bound, s"$k undercut the bound (cap=$cap)")
+        }
+        truth.foreach { case (k, c) =>
+          if (c > bound) assert(got.contains(k), s"heavy $k lost (cap=$cap n=$n)")
+        }
+        if (truth.size <= cap) assert(got == truth, s"exact mode violated (cap=$cap)")
+        done += 1
+      }
+      s = s.next
+    }
+  }
+
   test("runLengths matches a linear Scala pass") {
     forAllSamples() { rows =>
       def rl(r: List[Double]): Seq[Int] = {
