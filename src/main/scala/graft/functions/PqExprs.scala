@@ -47,17 +47,30 @@ object PqExprs {
     v
   }
 
+  /** Raw (unnormalized) copy, or null for wrong dim — the residual path:
+    * residuals are differences of already-normalized vectors, so they must
+    * NOT be re-normalized, and a zero residual is a legal value. */
+  @inline private def raw(arr: ArrayData, et: DataType, dim: Int): Array[Double] = {
+    if (arr.numElements() != dim) return null
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = elem(arr, i, et); i += 1 }
+    v
+  }
+
   /** `flat` codebook layout: centroid d of subspace s starts at
-    * `(s*ksub + j) * dsub`. */
+    * `(s*ksub + j) * dsub`. `normalizeInput=false` is the residual path. */
   case class PqEncode(child: Expression, flat: Array[Double],
-      m: Int, ksub: Int, dsub: Int)
+      m: Int, ksub: Int, dsub: Int, normalizeInput: Boolean = true)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullable: Boolean = true
     private lazy val et = child.dataType.asInstanceOf[ArrayType].elementType
 
     override def nullSafeEval(input: Any): Any = {
-      val v = normalized(input.asInstanceOf[ArrayData], et, m * dsub)
+      val arr = input.asInstanceOf[ArrayData]
+      val v = if (normalizeInput) normalized(arr, et, m * dsub)
+              else raw(arr, et, m * dsub)
       if (v == null) return null
       val codes = new Array[Int](m)
       var s = 0
@@ -135,8 +148,38 @@ object PqExprs {
       copy(left = l, right = r)
   }
 
-  def pqEncode(c: Column, flat: Array[Double], m: Int, ksub: Int, dsub: Int): Column =
-    GraftBridge.column(PqEncode(GraftBridge.expression(c), flat, m, ksub, dsub))
+  /** `<a/|a|, b>` — the per-(query, cell) offset term of residual IVFADC;
+    * null on zero `|a|` or length mismatch. */
+  case class DotNormLeft(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private lazy val etL = left.dataType.asInstanceOf[ArrayType].elementType
+    private lazy val etR = right.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val va = a.asInstanceOf[ArrayData]; val vb = b.asInstanceOf[ArrayData]
+      val n = va.numElements()
+      if (vb.numElements() != n) return null
+      var dot = 0.0; var na2 = 0.0
+      var i = 0
+      while (i < n) {
+        val x = elem(va, i, etL)
+        dot += x * elem(vb, i, etR); na2 += x * x
+        i += 1
+      }
+      if (na2 == 0.0) null else dot / math.sqrt(na2)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def pqEncode(c: Column, flat: Array[Double], m: Int, ksub: Int, dsub: Int,
+      normalizeInput: Boolean = true): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(c), flat, m, ksub, dsub,
+      normalizeInput))
+  def dotNormLeft(a: Column, b: Column): Column =
+    GraftBridge.column(DotNormLeft(GraftBridge.expression(a), GraftBridge.expression(b)))
   def pqTables(c: Column, flat: Array[Double], m: Int, ksub: Int, dsub: Int): Column =
     GraftBridge.column(PqTables(GraftBridge.expression(c), flat, m, ksub, dsub))
   def pqAdcScore(tables: Column, codes: Column, m: Int, ksub: Int): Column =

@@ -188,6 +188,26 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(ivfpq > 0.4, s"ivfpq=$ivfpq")
   }
 
+  test("residual IVFADC matches plain IVF-PQ under the exact re-rank") {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"rank", $"nid").as[(Long, Int, Long)].collect().toSet
+    val model = graft.similarity.Pq.trainPq(emb, "vec_id", "embedding", 64,
+      m = 16, ksub = 32)
+    val plain = rows(graft.similarity.Pq.ivfPqTopK(emb, "vec_id", "embedding",
+      nCells = 16, nprobe = 4, k = 3, model, rerank = 50))
+    val resid = rows(graft.similarity.Pq.ivfPqResidualTopK(emb, "vec_id",
+      "embedding", 64, nCells = 16, nprobe = 4, k = 3, rerank = 50))
+    // both are IVF-pruning-bound at this shortlist size: the 50-deep exact
+    // re-rank must recover the same ranked neighbors from either encoding
+    // (measured identical on this corpus; allow a whisker of slack)
+    val agree = (plain & resid).size.toDouble / plain.size
+    assert(agree > 0.9, s"agreement $agree")
+    // determinism end to end
+    assert(resid == rows(graft.similarity.Pq.ivfPqResidualTopK(emb, "vec_id",
+      "embedding", 64, nCells = 16, nprobe = 4, k = 3, rerank = 50)))
+  }
+
   test("PQ kernels: zero-norm and wrong-dim vectors yield null, not garbage") {
     val emb = graft.core.Tables.embeddings(spark, dir)
     val model = graft.similarity.Pq.trainPq(emb, "vec_id", "embedding", 64,
