@@ -32,4 +32,21 @@ object GroupTopK {
 
   /** The k LARGEST values of `c` per group, descending (rank order). */
   def largestK(c: Column, k: Int): Column = topK(c, k, reverse = false)
+
+  /** Deterministic per-group cap: keep the `k` rows with the smallest
+    * stable hash — the domain-quota / per-source-cap operation of a
+    * training pipeline (e.g. at most N documents per domain so no source
+    * dominates the mix), with no RNG, identical picks on any cluster or
+    * partitioning, and bounded aggregation state instead of a per-group
+    * window sort. `hashCol` must be deterministic (e.g. polyhash of an
+    * id or the content); ties break on `idCol`. Returns
+    * (groupCol, idCol, cap_hash) — semi-join back for the full rows. */
+  def capPerGroup(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      idCol: String, hashCol: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(col(groupCol))
+      .agg(smallestK(struct(hashCol.as("h"), col(idCol).as("i")), k).as("top"))
+      .select(col(groupCol), explode(col("top")).as("t"))
+      .select(col(groupCol), col("t.i").as(idCol), col("t.h").as("cap_hash"))
+  }
 }

@@ -47,6 +47,18 @@ object TextQueries {
           count(lit(1)).as("n_total"))
     },
 
+    // deterministic per-language document cap (GroupTopK.capPerGroup):
+    // keep the 50 smallest-content-hash docs per lang — the domain-quota
+    // op, exact oracle via the shared polyhash + a window in DuckDB
+    "t_cap" -> { (s, dir) =>
+      graft.operators.GroupTopK.capPerGroup(
+          Tables.documents(s, dir), "lang", "doc_id",
+          graft.functions.HashExprs.polyHashFast(col("doc_id").cast("string")),
+          k = 50)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+    },
+
     // heavy hitters via per-partition Misra-Gries summaries
     // (graft.sketches.FrequentItems): capacity 8192 exceeds this corpus's
     // vocabulary, so counts are exact and the oracle is a plain top-k —
@@ -129,6 +141,8 @@ object TextQueries {
       """SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents) t GROUP BY tok ORDER BY df DESC, tok LIMIT 50""",
     "t_heavy" ->
       """SELECT tok AS item, count(*) AS tf FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents) t GROUP BY tok ORDER BY tf DESC, item LIMIT 25""",
+    "t_cap" ->
+      """WITH h AS (SELECT lang, doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(CAST(doc_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS ph FROM documents), r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY ph, doc_id) AS rn FROM h) SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM r WHERE rn <= 50 GROUP BY lang""",
     "t_split" ->
       """WITH h AS (SELECT lang, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 100 AS b FROM documents) SELECT lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split, count(*) AS n FROM h GROUP BY 1, 2""",
     "t_mix" ->

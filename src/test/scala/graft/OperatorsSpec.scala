@@ -67,6 +67,29 @@ class OperatorsSpec extends SparkSuite {
     assert(gotAsc == wantAsc)
   }
 
+  test("capPerGroup: window-rank equivalent, repartition-stable, bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.core.Tables.documents(spark, dir)
+    val h = graft.functions.HashExprs.polyHashFast($"doc_id".cast("string"))
+    val got = graft.operators.GroupTopK
+      .capPerGroup(docs, "lang", "doc_id", h, k = 20)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    val want = docs.select($"lang", $"doc_id", h.as("ph"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"ph", $"doc_id")))
+      .filter($"rn" <= 20).select($"lang", $"doc_id")
+      .as[(String, Long)].collect().toSet
+    assert(got == want)
+    val again = graft.operators.GroupTopK
+      .capPerGroup(docs.repartition(7), "lang", "doc_id", h, k = 20)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    assert(again == got)
+    val sizes = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.size == math.min(20L, sizes(lang)))
+    }
+  }
+
   test("kmeansCentroids computes exact per-cell means on separable data") {
     // two well-separated direction clusters; seeds (ids 0,1) fall one in
     // each, so a single round must land on the exact arithmetic means
