@@ -153,24 +153,28 @@ object HashExprs {
     * expression because the HOF form evaluates interpreted at ~80 us per
     * position (concat_ws + per-element size()); this loop is ~100x faster
     * and dominates the n-gram dedup inverted index build. */
-  case class WordNgrams(child: Expression, n: Int)
+  case class WordNgrams(child: Expression, n: Int, distinct: Boolean = true)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val m = arr.numElements()
-      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      // distinct=true: first-occurrence order (shingle sets for jaccard);
+      // distinct=false: sequential with duplicates (repetition metrics)
+      val out: java.util.Collection[org.apache.spark.unsafe.types.UTF8String] =
+        if (distinct) new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+        else new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](math.max(0, m - n + 1))
       val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
       var i = 0
       while (i <= m - n) {
         val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
         var j = 0
         while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
-        seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+        out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
         i += 1
       }
-      new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+      new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
     }
 
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
@@ -178,6 +182,11 @@ object HashExprs {
 
   def wordNgrams(tokens: Column, n: Int): Column =
     GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), n))
+
+  /** Sequential n-grams WITH duplicates — repetition analysis. */
+  def wordNgramsSeq(tokens: Column, n: Int): Column =
+    GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), n,
+      distinct = false))
 
   /** polyHash as a single expression node — same value as the HOF form in
     * graft.dedup.polyHash and the DuckDB list_reduce mirror, evaluated in

@@ -47,6 +47,15 @@ object TextQueries {
           count(lit(1)).as("n_total"))
     },
 
+    // repetition quality metrics (graft.text.repetitionMetrics): top-bigram
+    // fraction (keyword stuffing) + duplicated-trigram fraction
+    // (boilerplate) — the Gopher-rule family, exact integer counts
+    "t_rep" -> { (s, dir) =>
+      repetitionMetrics(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("top_frac"), 4).as("top_frac"),
+          round(col("dup_frac"), 4).as("dup_frac"))
+    },
+
     // deterministic per-language document cap (GroupTopK.capPerGroup):
     // keep the 50 smallest-content-hash docs per lang — the domain-quota
     // op, exact oracle via the shared polyhash + a window in DuckDB
@@ -141,6 +150,8 @@ object TextQueries {
       """SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents) t GROUP BY tok ORDER BY df DESC, tok LIMIT 50""",
     "t_heavy" ->
       """SELECT tok AS item, count(*) AS tf FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents) t GROUP BY tok ORDER BY tf DESC, item LIMIT 25""",
+    "t_rep" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok FROM documents), g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)), i -> tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)])) AS g FROM t), c2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2), s2 AS (SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_frac FROM c2 GROUP BY 1), g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(tok) - 1), i -> tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)] || ' ' || tok[CAST(i+2 AS INT)])) AS g FROM t), s3 AS (SELECT doc_id, round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 4) AS dup_frac FROM g3 GROUP BY 1) SELECT d.doc_id, s2.top_frac, s3.dup_frac FROM documents d LEFT JOIN s2 ON d.doc_id = s2.doc_id LEFT JOIN s3 ON d.doc_id = s3.doc_id""",
     "t_cap" ->
       """WITH h AS (SELECT lang, doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(CAST(doc_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS ph FROM documents), r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY ph, doc_id) AS rn FROM h) SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM r WHERE rn <= 50 GROUP BY lang""",
     "t_split" ->

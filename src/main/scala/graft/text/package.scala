@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -108,6 +108,33 @@ package object text {
     * DuckDB oracles mirror it with list_reduce. */
   def rollingHash(c: Column): Column =
     graft.functions.HashExprs.polyHashFast(c)
+
+  /** Repetition quality metrics (the Gopher-rule family): per document,
+    * the fraction of all n-grams taken by the single most frequent one
+    * (`top_frac`, word-soup/keyword-stuffing detector) and the fraction of
+    * duplicated n-grams (`dup_frac`, boilerplate/copy-loop detector).
+    * Sequential n-grams (NOT deduped shingles), exact integer counts,
+    * explode + two partial-aggregated groupBys — no per-document state
+    * beyond the aggregation. Documents with fewer than `max(nTop, nDup)`
+    * tokens emit null fractions. */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+      nTop: Int = 2, nDup: Int = 3): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val base = df.select(col(idCol).as("id"),
+      graft.functions.HashExprs.wordNgramsSeq(toks, nTop).as("gt"),
+      graft.functions.HashExprs.wordNgramsSeq(toks, nDup).as("gd"))
+    val top = base.select(col("id"), explode(col("gt")).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("id"))
+      .agg((max(col("n")).cast("double") / sum(col("n"))).as("top_frac"))
+    val dup = base.select(col("id"), explode(col("gd")).as("g"))
+      .groupBy(col("id"))
+      .agg((lit(1.0) - countDistinct(col("g")).cast("double") / count(lit(1)))
+        .as("dup_frac"))
+    df.select(col(idCol).as("id"))
+      .join(top, Seq("id"), "left").join(dup, Seq("id"), "left")
+      .select(col("id").as(idCol), col("top_frac"), col("dup_frac"))
+  }
 
   /** Deterministic train/valid/test assignment by content hash: the same
     * key lands in the same split on any cluster, any run, any partitioning

@@ -94,6 +94,20 @@ class ModulesSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("repetitionMetrics: hand-computed fractions, nulls for tiny docs") {
+    val docs = Seq(
+      (1L, "a b a b c"),  // top bigram "a b" 2/4; trigrams all distinct
+      (2L, "x x x x"),    // one bigram 3/3; trigram "x x x" twice -> 0.5
+      (3L, "one")         // no bigrams/trigrams -> nulls
+    ).toDF("doc_id", "text")
+    val got = graft.text.repetitionMetrics(docs, "doc_id", "text")
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some(0.5), Some(0.0))))
+    assert(got(2L) == ((Some(1.0), Some(0.5))))
+    assert(got(3L) == ((None, None)))
+  }
+
   test("hashSplit/mixtureKeep: deterministic, repartition-stable, monotone") {
     val docs = graft.core.Tables.documents(spark, dir).select($"doc_id", $"lang", $"text")
     val split = docs.select($"doc_id", graft.text.hashSplit($"text").as("s"))
