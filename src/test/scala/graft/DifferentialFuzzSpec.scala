@@ -251,7 +251,8 @@ class DifferentialFuzzSpec extends SparkSuite {
           assert(got.toSet == wantOv, s"interval-overlap mismatch w=$w")
         }
         // the optimizer rule must make the NAIVE spelling of the same join
-        // agree too (plan rewritten under the hood)
+        // agree too (plan rewritten under the hood) — for every rewritable
+        // join type
         val key = graft.plans.RangeJoinRewrite.WidthKey
         try {
           spark.conf.set(key, "7")
@@ -259,6 +260,20 @@ class DifferentialFuzzSpec extends SparkSuite {
             .select($"lid", $"rid").as[(Long, Long)].collect()
           assert(got.length == got.toSet.size, "rule produced duplicates")
           assert(got.toSet == wantPt, "rule-rewritten join mismatch")
+          val matchedL = wantPt.map(_._1)
+          val lo = pts.join(ivs, $"pt" >= $"lo" && $"pt" <= $"hi", "left")
+            .select($"lid", $"rid").as[(Long, Option[Long])].collect()
+          val wantLo = wantPt.toSeq.map { case (l, r) => (l, Some(r): Option[Long]) } ++
+            ps.indices.filterNot(i => matchedL(i.toLong)).map(i => (i.toLong, None))
+          assert(lo.sorted.toSeq == wantLo.sorted, "left-outer mismatch")
+          val semi = pts.join(ivs, $"pt" >= $"lo" && $"pt" <= $"hi", "left_semi")
+            .select($"lid").as[Long].collect()
+          assert(semi.length == semi.toSet.size && semi.toSet == matchedL,
+            "left-semi mismatch")
+          val anti = pts.join(ivs, $"pt" >= $"lo" && $"pt" <= $"hi", "left_anti")
+            .select($"lid").as[Long].collect().toSet
+          assert(anti == ps.indices.map(_.toLong).toSet -- matchedL,
+            "left-anti mismatch")
         } finally spark.conf.unset(key)
         done += 1
       }
