@@ -184,6 +184,29 @@ package object dedup {
       .select(col("id1"), col("id2"), col("inter"), col("uni"))
   }
 
+  /** Edit-distance near-dup pairs within a blocking key — the fuzzy-match
+    * modality for short or structured text (titles, names, leading
+    * boilerplate) where token-set similarity is too coarse: one
+    * transposed/edited character is distance 1 here but can flip many
+    * shingles. Blocking bounds the quadratic pair term (same posture as
+    * cosineNearDupPairs' label blocking); `prefixLen` caps the DP cost at
+    * O(prefixLen²) per pair; Spark's thresholded levenshtein abandons a
+    * pair's DP as soon as `maxDist` is exceeded. Output is canonical
+    * (id1 < id2) with the exact distance. */
+  def levenshteinPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, maxDist: Int, prefixLen: Int = 64): DataFrame = {
+    require(maxDist >= 0 && prefixLen > 0, s"bad maxDist=$maxDist prefixLen=$prefixLen")
+    val d = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      substring(col(textCol), 1, prefixLen).as("p"))
+    val a = d.select(col("id").as("id1"), col("blk"), col("p").as("p1"))
+    val b = d.select(col("id").as("id2"), col("blk"), col("p").as("p2"))
+    a.join(b, Seq("blk"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("p1"), col("p2"), maxDist).as("dist"))
+      .filter(col("dist") =!= -1) // threshold form returns -1 past maxDist
+  }
+
   /** Cross-corpus contamination scan: every (train, eval) document pair
     * whose n-gram Jaccard is at least `minJaccardPct`/100 — the
     * decontamination pass that keeps benchmark/eval text out of a training

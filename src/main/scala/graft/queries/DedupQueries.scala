@@ -33,6 +33,19 @@ object DedupQueries {
         n = 2, minJaccardPct = 50)
     },
 
+    // edit-distance near-dups (dedup.levenshteinPairs): 40-char prefixes,
+    // distance <= 12. Blocking on (lang, first 2 chars) is the recall/cost
+    // lever: lang alone means ~n²/langs DP pairs (15s at sf0.1); the
+    // 2-char sub-block cuts that ~25x and keeps 96% of true pairs (docs
+    // whose edits start at char 1 are the loss) — the caller picks the
+    // granularity, the oracle mirrors it
+    "d_lev" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("lv_blk", concat(col("lang"), lit("|"), substring(col("text"), 1, 2)))
+      levenshteinPairs(docs, "doc_id", "text",
+        blockCol = "lv_blk", maxDist = 12, prefixLen = 40)
+    },
+
     // train/eval contamination scan (dedup.crossContamination): even
     // doc_ids play the training corpus, odd the eval set; exact bigram
     // Jaccard >= 0.5 cross pairs only
@@ -123,6 +136,8 @@ object DedupQueries {
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents) t GROUP BY 1""",
     "d_ngram" ->
       s"""WITH sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh) SELECT a.id AS id1, b.id AS id2, count(*) AS inter, a.nsh + b.nsh - count(*) AS uni FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50""",
+    "d_lev" ->
+      """WITH d AS (SELECT doc_id, lang || '|' || substr(text, 1, 2) AS blk, substr(text, 1, 40) AS p FROM documents) SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(levenshtein(a.p, b.p) AS INT) AS dist FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id AND levenshtein(a.p, b.p) <= 12""",
     "d_contam" ->
       s"""WITH sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh) SELECT t.id AS train_id, e.id AS eval_id, count(*) AS inter, t.nsh + e.nsh - count(*) AS uni FROM inv t JOIN inv e ON t.g = e.g AND t.id % 2 = 0 AND e.id % 2 = 1 GROUP BY t.id, e.id, t.nsh, e.nsh HAVING count(*) * 100 >= (t.nsh + e.nsh - count(*)) * 50""",
     "d_clusters" ->

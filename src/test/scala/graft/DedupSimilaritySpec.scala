@@ -245,6 +245,18 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(typed.nonEmpty && typed.size == 5 * 7)
   }
 
+  test("levenshteinPairs: classic distances, blocking and threshold honored") {
+    val df = Seq(
+      (1L, "kitten", "x"), (2L, "sitting", "x"), (3L, "kitten!", "x"),
+      (4L, "zzzzzzzzzz", "x"), (5L, "kitten", "y"))
+      .toDF("id", "t", "blk")
+    val got = graft.dedup.levenshteinPairs(df, "id", "t", "blk", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // kitten/sitting = 3 subs; kitten/kitten! = 1 insert; sitting/kitten! =
+    // 3 subs; zzzz… beyond threshold; id 5 blocked away despite equal text
+    assert(got == Set((1L, 2L, 3), (1L, 3L, 1), (2L, 3L, 3)))
+  }
+
   test("crossContamination equals the cross-parity slice of all pairs") {
     val docs = graft.core.Tables.documents(spark, dir)
     val all = graft.dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 50)
