@@ -133,6 +133,24 @@ class PlanQualitySpec extends SparkSuite {
     assert(g0 == Set(900000L, 800000L, 700000L))
   }
 
+  test("salted ragged build is bit-identical on a 200k-row hot key") {
+    // the aggregate-side skew mitigation at fixture scale: 80% of rows on
+    // one key must pre-pack across salt cells and still merge to exactly
+    // the sorted array the unsalted build produces
+    import spark.implicits._
+    val df = spark.range(250000).select(
+      when($"id" < 200000, lit(7L)).otherwise($"id" % 50 + 100).as("k"),
+      struct(($"id" * 31 % 9973).as("a"), $"id".as("b")).as("s"))
+    val salted = graft.core.Skew.saltedCollectSortedList(
+      df, "k", $"s", "xs", salts = 16, saltCols = Seq($"s.b"))
+    val plain = df.groupBy($"k").agg(sort_array(collect_list($"s")).as("xs"))
+    val j = salted.as("l").join(plain.as("r"), $"l.k" === $"r.k")
+      .select($"l.k", ($"l.xs" === $"r.xs").as("eq"), size($"l.xs").as("n"))
+      .as[(Long, Boolean, Int)].collect()
+    assert(j.length == 51 && j.forall(_._2), j.filterNot(_._2).take(3).mkString(","))
+    assert(j.find(_._1 == 7L).get._3 == 200000)
+  }
+
   test("partitionBy layout prunes directories at the scan") {
     // the 100 TB table-layout contract: a write partitioned by a low-
     // cardinality filter column turns that filter into directory pruning —
