@@ -308,6 +308,36 @@ class PlanQualitySpec extends SparkSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("RangeJoinRewrite: null points and null bounds match the naive join") {
+    import spark.implicits._
+    val pts = Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+      .toDF("lid", "pt")
+    val ivs = Seq(
+      (10L, Some(0L), Some(10L)),   // matches pt=5
+      (11L, None, Some(100L)),      // null lo: matches nothing
+      (12L, Some(0L), None),        // null hi: matches nothing
+      (13L, Some(40L), Some(60L)))  // matches pt=50
+      .toDF("rid", "lo", "hi")
+    val key = graft.plans.RangeJoinRewrite.WidthKey
+    def runAll() = {
+      val inner = pts.join(ivs, $"pt" >= $"lo" && $"pt" <= $"hi")
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val left = pts.join(ivs, $"pt" >= $"lo" && $"pt" <= $"hi", "left")
+        .select($"lid", $"rid").as[(Long, Option[Long])].collect()
+        .sorted.toSeq
+      (inner, left)
+    }
+    val (wantInner, wantLeft) = runAll()
+    try {
+      spark.conf.set(key, "7")
+      val (gotInner, gotLeft) = runAll()
+      assert(gotInner == wantInner && gotInner == Set((1L, 10L), (3L, 13L)))
+      assert(gotLeft == wantLeft)
+      // null point must survive the left-outer exactly once
+      assert(gotLeft.count(_._1 == 2L) == 1 && gotLeft.find(_._1 == 2L).get._2.isEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("flagship entry: top-k via TakeOrderedAndProject, partial collect") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     // limit+orderBy must plan as a bounded top-k, not a global sort
