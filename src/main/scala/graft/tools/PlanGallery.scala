@@ -29,7 +29,12 @@ object PlanGallery {
       "would be a nested loop into an ordinary shuffled join."),
     "d_minhash_lsh" -> ("MinHash-LSH near-dup pairs: codegen'd signature " +
       "expression, band explosion repartitioned to full parallelism, and " +
-      "the band self-join running as a hash join on 64-bit keys."))
+      "the band self-join running as a hash join on 64-bit keys."),
+    "sim_pq" -> ("Product-quantization ANN: the corpus scan carries " +
+      "16-byte code arrays (pqencode), each query ships one ADC lookup " +
+      "table through a broadcast, candidates cost m table lookups " +
+      "(pqadcscore), and only the bounded shortlist joins back full-width " +
+      "vectors for the exact cosine re-rank."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
