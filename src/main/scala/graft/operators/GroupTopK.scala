@@ -39,8 +39,10 @@ object GroupTopK {
     * dominates the mix), with no RNG, identical picks on any cluster or
     * partitioning, and bounded aggregation state instead of a per-group
     * window sort. `hashCol` must be deterministic (e.g. polyhash of an
-    * id or the content); ties break on `idCol`. Returns
-    * (groupCol, idCol, cap_hash) — semi-join back for the full rows. */
+    * id or the content) and non-null — struct ordering puts null hashes
+    * FIRST, so null-hash rows would deterministically claim cap slots;
+    * ties break on `idCol`. Returns (groupCol, idCol, cap_hash) —
+    * semi-join back for the full rows. */
   def capPerGroup(df: org.apache.spark.sql.DataFrame, groupCol: String,
       idCol: String, hashCol: Column, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._

@@ -31,7 +31,8 @@ object FrequentItems {
 
   /** Candidate heavy hitters of `itemCol`: (item, count_low), unordered.
     * Filter/order/limit downstream (`count_low` is exact when no partition
-    * overflowed, a ≤N/(capacity+1) undercount otherwise). */
+    * overflowed, a ≤N/(capacity+1) undercount otherwise). Null items are
+    * skipped — they count toward neither N nor any counter. */
   def frequentItems(df: DataFrame, itemCol: String, capacity: Int): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     import df.sparkSession.implicits._

@@ -34,7 +34,9 @@ object Sketches {
     hll_sketch_estimate(hllSketch(c, lgK))
 
   /** Merge previously materialized HLL sketch states (e.g. per-day rollups
-    * unioned into a month) — the incremental-aggregation path. */
+    * unioned into a month) — the incremental-aggregation path. All inputs
+    * must share one lgK (allowDifferentLgConfigK=false: a mixed-precision
+    * union fails loudly instead of silently degrading to the coarsest). */
   def hllUnion(sketchCol: Column): Column =
     hll_sketch_estimate(hll_union_agg(sketchCol, lit(false)))
 
