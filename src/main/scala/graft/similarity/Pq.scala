@@ -198,10 +198,13 @@ object Pq {
     val assigned = v.join(broadcast(centroids))
       .select(col("id"), col("cid"), cosine(col("vec"), col("cvec")).as("sim"))
       .filter(col("sim").isNotNull)
+    // norm in its own column first: a lambda-embedded aggregate would
+    // re-evaluate interpreted per ELEMENT (O(dim²) per row, no CSE in HOFs)
     val vnorm = v.select(col("id"),
       transform(col("vec"), x => x.cast("double")).as("dv"))
-      .select(col("id"), transform(col("dv"),
-        x => x / sqrt(aggregate(col("dv"), lit(0.0d), (a, b) => a + b * b))).as("vn"))
+      .select(col("id"), col("dv"),
+        sqrt(aggregate(col("dv"), lit(0.0d), (a, b) => a + b * b)).as("nrm"))
+      .select(col("id"), transform(col("dv"), x => x / col("nrm")).as("vn"))
     val cells = topKPerKey(assigned.select(col("id").as("key"), col("sim"),
         col("cid")), "key", "sim", "cid", 1)
       .select(col("key").as("nid"), col("cid"))
