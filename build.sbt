@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output must reach stdout BARE (no "[info] " logger
+// prefix): the bench/verify drivers line-parse sbt's stdout for a JSON
+// line starting with '{' — LoggedOutput's prefix breaks that.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
