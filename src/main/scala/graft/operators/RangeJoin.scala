@@ -53,9 +53,14 @@ object RangeJoin {
 
     def secs(c: Column) = c.cast("double")
     val lb = left.withColumn(b, floor(secs(col(pt)) / bucketWidth).cast("long"))
-    val rb = right.withColumn(b, explode(sequence(
-      floor(secs(col(start)) / bucketWidth).cast("long"),
-      floor(secs(col(end)) / bucketWidth).cast("long"))))
+    // Clamp the sequence end to >= its start: a degenerate start>end interval
+    // otherwise explodes to a DESCENDING sequence (Spark default step -1) —
+    // one sentinel row like [epoch, -1] allocates tens of millions of
+    // elements. Clamped it yields a single bucket row, and the residual
+    // BETWEEN (unsatisfiable when start>end) vetoes it — same results.
+    val loB = floor(secs(col(start)) / bucketWidth).cast("long")
+    val hiB = floor(secs(col(end)) / bucketWidth).cast("long")
+    val rb = right.withColumn(b, explode(sequence(loB, greatest(loB, hiB))))
     lb.join(rb,
         lb(b) === rb(b) && col(pt) >= col(start) && col(pt) <= col(end),
         "inner")
@@ -83,9 +88,16 @@ object RangeJoin {
       s"input already has internal column $b")
 
     def secs(c: Column) = c.cast("double")
-    def buckets(s: String, e: String) = explode(sequence(
-      floor(secs(col(s)) / bucketWidth).cast("long"),
-      floor(secs(col(e)) / bucketWidth).cast("long")))
+    // Clamped like pointInInterval. Degenerate-interval matches survive the
+    // clamp: a pair matching the raw predicate joins on bucket
+    // b = max(⌊ls/w⌋,⌊rs/w⌋), and each side still generates it — if
+    // ⌊rs/w⌋ > ⌊ls/w⌋ then rs <= lend (from the predicate) gives
+    // ⌊rs/w⌋ <= ⌊lend/w⌋ <= the clamped end, symmetrically on the right.
+    def buckets(s: String, e: String) = {
+      val loB = floor(secs(col(s)) / bucketWidth).cast("long")
+      val hiB = floor(secs(col(e)) / bucketWidth).cast("long")
+      explode(sequence(loB, greatest(loB, hiB)))
+    }
     val lb = left.withColumn(b, buckets(lstart, lend))
     val rb = right.withColumn(b, buckets(rstart, rend))
     lb.join(rb,

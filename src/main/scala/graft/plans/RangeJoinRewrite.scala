@@ -119,9 +119,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             val ptChild = if (ptIsLeft) l else r
             val ivChild = if (ptIsLeft) r else l
             val ptSide = Project(ptChild.output :+ pb, ptChild)
+            // Clamp the sequence end to >= its start: a degenerate lo>hi row
+            // (e.g. a hi=-1 sentinel against an epoch-second lo) otherwise
+            // explodes to a DESCENDING sequence of millions of buckets — and
+            // this rule applies to user SQL silently. Clamped it yields one
+            // bucket row, which the original predicate (unsatisfiable when
+            // lo>hi) vetoes — results unchanged.
+            val loB = bucket(lo, w)
             val ivSide = Generate(
               // Sequence is TimeZoneAware: a None zone leaves it unresolved
-              Explode(Sequence(bucket(lo, w), bucket(hi, w), None,
+              Explode(Sequence(loB, Greatest(Seq(loB, bucket(hi, w))), None,
                 Some(conf.sessionLocalTimeZone))),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(ib), ivChild)

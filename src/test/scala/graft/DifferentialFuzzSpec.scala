@@ -210,7 +210,12 @@ class DifferentialFuzzSpec extends SparkSuite {
     val pointGen = Gen.listOfN(40, Gen.choose(-500L, 500L))
     val ivGen = Gen.listOfN(25, for {
       a <- Gen.choose(-500L, 500L)
-      span <- Gen.choose(-40L, 120L) // negative span => degenerate interval
+      // negative span => degenerate interval; the rare extreme span models a
+      // hi=-1 sentinel against an epoch-second lo — unclamped, that would
+      // explode a billion-element descending bucket sequence
+      span <- Gen.frequency(
+        (8, Gen.choose(-40L, 120L)),
+        (1, Gen.const(-1000000000L)))
     } yield (a, a + span))
     val seed = org.scalacheck.rng.Seed(4242L)
     var s = seed
