@@ -20,17 +20,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Keyed by session identity too: a DataFrame is bound to the session that
-  // built it, and test suites stop/recreate sessions within one JVM — a
-  // (dir, name)-only key would hand back plans bound to a dead session.
+  // A DataFrame is bound to the session that built it, and test suites
+  // stop/recreate sessions within one JVM — a (dir, name)-only key would hand
+  // back plans bound to a dead session. The key uses the session's identity
+  // hash, but the stored session is compared with `eq` on every hit, so an
+  // identity-hash collision across sessions rebuilds instead of returning a
+  // foreign plan. Entries whose SparkContext has stopped are evicted on each
+  // lookup so long-lived JVMs don't accumulate dead plans.
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), (SparkSession, DataFrame)]
+
+  private def cached(spark: SparkSession, dir: String, name: String)
+      (build: => DataFrame): DataFrame = {
+    cache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
+    val key = (System.identityHashCode(spark), dir, name)
+    cache.get(key) match {
+      case Some((s, df)) if s eq spark => df
+      case _ => val df = build; cache.put(key, (spark, df)); df
+    }
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark).toString, dir, name), {
+    cached(spark, dir, name) {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (sys.env.get("SPARK_GRAFT_PERSIST").contains("1")) df.persist() else df
-    })
+    }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
@@ -44,12 +58,12 @@ object Tables {
     * microsecond timestamps DuckDB also uses internally, so oracle results
     * line up exactly. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark).toString, dir, "events"), {
+    cached(spark, dir, "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
       if (sys.env.get("SPARK_GRAFT_PERSIST").contains("1")) df.persist() else df
-    })
+    }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 

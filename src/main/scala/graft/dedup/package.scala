@@ -215,11 +215,11 @@ package object dedup {
     *
     * Same machinery and scale posture as [[ngramJaccardPairs]] (explicit
     * pre-explode repartition, 64-bit shingle keys, exact integer Jaccard
-    * cut, broadcast size-join), but the inverted-index join pairs TRAIN
-    * postings against EVAL postings only — candidate volume is
-    * sum(df_train · df_eval) per shingle, never within-corpus pairs. At
-    * 100 TB train × small eval the eval index is the broadcast side and
-    * no train row ever shuffles twice. */
+    * cut), but the inverted-index join pairs TRAIN postings against EVAL
+    * postings only — candidate volume is sum(df_train · df_eval) per
+    * shingle, never within-corpus pairs. At 100 TB train × small eval,
+    * only eval-side tables (postings index, per-doc counts) broadcast;
+    * everything train-sized moves through shuffled joins. */
   def crossContamination(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String,
       n: Int = 2, minJaccardPct: Int = 50): DataFrame = {
@@ -235,8 +235,12 @@ package object dedup {
     val pairs = index(shT).as("t").join(index(shE).as("e"), col("t.g") === col("e.g"))
       .groupBy(col("t.id").as("train_id"), col("e.id").as("eval_id"))
       .agg(count(lit(1)).as("inter"))
+    // Only the EVAL side's counts broadcast (eval is the small corpus by
+    // contract); the train counts — billions of rows at the 100 TB posture —
+    // join shuffled, keyed by the already-aggregated candidate pairs, which
+    // are far fewer than the posting stream.
     pairs
-      .join(broadcast(shT.select(col("id"), col("nsh").as("n1"))),
+      .join(shT.select(col("id"), col("nsh").as("n1")),
         col("train_id") === col("id")).drop("id")
       .join(broadcast(shE.select(col("id"), col("nsh").as("n2"))),
         col("eval_id") === col("id")).drop("id")

@@ -27,6 +27,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * long-backed (LongType / TimestampType / IntegerType keys widen fine via
   * cast upstream). Right rows should be unique per (key, ts) for
   * deterministic output — same contract as the compositional form.
+  * Nullable key/ts are supported and follow the window form's semantics:
+  * a null key is one ordinary group, a null ts sorts before (matches
+  * at-or-before) every timestamp.
   */
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -118,6 +121,7 @@ case class AsofJoinExec(
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _
         private var rHeadValid = false
+        private var lastKeyNull = false
         private var lastKey = 0L
         private var lastPayload: InternalRow = _
 
@@ -129,20 +133,41 @@ case class AsofJoinExec(
 
         override def hasNext: Boolean = lIter.hasNext
 
+        // Nullable key/ts must follow the child SortOrder (Ascending =
+        // NULLS FIRST) or the merge's monotonic-key assumption breaks on a
+        // partition mixing null and negative keys (getLong reads null as 0).
+        // Semantics match asofJoinLast's window form: null keys are one
+        // ordinary group (SQL partitionBy), null ts sorts before every
+        // timestamp (= matches "at or before" any left ts).
+        @inline private def cmp(aNull: Boolean, a: Long,
+            bNull: Boolean, b: Long): Int =
+          if (aNull && bNull) 0 else if (aNull) -1 else if (bNull) 1
+          else java.lang.Long.compare(a, b)
+
         override def next(): InternalRow = {
           val l = lIter.next()
-          val lk = l.getLong(lKeyOrd)
-          val lt = l.getLong(lTsOrd)
+          val lkNull = l.isNullAt(lKeyOrd)
+          val lk = if (lkNull) 0L else l.getLong(lKeyOrd)
+          val ltNull = l.isNullAt(lTsOrd)
+          val lt = if (ltNull) 0L else l.getLong(lTsOrd)
           // consume right rows at or before (lk, lt); remember the latest
           while (rHeadValid && {
-            val rk = rHead.getLong(rKeyOrd)
-            rk < lk || (rk == lk && rHead.getLong(rTsOrd) <= lt)
+            val rkNull = rHead.isNullAt(rKeyOrd)
+            val rk = if (rkNull) 0L else rHead.getLong(rKeyOrd)
+            val kc = cmp(rkNull, rk, lkNull, lk)
+            kc < 0 || (kc == 0 && {
+              val rtNull = rHead.isNullAt(rTsOrd)
+              val rt = if (rtNull) 0L else rHead.getLong(rTsOrd)
+              cmp(rtNull, rt, ltNull, lt) <= 0
+            })
           }) {
-            lastKey = rHead.getLong(rKeyOrd)
+            lastKeyNull = rHead.isNullAt(rKeyOrd)
+            lastKey = if (lastKeyNull) 0L else rHead.getLong(rKeyOrd)
             lastPayload = payloadProj(rHead).copy()
             advanceRight()
           }
-          if (lastPayload != null && lastKey == lk) joined(l, lastPayload)
+          if (lastPayload != null && cmp(lastKeyNull, lastKey, lkNull, lk) == 0)
+            joined(l, lastPayload)
           else joined(l, nullPayload)
         }
       }

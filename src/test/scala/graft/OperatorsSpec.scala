@@ -151,6 +151,39 @@ class OperatorsSpec extends SparkSuite {
     assert(out == Map("a" -> Some(10.0), "b" -> Some(20.0), "c" -> None))
   }
 
+  test("native asof join: null keys/ts match the window form") {
+    // null + NEGATIVE keys in one partition is the merge's hard case: the
+    // child sort puts nulls FIRST, so an unguarded getLong (null reads as
+    // 0) would see the null-key run as key 0 ahead of key -5 and silently
+    // drop matches. Window-form semantics: null key is an ordinary group,
+    // null ts sorts before (= at-or-before) every timestamp.
+    val l = Seq(
+      (Option(-5L), Option(100L), "negA"), (Option(-5L), Option(40L), "negB"),
+      (Option.empty[Long], Option(100L), "nullKey"),
+      (Option(1L), Option.empty[Long], "nullTs"),
+      (Option.empty[Long], Option.empty[Long], "nullBoth"),
+      (Option(7L), Option(10L), "plain")
+    ).toDF("k", "t", "tag")
+    val r = Seq(
+      (Option(-5L), Option(50L), 1.0),
+      (Option.empty[Long], Option(60L), 2.0),
+      (Option(1L), Option.empty[Long], 3.0),
+      (Option(7L), Option(99L), 4.0),
+      (Option.empty[Long], Option.empty[Long], 5.0)
+    ).toDF("k", "t", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"tag", $"asof_v").collect()
+        .map(x => x.getString(0) -> Option(x.get(1))).toMap
+    val native = canon(graft.operators.AsofJoin.asofJoinNative(l, r, "k", "t", Seq("v")))
+    val window = canon(graft.operators.AsofJoin.asofJoinLast(l, r, "k", "t", Seq("v")))
+    val want = Map(
+      "negA" -> Some(1.0), "negB" -> None,
+      "nullKey" -> Some(2.0), "nullTs" -> Some(3.0),
+      "nullBoth" -> Some(5.0), "plain" -> None)
+    assert(window == want, "window form disagrees with hand-computed truth")
+    assert(native == want, "native exec disagrees with hand-computed truth")
+  }
+
   test("native asof join elides shuffles for bucketed, pre-sorted inputs") {
     // the property the planner-operator encoding exists for: children
     // already hash-partitioned on the key (bucketed tables with buckets ==
