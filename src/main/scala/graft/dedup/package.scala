@@ -249,6 +249,36 @@ package object dedup {
       .select(col("train_id"), col("eval_id"), col("inter"), col("uni"))
   }
 
+  /** Per-document duplicated-shingle ratio: the fraction of a doc's distinct
+    * word n-grams that occur in at least `minDf` documents corpus-wide — the
+    * boilerplate / template-contamination metric (a doc made of spans the
+    * rest of the corpus also contains scores near 1). The corpus-level
+    * complement of the pairwise generators above: no pair stream at all.
+    *
+    * Scale posture: two shuffles total — one groupBy(g) over the posting
+    * stream for document frequency (partial map-side count, 8-byte keys),
+    * one shuffled join back to the postings plus a groupBy(id). No
+    * broadcast: at 100 TB the shingle-vocabulary table is itself huge.
+    * Reference analogue: dask-awkward expresses this as map_partitions over
+    * value_counts joins (`lib/structure.py` run-length tooling); here the
+    * whole thing is three Catalyst aggregates. */
+  def duplicatedShingleRatio(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, minDf: Int = 2): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val inv = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .repartition(parts, col("id"))
+      .select(col("id"), explode(col("sh")).as("gs"))
+      .select(col("id"), xxhash64(col("gs")).as("g"))
+    // shingles are distinct within a doc, so count(*) per g IS the doc freq
+    val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    inv.join(dfreq, "g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= minDf, 1)).as("n_shared"))
+      .select(col("id"), col("n_shingles"), col("n_shared"),
+        round(col("n_shared") / col("n_shingles"), 4).as("dup_ratio"))
+  }
+
   /** Exact Jaccard pairs via PPJoin-style prefix filtering: index only each
     * doc's rarest `p = n - ceil(t*n) + 1` shingles (global rarest-first
     * order by document frequency); any pair at jaccard >= t must share one

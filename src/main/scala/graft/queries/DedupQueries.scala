@@ -126,6 +126,17 @@ object DedupQueries {
       graft.similarity.cosineNearDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.35)
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+    },
+
+    // per-doc duplicated-shingle ratio (corpus boilerplate metric): docs in
+    // the planted near-dup clusters score high, unique docs low — summarized
+    // per decile so the output is small while every doc's ratio contributes
+    "d_dupratio" -> { (s, dir) =>
+      duplicatedShingleRatio(Tables.documents(s, dir), "doc_id", "text", 2)
+        .groupBy(floor(col("dup_ratio") * 10).cast("int").as("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_shared")).as("sum_shared"),
+          sum(col("n_shingles")).as("sum_shingles"))
     })
 
   private val TOKS = """string_split_regex(trim(lower(text)), '\s+')"""
@@ -151,5 +162,7 @@ object DedupQueries {
     "d_simhash_pairs" ->
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS w FROM documents), th AS (SELECT doc_id, ($POLY * 2654435761) % 281474976710656 AS h FROM tok), votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v FROM th, range(0, 48) r(j) GROUP BY doc_id, j), sig AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS sh FROM votes GROUP BY doc_id), sigl AS (SELECT s.doc_id, s.sh, d.lang FROM sig s JOIN documents d ON s.doc_id = d.doc_id) SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(bit_count(xor(CAST(a.sh AS BIGINT), CAST(b.sh AS BIGINT))) AS BIGINT) AS dist FROM sigl a JOIN sigl b ON a.lang = b.lang AND a.doc_id < b.doc_id WHERE bit_count(xor(CAST(a.sh AS BIGINT), CAST(b.sh AS BIGINT))) <= 6""",
     "d_embed" ->
-      """WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), d AS (SELECT id1, id2, sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) AS dot, sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(ea[CAST(i AS INT)] AS DOUBLE)) AS na2, sum(CAST(eb[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) AS nb2 FROM p, range(1, 65) r(i) GROUP BY id1, id2) SELECT id1, id2, round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos FROM d WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.35""")
+      """WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), d AS (SELECT id1, id2, sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) AS dot, sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(ea[CAST(i AS INT)] AS DOUBLE)) AS na2, sum(CAST(eb[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) AS nb2 FROM p, range(1, 65) r(i) GROUP BY id1, id2) SELECT id1, id2, round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos FROM d WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.35""",
+    "d_dupratio" ->
+      s"""WITH sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, unnest(gs) AS g FROM sh), dfreq AS (SELECT g, count(*) AS df FROM inv GROUP BY g), per AS (SELECT id, count(*) AS n_shingles, count(*) FILTER (WHERE df >= 2) AS n_shared FROM inv JOIN dfreq USING (g) GROUP BY id) SELECT CAST(floor(round(n_shared * 1.0 / n_shingles, 4) * 10) AS INT) AS decile, count(*) AS n_docs, CAST(sum(n_shared) AS BIGINT) AS sum_shared, CAST(sum(n_shingles) AS BIGINT) AS sum_shingles FROM per GROUP BY 1""")
 }

@@ -117,6 +117,46 @@ object Relational {
           countDistinct(col("l_suppkey")).as("n_supp"))
     },
 
+    // set intersection (§2.9): suppliers that ship both low- and high-
+    // quantity lines. Dataset.intersect = Catalyst LeftSemi over distinct
+    // inputs — one shuffle per side on the full row as key, partial
+    // distinct map-side; no row explosion at scale.
+    "q_intersect" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      li.filter(col("l_quantity") <= 5).select(col("l_suppkey"))
+        .intersect(li.filter(col("l_quantity") >= 45).select(col("l_suppkey")))
+        .agg(count(lit(1)).as("n_supp"), sum(col("l_suppkey")).as("sum_supp"))
+    },
+
+    // set difference (§2.9): suppliers with low-quantity lines but no
+    // high-quantity ones. Dataset.except = LeftAnti over distinct inputs.
+    "q_except" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      li.filter(col("l_quantity") <= 5).select(col("l_suppkey"))
+        .except(li.filter(col("l_quantity") >= 45).select(col("l_suppkey")))
+        .agg(count(lit(1)).as("n_supp"), sum(col("l_suppkey")).as("sum_supp"))
+    },
+
+    // salted ragged build under extreme key skew (graft.core.Skew): 3
+    // returnflag keys over the whole table would each funnel ~N/3 shuffle
+    // records into one reducer; the two-phase salted build spreads phase 1
+    // over 32 cells per key and merges pre-packed arrays. The position-
+    // weighted checksum is order-sensitive, so it verifies the merged
+    // array is bit-identical to the unsalted sort order.
+    "q_skew_build" -> { (s, dir) =>
+      val built = graft.core.Skew.saltedCollectSortedList(
+        Tables.lineitem(s, dir), "l_returnflag",
+        struct(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty")),
+        "items", 32, Seq(col("l_orderkey"), col("l_linenumber")))
+      built.select(col("l_returnflag"),
+          posexplode(col("items")).as(Seq("pos", "it")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("pos") + 1) * col("it.qty")).as("ord_chk"),
+          sum(col("it.qty")).as("sum_qty"))
+    },
+
     "ev_json" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
@@ -194,5 +234,11 @@ object Relational {
     "ev_json" ->
       """SELECT event_type, round(sum(value),2) AS sum_value, CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type""",
     "q_bloom_anti" ->
-      """SELECT p_brand, count(*) AS n FROM part p WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49) GROUP BY p_brand""")
+      """SELECT p_brand, count(*) AS n FROM part p WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49) GROUP BY p_brand""",
+    "q_intersect" ->
+      """SELECT count(*) AS n_supp, CAST(sum(l_suppkey) AS BIGINT) AS sum_supp FROM (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 5 INTERSECT SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45) t""",
+    "q_except" ->
+      """SELECT count(*) AS n_supp, CAST(sum(l_suppkey) AS BIGINT) AS sum_supp FROM (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 5 EXCEPT SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45) t""",
+    "q_skew_build" ->
+      """WITH r AS (SELECT l_returnflag, row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT)) AS rn, CAST(l_quantity AS BIGINT) AS qty FROM lineitem) SELECT l_returnflag, count(*) AS n, CAST(sum(rn * qty) AS BIGINT) AS ord_chk, CAST(sum(qty) AS BIGINT) AS sum_qty FROM r GROUP BY l_returnflag""")
 }

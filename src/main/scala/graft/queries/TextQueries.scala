@@ -118,6 +118,33 @@ object TextQueries {
       Tables.documents(s, dir).select(col("doc_id"),
         bagOfWordsFingerprint(col("text")).as("bow_fp"),
         rollingHash(col("text")).as("roll_fp"))
+    },
+
+    // PII scrubbing (graft.text.redactPii/piiCounts): the corpus carries no
+    // PII, so the query plants one deterministic instance of each class per
+    // doc (derived from doc_id — reproducible in the oracle), then audits
+    // detection counts and redacted output per language. All map-side
+    // codegen'd regexps; `leftover_at` asserts redaction left no '@' behind.
+    "t_pii" -> { (s, dir) =>
+      val injected = concat(col("text"),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com via 10."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"), lit(".9 tel 555-123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, dir)
+        .select(col("lang"), injected.as("t"))
+        .select(col("lang"), piiCounts(col("t")).as("c"),
+          redactPii(col("t")).as("red"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c.email")).as("n_email"),
+          sum(col("c.ipv4")).as("n_ip"),
+          sum(col("c.phone")).as("n_phone"),
+          sum(col("c.ssn")).as("n_ssn"),
+          sum(length(col("red"))).as("red_len"),
+          sum(when(col("red").contains("@"), 1).otherwise(0)).as("leftover_at"))
     })
 
   // DuckDB mirrors. The formulas are kept syntactically parallel to the
@@ -145,6 +172,13 @@ object TextQueries {
     s"CASE $cases END"
   }
 
+  // PII patterns, verbatim from graft.text.piiPatterns (the Java/RE2-common
+  // subset — see the Scaladoc there).
+  private val PAT_EMAIL = graft.text.piiPatterns.find(_._1 == "email").get._2
+  private val PAT_IP = graft.text.piiPatterns.find(_._1 == "ipv4").get._2
+  private val PAT_PHONE = graft.text.piiPatterns.find(_._1 == "phone").get._2
+  private val PAT_SSN = graft.text.piiPatterns.find(_._1 == "ssn").get._2
+
   val oracle: Map[String, String] = Map(
     "t_vocab" ->
       """SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents) t GROUP BY tok ORDER BY df DESC, tok LIMIT 50""",
@@ -167,5 +201,7 @@ object TextQueries {
     "t_langid" ->
       s"""SELECT doc_id, $langCase AS pred_lang, lang AS labeled_lang FROM (SELECT doc_id, lang, ${langScores.map { case (l, e) => s"$e AS c_$l" }.mkString(", ")} FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents) u) t""",
     "t_fingerprint" ->
-      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS bow_fp, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS roll_fp FROM documents""")
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS bow_fp, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS roll_fp FROM documents""",
+    "t_pii" ->
+      s"""WITH inj AS (SELECT lang, text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.9 tel 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t FROM documents), r AS (SELECT lang, t, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, '$PAT_EMAIL', '<EMAIL>', 'g'), '$PAT_IP', '<IP>', 'g'), '$PAT_PHONE', '<PHONE>', 'g'), '$PAT_SSN', '<SSN>', 'g') AS red FROM inj) SELECT lang, CAST(sum(len(regexp_extract_all(t, '$PAT_EMAIL'))) AS BIGINT) AS n_email, CAST(sum(len(regexp_extract_all(t, '$PAT_IP'))) AS BIGINT) AS n_ip, CAST(sum(len(regexp_extract_all(t, '$PAT_PHONE'))) AS BIGINT) AS n_phone, CAST(sum(len(regexp_extract_all(t, '$PAT_SSN'))) AS BIGINT) AS n_ssn, CAST(sum(length(red)) AS BIGINT) AS red_len, CAST(sum(CASE WHEN contains(red, '@') THEN 1 ELSE 0 END) AS BIGINT) AS leftover_at FROM r GROUP BY lang""")
 }

@@ -167,4 +167,38 @@ package object text {
     }
     b < thr
   }
+
+  /** PII patterns for training-data scrubbing. Deliberately restricted to
+    * the regex subset that means the same thing in Java regex (Spark,
+    * codegen'd `regexp_replace`/`regexp_count`) and RE2 (DuckDB oracle,
+    * Trino, Go tooling): character classes, bounded repetition, alternation
+    * — no lookaround, no backreferences, no \\w-style perl classes whose
+    * unicode behavior differs between engines. Each entry is
+    * (class name, pattern, replacement token). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}", "<PHONE>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"))
+
+  /** Redact every PII class in [[piiPatterns]], longest-pattern-first so an
+    * SSN inside a phone-shaped string can't double-fire. A pure map-side
+    * expression stack (one codegen'd `regexp_replace` per class): at 100 TB
+    * this runs inside the scan's whole-stage-codegen span, no shuffle, no
+    * UDF serialization. */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** Per-class PII hit counts as a struct column (fields named after the
+    * class) — the audit face of [[redactPii]]. Counts fire on the ORIGINAL
+    * text, in the same order-insensitive way DuckDB's regexp counts do, so
+    * the two faces can disagree only where classes overlap textually (ssn
+    * vs phone); redaction order handles that, counting deliberately does
+    * not hide it. */
+  def piiCounts(c: Column): Column =
+    struct(piiPatterns.map { case (name, pat, _) =>
+      regexp_count(c, lit(pat)).as(name)
+    }: _*)
 }

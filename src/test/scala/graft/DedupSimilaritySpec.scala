@@ -290,6 +290,22 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got(1) == Seq())
   }
 
+  test("duplicatedShingleRatio scores boilerplate high, unique docs zero") {
+    // docs 1/2 share both bigrams ("a b", "b c"); doc 3 shares none;
+    // doc 4 shares half its shingles with 1/2 ("a b" yes, "b z" no)
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "p q r"), (4L, "a b z"))
+      .toDF("doc_id", "text")
+    val got = duplicatedShingleRatio(df, "doc_id", "text", 2)
+      .select($"id", $"n_shingles", $"n_shared", $"dup_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 2L, 1.0)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    assert(got(4L) == ((2L, 1L, 0.5)))
+  }
+
   test("ngramJaccardPairs dfCap drops pairs held together only by stop shingles") {
     // "x xx" appears in every doc (df=4 > cap); docs 1/2 share ONLY it,
     // docs 3/4 are real near-dups sharing rare shingles too

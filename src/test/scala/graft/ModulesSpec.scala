@@ -108,6 +108,30 @@ class ModulesSpec extends SparkSuite {
     assert(got(3L) == ((None, None)))
   }
 
+  test("redactPii/piiCounts: each class fires once, no double-redaction") {
+    val rows = Seq(
+      (1L, "mail bob.smith+x@sub.example.co.uk now"),
+      (2L, "host 192.168.001.7 and phone +555 123 4567"),
+      (3L, "call 555-123-4567 then ssn 078-05-1120"),
+      (4L, "nothing here at all"),
+      (5L, "a@b.io c@d.ai")).toDF("id", "t")
+    val got = rows
+      .select($"id", graft.text.redactPii($"t").as("red"),
+        graft.text.piiCounts($"t").as("c"))
+      .select($"id", $"red", $"c.email", $"c.ipv4", $"c.phone", $"c.ssn")
+      .as[(Long, String, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == "mail <EMAIL> now")
+    assert((got(1L)._3, got(1L)._4, got(1L)._5, got(1L)._6) == ((1, 0, 0, 0)))
+    assert(got(2L)._2 == "host <IP> and phone <PHONE>")
+    assert(got(3L)._2 == "call <PHONE> then ssn <SSN>")
+    // phone redacts BEFORE ssn: "555-123-4567" must not half-match as ssn
+    assert((got(3L)._5, got(3L)._6) == ((1, 1)))
+    assert(got(4L)._2 == "nothing here at all")
+    assert(got(5L)._2 == "<EMAIL> <EMAIL>")
+    assert(got(5L)._3 == 2)
+  }
+
   test("hashSplit/mixtureKeep: deterministic, repartition-stable, monotone") {
     val docs = graft.core.Tables.documents(spark, dir).select($"doc_id", $"lang", $"text")
     val split = docs.select($"doc_id", graft.text.hashSplit($"text").as("s"))
