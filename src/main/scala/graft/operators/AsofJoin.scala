@@ -21,19 +21,32 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   /** `payloadCols` are taken from `right`; emitted on each left row as
-    * `asof_<name>` (null when no right row is at or before it). Right rows
-    * must be unique per (key, ts) for deterministic results — pre-aggregate
-    * otherwise. */
-  def asofJoinLast(left: DataFrame, right: DataFrame,
-      keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    * `asof_<name>` (null when no right row qualifies). Right rows must be
+    * unique per (key, ts) for deterministic results — pre-aggregate
+    * otherwise. `direction`:
+    *  - `"backward"` (default): latest right with right.ts <= left.ts;
+    *  - `"forward"`: earliest right with right.ts >= left.ts;
+    *  - `"nearest"`: whichever of the two is closer in time, ties to the
+    *    backward match (pandas `merge_asof` convention).
+    * All three run on ONE shuffle of |left| + |right| rows; `nearest` adds
+    * a second window sort over the same key partitioning (Catalyst reuses
+    * the exchange — no extra shuffle). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, payloadCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
     // internal working columns; fail fast on collision rather than silently
     // producing wrong results for a left input that already has one of them
-    Seq("__side", "__p", "__m").foreach { c =>
+    Seq("__side", "__p", "__m", "__t").foreach { c =>
       require(!left.columns.contains(c) && !right.columns.contains(c),
-        s"asofJoinLast: input already has a column named '$c' (reserved)")
+        s"asofJoin: input already has a column named '$c' (reserved)")
     }
-    val payload = struct(payloadCols.map(col): _*)
-    val rightSchema = right.select(payloadCols.map(col): _*).schema
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoin: unknown direction '$direction'")
+    // the payload struct carries the right ts as field __t so `nearest`
+    // can compare time distances after the window pass
+    val payload = struct(col(tsCol).as("__t") +: payloadCols.map(col): _*)
+    val rightSchema = right
+      .select(col(tsCol).as("__t") +: payloadCols.map(col): _*).schema
 
     val l = left
       .withColumn("__side", lit(1))
@@ -46,18 +59,48 @@ object AsofJoin {
       else lit(null).cast(left.schema(c).dataType).as(c)
     } :+ col("__side") :+ col("__p"): _*)
 
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__side").asc)
+    // right rows sort before co-timestamped left rows in BOTH directions
+    // (side 0 first) => the match is inclusive (right.ts == left.ts counts)
+    def w(tsOrder: Column) = Window.partitionBy(col(keyCol))
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBack = w(col(tsCol).asc)
+    val wFwd = w(col(tsCol).desc)
 
-    val matched = l.unionByName(r)
-      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val union = l.unionByName(r)
+    val matched = direction match {
+      case "backward" =>
+        union.withColumn("__m", last(col("__p"), ignoreNulls = true).over(wBack))
+      case "forward" =>
+        union.withColumn("__m", last(col("__p"), ignoreNulls = true).over(wFwd))
+      case "nearest" =>
+        val b = last(col("__p"), ignoreNulls = true).over(wBack)
+        val f = last(col("__p"), ignoreNulls = true).over(wFwd)
+        // micros for timestamps (cast-to-long truncates to seconds and
+        // would mis-break sub-second ties), raw value otherwise
+        def num(c: Column, dt: org.apache.spark.sql.types.DataType) = dt match {
+          case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+          case _ => c.cast("long")
+        }
+        val lt = num(col(tsCol), left.schema(tsCol).dataType)
+        val rdt = right.schema(tsCol).dataType
+        // ties (equal distance) take the backward match; <= encodes that
+        union.withColumn("__m",
+          when(b.isNull, f).when(f.isNull, b)
+            .when(lt - num(b.getField("__t"), rdt)
+              <= num(f.getField("__t"), rdt) - lt, b)
+            .otherwise(f))
+    }
 
     val out = left.columns.toIndexedSeq.map(col) ++
       payloadCols.map(p => col("__m").getField(p).as(s"asof_$p"))
-    matched.select(out: _*)
+    matched.filter(col("__side") === 1).select(out: _*)
   }
+
+  /** Backward as-of join — see [[asofJoin]]. */
+  def asofJoinLast(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame =
+    asofJoin(left, right, keyCol, tsCol, payloadCols, "backward")
 
   /** The same operator as a native planner node
     * ([[graft.plans.AsofJoinPlan]] -> AsofJoinExec): hash-clustered +

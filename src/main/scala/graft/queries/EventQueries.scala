@@ -60,6 +60,37 @@ object EventQueries {
           round(sum(col("asof_pval")), 2).as("sum_asof"))
     },
 
+    // forward as-of: the user's NEXT purchase at-or-after each event
+    // (direction="forward"; DuckDB mirrors with ASOF ... ON l.ts <= p.ts)
+    "ev_asof_fwd" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.AsofJoin.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, "user_id", "ts", Seq("pval"), "forward")
+        .groupBy(col("user_id"))
+        .agg(count(when(col("asof_pval").isNotNull, 1)).as("n_matched"),
+          round(sum(col("asof_pval")), 2).as("sum_asof"))
+    },
+
+    // nearest as-of: whichever purchase is closer in time, ties backward
+    // (pandas merge_asof convention; oracle composes DuckDB's two ASOF
+    // directions and picks per-row)
+    "ev_asof_near" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.AsofJoin.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, "user_id", "ts", Seq("pval"), "nearest")
+        .groupBy(col("user_id"))
+        .agg(count(when(col("asof_pval").isNotNull, 1)).as("n_matched"),
+          round(sum(col("asof_pval")), 2).as("sum_asof"))
+    },
+
     // same as-of semantics through the NATIVE planner operator
     // (graft.plans.AsofJoinPlan -> AsofJoinExec: hash-clustered children,
     // one streaming merge per partition) — same oracle as ev_asof
@@ -154,6 +185,10 @@ object EventQueries {
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
     "ev_asof_native" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
+    "ev_asof_fwd" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts <= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
+    "ev_asof_near" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), b AS (SELECT l.event_id, l.user_id, l.ts, p.ts AS bt, p.pval AS bv FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts), f AS (SELECT l.event_id, p.ts AS ft, p.pval AS fv FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts <= p.ts), j AS (SELECT b.user_id, CASE WHEN bt IS NULL THEN fv WHEN ft IS NULL THEN bv WHEN epoch_us(b.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(b.ts) THEN bv ELSE fv END AS pv FROM b JOIN f USING (event_id)) SELECT user_id, count(pv) AS n_matched, round(sum(pv), 2) AS sum_asof FROM j GROUP BY user_id""",
     "st_tumbling" ->
       """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS ws, event_type, count(*) AS n, round(sum(value),2) AS sum_value FROM events GROUP BY 1, 2""",
     "st_hopping" ->

@@ -151,6 +151,23 @@ class OperatorsSpec extends SparkSuite {
     assert(out == Map("a" -> Some(10.0), "b" -> Some(20.0), "c" -> None))
   }
 
+  test("asof join directions: forward and nearest (ties backward)") {
+    val l = Seq((1L, 10L, "a"), (1L, 25L, "b"), (1L, 40L, "c"), (2L, 5L, "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 20L, 2.0), (1L, 30L, 3.0)).toDF("k", "t", "v")
+    def canon(dir: String) =
+      graft.operators.AsofJoin.asofJoin(l, r, "k", "t", Seq("v"), dir)
+        .select($"tag", $"asof_v").collect()
+        .map(x => x.getString(0) -> Option(x.get(1))).toMap
+    assert(canon("backward") == Map(
+      "a" -> None, "b" -> Some(2.0), "c" -> Some(3.0), "d" -> None))
+    assert(canon("forward") == Map(
+      "a" -> Some(2.0), "b" -> Some(3.0), "c" -> None, "d" -> None))
+    // "b" at t=25 is equidistant from 20 and 30 -> tie takes backward (2.0)
+    assert(canon("nearest") == Map(
+      "a" -> Some(2.0), "b" -> Some(2.0), "c" -> Some(3.0), "d" -> None))
+  }
+
   test("native asof join: null keys/ts match the window form") {
     // null + NEGATIVE keys in one partition is the merge's hard case: the
     // child sort puts nulls FIRST, so an unguarded getLong (null reads as
