@@ -119,6 +119,57 @@ object Streaming {
       }
   }
 
+  /** Streaming NEAR-duplicate filter — the streaming face of
+    * `graft.dedup`'s simhash family: each arriving document is tagged
+    * against every previously-seen document in its simhash block
+    * (`dup_of` = the earlier doc's id and `dist` its Hamming distance, or
+    * (-1, -1) for a first-seen keeper, which then joins the block's state).
+    *
+    * Blocking is ONE band: the top `blockBits` of the 48-bit simhash key
+    * the state partition, so only same-block candidates are compared —
+    * near-dups that differ inside those top bits are missed (the standard
+    * single-band recall tradeoff; run `graft.dedup.simhashPairs` in batch
+    * for the exact multi-band answer). In exchange, state and compare cost
+    * are per-block, the shuffle key is a long, and a hot block is capped at
+    * `maxBucket` signatures (beyond it new docs are still emitted as
+    * keepers but not added to state — bounded memory at unbounded stream
+    * length; put the state store on RocksDB via [[withRocksDBState]] for
+    * the 100 TB posture). First-seen-wins follows arrival order across
+    * micro-batches; within one batch it follows Spark's group iteration
+    * order. */
+  def streamingNearDupFilter(docs: DataFrame, idCol: String, textCol: String,
+      blockBits: Int = 16, maxHamming: Int = 6, maxBucket: Int = 4096)
+      : org.apache.spark.sql.Dataset[(Long, Long, Int)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(blockBits >= 1 && blockBits <= 47, s"blockBits out of range: $blockBits")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed = docs.select(col(idCol).cast("long"),
+      graft.dedup.simHash48(col(textCol))).as[(Long, Long)]
+    typed.groupByKey { case (_, sh) => sh >>> (48 - blockBits) }
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          rows.foreach { case (id, sh) =>
+            val hit = seen.iterator
+              .map { case (sid, ssh) => (sid, java.lang.Long.bitCount(sh ^ ssh)) }
+              .filter(_._2 <= maxHamming)
+              .minByOption(_._2)
+            hit match {
+              case Some((dupOf, d)) => out += ((id, dupOf, d))
+              case None =>
+                out += ((id, -1L, -1))
+                if (seen.size < maxBucket) seen = (id, sh) :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Back streaming state with RocksDB instead of the default in-JVM-heap
     * HDFS-backed store — the 100 TB knob: state size is bounded by local
     * disk (with block-cache in native memory), not executor heap, so

@@ -39,6 +39,43 @@ class ModulesSpec extends SparkSuite {
     got.foreach { case (k, n) => assert(want(k) == n, s"window $k") }
   }
 
+  test("streaming near-dup filter: exact dups tagged, uniques kept, state caps") {
+    implicit val s: SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nd_stream").toString
+    try {
+      // 1 and 2 are byte-identical (simhash dist 0, same block); 3 unique
+      Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "completely different content about spark plans"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = spark.readStream
+        .schema("doc_id BIGINT, text STRING").parquet(tmp)
+      val out = graft.streaming.Streaming.runToMemory(
+        graft.streaming.Streaming.streamingNearDupFilter(src, "doc_id", "text")
+          .toDF("id", "dup_of", "dist"), "t_neardup")
+        .as[(Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+      assert(out.size == 3)
+      assert(out(3L) == ((3L, -1L, -1)))
+      // within-batch group order is engine-chosen: exactly one of {1,2} is
+      // the keeper, the other a dist-0 dup pointing at it
+      val (k, d) = if (out(1L)._2 == -1L) (out(1L), out(2L)) else (out(2L), out(1L))
+      assert(k._2 == -1L && k._3 == -1)
+      assert(d._2 == k._1 && d._3 == 0)
+      // batch face: maxBucket=1 admits only the first keeper to state; a
+      // third identical doc still dedupes against it, and a fourth unique
+      // doc in the same block is emitted as keeper despite the full bucket
+      val same = Seq((10L, "aa bb cc"), (11L, "aa bb cc"), (12L, "aa bb cc"))
+        .toDF("doc_id", "text")
+      val got = graft.streaming.Streaming
+        .streamingNearDupFilter(same, "doc_id", "text", maxBucket = 1)
+        .collect()
+      assert(got.count(_._2 == -1L) == 1)
+      assert(got.count(r => r._2 != -1L && r._3 == 0) == 2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("streaming: stateful agg runs on the RocksDB state store") {
     implicit val s: SparkSession = spark
     val key = "spark.sql.streaming.stateStore.providerClass"
