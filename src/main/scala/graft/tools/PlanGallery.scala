@@ -34,7 +34,12 @@ object PlanGallery {
       "16-byte code arrays (pqencode), each query ships one ADC lookup " +
       "table through a broadcast, candidates cost m table lookups " +
       "(pqadcscore), and only the bounded shortlist joins back full-width " +
-      "vectors for the exact cosine re-rank."))
+      "vectors for the exact cosine re-rank."),
+    "q_skew_build" -> ("Two-phase salted ragged build under extreme key " +
+      "skew (3 keys over the whole table): phase 1 aggregates on " +
+      "(key, salt) so the hot key's rows pre-pack into arrays across 32 " +
+      "cells in parallel; phase 2's shuffle then carries 32 packed records " +
+      "per key instead of N/3 row-records into one reducer."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
