@@ -143,6 +143,43 @@ class DifferentialFuzzSpec extends SparkSuite {
     }
   }
 
+  test("asofJoin forward/nearest match brute-force on random inputs") {
+    val rows: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] = for {
+      l <- Gen.listOfN(20, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
+      r <- Gen.listOfN(10, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
+    } yield (l, r.map { case (k, t) => (k, t, (k * 100 + t).toDouble) }
+      .distinctBy(x => (x._1, x._2)))
+    var s = org.scalacheck.rng.Seed(23L)
+    var done = 0
+    while (done < 6) {
+      rows.apply(Gen.Parameters.default, s).foreach { case (l, r) =>
+        val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("row_id", "k", "ts")
+        val right = r.toDF("k", "ts", "v")
+        def run(dir: String) = graft.operators.AsofJoin
+          .asofJoin(left, right, "k", "ts", Seq("v"), dir)
+          .select($"row_id", $"asof_v").as[(Long, Option[Double])]
+          .collect().toMap
+        val (gotF, gotN) = (run("forward"), run("nearest"))
+        l.zipWithIndex.foreach { case ((k, t), i) =>
+          val back = r.filter(x => x._1 == k && x._2 <= t).sortBy(_._2).lastOption
+          val fwd = r.filter(x => x._1 == k && x._2 >= t).sortBy(_._2).headOption
+          val near = (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (t - b._2 <= f._2 - t) Some(b) else Some(f) // tie -> backward
+            case (b, f) => b.orElse(f)
+          }
+          assert(gotF(i.toLong) == fwd.map(_._3),
+            s"[forward] row $i key=$k ts=$t l=$l r=$r")
+          assert(gotN(i.toLong) == near.map(_._3),
+            s"[nearest] row $i key=$k ts=$t l=$l r=$r")
+        }
+        done += 1
+      }
+      s = s.next
+    }
+  }
+
   test("bloomAntiJoin matches left_anti on random key sets") {
     val sets: Gen[(List[Long], List[Long], Double)] = for {
       l <- Gen.listOfN(60, Gen.choose(0L, 40L))
