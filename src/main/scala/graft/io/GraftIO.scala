@@ -76,6 +76,74 @@ object GraftIO {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Z-order curve value for multi-dimensional data clustering: each
+    * numeric column maps to a `bits`-wide bucket id over its [min, max]
+    * span (driver-computed in one small agg job), and the bucket ids
+    * bit-interleave into one long. Sorting by that long places rows close
+    * in EVERY dimension into the same parquet files/row-groups, so min/max
+    * stats prune scans for predicates on ANY z-column — the layout answer
+    * to "which files can this filter skip?" at 100 TB, where a linear sort
+    * only serves its leading column. Bucketing is uniform-width (one
+    * pass); heavily-skewed columns should be pre-transformed (log, rank)
+    * — same contract as width_bucket.
+    *
+    * The whole mapping is a codegen'd Column expression (shift/mask
+    * terms); no UDF. `bits * cols.size` must fit in 63. */
+  def zorderValue(df: DataFrame, zCols: Seq[String], bits: Int = 16): org.apache.spark.sql.Column = {
+    require(zCols.nonEmpty, "need at least one z-order column")
+    require(bits * zCols.size <= 63, s"$bits bits x ${zCols.size} cols overflows a long")
+    val nb = 1L << bits
+    val statExprs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = df.agg(statExprs.head, statExprs.tail: _*).head()
+    val bucketIds = zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+      val span = if (hi > lo) hi - lo else 1.0
+      least(greatest(floor((col(c).cast("double") - lit(lo)) / lit(span) * nb), lit(0L)),
+        lit(nb - 1)).cast("long")
+    }
+    // interleave: bit j of column i lands at position j*ncols + i
+    val ncols = zCols.size
+    (for (i <- 0 until ncols; j <- 0 until bits) yield
+      shiftleft(shiftright(bucketIds(i), j).bitwiseAND(lit(1L)), j * ncols + i))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` clustered along a Z-order curve over `zCols`:
+    * range-partition by the curve value into `numFiles` output files, sort
+    * within each, drop the helper column. Consumers filtering on any
+    * z-column skip non-overlapping files/row-groups via parquet min/max
+    * stats — no bucketing metadata needed, works for plain paths. */
+  def writeZOrdered(df: DataFrame, dest: String, zCols: Seq[String],
+      numFiles: Int, bits: Int = 16, compression: String = "zstd"): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    val z = "__graft_z"
+    require(!df.columns.contains(z), s"input already has a column named '$z'")
+    df.withColumn(z, zorderValue(df, zCols, bits))
+      .repartitionByRange(numFiles, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
+      .write.mode("overwrite").option("compression", compression).parquet(dest)
+  }
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files (computed from the on-disk input size, so
+    * compressed output files land near the target). The unglamorous 100 TB
+    * maintenance op: streaming/incremental writers leave thousands of tiny
+    * files whose per-file open/footer cost dominates scans. Returns the
+    * output file count. */
+  def compactParquet(spark: SparkSession, src: String, dest: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(src), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(src)).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(src).repartition(n)
+      .write.mode("overwrite").option("compression", "zstd").parquet(dest)
+    n
+  }
+
   /** `from_json` line-delimited with optional explicit schema — schema
     * pushdown is the reference's JSONSchema trick (`json.py:77-89`) done
     * natively by the reader's requiredSchema. */

@@ -91,6 +91,44 @@ class ModulesSpec extends SparkSuite {
     }
   }
 
+  test("z-ordered write bounds per-file spread in BOTH dims; compaction hits target") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    try {
+      // 64x64 grid: every (x, y) combination — uniform 2D data
+      val grid = spark.range(4096)
+        .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+      graft.io.GraftIO.writeZOrdered(grid, s"$tmp/z", Seq("x", "y"), 16)
+      graft.io.GraftIO.toParquet(
+        grid.repartitionByRange(16, $"x").sortWithinPartitions($"x"), s"$tmp/linear")
+      def spreads(path: String): Seq[(Long, Long)] =
+        new java.io.File(path).listFiles.filter(_.getName.endsWith(".parquet"))
+          .toSeq.map { f =>
+            val r = spark.read.parquet(f.getAbsolutePath)
+              .agg(max($"x") - min($"x"), max($"y") - min($"y")).head()
+            (r.getLong(0), r.getLong(1))
+          }
+      // z-order: every file covers a bounded square in both dims
+      val zs = spreads(s"$tmp/z")
+      assert(zs.size > 8)
+      assert(zs.forall { case (sx, sy) => sx <= 32 && sy <= 32 },
+        s"z-order spreads: $zs")
+      // linear sort on x: y remains full-range in (nearly) every file —
+      // the contrast that makes z-order worth its extra sort
+      val ls = spreads(s"$tmp/linear")
+      assert(ls.count(_._2 >= 48) >= ls.size - 2, s"linear spreads: $ls")
+      // compaction: rewrite the z output (16+ small files) as one file
+      val n = graft.io.GraftIO.compactParquet(spark, s"$tmp/z", s"$tmp/compact",
+        targetFileBytes = 1L << 30)
+      assert(n == 1)
+      val nf = new java.io.File(s"$tmp/compact").listFiles
+        .count(_.getName.endsWith(".parquet"))
+      assert(nf == 1)
+      assert(spark.read.parquet(s"$tmp/compact").count() == 4096)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("bucketed tables: join + aggregate on the bucket key, zero exchanges") {
     val t1 = "graft_bkt_orders"
     val t2 = "graft_bkt_lines"
