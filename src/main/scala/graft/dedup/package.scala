@@ -341,23 +341,32 @@ package object dedup {
 
   /** Connected components over near-duplicate pair edges: the step that
     * turns pairwise matches into dedup CLUSTERS (keep one representative
-    * per component, drop the rest). Iterative min-label propagation —
-    * each round every node adopts the smallest label among itself and its
-    * neighbors; converges in O(component diameter) rounds, which for
-    * near-dup clusters is tiny. Per round: one shuffle join + one
-    * aggregate; lineage is cut with localCheckpoint so the plan does not
-    * grow with iterations (the difference between O(d) and O(d^2) work at
-    * 100 TB, and a driver stack overflow avoided).
+    * per component, drop the rest).
+    *
+    * Adaptive in the AQE spirit: the edge set is materialized first (it
+    * feeds every round anyway), and if it holds at most
+    * `driverSolveMaxEdges` edges — the NORMAL case: near-dup pairs are
+    * orders of magnitude fewer than corpus rows even at 100 TB, bounded
+    * driver memory ~16 B/edge — a single collect runs union-find on the
+    * driver, replacing a multi-job iterative fixpoint with one job.
+    * Larger graphs take the distributed path: iterative min-label
+    * propagation — each round every node adopts the smallest label among
+    * itself and its neighbors; converges in O(component diameter) rounds.
+    * Per round: one shuffle join + one aggregate; lineage is cut with
+    * localCheckpoint so the plan does not grow with iterations (the
+    * difference between O(d) and O(d^2) work at 100 TB, and a driver
+    * stack overflow avoided).
     *
     * Returns (id, rep) for every node appearing in `edges`, rep = min id
     * of its component. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, driverSolveMaxEdges: Long = 1L << 20): DataFrame = {
     // checkpoint the edge computation FIRST: the symmetrizing union has the
     // edge plan as both branches, so an un-checkpointed (possibly expensive)
     // pair pipeline would be evaluated twice — and then once more per round
     val e = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b")).localCheckpoint()
+    if (e.count() <= driverSolveMaxEdges) return ccDriver(e)
     // no checkpoint on sym: a union over the checkpointed edge set is a
     // near-free narrow recompute, not worth another materialization job
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -394,6 +403,43 @@ package object dedup {
       i += 1
     }
     labels.select(col("v").as("id"), col("l").as("rep"))
+  }
+
+  /** Driver-side union-find over a collected (already-checkpointed) edge
+    * frame — the small-graph fast path of [[connectedComponents]]. Path
+    * compression + union by rank, then a min-id sweep per root so `rep`
+    * matches the distributed path exactly. */
+  private def ccDriver(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    val rank = scala.collection.mutable.LongMap.empty[Int]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def add(x: Long): Unit =
+      if (!parent.contains(x)) { parent(x) = x; rank(x) = 0 }
+    e.select(col("a"), col("b")).as[(Long, Long)].collect().foreach {
+      case (a, b) =>
+        add(a); add(b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (rank(ra) < rank(rb)) parent(ra) = rb
+          else if (rank(ra) > rank(rb)) parent(rb) = ra
+          else { parent(rb) = ra; rank(ra) = rank(ra) + 1 }
+        }
+    }
+    val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+    parent.keys.foreach { v =>
+      val r = find(v)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), v)
+    }
+    spark.createDataset(parent.keys.toSeq.map(v => (v, minOfRoot(find(v)))))
+      .toDF("id", "rep")
   }
 
   /** Drop near-duplicates: keep only cluster representatives (plus every

@@ -373,8 +373,15 @@ class DedupSimilaritySpec extends SparkSuite {
     // carry the min to the far end of the chain
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
       .toDF("id1", "id2")
+    // both paths — driver union-find (default for small edge sets) and the
+    // distributed label-propagation loop (forced by a zero threshold) —
+    // must produce the identical labeling
     val cc = connectedComponents(edges, "id1", "id2")
       .as[(Long, Long)].collect().toMap
+    val ccDist = connectedComponents(edges, "id1", "id2",
+        driverSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == ccDist)
     assert((1L to 5L).forall(cc(_) == 1L))
     assert(cc(10L) == 10L && cc(11L) == 10L)
     val docs = spark.range(0, 13).toDF("doc_id")
