@@ -76,6 +76,29 @@ class PlanQualitySpec extends SparkSuite {
     assert(s.exchanges <= 3, s"asof pipeline shuffles ${s.exchanges}x: $s")
   }
 
+  test("nearest asof: both direction windows share one union shuffle") {
+    // the nearest direction runs TWO window passes (asc + desc time sort)
+    // over the same key partitioning — the plan must sort twice but
+    // exchange the union only once (the second window reuses the
+    // clustering), or the operator pays double shuffle at scale
+    val df = graft.operators.AsofJoin.asofJoin(
+      graft.core.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts")),
+      graft.core.Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval")),
+      "user_id", "ts", Seq("pval"), "nearest")
+    val plan = df.queryExecution.executedPlan.toString
+    val windows = "Window ".r.findAllIn(plan).length
+    assert(windows == 2, s"expected 2 window passes, got $windows:\n${plan.take(3000)}")
+    // partitioning for the window union: exactly one hash exchange on
+    // user_id feeding both windows (upstream agg exchanges are separate)
+    val unionExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(unionExchanges <= 2,
+      s"union clustering exchanged ${unionExchanges}x:\n${plan.take(3000)}")
+  }
+
   test("bloom anti join: candidate branch joins, miss branch scans only") {
     val plan = SparkEntry.queries("q_bloom_anti")(spark, dir)
       .queryExecution.executedPlan.toString
