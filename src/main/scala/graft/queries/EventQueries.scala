@@ -111,6 +111,18 @@ object EventQueries {
     // graft.streaming.Streaming.purchaseAttribution): each purchase joined
     // to the same user's clicks in the preceding 10 minutes — the
     // stream-stream join whose time bound keeps state finite
+    // batch face of Streaming.streamingNearDupFilter (stateful simhash
+    // near-dup tagging). Keeper choice is arrival-order-dependent, so only
+    // the order-independent total is emitted — rows-only driver check; the
+    // semantics are pinned by ModulesSpec's streaming + batch tests.
+    "st_neardup" -> { (s, dir) =>
+      graft.streaming.Streaming.streamingNearDupFilter(
+          Tables.documents(s, dir), "doc_id", "text")
+        .toDF("id", "dup_of", "dist")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("dist") === 0, 1)).as("n_exact_dups"))
+    },
+
     "st_attrib" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")

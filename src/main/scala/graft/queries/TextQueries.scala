@@ -120,6 +120,21 @@ object TextQueries {
         rollingHash(col("text")).as("roll_fp"))
     },
 
+    // epoch-style mixture upsampling (graft.text.mixtureRepeat): 'en' docs
+    // appear 1.5x (every doc once, a deterministic half twice), 'de' 2.25x,
+    // the rest once. The query MATERIALIZES the copies (array_repeat +
+    // explode) and counts — the oracle sums the closed form; equality
+    // proves the generator emits exactly the promised copy counts.
+    "t_epochs" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          mixtureRepeat(col("text"), col("lang"),
+            Map("en" -> 1.5, "de" -> 2.25)).as("copies"))
+        .select(col("lang"), explode(array_repeat(lit(1), col("copies"))).as("one"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"))
+    },
+
     // PII scrubbing (graft.text.redactPii/piiCounts): the corpus carries no
     // PII, so the query plants one deterministic instance of each class per
     // doc (derived from doc_id — reproducible in the oracle), then audits
@@ -202,6 +217,8 @@ object TextQueries {
       s"""SELECT doc_id, $langCase AS pred_lang, lang AS labeled_lang FROM (SELECT doc_id, lang, ${langScores.map { case (l, e) => s"$e AS c_$l" }.mkString(", ")} FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents) u) t""",
     "t_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS bow_fp, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS roll_fp FROM documents""",
+    "t_epochs" ->
+      """WITH h AS (SELECT lang, (list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 10000) / 10000.0 AS b, CASE WHEN lang = 'en' THEN 1.5 WHEN lang = 'de' THEN 2.25 ELSE 1.0 END AS w FROM documents) SELECT lang, CAST(sum(CAST(floor(w) AS BIGINT) + CASE WHEN b < w - floor(w) THEN 1 ELSE 0 END) AS BIGINT) AS n_rows FROM h GROUP BY lang""",
     "t_pii" ->
       s"""WITH inj AS (SELECT lang, text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.9 tel 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t FROM documents), r AS (SELECT lang, t, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, '$PAT_EMAIL', '<EMAIL>', 'g'), '$PAT_IP', '<IP>', 'g'), '$PAT_PHONE', '<PHONE>', 'g'), '$PAT_SSN', '<SSN>', 'g') AS red FROM inj) SELECT lang, CAST(sum(len(regexp_extract_all(t, '$PAT_EMAIL'))) AS BIGINT) AS n_email, CAST(sum(len(regexp_extract_all(t, '$PAT_IP'))) AS BIGINT) AS n_ip, CAST(sum(len(regexp_extract_all(t, '$PAT_PHONE'))) AS BIGINT) AS n_phone, CAST(sum(len(regexp_extract_all(t, '$PAT_SSN'))) AS BIGINT) AS n_ssn, CAST(sum(length(red)) AS BIGINT) AS red_len, CAST(sum(CASE WHEN contains(red, '@') THEN 1 ELSE 0 END) AS BIGINT) AS leftover_at FROM r GROUP BY lang""")
 }

@@ -168,6 +168,27 @@ package object text {
     b < thr
   }
 
+  /** Deterministic per-source repeat counts for EPOCH-style mixing — the
+    * upsampling half of data mixing ([[mixtureKeep]] is the downsampling
+    * half): a source with weight 2.5 contributes every doc twice plus a
+    * hash-chosen half of docs a third time. Returns the integer copy
+    * count (>= 0); materialize with
+    * `explode(array_repeat(lit(1), copies))` or an equivalent generator.
+    * Same reproducibility contract as [[hashSplit]] — no RNG, stable
+    * under repartitioning, and monotone in the weight. Use dyadic
+    * fractional parts (.5/.25/...) when bit-exact cross-engine agreement
+    * matters. */
+  def mixtureRepeat(key: Column, source: Column, weights: Map[String, Double],
+      default: Double = 1.0): Column = {
+    require((default +: weights.values.toSeq).forall(_ >= 0),
+      s"weights must be >= 0: $weights default=$default")
+    val b = pmod(rollingHash(key), lit(10000L)).cast("double") / 10000.0
+    val w = weights.foldLeft(lit(default)) { case (acc, (s, x)) =>
+      when(source === s, lit(x)).otherwise(acc)
+    }
+    (floor(w) + when(b < w - floor(w), 1).otherwise(0)).cast("int")
+  }
+
   /** PII patterns for training-data scrubbing. Deliberately restricted to
     * the regex subset that means the same thing in Java regex (Spark,
     * codegen'd `regexp_replace`/`regexp_count`) and RE2 (DuckDB oracle,

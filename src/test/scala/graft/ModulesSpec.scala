@@ -229,6 +229,17 @@ class ModulesSpec extends SparkSuite {
     val en = docs.filter($"lang" === "en").count().toDouble
     assert(k100.size == en.toLong)
     assert(math.abs(k50.size / en - 0.5) < 0.15, s"${k50.size} of $en")
+    // upsampling face: weight 2.5 gives every doc 2 or 3 copies, mean ~2.5,
+    // and integer weights are exact for every doc
+    val copies = docs.filter($"lang" === "en")
+      .select(graft.text.mixtureRepeat($"text", $"lang", Map("en" -> 2.5)).as("c"))
+      .as[Int].collect()
+    assert(copies.forall(c => c == 2 || c == 3))
+    assert(math.abs(copies.map(_.toDouble).sum / copies.length - 2.5) < 0.2)
+    val exact = docs.select(
+      graft.text.mixtureRepeat($"text", $"lang", Map.empty, default = 3.0).as("c"))
+      .as[Int].collect()
+    assert(exact.forall(_ == 3))
   }
 
   test("streaming: checkpointed file sink resumes after restart, no dupes") {
