@@ -85,5 +85,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     reg("graft_polyhash")(args =>
       graft.functions.HashExprs.PolyHash(args.head))
+    reg("graft_winnow") { args =>
+      graft.functions.HashExprs.WinnowFingerprint(args.head,
+        intArg(args(1), "graft_winnow"), intArg(args(2), "graft_winnow"))
+    }
   }
 }

@@ -117,6 +117,25 @@ object Relational {
           countDistinct(col("l_suppkey")).as("n_supp"))
     },
 
+    // CUBE: all 2^k grouping-set combinations in one pass (Catalyst
+    // expands to a single Expand + aggregate — k shuffles avoided)
+    "q_cube" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    },
+
+    // PIVOT: per-returnflag quantity totals fanned into one column per
+    // linestatus value (explicit value list => no extra distinct pass)
+    "q_pivot" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+    },
+
     // set intersection (§2.9): suppliers that ship both low- and high-
     // quantity lines. Dataset.intersect = Catalyst LeftSemi over distinct
     // inputs — one shuffle per side on the full row as key, partial
@@ -231,6 +250,10 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "q_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY l_returnflag""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q_pivot" ->
+      """SELECT l_returnflag, round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f, round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_o FROM lineitem GROUP BY l_returnflag""",
     "ev_json" ->
       """SELECT event_type, round(sum(value),2) AS sum_value, CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type""",
     "q_bloom_anti" ->

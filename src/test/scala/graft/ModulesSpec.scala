@@ -505,13 +505,15 @@ class ModulesSpec extends SparkSuite {
                 graft_simhash48(array('hello')) AS s,
                 size(graft_minhash(array('a b'), 8)) AS k,
                 graft_combinations(array(1, 2, 3), 2) AS combos,
-                graft_polyhash('ab') AS ph""").head()
+                graft_polyhash('ab') AS ph,
+                size(graft_winnow(array('a','b','c','d','e','f'), 2, 4)) AS nw""").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getSeq[String](1) == Seq("a b", "b c"))
     assert(r.getLong(2) != 0L)
     assert(r.getInt(3) == 8)
     assert(r.getSeq[Seq[Int]](4).size == 3)
     assert(r.getLong(5) == (97L * 131 + 98) % 1000000007L) // 'a','b'
+    assert(r.getInt(6) >= 1)
   }
 
   test("sources: DSv2 synthetic events — partitions, determinism, pruning") {
