@@ -48,12 +48,7 @@ object HashExprs {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
     private val p = 2147483647L
-    private lazy val (as, bs) = {
-      val rnd = new scala.util.Random(seed)
-      val a = Array.fill(k)(math.abs(rnd.nextLong()) % (p - 1) + 1)
-      val b = Array.fill(k)(math.abs(rnd.nextLong()) % p)
-      (a, b)
-    }
+    private lazy val (as, bs) = minHashCoefficients(k, seed)
 
     /** Generated form of the same loop: the signature projection stays in
       * whole-stage codegen, coefficients travel as reference objects, the
@@ -111,6 +106,52 @@ object HashExprs {
 
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
+
+  /** MinHash with the cross-engine-reproducible polyHash base instead of
+    * xxhash64: same permutation family as [[MinHashSignature]] (h_i(x) =
+    * (a_i*x + b_i) mod p, coefficients from Random(seed)), base hash =
+    * polyHash < 1e9+7 < p, so every lane is exactly reproducible from SQL
+    * (see [[minHashCoefficients]] for embedding the constants in an
+    * oracle). Slightly weaker hash mixing than xxhash64 — use this when an
+    * external engine must verify signatures bit-for-bit, the xxh64 form
+    * otherwise. */
+  case class MinHashSignaturePolyBase(child: Expression, k: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val p = 2147483647L
+    private lazy val (as, bs) = minHashCoefficients(k, seed)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(k)(p)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val h = polyHash(arr.getUTF8String(i).toString)
+        var j = 0
+        while (j < k) {
+          val v = (h * as(j) + bs(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** The (a_i, b_i) permutation coefficients both minhash expressions use —
+    * public so oracle SQL can embed the identical literals. */
+  def minHashCoefficients(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val p = 2147483647L
+    val rnd = new scala.util.Random(seed)
+    val a = Array.fill(k)(math.abs(rnd.nextLong()) % (p - 1) + 1)
+    val b = Array.fill(k)(math.abs(rnd.nextLong()) % p)
+    (a, b)
+  }
+
+  def minHashSignaturePoly(shingles: Column, k: Int, seed: Long = 42L): Column =
+    GraftBridge.column(MinHashSignaturePolyBase(GraftBridge.expression(shingles), k, seed))
 
   /** SimHash-48 over an array<string> of tokens: per-token
     * h = (polyHash(tok) * 2654435761) mod 2^48; bit j of h votes +1/-1,

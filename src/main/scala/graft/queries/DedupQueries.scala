@@ -65,6 +65,18 @@ object DedupQueries {
         .select(col("id1"), col("id2"))
     },
 
+    // MinHash signatures with the polyHash base (k=8): every lane exactly
+    // reproduced by the oracle from the same embedded (a_i, b_i) constants —
+    // the hash-matched face of the minhash primitive (the xxh64 production
+    // form is rows-only-checked via d_minhash_lsh + recall tests)
+    "d_minhash" -> { (s, dir) =>
+      val sig = graft.functions.HashExprs.minHashSignaturePoly(
+        wordShingles(col("text"), 2), k = 8)
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: (0 until 8).map(j =>
+          sig.getItem(j).as(s"m$j")): _*)
+    },
+
     // SimHash-48 signatures (deterministic integer arithmetic => oracled)
     "d_simhash" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -128,6 +140,16 @@ object DedupQueries {
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
     },
 
+    // exact substring-span removal (dedup-by-span, graft.text.dedupSpans):
+    // every 5-token window occurring >= 2 times corpus-wide is removed from
+    // every document; per-doc survivor counts plus an md5 of the rebuilt
+    // text prove the reconstruction byte-exact against the oracle
+    "d_spanrm" -> { (s, dir) =>
+      graft.text.dedupSpans(Tables.documents(s, dir), "doc_id", "text", w = 5)
+        .select(col("doc_id"), col("n_toks"), col("n_kept"),
+          md5(col("kept_text")).as("kept_md5"))
+    },
+
     // per-doc duplicated-shingle ratio (corpus boilerplate metric): docs in
     // the planted near-dup clusters score high, unique docs low — summarized
     // per decile so the output is small while every doc's ratio contributes
@@ -142,7 +164,11 @@ object DedupQueries {
   private val TOKS = """string_split_regex(trim(lower(text)), '\s+')"""
   private val POLY = """list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(w, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)"""
 
+  private val (mhA, mhB) = graft.functions.HashExprs.minHashCoefficients(8, 42L)
+
   val oracle: Map[String, String] = Map(
+    "d_minhash" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), hs AS (SELECT doc_id, list_transform(gs, w -> $POLY) AS hl FROM sh) SELECT doc_id, ${(0 until 8).map(j => s"CAST(coalesce(list_min(list_transform(hl, h -> (h * ${mhA(j)} + ${mhB(j)}) % 2147483647)), 2147483647) AS BIGINT) AS m$j").mkString(", ")} FROM hs""",
     "d_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents) t GROUP BY 1""",
     "d_ngram" ->
@@ -163,6 +189,8 @@ object DedupQueries {
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS w FROM documents), th AS (SELECT doc_id, ($POLY * 2654435761) % 281474976710656 AS h FROM tok), votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v FROM th, range(0, 48) r(j) GROUP BY doc_id, j), sig AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS sh FROM votes GROUP BY doc_id), sigl AS (SELECT s.doc_id, s.sh, d.lang FROM sig s JOIN documents d ON s.doc_id = d.doc_id) SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(bit_count(xor(CAST(a.sh AS BIGINT), CAST(b.sh AS BIGINT))) AS BIGINT) AS dist FROM sigl a JOIN sigl b ON a.lang = b.lang AND a.doc_id < b.doc_id WHERE bit_count(xor(CAST(a.sh AS BIGINT), CAST(b.sh AS BIGINT))) <= 6""",
     "d_embed" ->
       """WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), d AS (SELECT id1, id2, sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) AS dot, sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(ea[CAST(i AS INT)] AS DOUBLE)) AS na2, sum(CAST(eb[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) AS nb2 FROM p, range(1, 65) r(i) GROUP BY id1, id2) SELECT id1, id2, round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos FROM d WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.35""",
+    "d_spanrm" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tok FROM documents), g AS (SELECT doc_id, CAST(s AS INT) AS s, array_to_string(tok[CAST(s AS INT):CAST(s + 4 AS INT)], ' ') AS gs FROM (SELECT doc_id, tok, unnest(range(1, greatest(len(tok) - 3, 1))) AS s FROM t) u), dup AS (SELECT gs FROM g GROUP BY gs HAVING count(*) >= 2), cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(s, s + 5)) AS INT) AS p FROM g WHERE gs IN (SELECT gs FROM dup)), pos AS (SELECT doc_id, CAST(p AS INT) AS p, tok[CAST(p AS INT)] AS tkn FROM (SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS p FROM t) v), kept AS (SELECT pos.doc_id, count(*) AS n_kept, md5(string_agg(tkn, ' ' ORDER BY pos.p)) AS kept_md5 FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.p IS NULL GROUP BY pos.doc_id) SELECT t.doc_id, CAST(len(tok) AS BIGINT) AS n_toks, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, coalesce(kept_md5, md5('')) AS kept_md5 FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id""",
     "d_dupratio" ->
       s"""WITH sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, unnest(gs) AS g FROM sh), dfreq AS (SELECT g, count(*) AS df FROM inv GROUP BY g), per AS (SELECT id, count(*) AS n_shingles, count(*) FILTER (WHERE df >= 2) AS n_shared FROM inv JOIN dfreq USING (g) GROUP BY id) SELECT CAST(floor(round(n_shared * 1.0 / n_shingles, 4) * 10) AS INT) AS decile, count(*) AS n_docs, CAST(sum(n_shared) AS BIGINT) AS sum_shared, CAST(sum(n_shingles) AS BIGINT) AS sum_shingles FROM per GROUP BY 1""")
 }

@@ -92,6 +92,33 @@ object TextQueries {
         aggregate(fps, lit(0L), _ + _).as("fp_sum"))
     },
 
+    // concat-and-chunk sequence packing (graft.text.packSequences): lay the
+    // corpus out in doc_id order, 2048-token sequences; per-sequence doc and
+    // token counts. The Spark side computes the global prefix sum as a
+    // parallel two-level scan; the oracle's single window cumsum proves the
+    // decomposition exact.
+    "t_pack" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), countTokensWs(col("text")).cast("long").as("nt"))
+      packSequences(d, "doc_id", "nt", budget = 2048)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    },
+
+    // deterministic corpus shuffle: permutation order = rolling hash of
+    // (doc_id || salt) — reproducible on any cluster/partitioning, no RNG.
+    // The query audits the full permutation by sharding it 16 ways and
+    // counting per shard, plus each shard's permutation-min as an order
+    // witness.
+    "t_shuffle" -> { (s, dir) =>
+      val sk = rollingHash(concat(col("doc_id").cast("string"), lit(":42")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), sk.as("sk"))
+        .groupBy((col("sk") % 16).as("shard"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          min(col("sk")).as("min_sk"))
+    },
+
     "t_tokens" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         countTokensWs(col("text")).cast("long").as("n_ws"),
@@ -209,6 +236,10 @@ object TextQueries {
       """WITH h AS (SELECT lang, (list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 10000) / 10000.0 AS b FROM documents) SELECT lang, count(*) FILTER (WHERE b < CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'es' THEN 0.25 ELSE 1.0 END) AS n_kept, count(*) AS n_total FROM h GROUP BY lang""",
     "t_winnow" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok FROM documents), h AS (SELECT doc_id, list_transform(range(1, len(tok)), i -> list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)], ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)) AS hs FROM t), f AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE list_distinct(list_transform(range(1, greatest(1, len(hs) - 3) + 1), i -> list_min(hs[CAST(i AS INT):CAST(least(i + 3, len(hs)) AS INT)]))) END AS fps FROM h) SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum FROM f""",
+    "t_pack" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt FROM documents), c AS (SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id) AS cum FROM t) SELECT CAST((cum - nt) // 2048 AS BIGINT) AS seq_id, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens FROM c GROUP BY 1""",
+    "t_shuffle" ->
+      """WITH h AS (SELECT doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(CAST(doc_id AS VARCHAR) || ':42', ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS sk FROM documents) SELECT sk % 16 AS shard, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum, CAST(min(sk) AS BIGINT) AS min_sk FROM h GROUP BY 1""",
     "t_tokens" ->
       s"""SELECT doc_id, CAST($nws AS BIGINT) AS n_ws, CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe, CAST(length(text) AS BIGINT) AS n_chars_computed FROM documents""",
     "t_quality" ->

@@ -189,6 +189,99 @@ package object text {
     (floor(w) + when(b < w - floor(w), 1).otherwise(0)).cast("int")
   }
 
+  /** Concat-and-chunk sequence packing: documents are laid out in `idCol`
+    * order, token counts accumulate, and each document is assigned to the
+    * training sequence (`seq_id`) its FIRST token lands in — the classic
+    * GPT-style packing layout (reference has no analogue; this is the
+    * training-data-pipeline step downstream of tokenization).
+    *
+    * The global prefix sum is computed as a two-level scan, not one global
+    * window: a window partitioned by a coarse id-range bucket computes
+    * bucket-local cumulative sums in parallel, and a tiny per-bucket total
+    * table (one row per bucket — ~corpus_rows/bucketSize rows, thousands at
+    * 100 TB) takes the only serial window before broadcast-joining back.
+    * A single `Window.orderBy(id)` with no partition key would funnel the
+    * full corpus through ONE task; this shape keeps every corpus-sized pass
+    * parallel at any scale.
+    *
+    * Returns (idCol, n_tok, start_tok, seq_id): `start_tok` is the global
+    * token offset where the document begins, `seq_id = start_tok / budget`.
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+      budget: Int, bucketSize: Long = 1L << 16): DataFrame = {
+    require(budget > 0 && bucketSize > 0, s"bad budget=$budget bucketSize=$bucketSize")
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(col(idCol).cast("long").as("id"),
+        col(nTokCol).cast("long").as("n_tok"))
+      .withColumn("bkt", floor(col("id") / bucketSize).cast("long"))
+    val local = d.withColumn("cum_local",
+      sum(col("n_tok")).over(Window.partitionBy(col("bkt")).orderBy(col("id"))))
+    // one row per bucket: the serial window runs over a table thousands of
+    // rows long, never corpus-sized
+    val offsets = d.groupBy(col("bkt")).agg(sum(col("n_tok")).as("tot"))
+      .withColumn("off", coalesce(
+        sum(col("tot")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    local.join(broadcast(offsets), "bkt")
+      .withColumn("start_tok", col("off") + col("cum_local") - col("n_tok"))
+      .select(col("id").as(idCol), col("n_tok"), col("start_tok"),
+        floor(col("start_tok") / budget).cast("long").as("seq_id"))
+  }
+
+  /** Exact substring-span removal (the "exact substring dedup" of
+    * Lee et al. 2022, arXiv:2107.06499, re-expressed relationally): any
+    * `w`-token window whose exact text occurs at least `minOcc` times
+    * corpus-wide (counting occurrences, so within-document repeats count)
+    * is a duplicated span; every token covered by at least one duplicated
+    * span is removed, and the per-document survivor text is rebuilt.
+    *
+    * Instead of the paper's monolithic suffix array — which needs the whole
+    * corpus materialized on one machine or a bespoke distributed SA build —
+    * fixed-width windows make the whole thing four shuffles of ordinary
+    * relational ops: posexplode windows, count occurrences per window text,
+    * join the duplicated ones back, explode their covered positions
+    * (distinct), anti-join against token positions, and re-assemble with a
+    * sorted collect_list. Window keys here are the raw w-token strings so a
+    * SQL oracle can reproduce the run bit-for-bit; at the 100 TB posture,
+    * key them by xxhash64(window) instead — 8-byte shuffle keys, identical
+    * semantics modulo a ~2^-64 collision.
+    *
+    * Returns (idCol, n_toks, n_kept, kept_text): a doc with no duplicated
+    * spans keeps all tokens; a fully-covered doc keeps zero and an empty
+    * string (drop those downstream).
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int, minOcc: Int = 2): DataFrame = {
+    require(w > 0 && minOcc >= 2, s"bad w=$w minOcc=$minOcc")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = df.select(col(idCol).as("id"),
+        wsTokens(lower(col(textCol))).as("tok"))
+      .repartition(parts, col("id"))
+    // (id, s, g): window starting at 1-based token position s
+    val grams = toks.select(col("id"),
+        posexplode(graft.functions.HashExprs.wordNgramsSeq(col("tok"), w)))
+      .select(col("id"), (col("pos") + 1).as("s"), col("col").as("g"))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc).select(col("g"))
+    val covered = grams.join(dup, "g")
+      .select(col("id"), explode(sequence(col("s"), col("s") + (w - 1))).as("p"))
+      .distinct()
+    val pos = toks.select(col("id"), posexplode(col("tok")))
+      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("t"))
+    val kept = pos.join(covered, Seq("id", "p"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("p"), col("t")))),
+          x => x.getField("t")), " ").as("kept_text"))
+    toks.select(col("id"), size(col("tok")).cast("long").as("n_toks"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** PII patterns for training-data scrubbing. Deliberately restricted to
     * the regex subset that means the same thing in Java regex (Spark,
     * codegen'd `regexp_replace`/`regexp_count`) and RE2 (DuckDB oracle,

@@ -242,6 +242,45 @@ class ModulesSpec extends SparkSuite {
     assert(exact.forall(_ == 3))
   }
 
+  test("packSequences: hand-computed layout; two-level scan = global window") {
+    val docs = Seq((1L, 10L), (2L, 5L), (3L, 2000L), (4L, 100L))
+      .toDF("doc_id", "nt")
+    val got = graft.text.packSequences(docs, "doc_id", "nt", budget = 16)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    // starts: 0, 10, 15, 2015 -> seqs 0, 0, 0, 125
+    assert(got == Map(1L -> ((0L, 0L)), 2L -> ((10L, 0L)),
+      3L -> ((15L, 0L)), 4L -> ((2015L, 125L))))
+    // bucketed decomposition must equal one global window cumsum, with ids
+    // spread over many buckets and a partitioning the scan can't rely on
+    val rnd = new scala.util.Random(7)
+    val big = (0 until 500).map(i => (rnd.nextInt(100000).toLong * 7 + i, rnd.nextInt(300).toLong))
+    val bigDf = big.toDF("doc_id", "nt").repartition(7)
+    val twoLevel = graft.text.packSequences(bigDf, "doc_id", "nt", 2048, bucketSize = 1024)
+      .select($"doc_id", $"start_tok").as[(Long, Long)].collect().toMap
+    import org.apache.spark.sql.expressions.Window
+    val global = bigDf.withColumn("cum",
+        sum($"nt").over(Window.orderBy($"doc_id")) - $"nt")
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+    assert(twoLevel == global)
+  }
+
+  test("dedupSpans: shared, within-doc, and absent spans; full coverage") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),             // shares "a b c d e" with doc 2
+      (2L, "x a b c d e y"),
+      (3L, "p q r s t u v"),             // untouched
+      (4L, "m n o p q m n o p q")        // within-doc repeat: fully covered
+    ).toDF("doc_id", "text")
+    val got = graft.text.dedupSpans(docs, "doc_id", "text", w = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((7L, 2L, "f g")))
+    assert(got(2L) == ((7L, 2L, "x y")))
+    assert(got(3L) == ((7L, 7L, "p q r s t u v")))
+    assert(got(4L) == ((10L, 0L, "")))
+  }
+
   test("streaming: checkpointed file sink resumes after restart, no dupes") {
     implicit val s: SparkSession = spark
     val base = java.nio.file.Files.createTempDirectory("graft_ss").toString
