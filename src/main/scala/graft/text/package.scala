@@ -242,26 +242,29 @@ package object text {
     * relational ops: posexplode windows, count occurrences per window text,
     * join the duplicated ones back, explode their covered positions
     * (distinct), anti-join against token positions, and re-assemble with a
-    * sorted collect_list. Window keys here are the raw w-token strings so a
-    * SQL oracle can reproduce the run bit-for-bit; at the 100 TB posture,
-    * key them by xxhash64(window) instead — 8-byte shuffle keys, identical
-    * semantics modulo a ~2^-64 collision.
+    * sorted collect_list. With `hashKeys=false` window keys are the raw
+    * w-token strings so a SQL oracle can reproduce the run bit-for-bit;
+    * `hashKeys=true` is the 100 TB posture — xxhash64 turns every shuffled
+    * gram key into 8 bytes, identical output modulo a ~2^-64 collision
+    * (equivalence pinned in ModulesSpec).
     *
     * Returns (idCol, n_toks, n_kept, kept_text): a doc with no duplicated
     * spans keeps all tokens; a fully-covered doc keeps zero and an empty
     * string (drop those downstream).
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
-      w: Int, minOcc: Int = 2): DataFrame = {
+      w: Int, minOcc: Int = 2, hashKeys: Boolean = false): DataFrame = {
     require(w > 0 && minOcc >= 2, s"bad w=$w minOcc=$minOcc")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val toks = df.select(col(idCol).as("id"),
         wsTokens(lower(col(textCol))).as("tok"))
       .repartition(parts, col("id"))
     // (id, s, g): window starting at 1-based token position s
+    val rawGram = col("col")
     val grams = toks.select(col("id"),
         posexplode(graft.functions.HashExprs.wordNgramsSeq(col("tok"), w)))
-      .select(col("id"), (col("pos") + 1).as("s"), col("col").as("g"))
+      .select(col("id"), (col("pos") + 1).as("s"),
+        (if (hashKeys) xxhash64(rawGram) else rawGram).as("g"))
     val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOcc).select(col("g"))
     val covered = grams.join(dup, "g")

@@ -279,6 +279,14 @@ class ModulesSpec extends SparkSuite {
     assert(got(2L) == ((7L, 2L, "x y")))
     assert(got(3L) == ((7L, 7L, "p q r s t u v")))
     assert(got(4L) == ((10L, 0L, "")))
+    // the 8-byte-key scale path must produce identical output on a real
+    // corpus slice (hash collisions aside — none at this size)
+    val docs2 = graft.core.Tables.documents(spark, dir).limit(200)
+    val a = graft.text.dedupSpans(docs2, "doc_id", "text", w = 5)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val b = graft.text.dedupSpans(docs2, "doc_id", "text", w = 5, hashKeys = true)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
   }
 
   test("streaming: checkpointed file sink resumes after restart, no dupes") {

@@ -361,6 +361,34 @@ class PlanQualitySpec extends SparkSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("packSequences: corpus window is bucket-partitioned, offsets broadcast") {
+    val d = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.text.countTokensWs(col("text")).cast("long").as("nt"))
+    val plan = graft.text.packSequences(d, "doc_id", "nt", 2048)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized window must carry a partition key (the id-range
+    // bucket); a Window with an empty partition spec over the corpus side
+    // would funnel 100 TB through one task. The one global window runs on
+    // the one-row-per-bucket aggregate, below the broadcast exchange.
+    val windowSpecs = "Window \\[".r.findAllIn(plan).size
+    assert(windowSpecs == 2, s"expected 2 Window nodes:\n${plan.take(3000)}")
+    assert(plan.contains("windowspecdefinition(bkt"),
+      s"corpus window lost its bucket partition key:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-bucket offsets should broadcast:\n${plan.take(3000)}")
+  }
+
+  test("dedupSpans: inverted-index joins only, no cartesian, sorted rebuild") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val plan = graft.text.dedupSpans(docs, "doc_id", "text", w = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // survivor rebuild is one partial-aggregated sort_array(collect_list),
+    // not a per-doc window sort
+    assert(!plan.contains("RunningWindowFunction"), plan.take(3000))
+  }
+
   test("flagship entry: top-k via TakeOrderedAndProject, partial collect") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     // limit+orderBy must plan as a bounded top-k, not a global sort
