@@ -119,6 +119,33 @@ object TextQueries {
           min(col("sk")).as("min_sk"))
     },
 
+    // top-3 TF-IDF terms per document (graft.text.tfidfTopTerms):
+    // integer-keyed rank (tf desc, rarity, term) so cross-engine float ulp
+    // can't flip ranks; the float score is an output, not a sort key
+    "t_tfidf" -> { (s, dir) =>
+      tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+    },
+
+    // corpus-unigram log-probability quality proxy
+    // (graft.text.unigramLogProb): CCNet-style LM scoring with the corpus
+    // as its own unigram model
+    "t_ppl" -> { (s, dir) =>
+      unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_toks"), round(col("logprob"), 4).as("lp"))
+    },
+
+    // sentence segmentation (graft.text.sentences): per-doc sentence count,
+    // mean tokens per sentence, and the exact first sentence
+    "t_sentences" -> { (s, dir) =>
+      val sents = graft.text.sentences(col("text"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(sents).cast("long").as("n_sent"),
+        when(size(sents) > 0, round(
+          aggregate(sents, lit(0L), (acc, p) => acc + size(split(p, "\\s+")))
+            .cast("double") / size(sents), 4)).as("avg_sent_toks"),
+        coalesce(element_at(sents, 1), lit("")).as("first_sent"))
+    },
+
     "t_tokens" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         countTokensWs(col("text")).cast("long").as("n_ws"),
@@ -236,6 +263,12 @@ object TextQueries {
       """WITH h AS (SELECT lang, (list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 10000) / 10000.0 AS b FROM documents) SELECT lang, count(*) FILTER (WHERE b < CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'es' THEN 0.25 ELSE 1.0 END) AS n_kept, count(*) AS n_total FROM h GROUP BY lang""",
     "t_winnow" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok FROM documents), h AS (SELECT doc_id, list_transform(range(1, len(tok)), i -> list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)], ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)) AS hs FROM t), f AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE list_distinct(list_transform(range(1, greatest(1, len(hs) - 3) + 1), i -> list_min(hs[CAST(i AS INT):CAST(least(i + 3, len(hs)) AS INT)]))) END AS fps FROM h) SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum FROM f""",
+    "t_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2), dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), r AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df, row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfq.df ASC, tf.tok) AS rank FROM tf JOIN dfq USING (tok)) SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 4) AS score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3""",
+    "t_ppl" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents), c AS (SELECT tok, count(*) AS ctf FROM tok GROUP BY 1), tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS t FROM c) SELECT doc_id, count(*) AS n_toks, round(avg(ln(ctf * 1.0 / (SELECT t FROM tot))), 4) AS lp FROM tok JOIN c USING (tok) GROUP BY doc_id""",
+    "t_sentences" ->
+      """WITH p AS (SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)), x -> length(x) > 0) AS sents FROM documents) SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sent, CASE WHEN len(sents) > 0 THEN round(list_sum(list_transform(sents, x -> len(string_split_regex(x, '\s+')))) * 1.0 / len(sents), 4) END AS avg_sent_toks, coalesce(sents[1], '') AS first_sent FROM p""",
     "t_pack" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt FROM documents), c AS (SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id) AS cum FROM t) SELECT CAST((cum - nt) // 2048 AS BIGINT) AS seq_id, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens FROM c GROUP BY 1""",
     "t_shuffle" ->

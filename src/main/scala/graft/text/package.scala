@@ -189,6 +189,60 @@ package object text {
     (floor(w) + when(b < w - floor(w), 1).otherwise(0)).cast("int")
   }
 
+  /** Sentence pieces of a text column: split on runs of terminal
+    * punctuation, trim, drop empties. Restricted to the regex subset shared
+    * by Java and RE2 (no lookbehind), so SQL oracles and Go/Trino tooling
+    * segment identically. */
+  def sentences(c: Column): Column =
+    filter(transform(split(c, "[.!?]+"), p => trim(p)), p => length(p) > 0)
+
+  /** Top-k TF-IDF terms per document. Ranking is by the deterministic
+    * integer key (tf desc, df asc, term asc) — for a fixed tf, idf is
+    * strictly decreasing in df, so this is the tf-major tf-idf order
+    * without float comparisons deciding ranks (cross-engine `ln` ulp drift
+    * can never flip a rank); the float score ships as an output column,
+    * not a sort key. Per-doc ranking is a key-partitioned window (bounded
+    * by document length); the document-frequency join is tok-keyed and
+    * shuffled on both sides — at 100 TB the vocabulary table is itself
+    * huge, so no broadcast. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count() // one count job; embedded as a literal (the
+                           // oracle's scalar subquery does the same)
+    val toks = df.select(col(idCol).as("id"),
+      explode(wsTokens(lower(col(textCol)))).as("tok"))
+    val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (id, tok), so count per tok IS document frequency
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tf").desc, col("df").asc, col("tok"))
+    tf.join(dfreq, "tok")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("tok"), col("tf"), col("df"),
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4).as("score"),
+        col("rank"))
+  }
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram distribution — the language-model quality proxy (CCNet-style
+    * perplexity bucketing, computable without any external model): rare-
+    * token soup scores very negative, common fluent text near the corpus
+    * mode. Two shuffles: corpus token counts, then a tok-keyed join back
+    * and a per-doc aggregate. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(wsTokens(lower(col(textCol)))).as("tok"))
+    val cnts = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
+    val tot = cnts.agg(sum(col("ctf"))).head().getLong(0)
+    toks.join(cnts, "tok")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"),
+        avg(log(col("ctf").cast("double") / tot)).as("logprob"))
+      .select(col("id").as(idCol), col("n_toks"), col("logprob"))
+  }
+
   /** Concat-and-chunk sequence packing: documents are laid out in `idCol`
     * order, token counts accumulate, and each document is assigned to the
     * training sequence (`seq_id`) its FIRST token lands in — the classic

@@ -106,6 +106,43 @@ class DifferentialFuzzSpec extends SparkSuite {
     }
   }
 
+  test("dedupSpans matches a brute-force span-removal model on random corpora") {
+    // tiny vocabulary + short docs => dense window collisions, incl.
+    // within-doc repeats, full coverage, and docs shorter than the window
+    val rnd = new scala.util.Random(17)
+    for (round <- 0 until 3) {
+      val w = 2 + round // windows of 2, 3, 4 tokens
+      val docs = (0 until 40).map { id =>
+        val n = rnd.nextInt(10)
+        (id.toLong, (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar.toString)
+          .mkString(" "))
+      }
+      val expected = {
+        val toks = docs.map { case (id, t) =>
+          id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+        val occ = scala.collection.mutable.Map.empty[Seq[String], Int]
+        for ((_, ts) <- toks; g <- ts.sliding(w) if g.length == w)
+          occ(g) = occ.getOrElse(g, 0) + 1
+        toks.map { case (id, ts) =>
+          val covered = ts.indices.filter { p =>
+            (math.max(0, p - w + 1) to math.min(p, ts.length - w))
+              .exists(s => occ.getOrElse(ts.slice(s, s + w), 0) >= 2)
+          }.toSet
+          val kept = ts.indices.filterNot(covered).map(ts)
+          id -> ((ts.length.toLong, kept.length.toLong, kept.mkString(" ")))
+        }
+      }
+      // empty text tokenizes to [""] in both engines — model that quirk
+      val expectedAdj = expected.map { case (id, v) =>
+        if (docs(id.toInt)._2.isEmpty) id -> ((1L, 1L, "")) else id -> v }
+      val got = graft.text.dedupSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", w)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == expectedAdj, s"w=$w")
+    }
+  }
+
   test("asofJoinLast matches brute-force latest-at-or-before on random inputs") {
     val rows: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] = for {
       l <- Gen.listOfN(20, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
