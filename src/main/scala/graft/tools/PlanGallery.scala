@@ -39,7 +39,17 @@ object PlanGallery {
       "skew (3 keys over the whole table): phase 1 aggregates on " +
       "(key, salt) so the hot key's rows pre-pack into arrays across 32 " +
       "cells in parallel; phase 2's shuffle then carries 32 packed records " +
-      "per key instead of N/3 row-records into one reducer."))
+      "per key instead of N/3 row-records into one reducer."),
+    "t_pack" -> ("Sequence packing as a two-level prefix scan: the " +
+      "corpus-sized Window keeps its id-range bucket partition key (runs " +
+      "in parallel), the only unpartitioned Window runs on the " +
+      "one-row-per-bucket totals, and the offsets come back via a " +
+      "BroadcastExchange — no corpus-wide single-task stage anywhere."),
+    "d_spanrm" -> ("Exact substring-span removal as relational ops: " +
+      "posexploded windows -> occurrence count -> duplicated spans join " +
+      "back -> covered positions explode+distinct -> anti-join -> sorted " +
+      "collect_list rebuild. Every join is an equi hash join; nothing " +
+      "quadratic, nothing driver-side."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
