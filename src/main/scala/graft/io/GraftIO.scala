@@ -76,6 +76,33 @@ object GraftIO {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Token-budget output layout: write the corpus as one parquet directory
+    * partition per ~`budget` tokens of text, documents in `idCol` order —
+    * the training-shard writer (each shard feeds one data-loader worker
+    * with a near-equal token count, not a near-equal FILE count, which
+    * skews badly when document lengths do). The exact analogue of the
+    * reference's divisions-based `repartition(rows_per_partition=)`
+    * (`core.py:979-1066`) with tokens as the unit instead of rows.
+    *
+    * Built on [[graft.text.packSequences]]'s two-level prefix scan: the
+    * shard id is `start_tok / budget`, assigned in parallel at any corpus
+    * size, then a single hash repartition on the shard id co-locates each
+    * shard before `partitionBy` writes `shard=N/` directories. One doc
+    * never splits across shards, so a shard can overflow by at most one
+    * document's tokens. */
+  def writeTokenSharded(df: DataFrame, idCol: String, textCol: String,
+      dest: String, budget: Long, compression: String = "zstd"): Unit = {
+    require(budget > 0, s"bad budget=$budget")
+    val nt = df.select(col(idCol).as("id"),
+      graft.text.countTokensWs(col(textCol)).cast("long").as("nt"))
+    val shards = graft.text.packSequences(nt, "id", "nt", budget)
+      .select(col("id"), col("seq_id").as("shard"))
+    df.join(shards, df(idCol) === shards("id")).drop("id")
+      .repartition(col("shard"))
+      .write.mode("overwrite").option("compression", compression)
+      .partitionBy("shard").parquet(dest)
+  }
+
   /** Z-order curve value for multi-dimensional data clustering: each
     * numeric column maps to a `bits`-wide bucket id over its [min, max]
     * span (driver-computed in one small agg job), and the bucket ids

@@ -262,7 +262,7 @@ package object text {
     * token offset where the document begins, `seq_id = start_tok / budget`.
     */
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
-      budget: Int, bucketSize: Long = 1L << 16): DataFrame = {
+      budget: Long, bucketSize: Long = 1L << 16): DataFrame = {
     require(budget > 0 && bucketSize > 0, s"bad budget=$budget bucketSize=$bucketSize")
     import org.apache.spark.sql.expressions.Window
     val d = df.select(col(idCol).cast("long").as("id"),

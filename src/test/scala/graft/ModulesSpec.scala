@@ -265,6 +265,63 @@ class ModulesSpec extends SparkSuite {
     assert(twoLevel == global)
   }
 
+  test("writeTokenSharded: shards hold ~budget tokens, ids stay contiguous") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    graft.io.GraftIO.writeTokenSharded(docs, "doc_id", "text", tmp, budget = 5000)
+    val back = spark.read.parquet(tmp)
+      .select($"shard".cast("long").as("shard"), $"doc_id",
+        graft.text.countTokensWs($"text").cast("long").as("nt"))
+    val perShard = back.groupBy($"shard")
+      .agg(sum($"nt").as("tok"), min($"doc_id").as("lo"), max($"doc_id").as("hi"),
+        count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // every doc present exactly once
+    assert(perShard.map(_._5).sum == docs.count())
+    // every shard except the last holds >= budget - (max doc len) and
+    // overflows by < one doc; id ranges of consecutive shards don't overlap
+    // (packing is in id order)
+    val maxDoc = back.agg(max($"nt")).as[Long].head()
+    perShard.dropRight(1).foreach { case (s, tok, _, _, _) =>
+      assert(tok > 5000 - maxDoc && tok < 5000 + maxDoc, s"shard $s: $tok")
+    }
+    perShard.sliding(2).foreach {
+      case Array((_, _, _, hi1, _), (_, _, lo2, _, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
+  test("tfidfTopTerms/unigramLogProb match brute-force models") {
+    val docs = graft.core.Tables.documents(spark, dir).limit(60)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+    // tfidf model
+    val tf = toks.map { case (id, ts) =>
+      id -> ts.groupBy(identity).view.mapValues(_.size.toLong).toMap }
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val expTop = tf.flatMap { case (id, m) =>
+      m.toSeq.map { case (tok, f) => (id, tok, f, dfreq(tok)) }
+        .sortBy { case (_, tok, f, d) => (-f, d, tok) }.take(3).zipWithIndex
+        .map { case ((i, tok, f, d), r) => (i, tok, f, d, r + 1) }
+    }.toSet
+    val df60 = docs.toSeq.toDF("doc_id", "text")
+    val gotTop = graft.text.tfidfTopTerms(df60, "doc_id", "text", 3)
+      .select($"doc_id", $"tok", $"tf", $"df", $"rank")
+      .as[(Long, String, Long, Long, Int)].collect().toSet
+    assert(gotTop == expTop)
+    // unigram logprob model
+    val ctf = toks.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val tot = ctf.values.sum.toDouble
+    val expLp = toks.map { case (id, ts) =>
+      id -> ts.map(t => math.log(ctf(t) / tot)).sum / ts.size }
+    val gotLp = graft.text.unigramLogProb(df60, "doc_id", "text")
+      .select($"doc_id", $"logprob").as[(Long, Double)].collect().toMap
+    assert(expLp.forall { case (id, e) => math.abs(gotLp(id) - e) < 1e-9 })
+  }
+
   test("dedupSpans: shared, within-doc, and absent spans; full coverage") {
     val docs = Seq(
       (1L, "a b c d e f g"),             // shares "a b c d e" with doc 2
