@@ -89,5 +89,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.HashExprs.WinnowFingerprint(args.head,
         intArg(args(1), "graft_winnow"), intArg(args(2), "graft_winnow"))
     }
+    reg("graft_minhash_poly") { args =>
+      graft.functions.HashExprs.MinHashSignaturePolyBase(args.head,
+        if (args.size > 1) intArg(args(1), "graft_minhash_poly") else 32, 42L)
+    }
   }
 }

@@ -265,8 +265,10 @@ package object text {
       budget: Long, bucketSize: Long = 1L << 16): DataFrame = {
     require(budget > 0 && bucketSize > 0, s"bad budget=$budget bucketSize=$bucketSize")
     import org.apache.spark.sql.expressions.Window
+    // null/negative token counts (e.g. size() of a null text) would silently
+    // null the prefix sums downstream — clamp to 0 so every doc keeps a shard
     val d = df.select(col(idCol).cast("long").as("id"),
-        col(nTokCol).cast("long").as("n_tok"))
+        greatest(coalesce(col(nTokCol).cast("long"), lit(0L)), lit(0L)).as("n_tok"))
       .withColumn("bkt", floor(col("id") / bucketSize).cast("long"))
     val local = d.withColumn("cum_local",
       sum(col("n_tok")).over(Window.partitionBy(col("bkt")).orderBy(col("id"))))

@@ -251,6 +251,12 @@ class ModulesSpec extends SparkSuite {
     // starts: 0, 10, 15, 2015 -> seqs 0, 0, 0, 125
     assert(got == Map(1L -> ((0L, 0L)), 2L -> ((10L, 0L)),
       3L -> ((15L, 0L)), 4L -> ((2015L, 125L))))
+    // null/negative counts clamp to 0 instead of nulling the prefix sums
+    val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(-5L)), (4L, Some(6L)))
+      .toDF("doc_id", "nt")
+    val gotN = graft.text.packSequences(withNull, "doc_id", "nt", 16)
+      .select($"doc_id", $"start_tok").as[(Long, Long)].collect().toMap
+    assert(gotN == Map(1L -> 0L, 2L -> 10L, 3L -> 10L, 4L -> 10L))
     // bucketed decomposition must equal one global window cumsum, with ids
     // spread over many buckets and a partitioning the scan can't rely on
     val rnd = new scala.util.Random(7)
@@ -610,7 +616,8 @@ class ModulesSpec extends SparkSuite {
                 size(graft_minhash(array('a b'), 8)) AS k,
                 graft_combinations(array(1, 2, 3), 2) AS combos,
                 graft_polyhash('ab') AS ph,
-                size(graft_winnow(array('a','b','c','d','e','f'), 2, 4)) AS nw""").head()
+                size(graft_winnow(array('a','b','c','d','e','f'), 2, 4)) AS nw,
+                size(graft_minhash_poly(array('a b'), 8)) AS kp""").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getSeq[String](1) == Seq("a b", "b c"))
     assert(r.getLong(2) != 0L)
@@ -618,6 +625,7 @@ class ModulesSpec extends SparkSuite {
     assert(r.getSeq[Seq[Int]](4).size == 3)
     assert(r.getLong(5) == (97L * 131 + 98) % 1000000007L) // 'a','b'
     assert(r.getInt(6) >= 1)
+    assert(r.getInt(7) == 8)
   }
 
   test("sources: DSv2 synthetic events — partitions, determinism, pruning") {
