@@ -40,4 +40,38 @@ object Partitions {
     * divisions, the scale-correct equivalent. */
   def repartitionByDivisions(df: DataFrame, n: Int, key: Column): DataFrame =
     df.repartitionByRange(n, key)
+
+  /** Exact global row ordinal in `orderCol` order — the reference's
+    * `divisions` made explicit (known divisions let it resolve `a[5]` /
+    * `a[10:2000]` to a partition + local index, `core.py:1347-1489`).
+    * Spark has no ordered-partition metadata, so the ordinal is computed
+    * with the same two-level prefix scan as
+    * [[graft.text.packSequences]] (count 1 per row): bucket-local window
+    * in parallel, one tiny per-bucket offset pass — never a corpus-wide
+    * single-task Window. Adds `outCol` (0-based). Requires distinct
+    * NUMERIC `orderCol` values (the scan buckets by value range; ties
+    * would make the ordinal order-dependent). */
+  def withRowIndex(df: DataFrame, orderCol: String,
+      outCol: String = "row_idx"): DataFrame = {
+    val ids = df.select(org.apache.spark.sql.functions.col(orderCol))
+      .withColumn("one", org.apache.spark.sql.functions.lit(1L))
+    val idx = graft.text.packSequences(ids, orderCol, "one", Long.MaxValue)
+      .select(org.apache.spark.sql.functions.col(orderCol),
+        org.apache.spark.sql.functions.col("start_tok").as(outCol))
+    df.join(idx, orderCol)
+  }
+
+  /** `a[start:stop]` with exact global semantics (reference
+    * `core.py:1419-1489`): rows whose [[withRowIndex]] ordinal falls in
+    * [start, stop). A filter on the indexed frame — fully parallel,
+    * unlike `limit`/`offset` which funnel through one task. */
+  def sliceRows(df: DataFrame, orderCol: String, start: Long, stop: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    withRowIndex(df, orderCol, "__ri").filter(
+      col("__ri") >= start && col("__ri") < stop).drop("__ri")
+  }
+
+  /** `a[i]` — exact global positional lookup (reference core.py:1347-1417). */
+  def atRow(df: DataFrame, orderCol: String, i: Long): DataFrame =
+    sliceRows(df, orderCol, i, i + 1)
 }

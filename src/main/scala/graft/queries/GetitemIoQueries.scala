@@ -28,6 +28,16 @@ object GetitemIoQueries {
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
     },
 
+    // a[10000:10025] with exact global semantics via the parallel row-index
+    // scan (core.Partitions.sliceRows) — unlike offset/limit, no
+    // single-task funnel; same divisions fidelity as the reference's
+    // known-divisions slicing (lib/core.py:1419-1489)
+    "g_slice_exact" -> { (s, dir) =>
+      graft.core.Partitions.sliceRows(
+          Tables.orders(s, dir), "o_orderkey", 10000L, 10025L)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    },
+
     // a[5] single-row positional access — reference lib/core.py:1347
     "g_at" -> { (s, dir) =>
       Tables.orders(s, dir).orderBy(col("o_orderkey"))
@@ -167,6 +177,8 @@ object GetitemIoQueries {
       """SELECT * FROM orders ORDER BY o_orderkey LIMIT 5""",
     "g_slice_rows" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 100""",
+    "g_slice_exact" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM (SELECT o_orderkey, o_totalprice, row_number() OVER (ORDER BY o_orderkey) - 1 AS ri FROM orders) t WHERE ri >= 10000 AND ri < 10025""",
     "g_at" ->
       """SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 5""",
     "g_sample" ->

@@ -271,6 +271,20 @@ class ModulesSpec extends SparkSuite {
     assert(twoLevel == global)
   }
 
+  test("withRowIndex/sliceRows: exact ordinals on sparse ids, matches offset/limit") {
+    val orders = graft.core.Tables.orders(spark, dir)
+    val viaIndex = graft.core.Partitions.sliceRows(orders, "o_orderkey", 37L, 59L)
+      .select($"o_orderkey").as[Long].collect().sorted.toSeq
+    val viaLimit = orders.orderBy($"o_orderkey").offset(37).limit(22)
+      .select($"o_orderkey").as[Long].collect().sorted.toSeq
+    assert(viaIndex == viaLimit && viaIndex.size == 22)
+    // ordinal is dense 0..n-1 even when ids are sparse/negative
+    val sparse = Seq(-50L, 3L, 7L, 100000L, 999L).toDF("id")
+    val got = graft.core.Partitions.withRowIndex(sparse, "id")
+      .as[(Long, Long)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(got == Seq(-50L, 3L, 7L, 999L, 100000L))
+  }
+
   test("writeTokenSharded: shards hold ~budget tokens, ids stay contiguous") {
     val docs = graft.core.Tables.documents(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
