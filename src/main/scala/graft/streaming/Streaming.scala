@@ -170,6 +170,41 @@ object Streaming {
       }
   }
 
+  /** Streaming decontamination prefilter — the stream-static shape of
+    * [[graft.dedup.crossContamination]]: a Bloom filter built ONCE over the
+    * static eval corpus's n-gram shingle hashes rides into the stream as a
+    * broadcast literal, and each arriving document counts its shingles that
+    * might be eval shingles, entirely map-side. Zero shuffle, zero
+    * streaming state, works identically on a batch frame (asserted in
+    * tests) — at 100 TB/day of stream this is scan-speed flagging.
+    *
+    * Bloom semantics: NO false negatives (a truly contaminated doc always
+    * flags — `n_shared` is an upper bound of the true shared count), ~fpp
+    * false positives per clean shingle. Route flagged docs to the exact
+    * batch verifier (`crossContamination`); the clean stream passes
+    * through unverified. */
+  def streamingContaminationFlag(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 2, minShared: Int = 2,
+      expectedShingles: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val bf = evalDocs
+      .select(explode(graft.dedup.wordShingles(col(textCol), n)).as("gs"))
+      .select(xxhash64(col("gs")).as("h"))
+      .stat.bloomFilter("h", expectedShingles, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    def might(key: org.apache.spark.sql.Column) =
+      GraftBridge.column(BloomFilterMightContain(
+        Literal.create(bytes),
+        GraftBridge.expression(xxhash64(key))))
+    val shared = size(filter(
+      graft.dedup.wordShingles(col(textCol), n), g => might(g)))
+    docs.select(col(idCol), shared.as("n_shared"),
+      (shared >= minShared).as("flagged"))
+  }
+
   /** Back streaming state with RocksDB instead of the default in-JVM-heap
     * HDFS-backed store — the 100 TB knob: state size is bounded by local
     * disk (with block-cache in native memory), not executor heap, so

@@ -76,6 +76,45 @@ class ModulesSpec extends SparkSuite {
     }
   }
 
+  test("streaming contamination flag: no false negatives, stream = batch") {
+    implicit val s: SparkSession = spark
+    val docs = graft.core.Tables.documents(spark, dir)
+    val train = docs.filter($"doc_id" % 2 === 0)
+    val eval = docs.filter($"doc_id" % 2 === 1)
+    val flagged = graft.streaming.Streaming
+      .streamingContaminationFlag(train, eval, "doc_id", "text", minShared = 2)
+    val flaggedIds = flagged.filter($"flagged")
+      .select($"doc_id").as[Long].collect().toSet
+    // exact shared-shingle counts: every doc truly sharing >= 2 shingles
+    // with the eval corpus MUST be flagged (bloom has no false negatives)
+    val evalG = eval
+      .select(explode(graft.dedup.wordShingles($"text", 2)).as("gs")).distinct()
+    val exact = train
+      .select($"doc_id", explode(graft.dedup.wordShingles($"text", 2)).as("gs"))
+      .join(evalG, "gs").groupBy($"doc_id").count()
+      .filter($"count" >= 2).select($"doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(flaggedIds), s"missed: ${exact -- flaggedIds}")
+    // false positives bounded: flagged-but-clean stays a small fraction
+    val fp = flaggedIds -- exact
+    assert(fp.size <= math.max(3, train.count() / 20), s"fp=${fp.size}")
+    // the same map-side plan runs unchanged on a stream and agrees row-wise
+    val tmp = java.nio.file.Files.createTempDirectory("graft_contam_stream").toString
+    try {
+      train.select($"doc_id", $"text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val src = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(tmp)
+      val out = graft.streaming.Streaming.runToMemory(
+        graft.streaming.Streaming.streamingContaminationFlag(
+          src, eval, "doc_id", "text", minShared = 2), "t_contam_flag")
+        .as[(Long, Int, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = flagged.as[(Long, Int, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(out == batch)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("streaming: stateful agg runs on the RocksDB state store") {
     implicit val s: SparkSession = spark
     val key = "spark.sql.streaming.stateStore.providerClass"
