@@ -102,6 +102,90 @@ object AsofJoin {
       keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame =
     asofJoin(left, right, keyCol, tsCol, payloadCols, "backward")
 
+  /** Broadcast as-of join: when the right side is dimension-sized (rates,
+    * reference prices, config states — thousands to low millions of rows),
+    * collect it once, sort per key, broadcast, and resolve every left row
+    * with a per-row binary search in mapPartitions. The 100 TB shape for
+    * the common case: the fact side is NEVER shuffled or sorted — the one
+    * thing the union+window encoding ([[asofJoin]]) and the native merge
+    * operator (both exchanges) cannot avoid. Same output contract and
+    * direction semantics as [[asofJoin]] (inclusive bounds, nearest ties
+    * to backward). Right rows with a null key or ts are dropped; left rows
+    * with a null key/ts emit null payloads.
+    *
+    * Key and ts compare via their natural ordering (numeric, timestamp,
+    * string all work); right rows should be unique per (key, ts). */
+  def asofJoinBroadcast(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, payloadCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoinBroadcast: unknown direction '$direction'")
+    val spark = left.sparkSession
+    def tsNum(v: Any): Double = v match {
+      case t: java.sql.Timestamp => t.getTime * 1000.0 + (t.getNanos / 1000 % 1000)
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"asofJoinBroadcast: nearest needs numeric/timestamp ts, got $other")
+    }
+    @inline def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // (key -> (sorted ts array, payload rows in the same order))
+    val table: Map[Any, (Array[Any], Array[Array[Any]])] = right
+      .select(col(keyCol) +: col(tsCol) +: payloadCols.map(col): _*)
+      .collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .groupBy(_.get(0))
+      .map { case (k, rows) =>
+        val sorted = rows.sortWith((a, b) => cmp(a.get(1), b.get(1)) < 0)
+        k -> ((sorted.map(_.get(1)).toArray,
+          sorted.map(r => (2 until r.length).map(r.get).toArray).toArray))
+      }
+    val bc = spark.sparkContext.broadcast(table)
+    val nPay = payloadCols.size
+    val outSchema = org.apache.spark.sql.types.StructType(
+      left.schema.fields ++ payloadCols.map(p =>
+        right.schema(p).copy(name = s"asof_$p", nullable = true)))
+    val dir = direction
+    val rdd = left.rdd.mapPartitions { it =>
+      val t = bc.value
+      it.map { row =>
+        val k = row.get(row.fieldIndex(keyCol))
+        val ts = row.get(row.fieldIndex(tsCol))
+        val payload: Array[Any] =
+          if (k == null || ts == null) Array.fill[Any](nPay)(null)
+          else t.get(k) match {
+            case None => Array.fill[Any](nPay)(null)
+            case Some((tss, pays)) =>
+              // lo = count of right ts <= left ts (binary search)
+              var lo = 0
+              var hi = tss.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (cmp(tss(mid), ts) <= 0) lo = mid + 1 else hi = mid
+              }
+              val back = lo - 1 // last <= ts, -1 if none
+              val fwd = // first >= ts (inclusive: equal ts matches both)
+                if (back >= 0 && cmp(tss(back), ts) == 0) back
+                else if (lo < tss.length) lo
+                else -1
+              val pick = dir match {
+                case "backward" => back
+                case "forward" => fwd
+                case "nearest" =>
+                  if (back < 0) fwd
+                  else if (fwd < 0) back
+                  else if (tsNum(ts) - tsNum(tss(back)) <=
+                    tsNum(tss(fwd)) - tsNum(ts)) back
+                  else fwd
+              }
+              if (pick < 0) Array.fill[Any](nPay)(null) else pays(pick)
+          }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ payload)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** The same operator as a native planner node
     * ([[graft.plans.AsofJoinPlan]] -> AsofJoinExec): hash-clustered +
     * (key, ts)-sorted children, one streaming merge per partition.

@@ -60,6 +60,23 @@ object EventQueries {
           round(sum(col("asof_pval")), 2).as("sum_asof"))
     },
 
+    // broadcast as-of: same semantics/oracle as ev_asof but the dimension-
+    // sized purchase table broadcasts with per-row binary search — the
+    // fact side is never shuffled (plan asserted Exchange-free in
+    // OperatorsSpec)
+    "ev_asof_bcast" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.AsofJoin.asofJoinBroadcast(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, "user_id", "ts", Seq("pval"))
+        .groupBy(col("user_id"))
+        .agg(count(when(col("asof_pval").isNotNull, 1)).as("n_matched"),
+          round(sum(col("asof_pval")), 2).as("sum_asof"))
+    },
+
     // forward as-of: the user's NEXT purchase at-or-after each event
     // (direction="forward"; DuckDB mirrors with ASOF ... ON l.ts <= p.ts)
     "ev_asof_fwd" -> { (s, dir) =>
@@ -194,6 +211,8 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "ev_asof" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
+    "ev_asof_bcast" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
     "ev_asof_native" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",

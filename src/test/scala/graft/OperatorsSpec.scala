@@ -140,6 +140,32 @@ class OperatorsSpec extends SparkSuite {
       "fixture should produce both matched and unmatched rows")
   }
 
+  test("broadcast asof join matches the union+window form in all directions") {
+    val ev = graft.core.Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("pval"))
+    val l = ev.select($"event_id", $"user_id", $"ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"asof_pval")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val window = canon(graft.operators.AsofJoin.asofJoin(
+        l, purchases, "user_id", "ts", Seq("pval"), dir))
+      val bcast = canon(graft.operators.AsofJoin.asofJoinBroadcast(
+        l, purchases, "user_id", "ts", Seq("pval"), dir))
+      assert(bcast.size == window.size, dir)
+      val diffs = window.collect {
+        case (k, v) if bcast.get(k) != Some(v) => (k, v, bcast.get(k))
+      }
+      assert(diffs.isEmpty, s"$dir first diffs: ${diffs.take(5)}")
+    }
+    // fact side stays unshuffled: the plan has no Exchange at all
+    val plan = graft.operators.AsofJoin.asofJoinBroadcast(
+      l, purchases, "user_id", "ts", Seq("pval"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("native asof join: inclusive tie, strictly-later right row ignored") {
     val l = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
       .toDF("k", "t", "tag")
