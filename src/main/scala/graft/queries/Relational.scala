@@ -110,6 +110,21 @@ object Relational {
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
     },
 
+    // unpivot/melt (wide -> long): three measure columns become (metric,
+    // value) rows map-side (a Generate, no shuffle), then one aggregate —
+    // Spark-native superset op (reference has no relational reshaping)
+    "q_unpivot" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "metric", "value")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    },
+
     "q_distinct" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
@@ -248,6 +263,8 @@ object Relational {
       """SELECT l_suppkey, rn, l_orderkey, l_linenumber, round(l_extendedprice,2) AS price FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) t WHERE rn <= 3""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_unpivot" ->
+      """WITH u AS (SELECT l_returnflag, 'quantity' AS metric, CAST(l_quantity AS DOUBLE) AS value FROM lineitem UNION ALL SELECT l_returnflag, 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem UNION ALL SELECT l_returnflag, 'discount', CAST(l_discount AS DOUBLE) FROM lineitem) SELECT l_returnflag, metric, count(*) AS n, round(sum(value), 2) AS total FROM u GROUP BY 1, 2""",
     "q_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY l_returnflag""",
     "q_cube" ->
