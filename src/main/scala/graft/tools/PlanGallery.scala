@@ -49,7 +49,12 @@ object PlanGallery {
       "posexploded windows -> occurrence count -> duplicated spans join " +
       "back -> covered positions explode+distinct -> anti-join -> sorted " +
       "collect_list rebuild. Every join is an equi hash join; nothing " +
-      "quadratic, nothing driver-side."))
+      "quadratic, nothing driver-side."),
+    "ev_asof_bcast" -> ("Broadcast as-of join: the dimension-sized right " +
+      "side resolves per-row by binary search inside mapPartitions — the " +
+      "fact scan runs straight into the final aggregate with ZERO " +
+      "Exchange nodes before it; neither the union+window form nor the " +
+      "native merge operator can avoid shuffling the fact side."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -156,14 +156,17 @@ class DifferentialFuzzSpec extends SparkSuite {
         val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
           .toDF("row_id", "k", "ts")
         val right = r.toDF("k", "ts", "v")
-        // both implementations (union+window AND the native planner exec)
-        // against the brute-force model
-        for (impl <- Seq("window", "native")) {
-          val joined =
-            if (impl == "window") graft.operators.AsofJoin
+        // all three implementations (union+window, native planner exec,
+        // broadcast binary search) against the brute-force model
+        for (impl <- Seq("window", "native", "broadcast")) {
+          val joined = impl match {
+            case "window" => graft.operators.AsofJoin
               .asofJoinLast(left, right, "k", "ts", Seq("v"))
-            else graft.operators.AsofJoin
+            case "native" => graft.operators.AsofJoin
               .asofJoinNative(left, right, "k", "ts", Seq("v"))
+            case _ => graft.operators.AsofJoin
+              .asofJoinBroadcast(left, right, "k", "ts", Seq("v"))
+          }
           val got = joined
             .select($"row_id", $"asof_v").as[(Long, Option[Double])]
             .collect().toMap
