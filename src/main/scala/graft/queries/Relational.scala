@@ -110,6 +110,24 @@ object Relational {
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
     },
 
+    // window-function breadth on one key-partitioned sort: lag/lead, rank,
+    // a running-total frame, and ntile — all share a single exchange+sort
+    // (ordering is unique per partition, so every function is deterministic)
+    "q_window_frames" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        rank().over(w).as("rk"),
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("run_total"),
+        ntile(4).over(w).as("quartile"))
+    },
+
     // unpivot/melt (wide -> long): three measure columns become (metric,
     // value) rows map-side (a Generate, no shuffle), then one aggregate —
     // Spark-native superset op (reference has no relational reshaping)
@@ -263,6 +281,8 @@ object Relational {
       """SELECT l_suppkey, rn, l_orderkey, l_linenumber, round(l_extendedprice,2) AS price FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) t WHERE rn <= 3""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey, round(lag(o_totalprice, 1) OVER w, 2) AS prev_price, round(lead(o_totalprice, 1) OVER w, 2) AS next_price, CAST(rank() OVER w AS INT) AS rk, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total, CAST(ntile(4) OVER w AS INT) AS quartile FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
     "q_unpivot" ->
       """WITH u AS (SELECT l_returnflag, 'quantity' AS metric, CAST(l_quantity AS DOUBLE) AS value FROM lineitem UNION ALL SELECT l_returnflag, 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem UNION ALL SELECT l_returnflag, 'discount', CAST(l_discount AS DOUBLE) FROM lineitem) SELECT l_returnflag, metric, count(*) AS n, round(sum(value), 2) AS total FROM u GROUP BY 1, 2""",
     "q_distinct" ->
