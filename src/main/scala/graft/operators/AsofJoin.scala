@@ -146,11 +146,13 @@ object AsofJoin {
       left.schema.fields ++ payloadCols.map(p =>
         right.schema(p).copy(name = s"asof_$p", nullable = true)))
     val dir = direction
+    val kIdx = left.schema.fieldIndex(keyCol)
+    val tIdx = left.schema.fieldIndex(tsCol)
     val rdd = left.rdd.mapPartitions { it =>
       val t = bc.value
       it.map { row =>
-        val k = row.get(row.fieldIndex(keyCol))
-        val ts = row.get(row.fieldIndex(tsCol))
+        val k = row.get(kIdx)
+        val ts = row.get(tIdx)
         val payload: Array[Any] =
           if (k == null || ts == null) Array.fill[Any](nPay)(null)
           else t.get(k) match {

@@ -361,6 +361,17 @@ class PlanQualitySpec extends SparkSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("q_window_frames: every window function shares one exchange and sort") {
+    val plan = SparkEntry.queries("q_window_frames")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // lag/lead/rank/ntile/running-sum may split across Window nodes by
+    // frame, but the shared partitioning+ordering must plan exactly one
+    // shuffle and one sort — a second of either means a spec mismatch
+    // multiplied corpus-wide at scale
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert("\\+- Sort ".r.findAllIn(plan).size == 1, plan.take(3000))
+  }
+
   test("packSequences: corpus window is bucket-partitioned, offsets broadcast") {
     val d = graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), graft.text.countTokensWs(col("text")).cast("long").as("nt"))
