@@ -53,6 +53,15 @@ object Partitions {
     * would make the ordinal order-dependent). */
   def withRowIndex(df: DataFrame, orderCol: String,
       outCol: String = "row_idx"): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // the scan casts the key to long internally — a fractional type would
+    // truncate and the join back on the original values would silently
+    // DROP rows, so only integral keys are accepted
+    val dt = df.schema(orderCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"withRowIndex: orderCol must be an integral type, got $dt")
+    require(!df.columns.contains(outCol),
+      s"withRowIndex: input already has a column named '$outCol'")
     val ids = df.select(org.apache.spark.sql.functions.col(orderCol))
       .withColumn("one", org.apache.spark.sql.functions.lit(1L))
     val idx = graft.text.packSequences(ids, orderCol, "one", Long.MaxValue)
@@ -67,6 +76,8 @@ object Partitions {
     * unlike `limit`/`offset` which funnel through one task. */
   def sliceRows(df: DataFrame, orderCol: String, start: Long, stop: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
+    require(!df.columns.contains("__ri"),
+      "sliceRows: input already has a column named '__ri' (reserved)")
     withRowIndex(df, orderCol, "__ri").filter(
       col("__ri") >= start && col("__ri") < stop).drop("__ri")
   }

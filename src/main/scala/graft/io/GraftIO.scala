@@ -92,12 +92,23 @@ object GraftIO {
     * document's tokens. */
   def writeTokenSharded(df: DataFrame, idCol: String, textCol: String,
       dest: String, budget: Long, compression: String = "zstd"): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(budget > 0, s"bad budget=$budget")
+    // the shard scan casts the id to long — a string id would turn every
+    // join key null (or throw under ANSI) and OVERWRITE dest with an
+    // empty dataset, so fail fast on non-integral ids
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"writeTokenSharded: idCol must be an integral type, got $idType")
+    require(!df.columns.contains("shard"),
+      "writeTokenSharded: input already has a column named 'shard' (reserved)")
     val nt = df.select(col(idCol).as("id"),
       graft.text.countTokensWs(col(textCol)).cast("long").as("nt"))
+    // reserved-name alias so an input id column literally named "id"
+    // survives the join+drop
     val shards = graft.text.packSequences(nt, "id", "nt", budget)
-      .select(col("id"), col("seq_id").as("shard"))
-    df.join(shards, df(idCol) === shards("id")).drop("id")
+      .select(col("id").as("__graft_sid"), col("seq_id").as("shard"))
+    df.join(shards, df(idCol) === col("__graft_sid")).drop("__graft_sid")
       .repartition(col("shard"))
       .write.mode("overwrite").option("compression", compression)
       .partitionBy("shard").parquet(dest)

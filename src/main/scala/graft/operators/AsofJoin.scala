@@ -120,13 +120,39 @@ object AsofJoin {
       direction: String = "backward"): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"asofJoinBroadcast: unknown direction '$direction'")
+    // the driver-side map probes with Java equality — mixed key types
+    // (Integer vs Long) would silently match NOTHING, so fail fast instead
+    require(left.schema(keyCol).dataType == right.schema(keyCol).dataType,
+      s"asofJoinBroadcast: key type mismatch " +
+        s"${left.schema(keyCol).dataType} vs ${right.schema(keyCol).dataType}")
+    require(left.schema(tsCol).dataType == right.schema(tsCol).dataType,
+      s"asofJoinBroadcast: ts type mismatch " +
+        s"${left.schema(tsCol).dataType} vs ${right.schema(tsCol).dataType}")
     val spark = left.sparkSession
+    // exact micros/integral value where possible so `nearest` tie-breaks
+    // identically to asofJoin's long arithmetic even past 2^53
+    def tsLong(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp =>
+        Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
+      case l: java.lang.Long => Some(l)
+      case i: java.lang.Integer => Some(i.toLong)
+      case s: java.lang.Short => Some(s.toLong)
+      case b: java.lang.Byte => Some(b.toLong)
+      case _ => None
+    }
     def tsNum(v: Any): Double = v match {
-      case t: java.sql.Timestamp => t.getTime * 1000.0 + (t.getNanos / 1000 % 1000)
       case n: Number => n.doubleValue()
       case other => throw new IllegalArgumentException(
         s"asofJoinBroadcast: nearest needs numeric/timestamp ts, got $other")
     }
+    // true iff |ts - back| <= |fwd - ts| (backward wins ties)
+    def backCloser(ts: Any, back: Any, fwd: Any): Boolean =
+      (tsLong(ts), tsLong(back), tsLong(fwd)) match {
+        case (Some(t), Some(b), Some(f)) => t - b <= f - t
+        case _ => tsNum(ts) - tsNum(back) <= tsNum(fwd) - tsNum(ts)
+      }
     @inline def cmp(a: Any, b: Any): Int =
       a.asInstanceOf[Comparable[Any]].compareTo(b)
     // (key -> (sorted ts array, payload rows in the same order))
@@ -176,8 +202,7 @@ object AsofJoin {
                 case "nearest" =>
                   if (back < 0) fwd
                   else if (fwd < 0) back
-                  else if (tsNum(ts) - tsNum(tss(back)) <=
-                    tsNum(tss(fwd)) - tsNum(ts)) back
+                  else if (backCloser(ts, tss(back), tss(fwd))) back
                   else fwd
               }
               if (pick < 0) Array.fill[Any](nPay)(null) else pays(pick)

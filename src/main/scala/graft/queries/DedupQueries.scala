@@ -190,7 +190,7 @@ object DedupQueries {
     "d_embed" ->
       """WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), d AS (SELECT id1, id2, sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) AS dot, sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(ea[CAST(i AS INT)] AS DOUBLE)) AS na2, sum(CAST(eb[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) AS nb2 FROM p, range(1, 65) r(i) GROUP BY id1, id2) SELECT id1, id2, round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos FROM d WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.35""",
     "d_spanrm" ->
-      s"""WITH t AS (SELECT doc_id, $TOKS AS tok FROM documents), g AS (SELECT doc_id, CAST(s AS INT) AS s, array_to_string(tok[CAST(s AS INT):CAST(s + 4 AS INT)], ' ') AS gs FROM (SELECT doc_id, tok, unnest(range(1, greatest(len(tok) - 3, 1))) AS s FROM t) u), dup AS (SELECT gs FROM g GROUP BY gs HAVING count(*) >= 2), cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(s, s + 5)) AS INT) AS p FROM g WHERE gs IN (SELECT gs FROM dup)), pos AS (SELECT doc_id, CAST(p AS INT) AS p, tok[CAST(p AS INT)] AS tkn FROM (SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS p FROM t) v), kept AS (SELECT pos.doc_id, count(*) AS n_kept, md5(string_agg(tkn, ' ' ORDER BY pos.p)) AS kept_md5 FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.p IS NULL GROUP BY pos.doc_id) SELECT t.doc_id, CAST(len(tok) AS BIGINT) AS n_toks, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, coalesce(kept_md5, md5('')) AS kept_md5 FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id""",
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok, list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS tokl FROM documents), g AS (SELECT doc_id, CAST(s AS INT) AS s, array_to_string(tokl[CAST(s AS INT):CAST(s + 4 AS INT)], ' ') AS gs FROM (SELECT doc_id, tokl, unnest(range(1, greatest(len(tokl) - 3, 1))) AS s FROM t) u), dup AS (SELECT gs FROM g GROUP BY gs HAVING count(*) >= 2), cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(s, s + 5)) AS INT) AS p FROM g WHERE gs IN (SELECT gs FROM dup)), pos AS (SELECT doc_id, CAST(p AS INT) AS p, tok[CAST(p AS INT)] AS tkn FROM (SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS p FROM t) v), kept AS (SELECT pos.doc_id, count(*) AS n_kept, md5(string_agg(tkn, ' ' ORDER BY pos.p)) AS kept_md5 FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.p IS NULL GROUP BY pos.doc_id) SELECT t.doc_id, CAST(len(tok) AS BIGINT) AS n_toks, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, coalesce(kept_md5, md5('')) AS kept_md5 FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id""",
     "d_dupratio" ->
       s"""WITH sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, unnest(gs) AS g FROM sh), dfreq AS (SELECT g, count(*) AS df FROM inv GROUP BY g), per AS (SELECT id, count(*) AS n_shingles, count(*) FILTER (WHERE df >= 2) AS n_shared FROM inv JOIN dfreq USING (g) GROUP BY id) SELECT CAST(floor(round(n_shared * 1.0 / n_shingles, 4) * 10) AS INT) AS decile, count(*) AS n_docs, CAST(sum(n_shared) AS BIGINT) AS sum_shared, CAST(sum(n_shingles) AS BIGINT) AS sum_shingles FROM per GROUP BY 1""")
 }

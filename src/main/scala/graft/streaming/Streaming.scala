@@ -199,8 +199,10 @@ object Streaming {
       GraftBridge.column(BloomFilterMightContain(
         Literal.create(bytes),
         GraftBridge.expression(xxhash64(key))))
-    val shared = size(filter(
-      graft.dedup.wordShingles(col(textCol), n), g => might(g)))
+    // null text -> null shingles -> null size; clamp so a null-text row is
+    // an explicit non-flag instead of a silent null in a boolean column
+    val shared = coalesce(size(filter(
+      graft.dedup.wordShingles(col(textCol), n), g => might(g))), lit(0))
     docs.select(col(idCol), shared.as("n_shared"),
       (shared >= minShared).as("flagged"))
   }

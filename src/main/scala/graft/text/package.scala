@@ -235,7 +235,10 @@ package object text {
     val toks = df.select(col(idCol).as("id"),
       explode(wsTokens(lower(col(textCol)))).as("tok"))
     val cnts = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
-    val tot = cnts.agg(sum(col("ctf"))).head().getLong(0)
+    // empty corpus: sum is null; 1 keeps the (never-evaluated) expression
+    // well-formed and the result frame empty instead of an NPE here
+    val tot = Option(cnts.agg(sum(col("ctf"))).head().get(0))
+      .fold(1L)(_.asInstanceOf[Long])
     toks.join(cnts, "tok")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_toks"),
@@ -267,9 +270,27 @@ package object text {
     import org.apache.spark.sql.expressions.Window
     // null/negative token counts (e.g. size() of a null text) would silently
     // null the prefix sums downstream — clamp to 0 so every doc keeps a shard
-    val d = df.select(col(idCol).cast("long").as("id"),
-        greatest(coalesce(col(nTokCol).cast("long"), lit(0L)), lit(0L)).as("n_tok"))
-      .withColumn("bkt", floor(col("id") / bucketSize).cast("long"))
+    val d0 = df.select(col(idCol).cast("long").as("id"),
+      greatest(coalesce(col(nTokCol).cast("long"), lit(0L)), lit(0L)).as("n_tok"))
+    // Bucket width adapts to the OBSERVED id range (one tiny agg job):
+    // fixed floor(id/bucketSize) would give sparse/hashed ids ~one bucket
+    // per row, growing the "tiny" offsets table to corpus size — the exact
+    // single-task/broadcast blowup this scan exists to prevent. Capping
+    // buckets at ~2^16 keeps offsets small for ANY id distribution; the
+    // double-precision bucket math is monotone in id (bucket merging from
+    // rounding only affects parallelism, never ordinals — ordering within
+    // a bucket is exact on the id itself).
+    val (lo, hi) = {
+      val r = d0.agg(min(col("id")), max(col("id"))).head()
+      (Option(r.get(0)).fold(0L)(_.asInstanceOf[Long]),
+        Option(r.get(1)).fold(0L)(_.asInstanceOf[Long]))
+    }
+    val maxBuckets = 1L << 16
+    val width = math.max(bucketSize,
+      ((BigInt(hi) - BigInt(lo) + maxBuckets) / maxBuckets).toLong max 1L)
+    val d = d0.withColumn("bkt",
+      floor((col("id").cast("double") - lit(lo.toDouble)) / lit(width.toDouble))
+        .cast("long"))
     val local = d.withColumn("cum_local",
       sum(col("n_tok")).over(Window.partitionBy(col("bkt")).orderBy(col("id"))))
     // one row per bucket: the serial window runs over a table thousands of
@@ -312,13 +333,17 @@ package object text {
       w: Int, minOcc: Int = 2, hashKeys: Boolean = false): DataFrame = {
     require(w > 0 && minOcc >= 2, s"bad w=$w minOcc=$minOcc")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // span MATCHING is case-insensitive (lowercased window keys), but the
+    // survivor text rebuilds from the ORIGINAL tokens — silently
+    // case-folding every untouched document would corrupt the corpus
     val toks = df.select(col(idCol).as("id"),
-        wsTokens(lower(col(textCol))).as("tok"))
+        wsTokens(col(textCol)).as("tok"))
       .repartition(parts, col("id"))
     // (id, s, g): window starting at 1-based token position s
+    val lowered = transform(col("tok"), t => lower(t))
     val rawGram = col("col")
     val grams = toks.select(col("id"),
-        posexplode(graft.functions.HashExprs.wordNgramsSeq(col("tok"), w)))
+        posexplode(graft.functions.HashExprs.wordNgramsSeq(lowered, w)))
       .select(col("id"), (col("pos") + 1).as("s"),
         (if (hashKeys) xxhash64(rawGram) else rawGram).as("g"))
     val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("occ"))

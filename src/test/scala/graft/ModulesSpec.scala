@@ -308,6 +308,17 @@ class ModulesSpec extends SparkSuite {
         sum($"nt").over(Window.orderBy($"doc_id")) - $"nt")
       .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
     assert(twoLevel == global)
+    // hashed/sparse ids (full long range, negatives): the adaptive bucket
+    // width caps the offsets table, and ordinals still match the global
+    // window exactly
+    val hashed = (0 until 300).map(_ => (rnd.nextLong(), rnd.nextInt(50).toLong))
+      .distinctBy(_._1).toDF("doc_id", "nt").repartition(5)
+    val twoH = graft.text.packSequences(hashed, "doc_id", "nt", 1024)
+      .select($"doc_id", $"start_tok").as[(Long, Long)].collect().toMap
+    val globH = hashed.withColumn("cum",
+        sum($"nt").over(Window.orderBy($"doc_id")) - $"nt")
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+    assert(twoH == globH)
   }
 
   test("withRowIndex/sliceRows: exact ordinals on sparse ids, matches offset/limit") {
@@ -322,6 +333,11 @@ class ModulesSpec extends SparkSuite {
     val got = graft.core.Partitions.withRowIndex(sparse, "id")
       .as[(Long, Long)].collect().sortBy(_._2).map(_._1).toSeq
     assert(got == Seq(-50L, 3L, 7L, 999L, 100000L))
+    // fractional keys would truncate in the internal long cast and silently
+    // drop rows — rejected up front
+    intercept[IllegalArgumentException] {
+      graft.core.Partitions.withRowIndex(Seq(1.5, 2.5).toDF("id"), "id")
+    }
   }
 
   test("writeTokenSharded: shards hold ~budget tokens, ids stay contiguous") {
@@ -347,6 +363,19 @@ class ModulesSpec extends SparkSuite {
     perShard.sliding(2).foreach {
       case Array((_, _, _, hi1, _), (_, _, lo2, _, _)) => assert(hi1 < lo2)
       case _ =>
+    }
+    // an input id column literally named "id" must survive the write
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_shards_id").toString
+    graft.io.GraftIO.writeTokenSharded(
+      docs.withColumnRenamed("doc_id", "id"), "id", "text", tmp2, budget = 5000)
+    val cols2 = spark.read.parquet(tmp2).columns.toSet
+    assert(cols2.contains("id") && cols2.contains("shard"), cols2.toString)
+    // non-integral ids would null the join and overwrite dest empty —
+    // rejected up front
+    intercept[IllegalArgumentException] {
+      graft.io.GraftIO.writeTokenSharded(
+        docs.withColumn("sid", concat(lit("doc-"), $"doc_id".cast("string"))),
+        "sid", "text", tmp2, budget = 5000)
     }
   }
 
@@ -395,6 +424,14 @@ class ModulesSpec extends SparkSuite {
     assert(got(2L) == ((7L, 2L, "x y")))
     assert(got(3L) == ((7L, 7L, "p q r s t u v")))
     assert(got(4L) == ((10L, 0L, "")))
+    // matching is case-insensitive, but survivors keep ORIGINAL case
+    val mixed = Seq(
+      (1L, "A b C d E f g"), (2L, "x a B c D e y"), (3L, "P q R s T")
+    ).toDF("doc_id", "text")
+    val gotM = graft.text.dedupSpans(mixed, "doc_id", "text", w = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(gotM(1L) == "f g" && gotM(2L) == "x y" && gotM(3L) == "P q R s T")
     // the 8-byte-key scale path must produce identical output on a real
     // corpus slice (hash collisions aside — none at this size)
     val docs2 = graft.core.Tables.documents(spark, dir).limit(200)

@@ -164,6 +164,13 @@ class OperatorsSpec extends SparkSuite {
       l, purchases, "user_id", "ts", Seq("pval"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
+    // mixed key types would probe the driver map with Java equality and
+    // silently match nothing — rejected up front
+    intercept[IllegalArgumentException] {
+      graft.operators.AsofJoin.asofJoinBroadcast(
+        l.withColumn("user_id", $"user_id".cast("int")),
+        purchases, "user_id", "ts", Seq("pval"))
+    }
   }
 
   test("native asof join: inclusive tie, strictly-later right row ignored") {
