@@ -63,6 +63,14 @@ object Inspect {
 
   /** `ak.fields` / form introspection (reference `lib/describe.py:8-42`):
     * schema as the reference's "form" tree string. */
+  /** Per-partition row counts in partition order — the skew diagnostic
+    * (one zero-shuffle pass; at 100 TB a handful of outlier partitions
+    * here is the signature of key skew or bad file splits, and the cue to
+    * reach for salting / AQE skew handling). */
+  def partitionHistogram(df: DataFrame): Seq[Long] =
+    df.rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2).toSeq
+
   def form(df: DataFrame): String = df.schema.treeString
 
   def fields(df: DataFrame): Seq[String] = df.schema.fieldNames.toSeq

@@ -24,6 +24,17 @@ object SimilarityQueries {
           round(col("cos"), 4).as("cos"))
     },
 
+    // vector kernel battery (graft.similarity dot/l2Norm/l2Normalize/
+    // euclidean — the codegen'd aggregate(zip_with) HOF forms): norms,
+    // self-normalization to unit length, distance to the reversed vector
+    "sim_vecops" -> { (s, dir) =>
+      val e = col("embedding")
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        round(l2Norm(e), 4).as("l2"),
+        round(l2Norm(l2Normalize(e)), 4).as("unit_l2"),
+        round(euclidean(e, reverse(e)), 4).as("eucl_rev"))
+    },
+
     // hyperplane-LSH ANN: 12 planes -> ~2^12 buckets, exact re-rank inside;
     // approximate (bucket collisions only) => rows-only driver check
     "sim_lsh" -> { (s, dir) =>
@@ -70,6 +81,8 @@ object SimilarityQueries {
     """sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) / (sqrt(sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(ea[CAST(i AS INT)] AS DOUBLE))) * sqrt(sum(CAST(eb[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE))))"""
 
   val oracle: Map[String, String] = Map(
+    "sim_vecops" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings) SELECT vec_id, round(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS l2, round(CASE WHEN sqrt(list_sum(list_transform(e, x -> x * x))) > 0 THEN sqrt(list_sum(list_transform(list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))), x -> x * x))) END, 4) AS unit_l2, round(sqrt(list_sum(list_transform(range(1, len(e) + 1), i -> (e[CAST(i AS INT)] - e[CAST(len(e) - i + 1 AS INT)]) * (e[CAST(i AS INT)] - e[CAST(len(e) - i + 1 AS INT)])))), 4) AS eucl_rev FROM v""",
     "sim_topk" ->
       s"""WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS ea, c.embedding AS eb FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), d AS (SELECT qid, nid, $COS AS cos FROM p, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d) SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""")
 }

@@ -28,6 +28,32 @@ package object similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExprs.cosineSim(a, b)
 
+  /** Dot product via the codegen'd `aggregate(zip_with(...))` HOF pair —
+    * left-to-right accumulation, double math (mirrors in any SQL engine
+    * with list_reduce/list_zip). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** L2-normalized copy (null-safe: a zero-norm vector normalizes to null
+    * rather than Infinity elements). */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n > 0, transform(a, x => x.cast("double") / n))
+  }
+
+  /** Euclidean distance. */
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v))
+
   /** Exact top-k neighbors for each query row. `queries`/`corpus` need
     * (idCol, vecCol); self-matches (equal ids) are excluded.
     *

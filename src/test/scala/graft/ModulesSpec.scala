@@ -281,6 +281,17 @@ class ModulesSpec extends SparkSuite {
     assert(exact.forall(_ == 3))
   }
 
+  test("partitionHistogram: counts per partition, sums to the row count") {
+    val df = graft.core.Tables.orders(spark, dir).repartition(4)
+    val h = graft.inspect.Inspect.partitionHistogram(df)
+    assert(h.size == 4 && h.sum == df.count())
+    // a skewed repartition shows up as outlier buckets — the diagnostic's job
+    val skewed = graft.core.Tables.orders(spark, dir)
+      .repartition(4, when($"o_orderkey" % 100 === 0, $"o_orderkey").otherwise(lit(0L)))
+    val hs = graft.inspect.Inspect.partitionHistogram(skewed)
+    assert(hs.max > hs.sum / 2, hs.toString)
+  }
+
   test("packSequences: hand-computed layout; two-level scan = global window") {
     val docs = Seq((1L, 10L), (2L, 5L), (3L, 2000L), (4L, 100L))
       .toDF("doc_id", "nt")
