@@ -150,6 +150,15 @@ object DedupQueries {
           md5(col("kept_text")).as("kept_md5"))
     },
 
+    // sentence-level keep-first dedup (graft.text.dedupSentences): every
+    // sentence occurring >= 2 times corpus-wide survives only at its first
+    // (doc, position); md5 of the survivor list proves order + content
+    "d_sentdup" -> { (s, dir) =>
+      graft.text.dedupSentences(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_sent"), col("n_kept"),
+          md5(array_join(col("kept_sents"), " | ")).as("kept_md5"))
+    },
+
     // per-doc duplicated-shingle ratio (corpus boilerplate metric): docs in
     // the planted near-dup clusters score high, unique docs low — summarized
     // per decile so the output is small while every doc's ratio contributes
@@ -189,6 +198,8 @@ object DedupQueries {
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS w FROM documents), th AS (SELECT doc_id, ($POLY * 2654435761) % 281474976710656 AS h FROM tok), votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v FROM th, range(0, 48) r(j) GROUP BY doc_id, j), sig AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS sh FROM votes GROUP BY doc_id), sigl AS (SELECT s.doc_id, s.sh, d.lang FROM sig s JOIN documents d ON s.doc_id = d.doc_id) SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(bit_count(xor(CAST(a.sh AS BIGINT), CAST(b.sh AS BIGINT))) AS BIGINT) AS dist FROM sigl a JOIN sigl b ON a.lang = b.lang AND a.doc_id < b.doc_id WHERE bit_count(xor(CAST(a.sh AS BIGINT), CAST(b.sh AS BIGINT))) <= 6""",
     "d_embed" ->
       """WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), d AS (SELECT id1, id2, sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) AS dot, sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(ea[CAST(i AS INT)] AS DOUBLE)) AS na2, sum(CAST(eb[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) AS nb2 FROM p, range(1, 65) r(i) GROUP BY id1, id2) SELECT id1, id2, round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos FROM d WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.35""",
+    "d_sentdup" ->
+      """WITH s AS (SELECT doc_id, sp, sent FROM (SELECT doc_id, generate_subscripts(sents, 1) AS sp, unnest(sents) AS sent FROM (SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)), x -> length(x) > 0) AS sents FROM documents) a) b), occ AS (SELECT sent, count(*) AS occ, min(struct_pack(id := doc_id, sp := sp)) AS first FROM s GROUP BY sent), k AS (SELECT s.doc_id, s.sp, s.sent FROM s JOIN occ USING (sent) WHERE occ.occ < 2 OR (occ.first.id = s.doc_id AND occ.first.sp = s.sp)), agg AS (SELECT doc_id, count(*) AS n_kept, md5(string_agg(sent, ' | ' ORDER BY sp)) AS kept_md5 FROM k GROUP BY doc_id) SELECT d.doc_id, CAST(len(list_filter(list_transform(string_split_regex(d.text, '[.!?]+'), x -> trim(x)), x -> length(x) > 0)) AS BIGINT) AS n_sent, CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept, coalesce(agg.kept_md5, md5('')) AS kept_md5 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
     "d_spanrm" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok, list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS tokl FROM documents), g AS (SELECT doc_id, CAST(s AS INT) AS s, array_to_string(tokl[CAST(s AS INT):CAST(s + 4 AS INT)], ' ') AS gs FROM (SELECT doc_id, tokl, unnest(range(1, greatest(len(tokl) - 3, 1))) AS s FROM t) u), dup AS (SELECT gs FROM g GROUP BY gs HAVING count(*) >= 2), cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(s, s + 5)) AS INT) AS p FROM g WHERE gs IN (SELECT gs FROM dup)), pos AS (SELECT doc_id, CAST(p AS INT) AS p, tok[CAST(p AS INT)] AS tkn FROM (SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS p FROM t) v), kept AS (SELECT pos.doc_id, count(*) AS n_kept, md5(string_agg(tkn, ' ' ORDER BY pos.p)) AS kept_md5 FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.p IS NULL GROUP BY pos.doc_id) SELECT t.doc_id, CAST(len(tok) AS BIGINT) AS n_toks, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, coalesce(kept_md5, md5('')) AS kept_md5 FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id""",
     "d_dupratio" ->

@@ -246,6 +246,43 @@ package object text {
       .select(col("id").as(idCol), col("n_toks"), col("logprob"))
   }
 
+  /** Sentence-level corpus dedup, keep-first: any exact sentence occurring
+    * at least `minOcc` times corpus-wide (byte-identical after [[sentences]]
+    * trimming) survives only at its FIRST occurrence — smallest (doc, pos) —
+    * and is dropped everywhere else. The boilerplate-sentence scrubber
+    * (nav text, legal footers, templated intros) at a granularity between
+    * [[dedupSpans]] (token windows) and document near-dup.
+    *
+    * Three shuffles: posexplode sentences, one aggregate per sentence text
+    * (count + min position — map-side partial), one join back + per-doc
+    * rebuild. Returns (idCol, n_sent, n_kept, kept_sents: array<string>)
+    * with survivors in original order and original case. */
+  def dedupSentences(df: DataFrame, idCol: String, textCol: String,
+      minOcc: Int = 2): DataFrame = {
+    require(minOcc >= 2, s"bad minOcc=$minOcc")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sents = df.select(col(idCol).as("id"), posexplode(sentences(col(textCol))))
+      .select(col("id"), (col("pos") + 1).as("sp"), col("col").as("sent"))
+      .repartition(parts, col("id"))
+    val occ = sents.groupBy(col("sent"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("id"), col("sp"))).as("first"))
+    val kept = sents.join(occ, "sent")
+      .filter(col("occ") < minOcc ||
+        (col("first.id") === col("id") && col("first.sp") === col("sp")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        transform(sort_array(collect_list(struct(col("sp"), col("sent")))),
+          x => x.getField("sent")).as("kept_sents"))
+    df.select(col(idCol).as("id"),
+        size(sentences(col(textCol))).cast("long").as("n_sent"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_sent"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_sents"),
+          lit(Array.empty[String]).cast("array<string>")).as("kept_sents"))
+  }
+
   /** Concat-and-chunk sequence packing: documents are laid out in `idCol`
     * order, token counts accumulate, and each document is assigned to the
     * training sequence (`seq_id`) its FIRST token lands in — the classic

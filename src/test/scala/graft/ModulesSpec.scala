@@ -421,6 +421,21 @@ class ModulesSpec extends SparkSuite {
     assert(expLp.forall { case (id, e) => math.abs(gotLp(id) - e) < 1e-9 })
   }
 
+  test("dedupSentences: keep-first across docs, within-doc repeats, order") {
+    val docs = Seq(
+      (1L, "Buy now. Unique alpha! Buy now."),   // dup sentence, first wins
+      (2L, "Buy now? Unique beta."),             // same dup, later doc drops it
+      (3L, "Unique gamma.")
+    ).toDF("doc_id", "text")
+    val got = graft.text.dedupSentences(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: "Buy now" kept once (first occurrence), second dropped
+    assert(got(1L) == ((3L, 2L, Seq("Buy now", "Unique alpha"))))
+    assert(got(2L) == ((2L, 1L, Seq("Unique beta"))))
+    assert(got(3L) == ((1L, 1L, Seq("Unique gamma"))))
+  }
+
   test("dedupSpans: shared, within-doc, and absent spans; full coverage") {
     val docs = Seq(
       (1L, "a b c d e f g"),             // shares "a b c d e" with doc 2
