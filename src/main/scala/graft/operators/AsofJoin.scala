@@ -114,7 +114,13 @@ object AsofJoin {
     * with a null key/ts emit null payloads.
     *
     * Key and ts compare via their natural ordering (numeric, timestamp,
-    * string all work); right rows should be unique per (key, ts). */
+    * string all work); right rows should be unique per (key, ts).
+    *
+    * Measured crossover: at sf0.1 (150k facts, 15k dims) the window form
+    * is ~3x FASTER (0.17s vs 0.60s) — the driver collect+broadcast is a
+    * fixed cost that only pays off once shuffling/sorting the fact side
+    * dominates, i.e. facts >> dims by orders of magnitude (the 100 TB
+    * fact / MB-scale dimension regime this operator exists for). */
   def asofJoinBroadcast(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, payloadCols: Seq[String],
       direction: String = "backward"): DataFrame = {
