@@ -143,6 +143,34 @@ class DifferentialFuzzSpec extends SparkSuite {
     }
   }
 
+  test("dedupSentences matches a keep-first brute-force model") {
+    val rnd = new scala.util.Random(31)
+    val pool = Seq("buy now", "hello there", "alpha beta", "gamma", "delta five")
+    val docs = (0 until 50).map { id =>
+      val n = rnd.nextInt(5)
+      (id.toLong, (0 until n).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString(". ") + (if (n > 0) "." else ""))
+    }
+    val model = {
+      def sents(t: String): Seq[String] =
+        t.split("[.!?]+").map(_.trim).filter(_.nonEmpty).toSeq
+      val all = docs.flatMap { case (id, t) =>
+        sents(t).zipWithIndex.map { case (s, i) => (id, i + 1, s) } }
+      val occ = all.groupBy(_._3).map { case (s, xs) =>
+        s -> ((xs.size, xs.map(x => (x._1, x._2)).min)) }
+      docs.map { case (id, t) =>
+        val ss = sents(t)
+        val kept = ss.zipWithIndex.collect {
+          case (s, i) if occ(s)._1 < 2 || occ(s)._2 == ((id, i + 1)) => s }
+        id -> ((ss.size.toLong, kept.size.toLong, kept))
+      }.toMap
+    }
+    val got = graft.text.dedupSentences(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == model)
+  }
+
   test("asofJoinLast matches brute-force latest-at-or-before on random inputs") {
     val rows: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] = for {
       l <- Gen.listOfN(20, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
