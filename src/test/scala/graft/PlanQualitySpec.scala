@@ -154,6 +154,17 @@ class PlanQualitySpec extends SparkSuite {
     assert(top.count() == 300000L)
     val g0 = top.filter($"g" === 0).select($"v").as[Long].collect().toSet
     assert(g0 == Set(900000L, 800000L, 700000L))
+
+    // prefix scan: 1M rows of constant token count — closed-form ordinals
+    // verify the bucket decomposition end-to-end at scale (last row's
+    // start = (n-1)*5, seq = floor((n-1)*5/2048))
+    val corpus = spark.range(1000000).select($"id".as("doc_id"), lit(5L).as("nt"))
+    val packed = graft.text.packSequences(corpus, "doc_id", "nt", 2048)
+    assert(packed.count() == 1000000L)
+    val lastRow = packed.filter($"doc_id" === 999999L)
+      .select($"start_tok", $"seq_id").as[(Long, Long)].head()
+    assert(lastRow == ((4999995L, 4999995L / 2048)))
+    assert(packed.agg(sum($"n_tok")).as[Long].head() == 5000000L)
   }
 
   test("salted ragged build is bit-identical on a 200k-row hot key") {
