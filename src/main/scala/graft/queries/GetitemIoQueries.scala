@@ -99,6 +99,30 @@ object GetitemIoQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
     },
 
+    // CSV round-trip (schema carried explicitly — CSV stores none): same
+    // aggregate as the parquet roundtrip, proving the format path and the
+    // text-codec edge cases (quoting, nulls) preserve values exactly
+    "io_csv" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv").toString + "/li"
+      val src = Tables.lineitem(s, dir).filter(col("l_quantity") >= 40)
+      src.write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.schema(src.schema).option("header", "true").csv(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    },
+
+    // ORC round-trip — the other columnar at-rest format, native reader
+    "io_orc" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_orc").toString + "/li"
+      Tables.lineitem(s, dir).filter(col("l_quantity") >= 40)
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    },
+
     // nested parquet round-trip + ragged-leaf projection (SURVEY §7's
     // minimum end-to-end slice: the re-read scan is pruned to
     // items.quantity by the TransformFieldPruning rule)
@@ -188,6 +212,10 @@ object GetitemIoQueries {
     "g_ufuncs" ->
       """SELECT l_orderkey AS o_orderkey, round(sum(sin(l_quantity)),4) AS s_sin, round(sum(sqrt(l_quantity)),4) AS s_sqrt, round(sum(abs(l_quantity-25)),2) AS s_absdev, round(sum(pow(l_quantity,2)),2) AS s_sq, round(sum(exp(-l_quantity/50)),4) AS s_exp FROM lineitem GROUP BY 1""",
     "io_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem WHERE l_quantity >= 40 GROUP BY 1""",
+    "io_csv" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem WHERE l_quantity >= 40 GROUP BY 1""",
+    "io_orc" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem WHERE l_quantity >= 40 GROUP BY 1""",
     "io_nested" ->
       """SELECT l_orderkey AS o_orderkey, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY 1""",
