@@ -461,10 +461,18 @@ package object dedup {
     * at 100 TB the distinct-on-ints-first ordering is the difference between
     * shuffling (long, long) and shuffling (long, long, array<long>[k]). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, k: Int = 32, bands: Int = 8): DataFrame = {
+      n: Int = 2, k: Int = 32, bands: Int = 8,
+      polyBase: Boolean = false): DataFrame = {
     val rows = k / bands
-    val sigs = df.select(col(idCol).as("id"),
-        minHashSignature(wordShingles(col(textCol), n), k).as("sig"))
+    // polyBase swaps the xxh64 base hash for the cross-engine polyHash —
+    // every band key and lane then reproduces exactly from SQL (the
+    // d_mlsh_poly oracle), at slightly weaker mixing
+    val sigExpr =
+      if (polyBase)
+        graft.functions.HashExprs.minHashSignaturePoly(
+          wordShingles(col(textCol), n), k)
+      else minHashSignature(wordShingles(col(textCol), n), k)
+    val sigs = df.select(col(idCol).as("id"), sigExpr.as("sig"))
       .cache() // reused 3x (banding + both sides of the candidate join)
     val buckets = sigs.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))

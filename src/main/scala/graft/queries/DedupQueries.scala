@@ -77,6 +77,17 @@ object DedupQueries {
           sig.getItem(j).as(s"m$j")): _*)
     },
 
+    // the FULL MinHash-LSH pipeline on the polyHash base (k=8, 4 bands x
+    // 2 rows): signatures, band keys, candidate self-join, lane-match
+    // verification — every stage reproduced exactly by the SQL oracle
+    // (the xxh64 production form stays rows-only as d_minhash_lsh)
+    "d_mlsh_poly" -> { (s, dir) =>
+      minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 2, k = 8, bands = 4, polyBase = true)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id1"), col("id2"), col("est_jaccard"))
+    },
+
     // SimHash-48 signatures (deterministic integer arithmetic => oracled)
     "d_simhash" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -178,6 +189,8 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
     "d_minhash" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), hs AS (SELECT doc_id, list_transform(gs, w -> $POLY) AS hl FROM sh) SELECT doc_id, ${(0 until 8).map(j => s"CAST(coalesce(list_min(list_transform(hl, h -> (h * ${mhA(j)} + ${mhB(j)}) % 2147483647)), 2147483647) AS BIGINT) AS m$j").mkString(", ")} FROM hs""",
+    "d_mlsh_poly" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), hs AS (SELECT doc_id, list_transform(gs, w -> $POLY) AS hl FROM sh), sig AS (SELECT doc_id, [${(0 until 8).map(j => s"coalesce(list_min(list_transform(hl, h -> (h * ${mhA(j)} + ${mhB(j)}) % 2147483647)), 2147483647)").mkString(", ")}] AS s FROM hs), bk AS (SELECT doc_id, CAST(b AS INT) AS b, (s[CAST(b * 2 + 1 AS INT)] * 131 + s[CAST(b * 2 + 2 AS INT)]) % 1000000007 AS key FROM sig, range(0, 4) r(b)), cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT c.id1, c.id2, len(list_filter(range(1, 9), i -> sa.s[CAST(i AS INT)] = sb.s[CAST(i AS INT)])) / 8.0 AS est_jaccard FROM cand c JOIN sig sa ON c.id1 = sa.doc_id JOIN sig sb ON c.id2 = sb.doc_id WHERE len(list_filter(range(1, 9), i -> sa.s[CAST(i AS INT)] = sb.s[CAST(i AS INT)])) / 8.0 >= 0.5""",
     "d_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents) t GROUP BY 1""",
     "d_ngram" ->
