@@ -143,6 +143,27 @@ class DifferentialFuzzSpec extends SparkSuite {
     }
   }
 
+  test("contamination flag never misses a truly-shared doc on random corpora") {
+    val rnd = new scala.util.Random(43)
+    val vocab = ('a' to 'h').map(_.toString)
+    def doc(): String =
+      (0 until 4 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (_ <- 0 until 3) {
+      val train = (0 until 60).map(i => (i.toLong, doc()))
+      val eval = (0 until 15).map(i => (1000L + i, doc()))
+      def shingles(t: String): Set[String] =
+        t.split(" ").toSeq.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+      val evalSh = eval.flatMap(e => shingles(e._2)).toSet
+      val truly = train.filter { case (_, t) =>
+        (shingles(t) & evalSh).size >= 2 }.map(_._1).toSet
+      val flagged = graft.streaming.Streaming.streamingContaminationFlag(
+          train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"),
+          "doc_id", "text", minShared = 2)
+        .filter($"flagged").select($"doc_id").as[Long].collect().toSet
+      assert(truly.subsetOf(flagged), s"missed: ${truly -- flagged}")
+    }
+  }
+
   test("dedupSentences matches a keep-first brute-force model") {
     val rnd = new scala.util.Random(31)
     val pool = Seq("buy now", "hello there", "alpha beta", "gamma", "delta five")
