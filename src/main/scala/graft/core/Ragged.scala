@@ -136,5 +136,14 @@ object Ragged {
     /** `dak.necessary_columns` (lib/inspect.py:118-219). */
     def necessaryColumns: Map[String, Seq[String]] =
       graft.inspect.Inspect.necessaryColumns(df)
+    /** known-divisions emulation (core.py:1157-1175 / 1347-1489): exact
+      * global ordinals and slices via the parallel prefix scan. */
+    def withRowIndex(orderCol: String, outCol: String = "row_idx"): DataFrame =
+      Partitions.withRowIndex(df, orderCol, outCol)
+    def sliceExact(orderCol: String, start: Long, stop: Long): DataFrame =
+      Partitions.sliceRows(df, orderCol, start, stop)
+    /** per-partition row counts — the skew diagnostic. */
+    def partitionHistogram: Seq[Long] =
+      graft.inspect.Inspect.partitionHistogram(df)
   }
 }

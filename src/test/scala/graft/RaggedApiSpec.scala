@@ -57,6 +57,10 @@ class RaggedApiSpec extends SparkSuite {
     // referenced leaves
     val cols = fluent.necessaryColumns.values.flatten.toSet
     assert(cols.exists(_.contains("l_orderkey")) || cols.nonEmpty)
+    // divisions face: exact slicing + the skew histogram read through
+    val sl = nested.sliceExact("o_orderkey", 5, 8)
+    assert(sl.count() == 3)
+    assert(nested.partitionHistogram.sum == nested.count())
   }
 
   test("points fixture: behavior method chains through the fluent surface") {
