@@ -85,6 +85,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     candidates.headOption
   }
 
+  /** (aLo, aHi, bLo, bHi) with the a-interval from the left child and b
+    * from the right, if the conjuncts form an interval-overlap predicate
+    * (`aLo <= bHi && bLo <= aHi`, strict or non-strict). */
+  private def findOverlap(conjuncts: Seq[Expression], l: LogicalPlan,
+      r: LogicalPlan): Option[(Expression, Expression, Expression, Expression)] = {
+    val bounds = conjuncts.collect {
+      case GreaterThanOrEqual(a, b) => (b, a)
+      case GreaterThan(a, b)        => (b, a)
+      case LessThanOrEqual(a, b)    => (a, b)
+      case LessThan(a, b)           => (a, b)
+    }
+    val candidates = for {
+      (x1, y1) <- bounds // aLo <= bHi
+      (x2, y2) <- bounds // bLo <= aHi
+      if Seq(x1, y1, x2, y2).forall(e => bucketable(e.dataType))
+      s1 <- sideOf(x1, l, r); s2 <- sideOf(y1, l, r)
+      s3 <- sideOf(x2, l, r); s4 <- sideOf(y2, l, r)
+      if s1 && !s2 && !s3 && s4
+    } yield (x1, y2, x2, y1)
+    candidates.headOption
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = width
     if (w <= 0) return plan
@@ -102,7 +124,33 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         }
         if (hasEquiKey) j
         else findRange(conjuncts, l, r) match {
-          case None => j
+          case None => findOverlap(conjuncts, l, r) match {
+            // interval-overlap rewrite (inner only: BOTH sides explode, so
+            // no side is preserved-safe). Each overlapping pair shares the
+            // bucket max(⌊aLo/w⌋, ⌊bLo/w⌋) and ONLY that bucket passes the
+            // dedup equality, so every pair emits exactly once; clamped
+            // sequences keep degenerate lo>hi intervals to one bucket row,
+            // where the dedup bucket still lands whenever the original
+            // predicate is satisfiable (bLo <= aHi <= aLo chains the
+            // orderings), and the residual vetoes the rest.
+            case Some((aLo, aHi, bLo, bHi)) if jt == Inner =>
+              val laB = bucket(aLo, w)
+              val lbB = bucket(bLo, w)
+              val ibL = AttributeReference("__graft_rj_lb", LongType)()
+              val ibR = AttributeReference("__graft_rj_rb", LongType)()
+              def gen(loB: Expression, hiB: Expression,
+                  out: AttributeReference, child: LogicalPlan) = Generate(
+                Explode(Sequence(loB, Greatest(Seq(loB, hiB)), None,
+                  Some(conf.sessionLocalTimeZone))),
+                unrequiredChildIndex = Nil, outer = false, qualifier = None,
+                generatorOutput = Seq(out), child)
+              val lGen = gen(laB, bucket(aHi, w), ibL, l)
+              val rGen = gen(lbB, bucket(bHi, w), ibR, r)
+              val dedup = EqualTo(ibL, Greatest(Seq(laB, lbB)))
+              val newCond = And(And(EqualTo(ibL, ibR), dedup), cond)
+              Project(j.output, Join(lGen, rGen, jt, Some(newCond), hint))
+            case _ => j
+          }
           // outer/semi/anti joins are rewritable ONLY when the preserved
           // (outer / semi-probe) side is the POINT side: points keep one
           // bucket, so an unmatched row null-extends exactly once and a

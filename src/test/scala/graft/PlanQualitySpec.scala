@@ -372,6 +372,38 @@ class PlanQualitySpec extends SparkSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("RangeJoinRewrite: bare overlap joins hash-join, exact incl. degenerates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // random intervals incl. degenerate lo>hi and nulls on both sides
+    def ivs(n: Int, idBase: Long) = (0 until n).map { i =>
+      val lo = rnd.nextInt(200).toLong - 20
+      val span = rnd.nextInt(40).toLong - 10 // negative => degenerate
+      (idBase + i,
+        if (rnd.nextInt(12) == 0) None else Some(lo),
+        if (rnd.nextInt(12) == 0) None else Some(lo + span))
+    }
+    val a = ivs(80, 0L).toDF("aid", "alo", "ahi")
+    val b = ivs(60, 1000L).toDF("bid", "blo", "bhi")
+    def runOverlap() = a.join(b, $"alo" <= $"bhi" && $"blo" <= $"ahi")
+      .select($"aid", $"bid").as[(Long, Long)].collect()
+    val want = runOverlap().toSet
+    assert(want.size == runOverlap().length, "naive join emits unique pairs")
+    val key = graft.plans.RangeJoinRewrite.WidthKey
+    try {
+      spark.conf.set(key, "16")
+      val got = runOverlap()
+      // exactly once per pair (the first-shared-bucket dedup), same set
+      assert(got.length == got.toSet.size, "rewrite duplicated pairs")
+      assert(got.toSet == want,
+        s"missing=${(want -- got.toSet).take(5)} extra=${(got.toSet -- want).take(5)}")
+      val plan = a.join(b, $"alo" <= $"bhi" && $"blo" <= $"ahi")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(2000))
+    } finally spark.conf.unset(key)
+  }
+
   test("q_window_frames: every window function shares one exchange and sort") {
     val plan = SparkEntry.queries("q_window_frames")(spark, dir)
       .queryExecution.executedPlan.toString
