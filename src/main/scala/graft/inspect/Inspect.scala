@@ -63,15 +63,19 @@ object Inspect {
 
   /** `ak.fields` / form introspection (reference `lib/describe.py:8-42`):
     * schema as the reference's "form" tree string. */
+  def form(df: DataFrame): String = df.schema.treeString
+
   /** Per-partition row counts in partition order — the skew diagnostic
     * (one zero-shuffle pass; at 100 TB a handful of outlier partitions
     * here is the signature of key skew or bad file splits, and the cue to
-    * reach for salting / AQE skew handling). */
+    * reach for salting / AQE skew handling). Counts in a Long fold over a
+    * single-literal projection: no full-row decode, no Int wrap on the
+    * very hot partition being hunted. */
   def partitionHistogram(df: DataFrame): Seq[Long] =
-    df.rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+    df.select(org.apache.spark.sql.functions.lit(1)).rdd
+      .mapPartitionsWithIndex((i, it) =>
+        Iterator((i, it.foldLeft(0L)((n, _) => n + 1))))
       .collect().sortBy(_._1).map(_._2).toSeq
-
-  def form(df: DataFrame): String = df.schema.treeString
 
   def fields(df: DataFrame): Seq[String] = df.schema.fieldNames.toSeq
 

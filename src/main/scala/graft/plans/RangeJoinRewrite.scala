@@ -61,17 +61,31 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     else None
   }
 
-  /** (point, lo, hi, pointIsLeft) if the conjuncts bound one side's
-    * expression from both directions with the other side's expressions. */
-  private def findRange(conjuncts: Seq[Expression], l: LogicalPlan,
-      r: LogicalPlan): Option[(Expression, Expression, Expression, Boolean)] = {
-    // normalize every comparison conjunct to (small, big)
-    val bounds = conjuncts.collect {
+  /** Normalize every comparison conjunct to (small, big). */
+  private def normalizeBounds(conjuncts: Seq[Expression]): Seq[(Expression, Expression)] =
+    conjuncts.collect {
       case GreaterThanOrEqual(a, b) => (b, a)
       case GreaterThan(a, b)        => (b, a)
       case LessThanOrEqual(a, b)    => (a, b)
       case LessThan(a, b)           => (a, b)
     }
+
+  /** Explode `child` to the bucket range [loB, hiB] (clamped: a degenerate
+    * lo>hi interval yields ONE bucket row for the residual to veto, not a
+    * descending multi-million-element sequence). */
+  private def bucketGenerate(loB: Expression, hiB: Expression,
+      out: AttributeReference, child: LogicalPlan): Generate = Generate(
+    // Sequence is TimeZoneAware: a None zone leaves it unresolved
+    Explode(Sequence(loB, Greatest(Seq(loB, hiB)), None,
+      Some(conf.sessionLocalTimeZone))),
+    unrequiredChildIndex = Nil, outer = false, qualifier = None,
+    generatorOutput = Seq(out), child)
+
+  /** (point, lo, hi, pointIsLeft) if the conjuncts bound one side's
+    * expression from both directions with the other side's expressions. */
+  private def findRange(conjuncts: Seq[Expression], l: LogicalPlan,
+      r: LogicalPlan): Option[(Expression, Expression, Expression, Boolean)] = {
+    val bounds = normalizeBounds(conjuncts)
     val candidates = for {
       (lo, pt1) <- bounds
       (pt2, hi) <- bounds
@@ -90,12 +104,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * (`aLo <= bHi && bLo <= aHi`, strict or non-strict). */
   private def findOverlap(conjuncts: Seq[Expression], l: LogicalPlan,
       r: LogicalPlan): Option[(Expression, Expression, Expression, Expression)] = {
-    val bounds = conjuncts.collect {
-      case GreaterThanOrEqual(a, b) => (b, a)
-      case GreaterThan(a, b)        => (b, a)
-      case LessThanOrEqual(a, b)    => (a, b)
-      case LessThan(a, b)           => (a, b)
-    }
+    val bounds = normalizeBounds(conjuncts)
     val candidates = for {
       (x1, y1) <- bounds // aLo <= bHi
       (x2, y2) <- bounds // bLo <= aHi
@@ -138,14 +147,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               val lbB = bucket(bLo, w)
               val ibL = AttributeReference("__graft_rj_lb", LongType)()
               val ibR = AttributeReference("__graft_rj_rb", LongType)()
-              def gen(loB: Expression, hiB: Expression,
-                  out: AttributeReference, child: LogicalPlan) = Generate(
-                Explode(Sequence(loB, Greatest(Seq(loB, hiB)), None,
-                  Some(conf.sessionLocalTimeZone))),
-                unrequiredChildIndex = Nil, outer = false, qualifier = None,
-                generatorOutput = Seq(out), child)
-              val lGen = gen(laB, bucket(aHi, w), ibL, l)
-              val rGen = gen(lbB, bucket(bHi, w), ibR, r)
+              val lGen = bucketGenerate(laB, bucket(aHi, w), ibL, l)
+              val rGen = bucketGenerate(lbB, bucket(bHi, w), ibR, r)
               val dedup = EqualTo(ibL, Greatest(Seq(laB, lbB)))
               val newCond = And(And(EqualTo(ibL, ibR), dedup), cond)
               Project(j.output, Join(lGen, rGen, jt, Some(newCond), hint))
@@ -167,19 +170,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             val ptChild = if (ptIsLeft) l else r
             val ivChild = if (ptIsLeft) r else l
             val ptSide = Project(ptChild.output :+ pb, ptChild)
-            // Clamp the sequence end to >= its start: a degenerate lo>hi row
-            // (e.g. a hi=-1 sentinel against an epoch-second lo) otherwise
-            // explodes to a DESCENDING sequence of millions of buckets — and
-            // this rule applies to user SQL silently. Clamped it yields one
-            // bucket row, which the original predicate (unsatisfiable when
-            // lo>hi) vetoes — results unchanged.
             val loB = bucket(lo, w)
-            val ivSide = Generate(
-              // Sequence is TimeZoneAware: a None zone leaves it unresolved
-              Explode(Sequence(loB, Greatest(Seq(loB, bucket(hi, w))), None,
-                Some(conf.sessionLocalTimeZone))),
-              unrequiredChildIndex = Nil, outer = false, qualifier = None,
-              generatorOutput = Seq(ib), ivChild)
+            val ivSide = bucketGenerate(loB, bucket(hi, w), ib, ivChild)
             val (nl, nr) = if (ptIsLeft) (ptSide, ivSide) else (ivSide, ptSide)
             val newCond = And(EqualTo(pb.toAttribute, ib), cond)
             Project(j.output, Join(nl, nr, jt, Some(newCond), hint))
