@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, NumericType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, LongType, NumericType, TimestampType}
 
 /** Optimizer rule: rewrite a bare range join (`pt BETWEEN lo AND hi`, no
   * equi key) into the bucketed equi-join of
@@ -44,13 +44,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     catch { case _: NumberFormatException => 0L }
 
   private def bucketable(dt: DataType): Boolean = dt match {
-    case _: NumericType | TimestampType => true
+    case _: NumericType | TimestampType | DateType => true
     case _ => false
   }
 
-  /** floor(e / w) as a long — monotone in e, identical on both sides. */
-  private def bucket(e: Expression, w: Long): Expression =
-    Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble)))
+  /** floor(e / w) as a long — monotone in e, identical on both sides.
+    * Dates bucket on days-since-epoch (width unit = days for date
+    * columns); dates don't cast to numerics directly. */
+  private def bucket(e: Expression, w: Long): Expression = {
+    val num = e.dataType match {
+      case DateType => UnixDate(e)
+      case _ => e
+    }
+    Floor(Divide(Cast(num, DoubleType), Literal(w.toDouble)))
+  }
 
   /** Is `e` computable from exactly one side? Some(true)=left, Some(false)=right. */
   private def sideOf(e: Expression, l: LogicalPlan, r: LogicalPlan): Option[Boolean] = {

@@ -404,6 +404,27 @@ class PlanQualitySpec extends SparkSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("RangeJoinRewrite buckets DATE columns on days, results exact") {
+    import spark.implicits._
+    val evs = Seq((1L, "2024-01-05"), (2L, "2024-03-10"), (3L, "2023-12-31"))
+      .toDF("eid", "d").select($"eid", to_date($"d").as("d"))
+    val promos = Seq((10L, "2024-01-01", "2024-01-31"),
+        (11L, "2024-03-01", "2024-03-31"))
+      .toDF("pid", "lo", "hi")
+      .select($"pid", to_date($"lo").as("lo"), to_date($"hi").as("hi"))
+    def run() = evs.join(promos, $"d" >= $"lo" && $"d" <= $"hi")
+      .select($"eid", $"pid").as[(Long, Long)].collect().toSet
+    val want = run()
+    val key = graft.plans.RangeJoinRewrite.WidthKey
+    try {
+      spark.conf.set(key, "7") // 7-day buckets
+      assert(run() == want && want == Set((1L, 10L), (2L, 11L)))
+      val plan = evs.join(promos, $"d" >= $"lo" && $"d" <= $"hi")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    } finally spark.conf.unset(key)
+  }
+
   test("q_window_frames: every window function shares one exchange and sort") {
     val plan = SparkEntry.queries("q_window_frames")(spark, dir)
       .queryExecution.executedPlan.toString
