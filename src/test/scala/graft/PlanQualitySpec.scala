@@ -401,6 +401,14 @@ class PlanQualitySpec extends SparkSuite {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"), plan.take(2000))
+      // timestamp intervals exercise the Cast path (width unit = seconds)
+      val at = a.select($"aid", timestamp_seconds($"alo").as("alo"),
+        timestamp_seconds($"ahi").as("ahi"))
+      val bt = b.select($"bid", timestamp_seconds($"blo").as("blo"),
+        timestamp_seconds($"bhi").as("bhi"))
+      val gotT = at.join(bt, $"alo" <= $"bhi" && $"blo" <= $"ahi")
+        .select($"aid", $"bid").as[(Long, Long)].collect()
+      assert(gotT.toSet == want && gotT.length == want.size)
     } finally spark.conf.unset(key)
   }
 
