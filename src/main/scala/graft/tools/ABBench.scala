@@ -47,6 +47,12 @@ object ABBench {
     time("ngram-prefix") {
       graft.dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 2, 50).count()
     }
+    time("spanrm-stringkey") {
+      graft.text.dedupSpans(docs, "doc_id", "text", 5).count()
+    }
+    time("spanrm-hashedkey") {
+      graft.text.dedupSpans(docs, "doc_id", "text", 5, hashKeys = true).count()
+    }
     val a = graft.dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 50)
       .collect().map(_.toSeq).toSet
     val b = graft.dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 2, 50)
