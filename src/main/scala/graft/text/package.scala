@@ -246,6 +246,30 @@ package object text {
       .select(col("id").as(idCol), col("n_toks"), col("logprob"))
   }
 
+  /** CCNet-style quality bucketing: split the corpus into `nBuckets` tiers
+    * by [[unigramLogProb]] score (bucket 0 = best/most-fluent). Thresholds
+    * come from one driver-side exact-percentile job over the scores; the
+    * bucket assignment itself is a map-side comparison — no global sort,
+    * no corpus-wide window, so the shape survives 100 TB (swap the exact
+    * percentile for `percentile_approx` there; the assignment pass is
+    * unchanged). Returns (idCol, n_toks, logprob, bucket). */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"bad nBuckets=$nBuckets")
+    val scored = unigramLogProb(df, idCol, textCol)
+    val cuts = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val thrRow = scored.agg(
+      expr(s"percentile(logprob, array(${cuts.mkString(",")}))")).head()
+    val thr = thrRow.getSeq[Double](0)
+    // bucket 0 = HIGHEST logprob tier (most fluent); fold ascending so the
+    // highest threshold's check lands OUTERMOST in the nested when-chain
+    val b = thr.zipWithIndex.foldLeft(lit(nBuckets - 1)) {
+      case (acc, (t, i)) =>
+        when(col("logprob") >= t, lit(nBuckets - 2 - i)).otherwise(acc)
+    }
+    scored.select(col(idCol), col("n_toks"), col("logprob"), b.as("bucket"))
+  }
+
   /** Sentence-level corpus dedup, keep-first: any exact sentence occurring
     * at least `minOcc` times corpus-wide (byte-identical after [[sentences]]
     * trimming) survives only at its FIRST occurrence — smallest (doc, pos) —

@@ -421,6 +421,21 @@ class ModulesSpec extends SparkSuite {
     assert(expLp.forall { case (id, e) => math.abs(gotLp(id) - e) < 1e-9 })
   }
 
+  test("perplexityBuckets: tiers partition the corpus, ordered by score") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val got = graft.text.perplexityBuckets(docs, "doc_id", "text", 3)
+      .select($"doc_id", $"logprob", $"bucket").as[(Long, Double, Int)].collect()
+    assert(got.length == docs.count())
+    val byBucket = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set(0, 1, 2))
+    // tiers are ordered: every bucket-0 score >= every bucket-1 score, etc.
+    assert(byBucket(0).min >= byBucket(1).max - 1e-12)
+    assert(byBucket(1).min >= byBucket(2).max - 1e-12)
+    // roughly even tiers (exact percentile cuts; ties can skew slightly)
+    val n = got.length.toDouble
+    byBucket.values.foreach(v => assert(math.abs(v.size / n - 1.0 / 3) < 0.1))
+  }
+
   test("dedupSentences: keep-first across docs, within-doc repeats, order") {
     val docs = Seq(
       (1L, "Buy now. Unique alpha! Buy now."),   // dup sentence, first wins
