@@ -56,13 +56,12 @@ package object dedup {
 
   /** Band keys for LSH: split the signature into `bands` bands of `rows`
     * values, hash each band — equal band key => candidate pair. Returns
-    * array<struct<band:int, key:long>> for exploding. */
+    * array<struct<band:int, key:long>> for exploding. A custom Expression
+    * (one loop per row; the per-band `aggregate(slice(...))` HOF spelling
+    * it replaces ran `bands` interpreted folds — ModulesSpec pins the two
+    * equal). */
   def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        aggregate(slice(sig, b * rows + 1, rows), lit(0L),
-          (acc, h) => (acc * 131 + h) % 1000000007L).as("key"))
-    }: _*)
+    graft.functions.HashExprs.lshBandKeys(sig, bands, rows)
 
   /** SimHash (48-bit, safe in a signed 64-bit lane): per-token deterministic
     * hash (polyHash, Knuth-multiplied), each bit votes +-1 weighted by

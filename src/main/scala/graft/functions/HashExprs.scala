@@ -140,6 +140,41 @@ object HashExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** LSH band keys over a minhash signature: band j's key is the base-131
+    * poly fold (mod 1e9+7) of lanes [j*rows, (j+1)*rows) — identical values
+    * to the `aggregate(slice(sig, ...))` HOF spelling and the SQL oracles,
+    * evaluated in one loop per row instead of `bands` interpreted
+    * aggregates. Output: array<struct<band:int, key:long>>. */
+  case class LshBandKeys(child: Expression, bands: Int, rows: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("key", LongType, nullable = false))),
+      containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val sig = input.asInstanceOf[ArrayData]
+      val out = new Array[Any](bands)
+      var j = 0
+      while (j < bands) {
+        var acc = 0L
+        var i = 0
+        while (i < rows) {
+          acc = (acc * 131 + sig.getLong(j * rows + i)) % 1000000007L
+          i += 1
+        }
+        out(j) = org.apache.spark.sql.catalyst.InternalRow(j, acc)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    GraftBridge.column(LshBandKeys(GraftBridge.expression(sig), bands, rows))
+
   /** The (a_i, b_i) permutation coefficients both minhash expressions use —
     * public so oracle SQL can embed the identical literals. */
   def minHashCoefficients(k: Int, seed: Long): (Array[Long], Array[Long]) = {

@@ -199,6 +199,20 @@ class ModulesSpec extends SparkSuite {
     }
   }
 
+  test("lshBandKeys expression equals the interpreted HOF spelling") {
+    val sig = graft.dedup.minHashSignature(
+      graft.dedup.wordShingles($"text", 2), 32)
+    val hof = array((0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        aggregate(slice(sig, b * 4 + 1, 4), lit(0L),
+          (acc, h) => (acc * 131 + h) % 1000000007L).as("key"))
+    }: _*)
+    val diff = graft.core.Tables.documents(spark, dir)
+      .select(graft.dedup.lshBandKeys(sig, 8, 4).as("fast"), hof.as("slow"))
+      .filter(!($"fast" <=> $"slow")).count()
+    assert(diff == 0)
+  }
+
   test("rollingHash expression equals the interpreted HOF spelling") {
     val hof = aggregate(split($"text", ""), lit(0L),
       (acc, ch) => (acc * 131 + ascii(ch)) % 1000000007L)
