@@ -62,9 +62,14 @@ object Partitions {
       s"withRowIndex: orderCol must be an integral type, got $dt")
     require(!df.columns.contains(outCol),
       s"withRowIndex: input already has a column named '$outCol'")
+    // reserved internal name for the count column: withColumn("one", ...)
+    // would OVERWRITE an orderCol literally named "one" (constant keys ->
+    // tied prefix sums -> wrong ordinals + row multiplication on the join)
+    require(orderCol != "__graft_one",
+      "withRowIndex: orderCol '__graft_one' is reserved")
     val ids = df.select(org.apache.spark.sql.functions.col(orderCol))
-      .withColumn("one", org.apache.spark.sql.functions.lit(1L))
-    val idx = graft.text.packSequences(ids, orderCol, "one", Long.MaxValue)
+      .withColumn("__graft_one", org.apache.spark.sql.functions.lit(1L))
+    val idx = graft.text.packSequences(ids, orderCol, "__graft_one", Long.MaxValue)
       .select(org.apache.spark.sql.functions.col(orderCol),
         org.apache.spark.sql.functions.col("start_tok").as(outCol))
     df.join(idx, orderCol)
@@ -85,4 +90,16 @@ object Partitions {
   /** `a[i]` — exact global positional lookup (reference core.py:1347-1417). */
   def atRow(df: DataFrame, orderCol: String, i: Long): DataFrame =
     sliceRows(df, orderCol, i, i + 1)
+
+  /** Hash-repartition on `key` only when the plan's current parallelism is
+    * below `parts` (the session shuffle-partition target). The dedup/text
+    * pipelines explode a per-doc frame by 10-1000x right after this call;
+    * a small input (few parquet splits) would otherwise run the whole
+    * explode -> join-probe -> partial-agg pipeline in 1-2 tasks. But when
+    * the scan already yields >= parts splits — any realistic corpus, and
+    * exactly the 100 TB case — the extra full shuffle is pure waste
+    * (measured 2.5x on d_ngram at sf0.1). Reading getNumPartitions costs
+    * one physical planning pass, no job. */
+  def ensureMinParallelism(df: DataFrame, key: Column, parts: Int): DataFrame =
+    if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts, key)
 }

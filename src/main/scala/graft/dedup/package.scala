@@ -136,19 +136,19 @@ package object dedup {
     * over rare ones only. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, minJaccardPct: Int = 50, dfCap: Int = 0): DataFrame = {
-    // Repartition BEFORE the explode: a small input (few parquet splits)
-    // would otherwise run the whole explode -> join-probe -> partial-agg
-    // pipeline in one or two tasks. At 100 TB the scan yields thousands of
-    // splits and this is a near-free 5k-row shuffle; without it the plan
-    // has a serial hot stage at any scale where files < cores.
-    val sh = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), n).as("sh"))
-      .withColumn("nsh", size(col("sh")))
-      // explicit N: AQE would coalesce a bare repartition(col) of a 5k-row
-      // shuffle back to 1 partition — before the 7000x row explosion of
-      // explode + join, partition count must reflect the POST-explosion size
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col("id"))
+    // Repartition BEFORE the explode — but only when the input is actually
+    // under-parallel (few parquet splits): a small input would otherwise
+    // run the whole explode -> join-probe -> partial-agg pipeline in one
+    // or two tasks. When the scan already yields >= shuffle-partitions
+    // splits (any real corpus, and the 100 TB case) the extra shuffle is
+    // pure waste — an unconditional repartition here cost 2.5x on d_ngram
+    // at sf0.1. Explicit N when it does fire: AQE would coalesce a bare
+    // repartition(col) of a 5k-row shuffle back to 1 partition, and the
+    // partition count must reflect the POST-explosion size.
+    val sh = graft.core.Partitions.ensureMinParallelism(
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+        .withColumn("nsh", size(col("sh"))),
+      col("id"), df.sparkSession.sessionState.conf.numShufflePartitions)
     // join on the 64-bit hash of each shingle, not the string: the
     // inverted-index self-join probes this key sum(df^2) times (~36M at
     // sf0.1), and long compares beat variable-length string compares by
@@ -223,10 +223,10 @@ package object dedup {
       idCol: String, textCol: String,
       n: Int = 2, minJaccardPct: Int = 50): DataFrame = {
     val parts = train.sparkSession.sessionState.conf.numShufflePartitions
-    def prep(df: DataFrame) = df
-      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-      .withColumn("nsh", size(col("sh")))
-      .repartition(parts, col("id"))
+    def prep(df: DataFrame) = graft.core.Partitions.ensureMinParallelism(
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+        .withColumn("nsh", size(col("sh"))),
+      col("id"), parts)
     def index(sh: DataFrame) = sh
       .select(col("id"), explode(col("sh")).as("gs"))
       .select(col("id"), xxhash64(col("gs")).as("g"))
@@ -264,8 +264,9 @@ package object dedup {
   def duplicatedShingleRatio(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, minDf: Int = 2): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val inv = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-      .repartition(parts, col("id"))
+    val inv = graft.core.Partitions.ensureMinParallelism(
+        df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh")),
+        col("id"), parts)
       .select(col("id"), explode(col("sh")).as("gs"))
       .select(col("id"), xxhash64(col("gs")).as("g"))
     // shingles are distinct within a doc, so count(*) per g IS the doc freq
@@ -297,9 +298,9 @@ package object dedup {
       n: Int = 2, minJaccardPct: Int = 50): DataFrame = {
     val spark = df.sparkSession
     val t = minJaccardPct / 100.0
-    val sh = df.select(col(idCol).as("id"),
-        wordShingles(col(textCol), n).as("sh"))
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("id"))
+    val sh = graft.core.Partitions.ensureMinParallelism(
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh")),
+      col("id"), spark.sessionState.conf.numShufflePartitions)
     val inv0 = sh.select(col("id"), explode(col("sh")).as("g"))
     val dfreq = inv0.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // rarest-first global order (df, g); per-doc prefix of that order

@@ -155,12 +155,18 @@ object HashExprs {
       containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val sig = input.asInstanceOf[ArrayData]
+      val n = sig.numElements()
       val out = new Array[Any](bands)
       var j = 0
       while (j < bands) {
         var acc = 0L
         var i = 0
-        while (i < rows) {
+        // a signature shorter than bands*rows folds only the available
+        // prefix — the degraded behavior of the aggregate(slice(sig,...))
+        // HOF spelling this expression replaced, instead of an
+        // executor-side ArrayIndexOutOfBoundsException
+        val end = math.min(rows, n - j * rows)
+        while (i < end) {
           acc = (acc * 131 + sig.getLong(j * rows + i)) % 1000000007L
           i += 1
         }

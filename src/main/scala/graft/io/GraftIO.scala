@@ -104,6 +104,17 @@ object GraftIO {
       "writeTokenSharded: input already has a column named 'shard' (reserved)")
     val nt = df.select(col(idCol).as("id"),
       graft.text.countTokensWs(col(textCol)).cast("long").as("nt"))
+    // duplicate ids would give tied RANGE-frame prefix sums in
+    // packSequences, and the join back on the id would then write n*n
+    // copies of every duplicated document into the OVERWRITTEN dest —
+    // fail fast with one small 2-column agg job instead (same distinct-key
+    // contract as withRowIndex, here enforced because a writer that
+    // silently multiplies rows destroys the previous output too)
+    val chk = nt.agg(count(lit(1)).as("n"),
+      count_distinct(col("id")).as("nd")).head()
+    require(chk.getLong(0) == chk.getLong(1),
+      s"writeTokenSharded: idCol '$idCol' must be unique " +
+        s"(${chk.getLong(0)} rows, ${chk.getLong(1)} distinct)")
     // reserved-name alias so an input id column literally named "id"
     // survives the join+drop
     val shards = graft.text.packSequences(nt, "id", "nt", budget)

@@ -285,9 +285,10 @@ package object text {
       minOcc: Int = 2): DataFrame = {
     require(minOcc >= 2, s"bad minOcc=$minOcc")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sents = df.select(col(idCol).as("id"), posexplode(sentences(col(textCol))))
-      .select(col("id"), (col("pos") + 1).as("sp"), col("col").as("sent"))
-      .repartition(parts, col("id"))
+    val sents = graft.core.Partitions.ensureMinParallelism(
+      df.select(col(idCol).as("id"), posexplode(sentences(col(textCol))))
+        .select(col("id"), (col("pos") + 1).as("sp"), col("col").as("sent")),
+      col("id"), parts)
     val occ = sents.groupBy(col("sent"))
       .agg(count(lit(1)).as("occ"),
         min(struct(col("id"), col("sp"))).as("first"))
@@ -298,8 +299,11 @@ package object text {
       .agg(count(lit(1)).as("n_kept"),
         transform(sort_array(collect_list(struct(col("sp"), col("sent")))),
           x => x.getField("sent")).as("kept_sents"))
+    // coalesce n_sent too: sentences(null) is null, and a null-text row
+    // would otherwise emit (id, null, 0, []) — inconsistent with the
+    // other output columns' null-to-zero contract
     df.select(col(idCol).as("id"),
-        size(sentences(col(textCol))).cast("long").as("n_sent"))
+        coalesce(size(sentences(col(textCol))).cast("long"), lit(0L)).as("n_sent"))
       .join(kept, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_sent"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -399,9 +403,9 @@ package object text {
     // span MATCHING is case-insensitive (lowercased window keys), but the
     // survivor text rebuilds from the ORIGINAL tokens — silently
     // case-folding every untouched document would corrupt the corpus
-    val toks = df.select(col(idCol).as("id"),
-        wsTokens(col(textCol)).as("tok"))
-      .repartition(parts, col("id"))
+    val toks = graft.core.Partitions.ensureMinParallelism(
+      df.select(col(idCol).as("id"), wsTokens(col(textCol)).as("tok")),
+      col("id"), parts)
     // (id, s, g): window starting at 1-based token position s
     val lowered = transform(col("tok"), t => lower(t))
     val rawGram = col("col")

@@ -211,6 +211,18 @@ class ModulesSpec extends SparkSuite {
       .select(graft.dedup.lshBandKeys(sig, 8, 4).as("fast"), hof.as("slow"))
       .filter(!($"fast" <=> $"slow")).count()
     assert(diff == 0)
+    // a malformed (too-short) signature folds the available prefix like the
+    // HOF slice form did — no executor-side ArrayIndexOutOfBoundsException
+    val short = Seq(Seq(7L, 11L, 13L)).toDF("sig")
+    val shortHof = array((0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        aggregate(slice($"sig", b * 4 + 1, 4), lit(0L),
+          (acc, h) => (acc * 131 + h) % 1000000007L).as("key"))
+    }: _*)
+    val sdiff = short
+      .select(graft.dedup.lshBandKeys($"sig", 8, 4).as("fast"), shortHof.as("slow"))
+      .filter(!($"fast" <=> $"slow")).count()
+    assert(sdiff == 0)
   }
 
   test("rollingHash expression equals the interpreted HOF spelling") {
@@ -363,6 +375,16 @@ class ModulesSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       graft.core.Partitions.withRowIndex(Seq(1.5, 2.5).toDF("id"), "id")
     }
+    // an orderCol literally named "one" must not collide with the internal
+    // count column (a collision made every key the constant 1: wrong
+    // ordinals plus row multiplication on the join back)
+    val named = graft.core.Partitions.withRowIndex(
+        Seq(9L, 2L, 5L).toDF("one"), "one")
+      .as[(Long, Long)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(named == Seq(2L, 5L, 9L))
+    intercept[IllegalArgumentException] {
+      graft.core.Partitions.withRowIndex(Seq(1L).toDF("__graft_one"), "__graft_one")
+    }
   }
 
   test("writeTokenSharded: shards hold ~budget tokens, ids stay contiguous") {
@@ -402,6 +424,14 @@ class ModulesSpec extends SparkSuite {
         docs.withColumn("sid", concat(lit("doc-"), $"doc_id".cast("string"))),
         "sid", "text", tmp2, budget = 5000)
     }
+    // duplicate ids would give tied prefix sums and the join back would
+    // write n*n copies of each duplicated doc — rejected up front, and the
+    // existing dest is left untouched
+    intercept[IllegalArgumentException] {
+      graft.io.GraftIO.writeTokenSharded(
+        docs.limit(10).union(docs.limit(10)), "doc_id", "text", tmp2, budget = 5000)
+    }
+    assert(spark.read.parquet(tmp2).columns.toSet.contains("id"))
   }
 
   test("tfidfTopTerms/unigramLogProb match brute-force models") {
@@ -463,6 +493,14 @@ class ModulesSpec extends SparkSuite {
     assert(got(1L) == ((3L, 2L, Seq("Buy now", "Unique alpha"))))
     assert(got(2L) == ((2L, 1L, Seq("Unique beta"))))
     assert(got(3L) == ((1L, 1L, Seq("Unique gamma"))))
+    // null text: every output column zeros/empties consistently — n_sent
+    // was the one column that leaked the null through size(sentences(null))
+    val withNull = Seq((1L, "One sentence."), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val nres = graft.text.dedupSentences(withNull, "doc_id", "text")
+      .as[(Long, Long, Long, Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(nres(2L) == ((0L, 0L, Seq.empty[String])))
   }
 
   test("dedupSpans: shared, within-doc, and absent spans; full coverage") {

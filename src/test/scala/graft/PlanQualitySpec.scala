@@ -479,4 +479,20 @@ class PlanQualitySpec extends SparkSuite {
     // nested-fixture build does map-side partial collect before the shuffle
     assert(plan.contains("partial_collect_list"), plan.take(2000))
   }
+
+  test("ensureMinParallelism: shuffles a narrow plan, leaves a wide one alone") {
+    // The serial-stage protection for the dedup explode pipelines: a
+    // 1-partition input (files < cores) must gain a full-width shuffle...
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val narrow = spark.range(1000).toDF("id").coalesce(1)
+    assert(graft.core.Partitions.ensureMinParallelism(narrow, col("id"), parts)
+      .rdd.getNumPartitions == parts)
+    // ...but an already-parallel input (any real corpus scan) must pass
+    // through UNCHANGED — the unconditional repartition this replaced paid
+    // a full extra shuffle (2.5x on d_ngram) for nothing
+    val wide = spark.range(1000).toDF("id").repartition(parts + 5)
+    val same = graft.core.Partitions.ensureMinParallelism(wide, col("id"), parts)
+    assert(same.queryExecution.executedPlan.toString ==
+      wide.queryExecution.executedPlan.toString)
+  }
 }
