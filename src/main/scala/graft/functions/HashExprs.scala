@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -26,8 +25,10 @@ object HashExprs {
   /** Deterministic polynomial hash (base 131, mod 1e9+7) over the
     * codepoints of a string — same value as graft.dedup.polyHash's HOF form
     * (per-"char" ascii() of split(s, "")), and as the DuckDB oracle's
-    * list_reduce over string_split_regex(w, ''). */
-  @inline private[functions] def polyHash(s: String): Long = {
+    * list_reduce over string_split_regex(w, ''). Public so whole-stage
+    * codegen can call the static forwarder `graft.functions.HashExprs
+    * .polyHash(String)` from generated Java. */
+  @inline def polyHash(s: String): Long = {
     var acc = 0L
     var i = 0
     while (i < s.length) {
@@ -116,28 +117,44 @@ object HashExprs {
     * external engine must verify signatures bit-for-bit, the xxh64 form
     * otherwise. */
   case class MinHashSignaturePolyBase(child: Expression, k: Int, seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    private val p = 2147483647L
     private lazy val (as, bs) = minHashCoefficients(k, seed)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val mins = Array.fill(k)(p)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        val h = polyHash(arr.getUTF8String(i).toString)
-        var j = 0
-        while (j < k) {
-          val v = (h * as(j) + bs(j)) % p
-          if (v < mins(j)) mins(j) = v
-          j += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(mins)
-    }
+    override def nullSafeEval(input: Any): Any =
+      HashExprs.minHashPolyEval(input.asInstanceOf[ArrayData], as, bs)
+    // static-call codegen: child ArrayData flows unboxed into the shared
+    // kernel, the projection stays inside whole-stage codegen
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val asRef = ctx.addReferenceObj("mhPolyAs", as, "long[]")
+        val bsRef = ctx.addReferenceObj("mhPolyBs", bs, "long[]")
+        s"${ev.value} = graft.functions.HashExprs.minHashPolyEval($c, $asRef, $bsRef);"
+      })
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Shared kernel for [[MinHashSignaturePolyBase]] — called from both the
+    * interpreted eval and generated code (bit-exact by construction). */
+  def minHashPolyEval(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val p = 2147483647L
+    val k = as.length
+    val mins = Array.fill(k)(p)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = polyHash(arr.getUTF8String(i).toString)
+      var j = 0
+      while (j < k) {
+        val v = (h * as(j) + bs(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
   }
 
   /** LSH band keys over a minhash signature: band j's key is the base-131
@@ -146,36 +163,44 @@ object HashExprs {
     * evaluated in one loop per row instead of `bands` interpreted
     * aggregates. Output: array<struct<band:int, key:long>>. */
   case class LshBandKeys(child: Expression, bands: Int, rows: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("band",
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("key", LongType, nullable = false))),
       containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val sig = input.asInstanceOf[ArrayData]
-      val n = sig.numElements()
-      val out = new Array[Any](bands)
-      var j = 0
-      while (j < bands) {
-        var acc = 0L
-        var i = 0
-        // a signature shorter than bands*rows folds only the available
-        // prefix — the degraded behavior of the aggregate(slice(sig,...))
-        // HOF spelling this expression replaced, instead of an
-        // executor-side ArrayIndexOutOfBoundsException
-        val end = math.min(rows, n - j * rows)
-        while (i < end) {
-          acc = (acc * 131 + sig.getLong(j * rows + i)) % 1000000007L
-          i += 1
-        }
-        out(j) = org.apache.spark.sql.catalyst.InternalRow(j, acc)
-        j += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      HashExprs.lshBandKeysEval(input.asInstanceOf[ArrayData], bands, rows)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashExprs.lshBandKeysEval($c, $bands, $rows);")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Shared kernel for [[LshBandKeys]]. A signature shorter than bands*rows
+    * folds only the available prefix — the degraded behavior of the
+    * aggregate(slice(sig,...)) HOF spelling this expression replaced,
+    * instead of an executor-side ArrayIndexOutOfBoundsException. */
+  def lshBandKeysEval(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val n = sig.numElements()
+    val out = new Array[Any](bands)
+    var j = 0
+    while (j < bands) {
+      var acc = 0L
+      var i = 0
+      val end = math.min(rows, n - j * rows)
+      while (i < end) {
+        acc = (acc * 131 + sig.getLong(j * rows + i)) % 1000000007L
+        i += 1
+      }
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(j, acc)
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
@@ -199,34 +224,41 @@ object HashExprs {
     * sign vector packs into a long. Bit-exact with the documented HOF form
     * and the DuckDB oracle in DedupQueries. */
   case class SimHash48(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      HashExprs.simHash48Eval(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashExprs.simHash48Eval($c);")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val votes = new Array[Int](48)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        val h = (polyHash(arr.getUTF8String(i).toString) * 2654435761L) %
-          281474976710656L // < 2^30 * 2^32 = 2^62: overflow-free
-        var j = 0
-        while (j < 48) {
-          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-          j += 1
-        }
-        i += 1
-      }
-      var packed = 0L
+  /** Shared kernel for [[SimHash48]]. */
+  def simHash48Eval(arr: ArrayData): Long = {
+    val votes = new Array[Int](48)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = (polyHash(arr.getUTF8String(i).toString) * 2654435761L) %
+        281474976710656L // < 2^30 * 2^32 = 2^62: overflow-free
       var j = 0
       while (j < 48) {
-        if (votes(j) > 0) packed |= (1L << j)
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
         j += 1
       }
-      packed
+      i += 1
     }
-
-    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    var packed = 0L
+    var j = 0
+    while (j < 48) {
+      if (votes(j) > 0) packed |= (1L << j)
+      j += 1
+    }
+    packed
   }
 
   /** Distinct word n-grams (space-joined) of a token array, first-occurrence
@@ -236,30 +268,37 @@ object HashExprs {
     * position (concat_ws + per-element size()); this loop is ~100x faster
     * and dominates the n-gram dedup inverted index build. */
   case class WordNgrams(child: Expression, n: Int, distinct: Boolean = true)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val m = arr.numElements()
-      // distinct=true: first-occurrence order (shingle sets for jaccard);
-      // distinct=false: sequential with duplicates (repetition metrics)
-      val out: java.util.Collection[org.apache.spark.unsafe.types.UTF8String] =
-        if (distinct) new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
-        else new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](math.max(0, m - n + 1))
-      val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
-      var i = 0
-      while (i <= m - n) {
-        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
-        var j = 0
-        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
-        out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
-        i += 1
-      }
-      new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
-    }
-
+    override def nullSafeEval(input: Any): Any =
+      HashExprs.wordNgramsEval(input.asInstanceOf[ArrayData], n, distinct)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashExprs.wordNgramsEval($c, $n, $distinct);")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Shared kernel for [[WordNgrams]]. distinct=true: first-occurrence order
+    * (shingle sets for jaccard); distinct=false: sequential with duplicates
+    * (repetition metrics). */
+  def wordNgramsEval(arr: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val m = arr.numElements()
+    val out: java.util.Collection[org.apache.spark.unsafe.types.UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      else new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](math.max(0, m - n + 1))
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
   def wordNgrams(tokens: Column, n: Int): Column =
@@ -274,10 +313,16 @@ object HashExprs {
     * graft.dedup.polyHash and the DuckDB list_reduce mirror, evaluated in
     * one tight loop instead of per-character interpreted lambdas. */
   case class PolyHash(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
       HashExprs.polyHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashExprs.polyHash($c.toString());")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -293,42 +338,49 @@ object HashExprs {
     * Short docs (< w windows) contribute the single whole-list minimum.
     * polyHash keeps it DuckDB-reproducible (oracled in TextQueries). */
   case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val m = arr.numElements()
-      val nGrams = m - k + 1
-      if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
-      val hashes = new Array[Long](nGrams)
-      var i = 0
-      while (i < nGrams) {
-        val sb = new java.lang.StringBuilder
-        var j = 0
-        while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(arr.getUTF8String(i + j).toString)
-          j += 1
-        }
-        hashes(i) = polyHash(sb.toString)
-        i += 1
-      }
-      val nWin = math.max(1, nGrams - w + 1)
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      i = 0
-      while (i < nWin) {
-        var min = hashes(i)
-        var j = i + 1
-        val end = math.min(i + w, nGrams)
-        while (j < end) { if (hashes(j) < min) min = hashes(j); j += 1 }
-        seen.add(min)
-        i += 1
-      }
-      new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
-    }
-
+    override def nullSafeEval(input: Any): Any =
+      HashExprs.winnowEval(input.asInstanceOf[ArrayData], k, w)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HashExprs.winnowEval($c, $k, $w);")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Shared kernel for [[WinnowFingerprint]]. */
+  def winnowEval(arr: ArrayData, k: Int, w: Int): ArrayData = {
+    val m = arr.numElements()
+    val nGrams = m - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      hashes(i) = polyHash(sb.toString)
+      i += 1
+    }
+    val nWin = math.max(1, nGrams - w + 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < nWin) {
+      var min = hashes(i)
+      var j = i + 1
+      val end = math.min(i + w, nGrams)
+      while (j < end) { if (hashes(j) < min) min = hashes(j); j += 1 }
+      seen.add(min)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
   def winnowFingerprint(tokens: Column, k: Int, w: Int): Column =

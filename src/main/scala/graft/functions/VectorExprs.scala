@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -108,7 +107,7 @@ object VectorExprs {
     * hyperplanes (LCG over the flat index, mapped to [-0.5, 0.5)) packed
     * into a long — bit-exact with graft.similarity.planeComponent. */
   case class HyperplaneSig(child: Expression, dim: Int, nPlanes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     private lazy val et = child.dataType.asInstanceOf[ArrayType].elementType
     private lazy val planes: Array[Array[Double]] =
@@ -117,23 +116,37 @@ object VectorExprs {
         (if (x < 0) x + 2147483648L else x).toDouble / 2147483648.0 - 0.5
       }
 
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      val n = math.min(v.numElements(), dim)
-      var sig = 0L
-      var j = 0
-      while (j < nPlanes) {
-        val plane = planes(j)
-        var dot = 0.0
-        var i = 0
-        while (i < n) { dot += elem(v, i, et) * plane(i); i += 1 }
-        if (dot >= 0) sig |= (1L << j)
-        j += 1
-      }
-      sig
-    }
-
+    override def nullSafeEval(input: Any): Any =
+      VectorExprs.hyperplaneSigEval(input.asInstanceOf[ArrayData], planes,
+        dim, et)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val planesRef = ctx.addReferenceObj("hpPlanes", planes, "double[][]")
+        val etRef = ctx.addReferenceObj("hpEt", et,
+          "org.apache.spark.sql.types.DataType")
+        s"${ev.value} = graft.functions.VectorExprs.hyperplaneSigEval($c, $planesRef, $dim, $etRef);"
+      })
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Shared kernel for [[HyperplaneSig]]. */
+  def hyperplaneSigEval(v: ArrayData, planes: Array[Array[Double]], dim: Int,
+      et: DataType): Long = {
+    val n = math.min(v.numElements(), dim)
+    var sig = 0L
+    var j = 0
+    while (j < planes.length) {
+      val plane = planes(j)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += elem(v, i, et) * plane(i); i += 1 }
+      if (dot >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
   }
 
   def cosineSim(a: Column, b: Column): Column =

@@ -65,6 +65,24 @@ class ReducersSpec extends SparkSuite {
     assert(one[Long](argmaxList($"xs"), Seq(3.0, 3.0, 1.0)) == 0L)
   }
 
+  test("ArgExtremum expression equals the interpreted HOF spelling") {
+    // the codegen'd expression replaced the aggregate(struct(...)) fold;
+    // pin equality over ragged rows incl. empties, nulls, and ties
+    val df = Seq(
+      (0, Seq[java.lang.Double](1.0, 3.0, 2.0)),
+      (1, Seq.empty[java.lang.Double]),
+      (2, Seq[java.lang.Double](5.0, null, 4.0)),
+      (3, Seq[java.lang.Double](null, null)),
+      (4, Seq[java.lang.Double](2.0, 1.0, 1.0, 2.0))).toDF("id", "xs")
+    for (smaller <- Seq(true, false)) {
+      val got = df.orderBy($"id")
+        .select(graft.functions.ReducerExprs.argExtremum($"xs", smaller),
+          argExtremumHof($"xs", smaller))
+        .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+      got.foreach { case (expr, hof) => assert(expr == hof) }
+    }
+  }
+
   test("mean/var/std with ddof (ak.mean unimplemented at axis=0 in ref)") {
     assert(one[Double](meanList($"xs"), Seq(1.0, 2.0, 3.0)) == 2.0)
     assert(one[Double](varList($"xs"), Seq(1.0, 2.0, 3.0))
