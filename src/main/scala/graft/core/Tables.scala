@@ -60,8 +60,15 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      // NANOS surfaces as LongType under the legacy conf and needs the
+      // truncation; re-generated corpora (e.g. the sf1 scale soak) carry
+      // ordinary MICROS timestamps that must pass through untouched.
+      val df = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        case _ => raw
+      }
       if (sys.env.get("SPARK_GRAFT_PERSIST").contains("1")) df.persist() else df
     }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

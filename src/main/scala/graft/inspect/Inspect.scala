@@ -50,6 +50,71 @@ object Inspect {
           other.subqueries.flatMap(collectScans)
     }
 
+  /** Buffer-level necessary-columns report (reference
+    * `lib/inspect.py:21-115` `report_necessary_buffers`): the reference's
+    * typetracer distinguishes buffers whose DATA a computation reads from
+    * buffers where only the SHAPE (list offsets) is touched — `ak.num(x)`
+    * touches offsets only.
+    *
+    * Spark analogue, computed statically instead of by mock execution: walk
+    * every expression of the optimized plan; a scanned column whose value
+    * flows into any expression is data-touched, while a column consumed
+    * exclusively under `size(...)` (list cardinality — the offsets buffer)
+    * is shape-only. Parquet I/O acts at column granularity, so unlike the
+    * reference's buffer projection a shape-only column still reads its leaf
+    * pages — the report's value at scale is the layout cue (materialize a
+    * count column / use a stats manifest) rather than an automatic prune. */
+  case class NecessaryBuffers(dataAndShape: Set[String], shapeOnly: Set[String])
+
+  def necessaryBuffers(df: DataFrame): Map[String, NecessaryBuffers] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.optimizedPlan
+    val data = scala.collection.mutable.Set.empty[ExprId]
+    val shape = scala.collection.mutable.Set.empty[ExprId]
+    // strip struct-field extraction: size(a.b) touches a.b's offsets
+    @scala.annotation.tailrec
+    def baseAttr(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case g: GetStructField => baseAttr(g.child)
+      case _ => None
+    }
+    def walk(e: Expression): Unit = e match {
+      case Size(child, _) if baseAttr(child).isDefined =>
+        shape += baseAttr(child).get.exprId
+      case a: Attribute => data += a.exprId
+      case other => other.children.foreach(walk)
+    }
+    plan.foreach {
+      // a bare attribute in a project list is a pass-through (column
+      // pruning inserts these), not a value touch — only computed
+      // expressions consume the column here. If the column reaches the
+      // caller it's caught by plan.output below.
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.foreach {
+          case _: Attribute => ()
+          case e => walk(e)
+        }
+      // leaf relations merely DECLARE their output attributes as
+      // expressions — declaring a column is not touching it
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => ()
+      case node => node.expressions.foreach(walk)
+    }
+    // whatever the plan returns to the caller is data by definition
+    plan.output.foreach(a => data += a.exprId)
+    plan.collect {
+      case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        val root = fs.location.rootPaths.headOption
+          .map(_.toString).getOrElse("<unknown>")
+        val ds = lr.output.filter(a => data.contains(a.exprId))
+          .map(_.name).toSet
+        val so = lr.output.filter(a =>
+          shape.contains(a.exprId) && !data.contains(a.exprId))
+          .map(_.name).toSet
+        root -> NecessaryBuffers(ds, so)
+    }.toMap
+  }
+
   /** Pushed-down data filters per scan (reference has no predicate pushdown
     * at all — SURVEY §4.1 notes this exceeds parity). */
   def pushedFilters(df: DataFrame): Map[String, Seq[String]] = {

@@ -36,9 +36,10 @@ object Multimodal {
   case class FrameSample(id: Long, frameIdx: Int, frameHash: String)
 
   object Codecs {
-    /** STUB: a real implementation would call an image codec here. The fake
-      * derives deterministic "dimensions" from the payload so the pipeline
-      * shape (schema, nullability, batching) is fully exercisable. */
+    /** STUB fallback: derives deterministic "dimensions" from the payload so
+      * the pipeline shape (schema, nullability, batching) is exercisable on
+      * payloads that are not real images (the driver corpus uses text bytes
+      * as stand-in payloads; the mm_meta oracle mirrors this arithmetic). */
     def decodeImageStub(payload: Array[Byte]): (Int, Int, String) = {
       val n = payload.length
       val w = 16 + (n % 640)
@@ -51,6 +52,78 @@ object Multimodal {
       (w, h, fmt)
     }
 
+    @inline private def u8(b: Byte): Int = b & 0xff
+    @inline private def be16(p: Array[Byte], i: Int): Int =
+      (u8(p(i)) << 8) | u8(p(i + 1))
+    @inline private def be32(p: Array[Byte], i: Int): Int =
+      (u8(p(i)) << 24) | (u8(p(i + 1)) << 16) | (u8(p(i + 2)) << 8) | u8(p(i + 3))
+    @inline private def le16(p: Array[Byte], i: Int): Int =
+      u8(p(i)) | (u8(p(i + 1)) << 8)
+    @inline private def le32(p: Array[Byte], i: Int): Int =
+      u8(p(i)) | (u8(p(i + 1)) << 8) | (u8(p(i + 2)) << 16) | (u8(p(i + 3)) << 24)
+
+    /** REAL header parse for the common container formats — pure byte
+      * arithmetic against the published file-format specs (PNG IHDR, JPEG
+      * SOFn segment walk, GIF logical screen descriptor, BMP info header,
+      * WebP VP8/VP8L/VP8X chunks). This is what a metadata pass over 100 TB
+      * of media actually does: dimensions live in the first kilobyte; full
+      * pixel decode is deferred to the stage that needs pixels. */
+    def parseImageHeader(p: Array[Byte]): Option[(Int, Int, String)] = {
+      if (p.length >= 24 &&
+          p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+          p(4) == 0x0d && p(5) == 0x0a && p(6) == 0x1a && p(7) == 0x0a) {
+        // PNG: 8-byte magic, IHDR chunk: len(4) "IHDR"(4) width(4) height(4)
+        Some((be32(p, 16), be32(p, 20), "png"))
+      } else if (p.length >= 4 && u8(p(0)) == 0xff && u8(p(1)) == 0xd8) {
+        // JPEG: walk FF-marker segments to the first SOFn frame header
+        var i = 2
+        while (i + 9 < p.length) {
+          if (u8(p(i)) != 0xff) return None // desynced: not a JPEG stream
+          val m = u8(p(i + 1))
+          if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+          else if (m == 0xda || m == 0xd9) return None      // SOS/EOI first
+          else {
+            val len = be16(p, i + 2)
+            if (len < 2) return None
+            val isSof = (m >= 0xc0 && m <= 0xcf) &&
+              m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof) // SOFn payload: precision(1) height(2) width(2)
+              return Some((be16(p, i + 7), be16(p, i + 5), "jpeg"))
+            i += 2 + len
+          }
+        }
+        None
+      } else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+          p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
+        Some((le16(p, 6), le16(p, 8), "gif"))
+      } else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M') {
+        // BITMAPINFOHEADER (size >= 40): signed LE dims (height may be
+        // negative for top-down rows)
+        Some((le32(p, 18), math.abs(le32(p, 22)), "bmp"))
+      } else if (p.length >= 30 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+          p(3) == 'F' && p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P') {
+        val tag = new String(p, 12, 4, "US-ASCII")
+        tag match {
+          case "VP8 " => // lossy: dims at keyframe offset 26, 14-bit LE
+            Some(((le16(p, 26) & 0x3fff), (le16(p, 28) & 0x3fff), "webp"))
+          case "VP8L" => // lossless: 14-bit packed after 1-byte signature
+            val b = le32(p, 21)
+            Some(((b & 0x3fff) + 1, ((b >> 14) & 0x3fff) + 1, "webp"))
+          case "VP8X" => // extended: 24-bit LE minus-one dims at offset 24
+            val w = (u8(p(24)) | (u8(p(25)) << 8) | (u8(p(26)) << 16)) + 1
+            val h = (u8(p(27)) | (u8(p(28)) << 8) | (u8(p(29)) << 16)) + 1
+            Some((w, h, "webp"))
+          case _ => None
+        }
+      } else None
+    }
+
+    /** Decode entry point: real container-header parse when the payload IS
+      * an image, deterministic stub otherwise (keeps non-image stand-in
+      * payloads — and their cross-engine oracle — exactly as before). */
+    def decodeImage(payload: Array[Byte]): (Int, Int, String) =
+      parseImageHeader(payload).getOrElse(decodeImageStub(payload))
+
     def sha256Hex(payload: Array[Byte]): String = {
       val d = java.security.MessageDigest.getInstance("SHA-256")
       d.digest(payload).map("%02x".format(_)).mkString
@@ -62,7 +135,7 @@ object Multimodal {
     import s.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, fmt) = Codecs.decodeImageStub(r.payload)
+        val (w, h, fmt) = Codecs.decodeImage(r.payload)
         MediaMeta(r.id, r.payload.length.toLong, Codecs.sha256Hex(r.payload),
           w, h, fmt)
       }

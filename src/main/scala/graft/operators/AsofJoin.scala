@@ -232,27 +232,47 @@ object AsofJoin {
   def asofJoinNative(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types._
+    // The exec merges on 64-bit-backed key/ts reads (getLong). Narrower or
+    // differently-backed types get an order-preserving long derivation here
+    // in the wrapper — int/date keys need no user-side cast, and the user's
+    // original column types pass through to the output untouched.
+    def asLong64(c: org.apache.spark.sql.Column, dt: DataType,
+        forTs: Boolean): Option[org.apache.spark.sql.Column] = dt match {
+      case LongType => None
+      case TimestampType if forTs => None // micros-backed: getLong reads it
+      case TimestampType => Some(unix_micros(c))
+      case IntegerType | ShortType | ByteType => Some(c.cast(LongType))
+      case DateType => Some(unix_date(c).cast(LongType))
+      case other => throw new IllegalArgumentException(
+        s"asofJoinNative: unsupported ${if (forTs) "ts" else "key"} type $other")
+    }
     val spark = left.sparkSession
+    val (lkName, ltName) = ("__asof_lkey", "__asof_lts")
+    val lKeyCast = asLong64(col(keyCol), left.schema(keyCol).dataType, forTs = false)
+    val lTsCast = asLong64(col(tsCol), left.schema(tsCol).dataType, forTs = true)
+    val lTemps =
+      lKeyCast.map(lkName -> _).toSeq ++ lTsCast.map(ltName -> _).toSeq
+    val l = lTemps.foldLeft(left) { case (d, (n, c)) => d.withColumn(n, c) }
     // re-alias the right side so its attribute ids never collide with the
     // left's (self-join shape), and key/ts names never shadow payload names
     val r = right.select(
-      col(keyCol).as("__asof_key") +: col(tsCol).as("__asof_ts") +:
+      asLong64(col(keyCol), right.schema(keyCol).dataType, forTs = false)
+          .getOrElse(col(keyCol)).as("__asof_key") +:
+        asLong64(col(tsCol), right.schema(tsCol).dataType, forTs = true)
+          .getOrElse(col(tsCol)).as("__asof_ts") +:
         payloadCols.map(c => col(c).as(c)): _*)
-    val lPlan = left.queryExecution.analyzed
+    val lPlan = l.queryExecution.analyzed
     val rPlan = r.queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         name: String) = p.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"asofJoinNative: no column '$name'"))
-    val (lk, lt) = (attr(lPlan, keyCol), attr(lPlan, tsCol))
+    val (lk, lt) = (attr(lPlan, lKeyCast.map(_ => lkName).getOrElse(keyCol)),
+      attr(lPlan, lTsCast.map(_ => ltName).getOrElse(tsCol)))
     val (rk, rt) = (attr(rPlan, "__asof_key"), attr(rPlan, "__asof_ts"))
-    for (a <- Seq(lk, rk)) require(a.dataType == LongType,
-      s"asofJoinNative: key must be long, got ${a.dataType} — cast upstream")
-    for (a <- Seq(lt, rt)) require(
-      a.dataType == LongType || a.dataType == TimestampType,
-      s"asofJoinNative: ts must be long/timestamp, got ${a.dataType}")
     val payload = payloadCols.map(c => attr(rPlan, c))
-    GraftBridge.ofRows(spark,
+    val joined = GraftBridge.ofRows(spark,
       graft.plans.AsofJoinPlan(lPlan, rPlan, lk, lt, rk, rt, payload))
+    lTemps.map(_._1).foldLeft(joined)(_ drop _)
   }
 }

@@ -35,6 +35,23 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Tag `colName` with a per-join bucket width for
+    * [[graft.plans.RangeJoinRewrite]]: joins whose range predicate touches
+    * this column rewrite with THIS width instead of the session-wide
+    * `spark.graft.rangeJoin.bucketWidth`. The width travels as column
+    * metadata on the attribute — it survives pruning, pushdown, and
+    * aliasing, so two range joins with different natural widths (e.g. a
+    * seconds-scale event join and a days-scale calendar join) coexist in
+    * one session. */
+  def withBucketWidthHint(df: DataFrame, colName: String, width: Long): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(df.schema(colName).metadata)
+      .putLong(graft.plans.RangeJoinRewrite.WidthMetaKey, width)
+      .build()
+    df.withColumn(colName, df(colName).as(colName, meta))
+  }
+
   /** Exact inner point-in-interval join via bucket equi-keys.
     *
     * `pt`, `start`, `end` must be numeric or timestamp columns in the same

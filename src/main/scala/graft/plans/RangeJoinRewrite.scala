@@ -27,21 +27,45 @@ import org.apache.spark.sql.types.{DataType, DateType, DoubleType, LongType, Num
   * and semi/anti emit at most once); the opposite orientation is left
   * untouched.
   *
-  * Opt-in: set `spark.graft.rangeJoin.bucketWidth` (in the column's units,
-  * e.g. seconds for timestamps) to a positive value; pick it near the
-  * median interval width so each interval lands in ~1-2 buckets. The rule
-  * never fires on joins that already have an equality conjunct (those
-  * already hash-join — and this guard also makes the rewrite a fixed
-  * point). The reference has no joins at all (SURVEY §2.6); this is the
-  * engine protecting naive Spark-SQL range joins, same spirit as AQE.
+  * Opt-in, two granularities:
+  *  - session-wide: set `spark.graft.rangeJoin.bucketWidth` (in the
+  *    column's units, e.g. seconds for timestamps) to a positive value;
+  *  - per join: tag a join column with
+  *    [[graft.operators.RangeJoin.withBucketWidthHint]] — the width rides
+  *    as column METADATA on the attribute (metadata survives pruning,
+  *    pushdown, and aliasing), so two range joins with different natural
+  *    widths coexist in one session. A hint on any of the point/lo/hi
+  *    columns wins over the global conf.
+  *
+  * Pick widths near the median interval width so each interval lands in
+  * ~1-2 buckets. The rule never fires on joins that already have an
+  * equality conjunct (those already hash-join — and this guard also makes
+  * the rewrite a fixed point). The reference has no joins at all (SURVEY
+  * §2.6); this is the engine protecting naive Spark-SQL range joins, same
+  * spirit as AQE.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthKey = "spark.graft.rangeJoin.bucketWidth"
 
+  /** Column-metadata key carrying a per-join bucket width. */
+  val WidthMetaKey = "graft.rangeJoin.bucketWidth"
+
   private def width: Long =
     try conf.getConfString(WidthKey, "0").toLong
     catch { case _: NumberFormatException => 0L }
+
+  /** Width from column-metadata hints on any referenced attribute of the
+    * given expressions (first hit wins), else the session conf, else None. */
+  private def effectiveWidth(es: Expression*): Option[Long] = {
+    val hinted = es.iterator
+      .flatMap(_.references.iterator)
+      .collectFirst {
+        case a if a.metadata.contains(WidthMetaKey) &&
+          a.metadata.getLong(WidthMetaKey) > 0 => a.metadata.getLong(WidthMetaKey)
+      }
+    hinted.orElse(if (width > 0) Some(width) else None)
+  }
 
   private def bucketable(dt: DataType): Boolean = dt match {
     case _: NumericType | TimestampType | DateType => true
@@ -124,8 +148,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = width
-    if (w <= 0) return plan
+    if (width <= 0 && !plan.exists {
+      case j: Join => j.output.exists(_.metadata.contains(WidthMetaKey)) ||
+        j.references.exists(_.metadata.contains(WidthMetaKey))
+      case _ => false
+    }) return plan
     plan.transform {
       case j @ Join(l, r,
           jt @ (Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti),
@@ -150,15 +177,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // predicate is satisfiable (bLo <= aHi <= aLo chains the
             // orderings), and the residual vetoes the rest.
             case Some((aLo, aHi, bLo, bHi)) if jt == Inner =>
-              val laB = bucket(aLo, w)
-              val lbB = bucket(bLo, w)
-              val ibL = AttributeReference("__graft_rj_lb", LongType)()
-              val ibR = AttributeReference("__graft_rj_rb", LongType)()
-              val lGen = bucketGenerate(laB, bucket(aHi, w), ibL, l)
-              val rGen = bucketGenerate(lbB, bucket(bHi, w), ibR, r)
-              val dedup = EqualTo(ibL, Greatest(Seq(laB, lbB)))
-              val newCond = And(And(EqualTo(ibL, ibR), dedup), cond)
-              Project(j.output, Join(lGen, rGen, jt, Some(newCond), hint))
+              effectiveWidth(aLo, aHi, bLo, bHi) match {
+                case None => j
+                case Some(w) =>
+                  val laB = bucket(aLo, w)
+                  val lbB = bucket(bLo, w)
+                  val ibL = AttributeReference("__graft_rj_lb", LongType)()
+                  val ibR = AttributeReference("__graft_rj_rb", LongType)()
+                  val lGen = bucketGenerate(laB, bucket(aHi, w), ibL, l)
+                  val rGen = bucketGenerate(lbB, bucket(bHi, w), ibR, r)
+                  val dedup = EqualTo(ibL, Greatest(Seq(laB, lbB)))
+                  val newCond = And(And(EqualTo(ibL, ibR), dedup), cond)
+                  Project(j.output, Join(lGen, rGen, jt, Some(newCond), hint))
+              }
             case _ => j
           }
           // outer/semi/anti joins are rewritable ONLY when the preserved
@@ -172,16 +203,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                  (jt == RightOuter && ptIsLeft) ||
                  ((jt == LeftSemi || jt == LeftAnti) && !ptIsLeft) => j
           case Some((pt, lo, hi, ptIsLeft)) =>
-            val pb = Alias(bucket(pt, w), "__graft_rj_pb")()
-            val ib = AttributeReference("__graft_rj_ib", LongType)()
-            val ptChild = if (ptIsLeft) l else r
-            val ivChild = if (ptIsLeft) r else l
-            val ptSide = Project(ptChild.output :+ pb, ptChild)
-            val loB = bucket(lo, w)
-            val ivSide = bucketGenerate(loB, bucket(hi, w), ib, ivChild)
-            val (nl, nr) = if (ptIsLeft) (ptSide, ivSide) else (ivSide, ptSide)
-            val newCond = And(EqualTo(pb.toAttribute, ib), cond)
-            Project(j.output, Join(nl, nr, jt, Some(newCond), hint))
+            effectiveWidth(pt, lo, hi) match {
+              case None => j
+              case Some(w) =>
+                val pb = Alias(bucket(pt, w), "__graft_rj_pb")()
+                val ib = AttributeReference("__graft_rj_ib", LongType)()
+                val ptChild = if (ptIsLeft) l else r
+                val ivChild = if (ptIsLeft) r else l
+                val ptSide = Project(ptChild.output :+ pb, ptChild)
+                val loB = bucket(lo, w)
+                val ivSide = bucketGenerate(loB, bucket(hi, w), ib, ivChild)
+                val (nl, nr) = if (ptIsLeft) (ptSide, ivSide) else (ivSide, ptSide)
+                val newCond = And(EqualTo(pb.toAttribute, ib), cond)
+                Project(j.output, Join(nl, nr, jt, Some(newCond), hint))
+            }
         }
       }
     }

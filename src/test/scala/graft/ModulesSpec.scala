@@ -717,6 +717,33 @@ class ModulesSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("inspect: necessaryBuffers separates shape-only from data touches") {
+    // reference report_necessary_buffers (lib/inspect.py:21-115): ak.num
+    // touches only the offsets buffer. Spark spelling: size(items).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bufrep").toString
+    graft.core.Tables.ordersNested(spark, dir).write
+      .mode("overwrite").parquet(tmp)
+    val nested = spark.read.parquet(tmp)
+
+    // size-only consumption: items is shape-only, o_orderkey is data
+    val q1 = nested.select($"o_orderkey", size($"items").as("n_items"))
+    val nb1 = graft.inspect.Inspect.necessaryBuffers(q1).values.head
+    assert(nb1.shapeOnly == Set("items"), nb1.toString)
+    assert(nb1.dataAndShape == Set("o_orderkey"), nb1.toString)
+
+    // value consumption anywhere promotes to data-and-shape
+    val q2 = nested.select(size($"items").as("n"), $"items")
+    val nb2 = graft.inspect.Inspect.necessaryBuffers(q2).values.head
+    assert(nb2.dataAndShape.contains("items") && nb2.shapeOnly.isEmpty,
+      nb2.toString)
+
+    // a filter on size() only is still shape-only
+    val q3 = nested.filter(size($"items") > 2).select($"o_orderkey")
+    val nb3 = graft.inspect.Inspect.necessaryBuffers(q3).values.head
+    assert(nb3.shapeOnly == Set("items") &&
+      nb3.dataAndShape == Set("o_orderkey"), nb3.toString)
+  }
+
   test("inspect: pushedFilters shows predicate pushdown") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val pf = graft.inspect.Inspect.pushedFilters(
@@ -873,6 +900,43 @@ class ModulesSpec extends SparkSuite {
     // every sampled frame index is even and hashes are 16 hex chars
     assert(frames.filter($"frameIdx" % 2 =!= 0).count() == 0)
     assert(frames.filter(length($"frameHash") =!= 16).count() == 0)
+  }
+
+  test("multimodal: real container headers decode to exact dimensions") {
+    implicit val s: SparkSession = spark
+    import graft.multimodal.Multimodal._
+    // real bytes from the JDK's own encoders — not hand-built magic strings
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(java.awt.Color.ORANGE); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = encode("png", 123, 45)
+    val jpg = encode("jpg", 320, 200)
+    val gif = encode("gif", 77, 33)
+    val bmp = encode("bmp", 64, 48)
+    assert(Codecs.parseImageHeader(png) == Some((123, 45, "png")))
+    assert(Codecs.parseImageHeader(jpg) == Some((320, 200, "jpeg")))
+    assert(Codecs.parseImageHeader(gif) == Some((77, 33, "gif")))
+    assert(Codecs.parseImageHeader(bmp) == Some((64, 48, "bmp")))
+    // non-image payloads fall back to the deterministic stub (the driver
+    // corpus path — oracle arithmetic unchanged)
+    val text = "just some text".getBytes("UTF-8")
+    assert(Codecs.parseImageHeader(text).isEmpty)
+    assert(Codecs.decodeImage(text) == Codecs.decodeImageStub(text))
+    // and through the distributed typed pipeline
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, png, "image/png"), MediaRow(2L, jpg, "image/jpeg"),
+      MediaRow(3L, text, "text/plain")).toDS()
+    val out = decodeMeta(media).collect().map(m => m.id -> m).toMap
+    assert((out(1L).width, out(1L).height, out(1L).format) == (123, 45, "png"))
+    assert((out(2L).width, out(2L).height, out(2L).format) == (320, 200, "jpeg"))
+    assert(out(3L).format == Codecs.decodeImageStub(text)._3)
   }
 
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {

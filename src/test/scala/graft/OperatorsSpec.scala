@@ -184,6 +184,41 @@ class OperatorsSpec extends SparkSuite {
     assert(out == Map("a" -> Some(10.0), "b" -> Some(20.0), "c" -> None))
   }
 
+  test("native asof join: int/date/timestamp key and ts auto-cast") {
+    // v1 required long key and long/timestamp ts; the wrapper now derives
+    // order-preserving longs for int/short/byte/date/timestamp columns.
+    // Differential witness: the window form, which orders natively.
+    import java.sql.Date
+    val l = Seq(
+      (1, Date.valueOf("2024-03-05"), "a"),
+      (1, Date.valueOf("2024-03-20"), "b"),
+      (2, Date.valueOf("2024-01-02"), "c"))
+      .toDF("k", "d", "tag")
+    val r = Seq(
+      (1, Date.valueOf("2024-03-05"), 10.0),
+      (1, Date.valueOf("2024-03-10"), 20.0),
+      (2, Date.valueOf("2024-02-01"), 30.0))
+      .toDF("k", "d", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"tag", $"asof_v").collect()
+        .map(x => x.getString(0) -> Option(x.get(1))).toMap
+    val native = canon(graft.operators.AsofJoin.asofJoinNative(l, r, "k", "d", Seq("v")))
+    val window = canon(graft.operators.AsofJoin.asofJoinLast(l, r, "k", "d", Seq("v")))
+    assert(native == window)
+    assert(native == Map("a" -> Some(10.0), "b" -> Some(20.0), "c" -> None))
+    // output schema keeps the user's original column types (no temp cols)
+    val out = graft.operators.AsofJoin.asofJoinNative(l, r, "k", "d", Seq("v"))
+    assert(out.columns.toSeq == Seq("k", "d", "tag", "asof_v"))
+    assert(out.schema("d").dataType == org.apache.spark.sql.types.DateType)
+    // timestamp KEY (micros-derived) + int ts also resolve
+    val lt = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5, "x"))
+      .toDF("tk", "t", "tag")
+    val rt = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 3, 1.5))
+      .toDF("tk", "t", "v")
+    assert(canon(graft.operators.AsofJoin.asofJoinNative(
+      lt, rt, "tk", "t", Seq("v"))) == Map("x" -> Some(1.5)))
+  }
+
   test("asof join directions: forward and nearest (ties backward)") {
     val l = Seq((1L, 10L, "a"), (1L, 25L, "b"), (1L, 40L, "c"), (2L, 5L, "d"))
       .toDF("k", "t", "tag")

@@ -342,6 +342,37 @@ class PlanQualitySpec extends SparkSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("RangeJoinRewrite: per-join width hints via column metadata") {
+    import spark.implicits._
+    // no global conf: each join carries its own width as column metadata
+    val ptsN = Seq((1L, 5L), (2L, 17L), (3L, 50L), (4L, 999L)).toDF("id", "pt")
+    val ivsN = Seq((10L, 4L, 6L), (11L, 15L, 55L)).toDF("iid", "lo", "hi")
+    val ptsW = graft.operators.RangeJoin.withBucketWidthHint(ptsN, "pt", 7L)
+    // a second, unrelated range join in the same session with a much wider
+    // natural bucket
+    val ptsB = Seq((1L, 1000L), (2L, 5000L)).toDF("id2", "pt2")
+    val ivsB = Seq((20L, 900L, 1100L)).toDF("iid2", "lo2", "hi2")
+    val ivsBW = graft.operators.RangeJoin.withBucketWidthHint(ivsB, "lo2", 500L)
+
+    val j1 = ptsW.join(ivsN, $"pt" >= $"lo" && $"pt" <= $"hi")
+    val j2 = ptsB.join(ivsBW, $"pt2" >= $"lo2" && $"pt2" <= $"hi2")
+    for ((j, w, naive) <- Seq(
+        (j1, 7L, ptsN.join(ivsN, $"pt" >= $"lo" && $"pt" <= $"hi")),
+        (j2, 500L, ptsB.join(ivsB, $"pt2" >= $"lo2" && $"pt2" <= $"hi2")))) {
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"width-$w join still nested-loops:\n${plan.take(1200)}")
+      // the bucket expression divides by THIS join's width
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains(s"/ $w.0"), s"width $w missing:\n${opt.take(1200)}")
+      assert(j.collect().toSet == naive.collect().toSet)
+    }
+    // hint on one join must not leak into the other
+    val opt2 = j2.queryExecution.optimizedPlan.toString
+    assert(!opt2.contains("/ 7.0"), opt2.take(1200))
+  }
+
   test("RangeJoinRewrite: null points and null bounds match the naive join") {
     import spark.implicits._
     val pts = Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
