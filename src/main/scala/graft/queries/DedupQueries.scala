@@ -138,7 +138,22 @@ object DedupQueries {
       // corpus, and shuffles 8 bytes instead of a 32-char hex string
       val keepers = docs.groupBy(xxhash64(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-      val surv = docs.join(keepers, "doc_id")
+      // Stage materialization between pipeline phases — to PARQUET, not
+      // localCheckpoint: the shingle fan-out inside ngramJaccardPairs
+      // (index side + nsh broadcast side) and the left-anti in
+      // dropNearDuplicates would otherwise each re-run this filter ->
+      // hash-groupBy -> join upstream (measured 23x on a 10x corpus in
+      // the sf1 soak: 57 s vs 31 s for the same pair+CC work over MORE
+      // docs in d_dropdups). Checkpointing fixes the recompute but yields
+      // an ExistingRDD with no stats, so the downstream index self-join
+      // degrades from the stats-driven broadcast join to sort-merge
+      // (measured 2-3x on the pair stream); a parquet round-trip restores
+      // scan statistics AND is the honest production shape — the deduped
+      // corpus lands in storage between stages at 100 TB anyway.
+      val stage = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_pipeline_surv").getPath
+      docs.join(keepers, "doc_id").write.mode("overwrite").parquet(stage)
+      val surv = s.read.parquet(stage)
       val edges = ngramJaccardPairs(surv, "doc_id", "text", 2, 50)
       dropNearDuplicates(surv, "doc_id", edges)
         .agg(count(lit(1)).as("n_final"), sum(col("doc_id")).as("id_sum"))

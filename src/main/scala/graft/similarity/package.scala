@@ -189,28 +189,48 @@ package object similarity {
     * sample. Cell assignment broadcasts the centroid table and keeps
     * scoring map-side; the search is an equi-join on cell id, so cost
     * scales with corpus/nCells * nprobe per query — never a corpus scan
-    * per query. */
+    * per query.
+    *
+    * `nCells <= 0` derives the cell count as ~sqrt(corpus) (clamped to
+    * [16, 65536]) — the standard IVF sizing. A FIXED cell count makes the
+    * whole-corpus kNN-join quadratic (cells hold N/nCells vectors, every
+    * query probes nprobe of them: N²·nprobe/nCells total — measured 25x
+    * on a 10x corpus in the sf1 soak), while sqrt sizing keeps bucket
+    * sizes at sqrt(N) for the canonical N^1.5 total. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, nprobe: Int, k: Int, trainIters: Int = 0): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val nc =
+      if (nCells > 0) nCells
+      else math.min(65536L, math.max(16L,
+        math.ceil(math.sqrt(v.count().toDouble)).toLong)).toInt
     val centroids =
-      if (trainIters > 0) kmeansCentroids(df, idCol, vecCol, nCells, trainIters)
-      else seedCentroids(v, nCells)
-    // corpus side: each vector in its single nearest cell. Zero-norm
-    // vectors/centroids yield a null cosine, which the typed TopKScoredIds
-    // aggregator (non-nullable Double) rejects — drop them like the other
-    // search paths do.
+      if (trainIters > 0) kmeansCentroids(df, idCol, vecCol, nc, trainIters)
+      else seedCentroids(v, nc)
+    // corpus side: each vector scored against every centroid (N x nCells
+    // map-side rows — with sqrt sizing this is the N^1.5 assignment term).
+    // Zero-norm vectors/centroids yield a null cosine, which the typed
+    // TopKScoredIds aggregator (non-nullable Double) rejects — drop them
+    // like the other search paths do.
     val assigned = v.join(broadcast(centroids))
       .select(col("id"), col("vec"), col("cid"),
         cosine(col("vec"), col("cvec")).as("sim"))
       .filter(col("sim").isNotNull)
-    val cells = topKPerKey(assigned.withColumnRenamed("id", "key")
-        .select(col("key"), col("sim"), col("cid")), "key", "sim", "cid", 1)
+    // ONE ranking pass: rank 1 is the home cell, ranks 1..nprobe are the
+    // probe set. Checkpointing the (key, rank, cid) projection — 3 narrow
+    // columns, no vectors — stops the two consumers below from each
+    // re-running the N x nCells scoring (2x the dominant term; at 1e9
+    // vectors the checkpoint is ~nprobe*N*24 B spread across executors,
+    // the scoring it saves is N^1.5 cosine kernels).
+    val ranked = topKPerKey(assigned.withColumnRenamed("id", "key")
+        .select(col("key"), col("sim"), col("cid")), "key", "sim", "cid", nprobe)
+      .select(col("key"), col("rank"), col("cid"))
+      .localCheckpoint()
+    val cells = ranked.filter(col("rank") === 1)
       .select(col("key").as("id"), col("cid"))
       .join(v, "id")
     // query side: nprobe nearest cells each
-    val probes = topKPerKey(assigned.withColumnRenamed("id", "key")
-        .select(col("key"), col("sim"), col("cid")), "key", "sim", "cid", nprobe)
+    val probes = ranked
       .select(col("key").as("qid"), col("cid"))
       .join(v.select(col("id").as("qid"), col("vec").as("qvec")), "qid")
     val scored = probes.join(cells, "cid")

@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Time individual SparkEntry queries against any corpus dir — the
+  * scale-soak micro-loop (full Bench runs all 123; iterating on one
+  * finding needs just the affected handful).
+  *
+  * Usage: runMain graft.tools.QueryTimer <sfDir> <query> [query...]
+  */
+object QueryTimer {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: QueryTimer <sfDir> <query> [query...]")
+    val dir = args(0)
+    val spark = SparkSession.builder().master(
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- args.drop(1)) {
+      val fn = graft.SparkEntry.queries.getOrElse(q,
+        sys.error(s"unknown query $q"))
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        println(f"[qt] $q run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -80,13 +80,25 @@ object ScaleGen {
       Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
     write(replicate(read("events"), Seq("event_id", "user_id")), "events")
 
+    // Per-replica Caesar shift over the alphabet (translate() is a char
+    // BIJECTION): intra-replica edit distances are preserved EXACTLY
+    // (Levenshtein is invariant under a char bijection), so per-replica
+    // dedup statistics are the original's — while cross-replica texts
+    // differ in essentially every alphabetic char (distance ~= prefix
+    // length >> any maxDist) and share zero shingles. Earlier designs
+    // that APPENDED a per-replica word suffix failed both ways: the
+    // shared intra-replica suffix inflated within-replica similarity
+    // (124k manufactured pairs at factor 10 vs the organic ~900), and
+    // cross-replica twins stayed within maxDist for short prefixes.
+    // Lengths and whitespace are untouched, so token counts, n_chars,
+    // and packing budgets match the original corpus exactly.
+    val lower = ('a' to 'z').mkString
+    val upper = ('A' to 'Z').mkString
+    def rot(s: String, i: Int) = s.drop(i % 26) + s.take(i % 26)
     write(replicate(read("documents"), Seq("doc_id"), (d, i) =>
       if (i == 0) d
-      else d
-        .withColumn("text",
-          array_join(transform(split(col("text"), " "),
-            w => concat(w, lit(s"~$i"))), " "))
-        .withColumn("n_chars", length(col("text")).cast("long"))),
+      else d.withColumn("text",
+        translate(col("text"), lower + upper, rot(lower, i) + rot(upper, i)))),
       "documents")
 
     write(replicate(read("embeddings"), Seq("vec_id"), (d, i) => {
