@@ -364,12 +364,20 @@ package object dedup {
     * driver memory ~16 B/edge — a single collect runs union-find on the
     * driver, replacing a multi-job iterative fixpoint with one job.
     * Larger graphs take the distributed path: iterative min-label
-    * propagation — each round every node adopts the smallest label among
-    * itself and its neighbors; converges in O(component diameter) rounds.
-    * Per round: one shuffle join + one aggregate; lineage is cut with
+    * propagation WITH POINTER JUMPING — each round every node adopts the
+    * smallest of its own label, its neighbors' labels, and its label's
+    * label (L(L(v))). Neighbor propagation alone needs O(component
+    * diameter) rounds — a 10^6-node chain would need 10^6 shuffle rounds
+    * and any maxIter cutoff silently mislabels it; the jumping term
+    * halves every label chain per round, so convergence is
+    * O(log diameter) and maxIter=25 covers diameters past 2^25. Per
+    * round: two shuffle joins + one aggregate; lineage is cut with
     * localCheckpoint so the plan does not grow with iterations (the
-    * difference between O(d) and O(d^2) work at 100 TB, and a driver
-    * stack overflow avoided).
+    * difference between O(log d) and O(log^2 d) work at 100 TB, and a
+    * driver stack overflow avoided). A loop that exhausts maxIter without
+    * the convergence witness settling THROWS instead of returning a
+    * partial labeling — at 100 TB a silently wrong dedup clustering is
+    * strictly worse than a failed job.
     *
     * Returns (id, rep) for every node appearing in `edges`, rep = min id
     * of its component. */
@@ -381,6 +389,14 @@ package object dedup {
     val e = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b")).localCheckpoint()
     if (e.count() <= driverSolveMaxEdges) return ccDriver(e)
+    ccDistributed(e, maxIter)._1.select(col("v").as("id"), col("l").as("rep"))
+  }
+
+  /** Distributed CC loop on a checkpointed (a, b) edge frame; returns the
+    * (v, l) labeling and the round count (exposed for the scale tests —
+    * the O(log diameter) bound is asserted, not assumed). */
+  private[graft] def ccDistributed(e: DataFrame, maxIter: Int)
+      : (DataFrame, Int) = {
     // no checkpoint on sym: a union over the checkpointed edge set is a
     // near-free narrow recompute, not worth another materialization job
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -399,24 +415,38 @@ package object dedup {
     while (!done && i < maxIter) {
       val nbr = sym.join(labels, sym("b") === labels("v"))
         .groupBy(col("a")).agg(min(col("l")).as("nl"))
-      val next = labels.join(nbr, labels("v") === nbr("a"), "left")
+      // pointer jumping: L(L(v)). Every label IS a node id (labels start
+      // as ids and only copy other labels), so the lookup is a self-join
+      // of the labeling — label chains halve each round.
+      val jump = labels.as("x").join(labels.as("y"),
+          col("x.l") === col("y.v"))
+        .select(col("x.v").as("jv"), col("y.l").as("jl"))
+      val next = labels
+        .join(nbr, labels("v") === nbr("a"), "left")
+        .join(jump, labels("v") === col("jv"), "left")
         .select(labels("v"),
-          least(labels("l"), coalesce(col("nl"), labels("l"))).as("l"))
-      // probe convergence BEFORE materializing: labels only decrease, so an
-      // unchanged sum means next == labels and the round's checkpoint can be
-      // skipped entirely (the common case — the min-seeded init is already
-      // the fixpoint for clique-shaped near-dup components). A non-converged
-      // round evaluates `next` twice, but both evals join two checkpointed
-      // tiny frames, far cheaper than an extra materialization job.
-      val s = next.agg(coalesce(sum(col("l")), lit(0L))).head().getLong(0)
+          least(labels("l"),
+            least(coalesce(col("nl"), labels("l")),
+              coalesce(col("jl"), labels("l")))).as("l"))
+      // checkpoint FIRST, then read the convergence witness off the
+      // materialized frame: evaluating `next` exactly once per round.
+      // (The earlier probe-then-checkpoint order skipped the final
+      // round's materialization but evaluated the three-way join twice
+      // per NON-final round — a loss for every multi-round graph, and
+      // multi-round is precisely when the distributed path matters.)
+      val ck = next.localCheckpoint()
+      val s = ck.agg(coalesce(sum(col("l")), lit(0L))).head().getLong(0)
       if (s == lastSum) done = true
       else {
-        labels = next.localCheckpoint()
+        labels = ck
         lastSum = s
       }
       i += 1
     }
-    labels.select(col("v").as("id"), col("l").as("rep"))
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIter rounds — " +
+        "raise maxIter (O(log diameter) rounds are expected)")
+    (labels, i)
   }
 
   /** Driver-side union-find over a collected (already-checkpointed) edge

@@ -85,5 +85,11 @@ object SimilarityQueries {
     "sim_vecops" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings) SELECT vec_id, round(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS l2, round(CASE WHEN sqrt(list_sum(list_transform(e, x -> x * x))) > 0 THEN sqrt(list_sum(list_transform(list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))), x -> x * x))) END, 4) AS unit_l2, round(sqrt(list_sum(list_transform(range(1, len(e) + 1), i -> (e[CAST(i AS INT)] - e[CAST(len(e) - i + 1 AS INT)]) * (e[CAST(i AS INT)] - e[CAST(len(e) - i + 1 AS INT)])))), 4) AS eucl_rev FROM v""",
     "sim_topk" ->
-      s"""WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS ea, c.embedding AS eb FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), d AS (SELECT qid, nid, $COS AS cos FROM p, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d) SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""")
+      s"""WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS ea, c.embedding AS eb FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), d AS (SELECT qid, nid, $COS AS cos FROM p, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d) SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
+    // sim_ivf is fully deterministic (seed centroids = first ~sqrt(N)
+    // vectors by id, fixed probe count, lexicographic tie-breaks), so the
+    // whole IVF search replays in SQL: same auto cell count, same
+    // assignment ranking, same probe set, same final top-k.
+    "sim_ivf" ->
+      s"""WITH nc AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings), cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT (SELECT k FROM nc)), ap AS (SELECT e.vec_id AS vid, c.cid, e.embedding AS ea, c.cvec AS eb FROM embeddings e, cent c), ac AS (SELECT vid, cid, $COS AS sim FROM ap, range(1, 65) r(i) GROUP BY vid, cid), ranked AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS rn FROM ac WHERE sim IS NOT NULL), cells AS (SELECT vid AS id, cid FROM ranked WHERE rn = 1), probes AS (SELECT vid AS qid, cid FROM ranked WHERE rn <= 4), cand AS (SELECT p.qid, ce.id AS nid, eq.embedding AS ea, en.embedding AS eb FROM probes p JOIN cells ce ON p.cid = ce.cid AND p.qid <> ce.id JOIN embeddings eq ON eq.vec_id = p.qid JOIN embeddings en ON en.vec_id = ce.id), d AS (SELECT qid, nid, $COS AS cos FROM cand, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL) SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""")
 }

@@ -390,4 +390,52 @@ class DedupSimilaritySpec extends SparkSuite {
     // losers: 2,3,4,5,11; keepers: reps 1,10 + untouched 0,6,7,8,9,12
     assert(kept == Seq(0L, 1L, 6L, 7L, 8L, 9L, 10L, 12L))
   }
+
+  test("distributed CC in anger: 16k-node long chains, O(log diameter) rounds") {
+    // Worst-diameter shape for label propagation: path graphs (4 chains x
+    // 4,096 nodes — diameter 4,095). Neighbor-only propagation would
+    // need 4k shuffle rounds and silently mislabel at any practical
+    // maxIter; pointer jumping (L(L(v)) each round) must converge in
+    // ~log2(4096) = 12 rounds. Ids ASCEND along each chain so every
+    // node's init label points one hop toward the min — the maximal
+    // label-chain layout. (The multi-million-edge version of this graph
+    // runs in tools/CcStress; see docs/SCALE_SOAK.md for its numbers.)
+    val n = 4096L
+    val chains = 4L
+    // NB: `/` on longs is DOUBLE division in Spark SQL — floor() it for the
+    // chain index or the edges scramble into disjoint (x, x+1) pairs
+    val chainIdx = floor(col("id") / (n - 1)).cast("long")
+    val edges = spark.range(0, chains * (n - 1)).select(
+      (chainIdx * 1000000L + (col("id") % (n - 1)) + 1L).as("id1"),
+      (chainIdx * 1000000L + (col("id") % (n - 1)) + 2L).as("id2"))
+    val e = edges.select(col("id1").cast("long").as("a"),
+      col("id2").cast("long").as("b")).localCheckpoint()
+    val t0 = System.nanoTime()
+    val (labels, rounds) = graft.dedup.ccDistributed(e, maxIter = 25)
+    val byRep = labels.groupBy(col("l")).agg(
+      count(lit(1)).as("sz"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .as[(Long, Long, Long, Long)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"converged in $rounds rounds, $secs%.1f s")
+    assert(rounds <= 20, s"expected O(log diameter) rounds, got $rounds")
+    // every chain collapses to one component labeled by its min id
+    assert(byRep.length == chains.toInt)
+    for ((rep, sz, mn, mx) <- byRep) {
+      val c = rep / 1000000L
+      assert(rep == c * 1000000L + 1L && mn == rep && sz == n &&
+        mx == c * 1000000L + n, s"bad component ($rep, $sz, $mn, $mx)")
+    }
+    // differential: the driver union-find fast path agrees exactly
+    val dist = labels.select(col("v").as("id"), col("l").as("rep"))
+    val drv = connectedComponents(edges, "id1", "id2") // under 1M edges
+    assert(dist.exceptAll(drv).isEmpty && drv.exceptAll(dist).isEmpty)
+  }
+
+  test("distributed CC refuses to return an unconverged labeling") {
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("id1", "id2")
+    assertThrows[IllegalStateException] {
+      connectedComponents(edges, "id1", "id2", maxIter = 1,
+        driverSolveMaxEdges = 0L).collect()
+    }
+  }
 }
