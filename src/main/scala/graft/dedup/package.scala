@@ -394,7 +394,23 @@ package object dedup {
 
   /** Distributed CC loop on a checkpointed (a, b) edge frame; returns the
     * (v, l) labeling and the round count (exposed for the scale tests —
-    * the O(log diameter) bound is asserted, not assumed). */
+    * the O(log diameter) bound is asserted, not assumed).
+    *
+    * Lineage discipline (measured, not theoretical): `localCheckpoint`
+    * alone is NOT enough to keep iterative rounds O(1). It materializes
+    * the RDD, but the Dataset it returns still carries origin plan state
+    * (constraints/stats snapshots) from the full checkpoint chain, and
+    * driver-side planning cost compounds round over round — measured
+    * ~4-5x growth per round from round ~11 (tools/CcProbe `lck` mode:
+    * 0.4 s rounds exploding to 200 s by round 15; one driver thread busy,
+    * executors idle). Rebinding each round's checkpoint through
+    * `createDataFrame(ck.rdd, ck.schema)` makes the new frame a true leaf
+    * and holds every round at ~0.4 s (CcProbe `rdd` mode). */
+  private[graft] def ccRebind(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   private[graft] def ccDistributed(e: DataFrame, maxIter: Int)
       : (DataFrame, Int) = {
     // no checkpoint on sym: a union over the checkpointed edge set is a
@@ -404,15 +420,16 @@ package object dedup {
     // label0(v) = min(v, min neighbor) — for clique-shaped components
     // (the common near-dup case) this IS the fixpoint, so the loop runs
     // exactly one confirmation round
-    var labels = sym.groupBy(col("a").as("v"))
-      .agg(least(min(col("b")), first(col("a"))).as("l"))
-      .localCheckpoint()
+    var labels = ccRebind(sym.groupBy(col("a").as("v"))
+      .agg(least(min(col("b")), first(col("a"))).as("l")))
     // labels only ever decrease, so sum(l) is a complete convergence
     // witness — one cheap aggregate per round instead of a self-join diff
     var lastSum = labels.agg(coalesce(sum(col("l")), lit(0L))).head().getLong(0)
     var i = 0
     var done = false
+    val ccDebug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!done && i < maxIter) {
+      val tRound = System.nanoTime()
       val nbr = sym.join(labels, sym("b") === labels("v"))
         .groupBy(col("a")).agg(min(col("l")).as("nl"))
       // pointer jumping: L(L(v)). Every label IS a node id (labels start
@@ -434,7 +451,7 @@ package object dedup {
       // round's materialization but evaluated the three-way join twice
       // per NON-final round — a loss for every multi-round graph, and
       // multi-round is precisely when the distributed path matters.)
-      val ck = next.localCheckpoint()
+      val ck = ccRebind(next)
       val s = ck.agg(coalesce(sum(col("l")), lit(0L))).head().getLong(0)
       if (s == lastSum) done = true
       else {
@@ -442,6 +459,8 @@ package object dedup {
         lastSum = s
       }
       i += 1
+      if (ccDebug) println(
+        f"[cc-debug] round $i: ${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
     if (!done) throw new IllegalStateException(
       s"connectedComponents: not converged after $maxIter rounds — " +

@@ -31,7 +31,15 @@ object ReducerExprs {
       case _ => throw new IllegalArgumentException(s"non-numeric list: $et")
     }
 
-  /** Shared kernel; boxed so empty/all-null can be null. */
+  /** Shared kernel; boxed so empty/all-null can be null.
+    *
+    * NaN contract (explicit, numpy/awkward semantics): NaN PROPAGATES —
+    * the first NaN's index is the result of both argmin and argmax, as in
+    * `np.argmin`/`ak.argmin`. This intentionally diverges from Spark SQL
+    * ordering (where NaN sorts greatest, so `array_position(x, array_max
+    * (x))`-style spellings would treat NaN as a maximum only); the HOF
+    * witness in reducers/package.scala implements the same contract and
+    * the ReducersSpec pin covers NaN-first, NaN-mid and all-NaN rows. */
   def argExtremumEval(arr: ArrayData, smaller: Boolean, et: DataType): java.lang.Long = {
     val n = arr.numElements()
     var best = 0.0
@@ -40,6 +48,7 @@ object ReducerExprs {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val x = elem(arr, i, et)
+        if (x.isNaN) return java.lang.Long.valueOf(i)
         if (idx < 0 || (if (smaller) x < best else x > best)) {
           best = x
           idx = i

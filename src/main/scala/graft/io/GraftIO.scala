@@ -59,6 +59,51 @@ object GraftIO {
       compression: String = "zstd"): Unit =
     df.write.mode("overwrite").option("compression", compression).parquet(dest)
 
+  private val stagedLocalDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val stageCleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      stagedLocalDirs.forEach(rm(_))
+    }))
+  }
+
+  /** Materialize `df` to parquet at a PER-INVOCATION unique staging path
+    * and read it back — the inter-stage boundary for multi-phase pipelines
+    * (cuts recompute of the upstream plan AND restores scan statistics,
+    * which a checkpoint's ExistingRDD loses; the deduped corpus lands in
+    * storage between stages at 100 TB anyway, so this is the honest
+    * production shape).
+    *
+    * The path is `<root>/graft_stage/<applicationId>/<name>-<uuid>`: the
+    * uuid makes concurrent sessions and CI forks collision-free (a fixed
+    * shared path would clobber under overwrite + read-after-write races).
+    * `root` is the session's checkpoint dir when one is set — shared
+    * storage on a real cluster — else `java.io.tmpdir`, which is only
+    * correct on a local master (documented limitation; set a checkpoint
+    * dir on any multi-node deployment). tmpdir stages are best-effort
+    * deleted on JVM exit.
+    *
+    * NOTE the write is EAGER — parquet must exist before the read-back
+    * plan can resolve — so construct staging queries only to run them. */
+  def stageParquet(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val local = spark.sparkContext.getCheckpointDir.isEmpty
+    val root = spark.sparkContext.getCheckpointDir
+      .getOrElse(sys.props("java.io.tmpdir"))
+    val path = s"${root.stripSuffix("/")}/graft_stage/" +
+      s"${spark.sparkContext.applicationId}/$name-${java.util.UUID.randomUUID()}"
+    df.write.mode("error").parquet(path)
+    if (local) { // root is java.io.tmpdir, a plain filesystem path
+      stageCleanupHook
+      stagedLocalDirs.add(new java.io.File(path)): Unit
+    }
+    spark.read.parquet(path)
+  }
+
   /** Bucketed managed table: co-locate rows by key at WRITE time so every
     * later join/aggregate on that key elides its exchange — shuffle once
     * on write, never again. The 100 TB fact-table layout: pick `buckets`

@@ -79,6 +79,11 @@ object Multimodal {
         var i = 2
         while (i + 9 < p.length) {
           if (u8(p(i)) != 0xff) return None // desynced: not a JPEG stream
+          // the spec allows any number of 0xFF FILL bytes before a marker
+          // code (B.1.1.2) — skip them or the second 0xFF reads as a
+          // bogus marker and the walk desyncs
+          while (i + 9 < p.length && u8(p(i + 1)) == 0xff) i += 1
+          if (i + 9 >= p.length) return None
           val m = u8(p(i + 1))
           if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
           else if (m == 0xda || m == 0xd9) return None      // SOS/EOI first
@@ -97,9 +102,14 @@ object Multimodal {
           p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
         Some((le16(p, 6), le16(p, 8), "gif"))
       } else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M') {
-        // BITMAPINFOHEADER (size >= 40): signed LE dims (height may be
-        // negative for top-down rows)
-        Some((le32(p, 18), math.abs(le32(p, 22)), "bmp"))
+        // the DIB header-size field at offset 14 picks the layout: 12-byte
+        // BITMAPCOREHEADER carries UNSIGNED 16-bit dims, >= 40-byte
+        // BITMAPINFOHEADER carries signed 32-bit dims (height negative for
+        // top-down rows); other/unknown sizes fall through to the stub
+        val dib = le32(p, 14)
+        if (dib == 12) Some((le16(p, 18), le16(p, 20), "bmp"))
+        else if (dib >= 40) Some((le32(p, 18), math.abs(le32(p, 22)), "bmp"))
+        else None
       } else if (p.length >= 30 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
           p(3) == 'F' && p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P') {
         val tag = new String(p, 12, 4, "US-ASCII")

@@ -237,13 +237,36 @@ object AsofJoin {
     // differently-backed types get an order-preserving long derivation here
     // in the wrapper — int/date keys need no user-side cast, and the user's
     // original column types pass through to the output untouched.
+    //
+    // Commensurability: the two sides derive their 64-bit key/ts
+    // independently, so they must land in the SAME unit. Integral types
+    // normalize to the raw long value; temporal types normalize to
+    // MICROSECONDS since epoch (dates via unix_date * 86_400_000_000 —
+    // order-preserving, and commensurate with a timestamp on the other
+    // side). Mixing an integral with a temporal across sides would compare
+    // raw numbers to epoch-micros and silently mismatch — rejected.
+    def family(dt: DataType, role: String): String = dt match {
+      case LongType | IntegerType | ShortType | ByteType => "integral"
+      case TimestampType | DateType => "temporal"
+      case other => throw new IllegalArgumentException(
+        s"asofJoinNative: unsupported $role type $other")
+    }
+    for ((role, ldt, rdt) <- Seq(
+        ("key", left.schema(keyCol).dataType, right.schema(keyCol).dataType),
+        ("ts", left.schema(tsCol).dataType, right.schema(tsCol).dataType))) {
+      val (lf, rf) = (family(ldt, role), family(rdt, role))
+      if (lf != rf) throw new IllegalArgumentException(
+        s"asofJoinNative: $role types are incommensurable across sides " +
+          s"(left $ldt is $lf, right $rdt is $rf) — cast one side first")
+    }
+    val MicrosPerDay = 86400000000L
     def asLong64(c: org.apache.spark.sql.Column, dt: DataType,
         forTs: Boolean): Option[org.apache.spark.sql.Column] = dt match {
       case LongType => None
       case TimestampType if forTs => None // micros-backed: getLong reads it
       case TimestampType => Some(unix_micros(c))
       case IntegerType | ShortType | ByteType => Some(c.cast(LongType))
-      case DateType => Some(unix_date(c).cast(LongType))
+      case DateType => Some(unix_date(c).cast(LongType) * lit(MicrosPerDay))
       case other => throw new IllegalArgumentException(
         s"asofJoinNative: unsupported ${if (forTs) "ts" else "key"} type $other")
     }

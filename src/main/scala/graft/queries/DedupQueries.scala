@@ -148,12 +148,11 @@ object DedupQueries {
       // an ExistingRDD with no stats, so the downstream index self-join
       // degrades from the stats-driven broadcast join to sort-merge
       // (measured 2-3x on the pair stream); a parquet round-trip restores
-      // scan statistics AND is the honest production shape — the deduped
-      // corpus lands in storage between stages at 100 TB anyway.
-      val stage = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_pipeline_surv").getPath
-      docs.join(keepers, "doc_id").write.mode("overwrite").parquet(stage)
-      val surv = s.read.parquet(stage)
+      // scan statistics AND is the honest production shape. stageParquet
+      // stages at a per-invocation unique path (concurrent sessions / CI
+      // forks never clobber each other).
+      val surv = graft.io.GraftIO.stageParquet(
+        docs.join(keepers, "doc_id"), "pipeline_surv")
       val edges = ngramJaccardPairs(surv, "doc_id", "text", 2, 50)
       dropNearDuplicates(surv, "doc_id", edges)
         .agg(count(lit(1)).as("n_final"), sum(col("doc_id")).as("id_sum"))

@@ -65,13 +65,16 @@ package object reducers {
     graft.functions.ReducerExprs.argExtremum(c, smaller = false)
 
   /** The old HOF spelling, kept as the differential-test witness for
-    * [[argminList]]/[[argmaxList]]. */
+    * [[argminList]]/[[argmaxList]]. Implements the same explicit NaN
+    * contract as the kernel (numpy propagation: first NaN wins both
+    * directions) — Spark's raw `<`/`>` ordering treats NaN as greatest,
+    * so the NaN clause must be spelled out here, not inherited. */
   private[graft] def argExtremumHof(c: Column, smaller: Boolean): Column = {
     val zero = struct(lit(null).cast(DoubleType).as("best"),
       lit(null).cast(LongType).as("idx"), lit(0L).as("i"))
     aggregate(c, zero, (acc, x) => {
-      val better = x.isNotNull &&
-        (acc.getField("best").isNull ||
+      val better = x.isNotNull && !isnan(acc.getField("best")) &&
+        (acc.getField("best").isNull || isnan(dbl(x)) ||
           (if (smaller) dbl(x) < acc.getField("best")
            else dbl(x) > acc.getField("best")))
       struct(

@@ -939,6 +939,45 @@ class ModulesSpec extends SparkSuite {
     assert(out(3L).format == Codecs.decodeImageStub(text)._3)
   }
 
+  test("multimodal headers: JPEG fill bytes and BMP core header") {
+    import graft.multimodal.Multimodal._
+    // JPEG spec B.1.1.2 allows any number of 0xFF fill bytes before a
+    // marker code — the r4 walker read the second 0xFF as the marker and
+    // desynced. Insert fills into a real JDK-encoded JPEG.
+    val img = new java.awt.image.BufferedImage(
+      320, 200, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+    val jpg = bos.toByteArray
+    val withFill =
+      jpg.take(2) ++ Array(0xff.toByte, 0xff.toByte, 0xff.toByte) ++ jpg.drop(2)
+    assert(Codecs.parseImageHeader(withFill) == Some((320, 200, "jpeg")))
+    // 12-byte BITMAPCOREHEADER: unsigned 16-bit dims at offsets 18/20 —
+    // the r4 parser read them as 32-bit BITMAPINFOHEADER fields
+    val core = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    core.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26)
+    core.putInt(12).putShort(640.toShort).putShort(480.toShort)
+      .putShort(1.toShort).putShort(24.toShort)
+    assert(Codecs.parseImageHeader(core.array()) == Some((640, 480, "bmp")))
+    // unknown DIB header sizes decline (stub fallback) instead of garbage
+    val odd = core.array().clone()
+    odd(14) = 16.toByte
+    assert(Codecs.parseImageHeader(odd).isEmpty)
+  }
+
+  test("stageParquet: per-invocation unique path, no cross-run clobber") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val s1 = graft.io.GraftIO.stageParquet(df, "spec_stage")
+    val s2 = graft.io.GraftIO.stageParquet(df.filter($"id" === 1), "spec_stage")
+    // the two invocations staged at DIFFERENT paths (the r4 fixed shared
+    // path clobbered under overwrite) and each reads back its own rows
+    val (p1, p2) = (s1.inputFiles.head, s2.inputFiles.head)
+    assert(p1.split("/spec_stage-")(1) != p2.split("/spec_stage-")(1))
+    assert(s1.count() == 2 && s2.count() == 1)
+    assert(s1.columns.toSeq == Seq("id", "s"))
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

@@ -219,6 +219,33 @@ class OperatorsSpec extends SparkSuite {
       lt, rt, "tk", "t", Seq("v"))) == Map("x" -> Some(1.5)))
   }
 
+  test("native asof join: cross-side ts units commensurable, mixes rejected") {
+    import java.sql.{Date, Timestamp}
+    // Date-side ts against Timestamp-side ts: both normalize to epoch
+    // MICROS. The r4 derivation compared days-since-epoch to micros —
+    // every date collapsed to ~0, silently matching wrong as-of rows.
+    val l = Seq((1L, Date.valueOf("2024-03-05"), "a"),
+      (1L, Date.valueOf("2024-03-20"), "b")).toDF("k", "d", "tag")
+    val r = Seq((1L, Timestamp.valueOf("2024-03-04 12:00:00"), 10.0),
+      (1L, Timestamp.valueOf("2024-03-10 00:00:00"), 20.0)).toDF("k", "d", "v")
+    val out = graft.operators.AsofJoin.asofJoinNative(l, r, "k", "d", Seq("v"))
+      .select($"tag", $"asof_v").collect()
+      .map(x => x.getString(0) -> Option(x.get(1))).toMap
+    assert(out == Map("a" -> Some(10.0), "b" -> Some(20.0)))
+    // integral-vs-temporal mixes across sides throw instead of mismatching
+    val rLong = Seq((1L, 5L, 1.0)).toDF("k", "d", "v")
+    val eTs = intercept[IllegalArgumentException] {
+      graft.operators.AsofJoin.asofJoinNative(l, rLong, "k", "d", Seq("v"))
+    }
+    assert(eTs.getMessage.contains("incommensurable"))
+    val lDk = Seq((Date.valueOf("2024-01-01"), 1L, "x")).toDF("k", "t", "tag")
+    val rLk = Seq((1L, 1L, 1.0)).toDF("k", "t", "v")
+    val eKey = intercept[IllegalArgumentException] {
+      graft.operators.AsofJoin.asofJoinNative(lDk, rLk, "k", "t", Seq("v"))
+    }
+    assert(eKey.getMessage.contains("key types are incommensurable"))
+  }
+
   test("asof join directions: forward and nearest (ties backward)") {
     val l = Seq((1L, 10L, "a"), (1L, 25L, "b"), (1L, 40L, "c"), (2L, 5L, "d"))
       .toDF("k", "t", "tag")

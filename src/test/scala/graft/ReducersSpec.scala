@@ -65,15 +65,33 @@ class ReducersSpec extends SparkSuite {
     assert(one[Long](argmaxList($"xs"), Seq(3.0, 3.0, 1.0)) == 0L)
   }
 
+  test("argmin/argmax NaN contract: numpy propagation, first NaN wins both") {
+    // np.argmin([2, nan, 1]) == np.argmax([2, nan, 1]) == 1 — NaN
+    // propagates regardless of direction, NOT Spark's NaN-sorts-greatest
+    val nan = java.lang.Double.valueOf(Double.NaN)
+    assert(one[Long](argminList($"xs"), Seq(2.0, nan, 1.0)) == 1L)
+    assert(one[Long](argmaxList($"xs"), Seq(2.0, nan, 1.0)) == 1L)
+    assert(one[Long](argminList($"xs"), Seq(nan, 1.0)) == 0L)
+    assert(one[Long](argmaxList($"xs"), Seq(1.0, nan)) == 1L)
+    assert(one[Long](argminList($"xs"), Seq(nan, nan)) == 0L)
+    // nulls are skipped but advance the index, NaN after a null still wins
+    assert(one[Long](argmaxList($"xs"), Seq(null, nan, 9.0)) == 1L)
+  }
+
   test("ArgExtremum expression equals the interpreted HOF spelling") {
     // the codegen'd expression replaced the aggregate(struct(...)) fold;
-    // pin equality over ragged rows incl. empties, nulls, and ties
+    // pin equality over ragged rows incl. empties, nulls, ties, and NaN
+    val nan = java.lang.Double.valueOf(Double.NaN)
     val df = Seq(
       (0, Seq[java.lang.Double](1.0, 3.0, 2.0)),
       (1, Seq.empty[java.lang.Double]),
       (2, Seq[java.lang.Double](5.0, null, 4.0)),
       (3, Seq[java.lang.Double](null, null)),
-      (4, Seq[java.lang.Double](2.0, 1.0, 1.0, 2.0))).toDF("id", "xs")
+      (4, Seq[java.lang.Double](2.0, 1.0, 1.0, 2.0)),
+      (5, Seq[java.lang.Double](2.0, nan, 1.0)),
+      (6, Seq[java.lang.Double](nan, nan)),
+      (7, Seq[java.lang.Double](null, nan, 9.0)),
+      (8, Seq[java.lang.Double](1.0, 3.0, nan, 3.0))).toDF("id", "xs")
     for (smaller <- Seq(true, false)) {
       val got = df.orderBy($"id")
         .select(graft.functions.ReducerExprs.argExtremum($"xs", smaller),
