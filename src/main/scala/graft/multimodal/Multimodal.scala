@@ -138,6 +138,24 @@ object Multimodal {
       val d = java.security.MessageDigest.getInstance("SHA-256")
       d.digest(payload).map("%02x".format(_)).mkString
     }
+
+    /** JDK-encoded REAL image bytes — the differential fixture source for
+      * [[parseImageHeader]]: the encoder is javax.imageio (genuine
+      * container layouts, not hand-built magic strings), the decoder is
+      * ours, so a parser bug cannot be compensated by a matching synthesis
+      * bug. `fmt` is an ImageIO format name (png/gif/bmp/jpg). Headless. */
+    def encodeImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color((w * 37) % 255, (h * 53) % 255, 128))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, bos),
+        s"no ImageIO writer for $fmt")
+      bos.toByteArray
+    }
   }
 
   /** The decode stage: one pass per partition, explicit Encoder. */

@@ -224,8 +224,10 @@ object AsofJoin {
     * (key, ts)-sorted children, one streaming merge per partition.
     * Declares its distribution/ordering needs to the planner, so an
     * already-bucketed/sorted input pays NO shuffle — the property the
-    * union+window encoding cannot express. Requires a long key and a
-    * long/timestamp ts; same output contract as [[asofJoinLast]].
+    * union+window encoding cannot express. Keys: any integral/temporal
+    * type, or strings via a collision-checked xxhash64 bridge; ts: any
+    * integral or temporal type (normalized to one unit per side pair);
+    * same output contract as [[asofJoinLast]].
     *
     * Requires the session to carry [[graft.plans.GraftExtensions]] (the
     * strategy is injected there). */
@@ -248,6 +250,10 @@ object AsofJoin {
     def family(dt: DataType, role: String): String = dt match {
       case LongType | IntegerType | ShortType | ByteType => "integral"
       case TimestampType | DateType => "temporal"
+      // keys only need EQUALITY/clustering (ts carries the order), so a
+      // 64-bit hash bridge is sound for string keys — once verified
+      // collision-free on the actual key sets (below)
+      case StringType if role == "key" => "string"
       case other => throw new IllegalArgumentException(
         s"asofJoinNative: unsupported $role type $other")
     }
@@ -259,6 +265,23 @@ object AsofJoin {
         s"asofJoinNative: $role types are incommensurable across sides " +
           s"(left $ldt is $lf, right $rdt is $rf) — cast one side first")
     }
+    // String keys: verify xxhash64 is injective on the combined key set
+    // BEFORE building the plan — a silent collision would merge two key
+    // groups and as-of match across them. One aggregate job over the
+    // distinct keys (tiny next to the join's own clustering shuffle; the
+    // check is EAGER, like any fail-fast precondition). Expected to pass
+    // until ~2^32 distinct keys (birthday bound) — beyond that the check
+    // is exactly what catches it, loudly.
+    if (left.schema(keyCol).dataType == StringType) {
+      val keys = left.select(col(keyCol).as("k"))
+        .union(right.select(col(keyCol).as("k"))).where(col("k").isNotNull)
+      val row = keys.agg(
+        countDistinct(col("k")).as("nk"),
+        countDistinct(xxhash64(col("k"))).as("nh")).head()
+      if (row.getLong(0) != row.getLong(1)) throw new IllegalStateException(
+        s"asofJoinNative: xxhash64 collision among ${row.getLong(0)} " +
+          s"distinct string keys — use the window form (asofJoin) instead")
+    }
     val MicrosPerDay = 86400000000L
     def asLong64(c: org.apache.spark.sql.Column, dt: DataType,
         forTs: Boolean): Option[org.apache.spark.sql.Column] = dt match {
@@ -267,6 +290,7 @@ object AsofJoin {
       case TimestampType => Some(unix_micros(c))
       case IntegerType | ShortType | ByteType => Some(c.cast(LongType))
       case DateType => Some(unix_date(c).cast(LongType) * lit(MicrosPerDay))
+      case StringType if !forTs => Some(xxhash64(c))
       case other => throw new IllegalArgumentException(
         s"asofJoinNative: unsupported ${if (forTs) "ts" else "key"} type $other")
     }

@@ -194,6 +194,33 @@ object GetitemIoQueries {
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)), 64, 2)
         .toDF("doc_id", "frame_idx", "frame_hash")
         .withColumn("frame_idx", col("frame_idx").cast("long"))
+    },
+
+    // REAL image bytes through the decode stage: per doc, the JDK's
+    // ImageIO encodes a genuine png/gif/bmp/jpeg of doc_id-derived
+    // dimensions on the EXECUTORS, and our parseImageHeader (via the same
+    // decodeMeta stage mm_meta uses) reads the dims back from the
+    // container bytes. Encoder and parser are independent
+    // implementations, and the oracle pins the expected arithmetic — a
+    // byte-offset/endianness bug in the parser fails the hash.
+    "mm_parse" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 1 + (id % 64).toInt
+          val h = 1 + ((id * 7) % 48).toInt
+          val fmt = (id % 4) match {
+            case 0 => "png"; case 1 => "gif"; case 2 => "bmp"; case _ => "jpg"
+          }
+          Multimodal.MediaRow(id,
+            Multimodal.Codecs.encodeImage(w, h, fmt), s"image/$fmt")
+        })
+      Multimodal.decodeMeta(media)
+        .toDF("doc_id", "n_bytes", "sha256", "width", "height", "format")
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("format"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -228,5 +255,7 @@ object GetitemIoQueries {
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha256, CAST(16 + octet_length(encode(text)) % 640 AS BIGINT) AS width, CAST(16 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height, CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format FROM documents""",
     "mm_frames" ->
-      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, substr(sha256(substr(text, CAST(i*64+1 AS INT), 64)), 1, 16) AS frame_hash FROM documents, range(0, 10) r(i) WHERE i*64 < octet_length(encode(text)) AND i % 2 = 0""")
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, substr(sha256(substr(text, CAST(i*64+1 AS INT), 64)), 1, 16) AS frame_hash FROM documents, range(0, 10) r(i) WHERE i*64 < octet_length(encode(text)) AND i % 2 = 0""",
+    "mm_parse" ->
+      """SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS width, CAST(1 + (doc_id * 7) % 48 AS BIGINT) AS height, CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format FROM documents""")
 }

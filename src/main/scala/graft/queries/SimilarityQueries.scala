@@ -35,8 +35,9 @@ object SimilarityQueries {
         round(euclidean(e, reverse(e)), 4).as("eucl_rev"))
     },
 
-    // hyperplane-LSH ANN: 12 planes -> ~2^12 buckets, exact re-rank inside;
-    // approximate (bucket collisions only) => rows-only driver check
+    // hyperplane-LSH ANN: 12 planes -> ~2^12 buckets, exact re-rank inside.
+    // Deterministic end to end (LCG hyperplanes, lexicographic tie-breaks)
+    // => the whole search replays in DuckDB below, signature included
     "sim_lsh" -> { (s, dir) =>
       lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = 64, nPlanes = 12, k = 3)
@@ -69,8 +70,8 @@ object SimilarityQueries {
 
     // IVF with k-means-trained centroids (2 spherical rounds): same search
     // shape, better-balanced cells => higher recall at equal nprobe.
-    // Approximate => rows-only driver check (+ ScalaTest recall-vs-seeded
-    // and exact-mean assertions)
+    // Deterministic (seed centroids, smallest-cid tie-breaks, elementwise
+    // means) => both training rounds and the search replay in DuckDB below
     "sim_kmeans" -> { (s, dir) =>
       ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 0, nprobe = 4, k = 3, trainIters = 2)
@@ -80,6 +81,19 @@ object SimilarityQueries {
 
   private val COS =
     """sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) / (sqrt(sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(ea[CAST(i AS INT)] AS DOUBLE))) * sqrt(sum(CAST(eb[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE))))"""
+
+  /** One spherical-k-means round in SQL: assign every vector to its
+    * max-cosine centroid (ties to smallest cid, mirroring the Spark
+    * max_by(struct(sim, -cid))), elementwise-mean the members per cell,
+    * cells that lost all members keep their previous centroid. */
+  private def kmeansIterSql(n: Int): String = {
+    val prev = s"cent${n - 1}"
+    s"""a${n}p AS (SELECT e.vec_id AS vid, c.cid, e.v AS ea, c.cvec AS eb FROM e, $prev c),
+a${n}c AS (SELECT vid, cid, $COS AS sim FROM a${n}p, range(1,65) r(i) GROUP BY vid, cid),
+a$n AS (SELECT vid, cid FROM (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS rn FROM a${n}c WHERE sim IS NOT NULL) WHERE rn = 1),
+m$n AS (SELECT cid, list(m ORDER BY i) AS mvec FROM (SELECT a$n.cid, r.i, avg(e.v[CAST(r.i AS INT)]) AS m FROM a$n JOIN e ON e.vec_id = a$n.vid, range(1,65) r(i) GROUP BY a$n.cid, r.i) GROUP BY cid),
+cent$n AS (SELECT c.cid, COALESCE(m.mvec, c.cvec) AS cvec FROM $prev c LEFT JOIN m$n m ON c.cid = m.cid)"""
+  }
 
   val oracle: Map[String, String] = Map(
     "sim_vecops" ->
@@ -91,5 +105,32 @@ object SimilarityQueries {
     // whole IVF search replays in SQL: same auto cell count, same
     // assignment ranking, same probe set, same final top-k.
     "sim_ivf" ->
-      s"""WITH nc AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings), cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT (SELECT k FROM nc)), ap AS (SELECT e.vec_id AS vid, c.cid, e.embedding AS ea, c.cvec AS eb FROM embeddings e, cent c), ac AS (SELECT vid, cid, $COS AS sim FROM ap, range(1, 65) r(i) GROUP BY vid, cid), ranked AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS rn FROM ac WHERE sim IS NOT NULL), cells AS (SELECT vid AS id, cid FROM ranked WHERE rn = 1), probes AS (SELECT vid AS qid, cid FROM ranked WHERE rn <= 4), cand AS (SELECT p.qid, ce.id AS nid, eq.embedding AS ea, en.embedding AS eb FROM probes p JOIN cells ce ON p.cid = ce.cid AND p.qid <> ce.id JOIN embeddings eq ON eq.vec_id = p.qid JOIN embeddings en ON en.vec_id = ce.id), d AS (SELECT qid, nid, $COS AS cos FROM cand, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL) SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""")
+      s"""WITH nc AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings), cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT (SELECT k FROM nc)), ap AS (SELECT e.vec_id AS vid, c.cid, e.embedding AS ea, c.cvec AS eb FROM embeddings e, cent c), ac AS (SELECT vid, cid, $COS AS sim FROM ap, range(1, 65) r(i) GROUP BY vid, cid), ranked AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS rn FROM ac WHERE sim IS NOT NULL), cells AS (SELECT vid AS id, cid FROM ranked WHERE rn = 1), probes AS (SELECT vid AS qid, cid FROM ranked WHERE rn <= 4), cand AS (SELECT p.qid, ce.id AS nid, eq.embedding AS ea, en.embedding AS eb FROM probes p JOIN cells ce ON p.cid = ce.cid AND p.qid <> ce.id JOIN embeddings eq ON eq.vec_id = p.qid JOIN embeddings en ON en.vec_id = ce.id), d AS (SELECT qid, nid, $COS AS cos FROM cand, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL) SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
+    // sim_lsh replays the hyperplane signatures in SQL: the LCG plane
+    // components are pure integer arithmetic ((1103515245*(j*4099+i)+12345)
+    // mod 2^31, mapped to [-0.5, 0.5)), the dot accumulates ascending in i
+    // exactly like the HyperplaneSig kernel, and the bucket join + exact
+    // re-rank mirror lshTopK. Verified hash-exact against the Spark dump.
+    "sim_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), sigs AS (SELECT vec_id, v, CAST(list_sum(list_transform(range(0, 12), j -> CASE WHEN list_sum(list_transform(range(0, 64), i -> v[CAST(i + 1 AS INT)] * (CAST((1103515245 * (j * 4099 + i) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5))) >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig FROM e), p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, a.v AS ea, b.v AS eb FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id <> b.vec_id), d AS (SELECT qid, nid, $COS AS cos FROM p, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL) SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
+    // sim_kmeans replays BOTH training rounds (kmeansIterSql) and then the
+    // identical IVF search over the trained centroids. Verified hash-exact
+    // against the Spark dump — the cross-engine float risk (summation
+    // order inside the elementwise means) does not bite at 4-decimal
+    // rounding with these corpora.
+    "sim_kmeans" ->
+      s"""WITH nc AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cent0 AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT (SELECT k FROM nc)),
+${kmeansIterSql(1)},
+${kmeansIterSql(2)},
+ap AS (SELECT e.vec_id AS vid, c.cid, e.v AS ea, c.cvec AS eb FROM e, cent2 c),
+ac AS (SELECT vid, cid, $COS AS sim FROM ap, range(1,65) r(i) GROUP BY vid, cid),
+ranked AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS rn FROM ac WHERE sim IS NOT NULL),
+cells AS (SELECT vid AS id, cid FROM ranked WHERE rn = 1),
+probes AS (SELECT vid AS qid, cid FROM ranked WHERE rn <= 4),
+cand AS (SELECT p.qid, ce.id AS nid, eq.v AS ea, en.v AS eb FROM probes p JOIN cells ce ON p.cid = ce.cid AND p.qid <> ce.id JOIN e eq ON eq.vec_id = p.qid JOIN e en ON en.vec_id = ce.id),
+d AS (SELECT qid, nid, $COS AS cos FROM cand, range(1,65) r(i) GROUP BY qid, nid),
+rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL)
+SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""")
 }

@@ -246,6 +246,36 @@ class OperatorsSpec extends SparkSuite {
     assert(eKey.getMessage.contains("key types are incommensurable"))
   }
 
+  test("native asof join: string keys via collision-checked hash bridge") {
+    // user-id-style string keys route through xxhash64 (keys only need
+    // equality; ts carries the order). Differential vs the window form,
+    // which handles strings natively.
+    val l = Seq(("u-alpha", 100L, "a"), ("u-alpha", 200L, "b"),
+      ("u-beta", 50L, "c"), ("u-gamma", 10L, "d")).toDF("k", "t", "tag")
+    val r = Seq(("u-alpha", 100L, 10.0), ("u-alpha", 150L, 20.0),
+      ("u-beta", 60L, 30.0)).toDF("k", "t", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"tag", $"asof_v").collect()
+        .map(x => x.getString(0) -> Option(x.get(1))).toMap
+    val native = canon(
+      graft.operators.AsofJoin.asofJoinNative(l, r, "k", "t", Seq("v")))
+    val window = canon(
+      graft.operators.AsofJoin.asofJoinLast(l, r, "k", "t", Seq("v")))
+    assert(native == window)
+    assert(native == Map("a" -> Some(10.0), "b" -> Some(20.0),
+      "c" -> None, "d" -> None))
+    // original string key column passes through untouched
+    val out = graft.operators.AsofJoin.asofJoinNative(l, r, "k", "t", Seq("v"))
+    assert(out.schema("k").dataType == org.apache.spark.sql.types.StringType)
+    // string ts is still rejected (order would be hash-scrambled)
+    val eTs = intercept[IllegalArgumentException] {
+      graft.operators.AsofJoin.asofJoinNative(
+        l.withColumn("t", $"t".cast("string")),
+        r.withColumn("t", $"t".cast("string")), "k", "t", Seq("v"))
+    }
+    assert(eTs.getMessage.contains("unsupported ts type"))
+  }
+
   test("asof join directions: forward and nearest (ties backward)") {
     val l = Seq((1L, 10L, "a"), (1L, 25L, "b"), (1L, 40L, "c"), (2L, 5L, "d"))
       .toDF("k", "t", "tag")
