@@ -5,10 +5,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Shuffle partitions default to the core count (right for the sf0.1
+    // contract) but scale UP for soak runs at larger sf — partitions are
+    // sized to fit per-task state in memory, so a 50x corpus in the same
+    // 32 partitions carries 50x the per-partition data (the production
+    // rule: scale partitions with data, ~128-200 MB each; AQE coalesces
+    // the small stages back down at runtime).
+    val shuffleP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleP)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -45,7 +52,11 @@ object Bench {
         .count().count()
       (System.nanoTime() - t0) / 1e9
     }
-    calibrate() // untimed: absorbs this shape's codegen
+    // each measured calibration is preceded by an untimed warm-up call:
+    // the suite's 124 query plans evict this shape's codegen/JIT state, so
+    // an unwarmed end measurement reads ~2x slow on an idle box and would
+    // false-flag contention — both ends must measure the same (warm) state
+    calibrate()
     val calStart = calibrate()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -68,6 +79,7 @@ object Bench {
       System.err.println(f"[bench] $name%-20s $dt%8.2fs")
       name -> dt
     }.toMap
+    calibrate()
     val calEnd = calibrate()
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
