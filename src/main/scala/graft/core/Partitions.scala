@@ -41,6 +41,55 @@ object Partitions {
   def repartitionByDivisions(df: DataFrame, n: Int, key: Column): DataFrame =
     df.repartitionByRange(n, key)
 
+  /** `repartition(divisions=)` with EXACT row-offset boundaries — the
+    * reference's divisions semantics reproduced bit-for-bit
+    * (`core.py:979-1066`: divisions are cumulative row offsets; partition
+    * `i` holds global ordinals `[divisions(i), divisions(i+1))` in order).
+    * `divisions` must start at 0 and be strictly increasing; the last
+    * division is open-ended (rows at or past it land in the final
+    * partition), so a caller can pass `Long.MaxValue` as the tail instead
+    * of pre-counting the corpus the way dask's metadata does.
+    *
+    * Scale shape: the ordinal comes from the parallel two-level prefix
+    * scan ([[withRowIndex]] — no corpus-wide single-task window), then ONE
+    * shuffle places each row by a binary search over the (tiny, driver-
+    * held) division array, with rows sorted by ordinal inside each target
+    * partition (`repartitionAndSortWithinPartitions`). This is the rare
+    * case where physical partition placement IS the semantics, so the
+    * explicit `Partitioner` drops below the DataFrame API deliberately. */
+  def repartitionDivisions(df: DataFrame, orderCol: String,
+      divisions: Seq[Long]): DataFrame = {
+    require(divisions.length >= 2,
+      "repartitionDivisions: need at least 2 divisions (1 partition)")
+    require(divisions.head == 0L, "repartitionDivisions: divisions must start at 0")
+    require(divisions.sliding(2).forall(p => p(0) < p(1)),
+      "repartitionDivisions: divisions must be strictly increasing")
+    require(!df.columns.contains("__ri"),
+      "repartitionDivisions: input already has a column named '__ri' (reserved)")
+    val nParts = divisions.length - 1
+    val bounds = divisions.toArray
+    val indexed = withRowIndex(df, orderCol, "__ri")
+    val schema = indexed.schema
+    val riPos = schema.fieldIndex("__ri")
+    val keyed = indexed.rdd.map { row =>
+      val ri = row.getLong(riPos)
+      // greatest i with bounds(i) <= ri, clamped into the final partition
+      var lo = 0; var hi = nParts - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (bounds(mid) <= ri) lo = mid else hi = mid - 1
+      }
+      ((lo, ri), row)
+    }
+    val partitioner = new org.apache.spark.Partitioner {
+      def numPartitions: Int = nParts
+      def getPartition(key: Any): Int = key.asInstanceOf[(Int, Long)]._1
+    }
+    implicit val ord: Ordering[(Int, Long)] = Ordering.Tuple2[Int, Long]
+    val placed = keyed.repartitionAndSortWithinPartitions(partitioner).values
+    df.sparkSession.createDataFrame(placed, schema).drop("__ri")
+  }
+
   /** Exact global row ordinal in `orderCol` order — the reference's
     * `divisions` made explicit (known divisions let it resolve `a[5]` /
     * `a[10:2000]` to a partition + local index, `core.py:1347-1489`).

@@ -86,6 +86,19 @@ object GetitemIoQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
     },
 
+    // repartition(divisions=) with EXACT row-offset boundaries (reference
+    // core.py:979-1066): partition i holds global ordinals
+    // [div(i), div(i+1)) in order; verified by per-physical-partition
+    // stats, so the oracle checks the actual row placement, not just the
+    // ordinal computation
+    "g_divisions" -> { (s, dir) =>
+      val placed = graft.core.Partitions.repartitionDivisions(
+        Tables.documents(s, dir), "doc_id", Seq(0L, 100L, 300L, Long.MaxValue))
+      placed.groupBy(spark_partition_id().cast("long").as("part_id"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    },
+
     // parquet write -> re-read round-trip (from_parquet/to_parquet §2.1):
     // the aggregate over the re-read copy must equal the direct oracle
     "io_roundtrip" -> { (s, dir) =>
@@ -238,6 +251,8 @@ object GetitemIoQueries {
       """SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_scaled FROM lineitem GROUP BY 1""",
     "g_ufuncs" ->
       """SELECT l_orderkey AS o_orderkey, round(sum(sin(l_quantity)),4) AS s_sin, round(sum(sqrt(l_quantity)),4) AS s_sqrt, round(sum(abs(l_quantity-25)),2) AS s_absdev, round(sum(pow(l_quantity,2)),2) AS s_sq, round(sum(exp(-l_quantity/50)),4) AS s_exp FROM lineitem GROUP BY 1""",
+    "g_divisions" ->
+      """SELECT CAST(CASE WHEN rn < 100 THEN 0 WHEN rn < 300 THEN 1 ELSE 2 END AS BIGINT) AS part_id, count(*) AS cnt, min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM documents) t GROUP BY 1""",
     "io_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem WHERE l_quantity >= 40 GROUP BY 1""",
     "io_csv" ->

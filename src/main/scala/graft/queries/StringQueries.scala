@@ -94,9 +94,22 @@ object StringQueries {
         isUpper(col("p_type")).as("up"),
         isSpace(lit(" ")).as("sp"),
         isTitle(title(col("p_name"))).as("ti"))
+    },
+
+    // to_categorical (reference str.py:867): dictionary-encode two string
+    // columns; codes are dense ranks in sorted value order, so the oracle
+    // reproduces them with window dense_rank over the raw table
+    "str_categorical" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val (langCoded, _) = toCategorical(docs, "lang", "lang_code")
+      val (bothCoded, _) = toCategorical(langCoded, "source", "source_code")
+      bothCoded.select(col("doc_id"), col("lang"), col("lang_code"),
+        col("source"), col("source_code"))
     })
 
   val oracle: Map[String, String] = Map(
+    "str_categorical" ->
+      """SELECT doc_id, lang, dense_rank() OVER (ORDER BY lang) - 1 AS lang_code, source, dense_rank() OVER (ORDER BY source) - 1 AS source_code FROM documents""",
     "str_case" ->
       """SELECT p_partkey, upper(s) AS up, lower(s) AS lo, upper(s[1])||lower(s[2:]) AS cap, array_to_string(list_transform(string_split(lower(s), ' '), w -> upper(w[1])||lower(w[2:])), ' ') AS ti, array_to_string(list_transform(string_split_regex(s, ''), c -> CASE WHEN c = upper(c) AND c <> lower(c) THEN lower(c) WHEN c = lower(c) AND c <> upper(c) THEN upper(c) ELSE c END), '') AS sw, reverse(s) AS rev, repeat(p_name, 2) AS rep, length(s) AS len FROM (SELECT p_partkey, p_name, p_name || ' ' || p_brand || ' ' || p_type AS s FROM part) t""",
     "str_pad_trim" ->

@@ -149,4 +149,25 @@ package object strings {
   /** `str.is_in` (reference `str.py:281`). */
   def isInSet(c: Column, values: Seq[String]): Column =
     c.isin(values.map(x => x: Any): _*)
+
+  /** `str.to_categorical` (reference `str.py:867`): dictionary-encode a
+    * string column. Returns the frame with a dense 0-based `codeCol`
+    * (codes assigned in sorted value order, so they are deterministic and
+    * engine-independent) plus the dictionary itself as a second frame —
+    * the (value, code) pairs the reference stores as the Arrow dictionary.
+    *
+    * Scale shape: one distinct shuffle over the values, then a window
+    * ONLY over the distinct set (dictionary-sized by this operator's
+    * premise — if the cardinality is corpus-sized, dictionary encoding is
+    * the wrong tool and this is the right place to find out), then a
+    * broadcast join back, so the corpus itself is never re-shuffled. */
+  def toCategorical(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      codeCol: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(!df.columns.contains(codeCol),
+      s"toCategorical: input already has a column named '$codeCol'")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol))
+    val dict = df.select(col(valueCol)).distinct()
+      .withColumn(codeCol, (dense_rank().over(w) - 1).cast("long"))
+    (df.join(broadcast(dict), valueCol), dict)
+  }
 }

@@ -387,6 +387,28 @@ class ModulesSpec extends SparkSuite {
     }
   }
 
+  test("repartitionDivisions: exact row-offset boundaries, ordered within partitions") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    // sparse shuffled ids so ordinal != id: placement must follow the ORDINAL
+    val ids = scala.util.Random.shuffle((0 until 100).map(i => i * 7L - 50)).toDF("id")
+    val placed = graft.core.Partitions.repartitionDivisions(
+      ids, "id", Seq(0L, 10L, 35L, Long.MaxValue))
+    assert(placed.rdd.getNumPartitions == 3)
+    val byPart = placed.withColumn("p", spark_partition_id())
+      .as[(Long, Int)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val sortedIds = (0 until 100).map(i => i * 7L - 50)
+    assert(byPart(0) == sortedIds.slice(0, 10))   // exact sizes AND order
+    assert(byPart(1) == sortedIds.slice(10, 35))  // preserved inside each
+    assert(byPart(2) == sortedIds.slice(35, 100)) // physical partition
+    // malformed divisions rejected up front
+    intercept[IllegalArgumentException] {
+      graft.core.Partitions.repartitionDivisions(ids, "id", Seq(5L, 10L))
+    }
+    intercept[IllegalArgumentException] {
+      graft.core.Partitions.repartitionDivisions(ids, "id", Seq(0L, 10L, 10L))
+    }
+  }
+
   test("writeTokenSharded: shards hold ~budget tokens, ids stay contiguous") {
     val docs = graft.core.Tables.documents(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString

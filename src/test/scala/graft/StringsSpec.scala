@@ -50,6 +50,22 @@ class StringsSpec extends SparkSuite {
     assert(one(reverseS($"s"), "abc") == "cba")
   }
 
+  test("toCategorical: dense sorted codes, dictionary round-trip, name clash rejected") {
+    val df = Seq((1L, "fr"), (2L, "en"), (3L, "fr"), (4L, "de"), (5L, "en"))
+      .toDF("id", "lang")
+    val (coded, dict) = toCategorical(df, "lang", "code")
+    // codes are dense ranks in sorted value order: de=0, en=1, fr=2
+    assert(dict.as[(String, Long)].collect().sortBy(_._2).toSeq ==
+      Seq(("de", 0L), ("en", 1L), ("fr", 2L)))
+    assert(coded.select($"id", $"code").as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, 2L), (2L, 1L), (3L, 2L), (4L, 0L), (5L, 1L)))
+    // decoding via the dictionary restores the original values exactly
+    val decoded = coded.drop("lang").join(dict, "code")
+      .select($"id", $"lang").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(decoded == df.as[(Long, String)].collect().sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException] { toCategorical(coded, "lang", "code") }
+  }
+
   test("nested-depth application via transform") {
     val got = Seq(Seq("aB", "cD")).toDF("xs")
       .select(transform($"xs", x => swapcase(x)))
