@@ -57,8 +57,9 @@ object SimilarityQueries {
 
     // product-quantization ANN (16 subspaces x 32 centroids = 16 B/vector,
     // a 16x corpus compression) with an ADC shortlist of 50 re-ranked by
-    // exact cosine — approximate => rows-only driver check (+ ScalaTest
-    // recall/exactness/determinism assertions)
+    // exact cosine. Deterministic end to end (first-4096-by-id training
+    // sample, strict-< tie-breaks, LCG-free seeding) => the full train/
+    // encode/ADC/re-rank pipeline replays in DuckDB below
     "sim_pq" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val model = Pq.trainPq(emb, "vec_id", "embedding", 64, m = 16, ksub = 32)
@@ -95,7 +96,48 @@ m$n AS (SELECT cid, list(m ORDER BY i) AS mvec FROM (SELECT a$n.cid, r.i, avg(e.
 cent$n AS (SELECT c.cid, COALESCE(m.mvec, c.cvec) AS cvec FROM $prev c LEFT JOIN m$n m ON c.cid = m.cid)"""
   }
 
+  /** One per-subspace Lloyd's round in SQL (mirrors `Pq.trainFlat`):
+    * assign every sample subvector to its min-L2 centroid (strict `<`
+    * scan = ties to the lowest j → ORDER BY d2, j), elementwise-mean the
+    * members per (subspace, centroid), empty cells keep their previous
+    * centroid. Subspaces ride as a key column, so one CTE chain trains
+    * all 16 at once. */
+  private def pqIterSql(n: Int): String = {
+    val prev = s"pc${n - 1}"
+    s"""pa$n AS MATERIALIZED (SELECT p.ord, p.s, p.sv, c.j, list_sum(list_transform(range(1,5), i -> (p.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) * (p.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS d2 FROM subpts p JOIN $prev c ON c.s = p.s),
+pb$n AS MATERIALIZED (SELECT ord, s, sv, j FROM (SELECT ord, s, sv, j, row_number() OVER (PARTITION BY ord, s ORDER BY d2, j) AS rn FROM pa$n) WHERE rn = 1),
+pm$n AS MATERIALIZED (SELECT s, j, list(mv ORDER BY i) AS cv FROM (SELECT s, j, i, avg(sv[CAST(i AS INT)]) AS mv FROM pb$n, range(1,5) r(i) GROUP BY s, j, i) GROUP BY s, j),
+pc$n AS MATERIALIZED (SELECT c.s, c.j, COALESCE(m.cv, c.cv) AS cv FROM $prev c LEFT JOIN pm$n m ON m.s = c.s AND m.j = c.j)"""
+  }
+
   val oracle: Map[String, String] = Map(
+    // sim_pq replays the ENTIRE product-quantization pipeline in SQL:
+    // driver-side codebook training (12 Lloyd's rounds x 16 subspaces on
+    // the first-4096-by-id sample), corpus encoding, ADC scoring, the
+    // 50-deep shortlist, and the exact-cosine re-rank. Two normalization
+    // spellings are deliberately different because the Scala paths are:
+    // the TRAINING sample divides by the norm (Pq.trainPq `_ / n`) while
+    // the encode/tables kernels multiply by the inverse
+    // (PqExprs.normalized `* (1/sqrt)`) — one ulp apart, and the replay
+    // must match each bit-for-bit. Verified hash-exact vs the Spark dump.
+    "sim_pq" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+tsamp AS MATERIALIZED (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS ord FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4096)),
+tnorm AS MATERIALIZED (SELECT ord, list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS vn FROM tsamp WHERE list_sum(list_transform(v, y -> y * y)) > 0),
+subpts AS MATERIALIZED (SELECT ord, CAST(s.s AS INT) AS s, list_slice(vn, CAST(s.s*4+1 AS INT), CAST(s.s*4+4 AS INT)) AS sv FROM tnorm, range(0,16) s(s)),
+pc0 AS MATERIALIZED (SELECT s, CAST(rn - 1 AS BIGINT) AS j, sv AS cv FROM (SELECT s, sv, row_number() OVER (PARTITION BY s ORDER BY first_ord) AS rn FROM (SELECT s, sv, min(ord) AS first_ord FROM subpts GROUP BY s, sv)) WHERE rn <= 32),
+${(1 to 12).map(pqIterSql).mkString(",\n")},
+cn AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> x * (1.0 / sqrt(list_sum(list_transform(v, y -> y * y))))) AS vn FROM e WHERE list_sum(list_transform(v, y -> y * y)) > 0),
+csub AS MATERIALIZED (SELECT vec_id, CAST(s.s AS INT) AS s, list_slice(vn, CAST(s.s*4+1 AS INT), CAST(s.s*4+4 AS INT)) AS sv FROM cn, range(0,16) s(s)),
+cd AS MATERIALIZED (SELECT p.vec_id, p.s, c.j, list_sum(list_transform(range(1,5), i -> (p.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) * (p.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS d2 FROM csub p JOIN pc12 c ON c.s = p.s),
+codes AS MATERIALIZED (SELECT vec_id, s, j FROM (SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM cd) WHERE rn = 1),
+tbl AS MATERIALIZED (SELECT q.vec_id AS qid, c.s, c.j, list_sum(list_transform(range(1,5), i -> q.sv[CAST(i AS INT)] * c.cv[CAST(i AS INT)])) AS dt FROM csub q JOIN pc12 c ON c.s = q.s WHERE q.vec_id < 10),
+adc AS MATERIALIZED (SELECT t.qid, k.vec_id AS nid, sum(t.dt) AS score FROM codes k JOIN tbl t ON t.s = k.s AND t.j = k.j WHERE k.vec_id <> t.qid GROUP BY t.qid, k.vec_id),
+short AS MATERIALIZED (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM adc) WHERE rn <= 50),
+xp AS MATERIALIZED (SELECT sh.qid, sh.nid, eq.embedding AS ea, en.embedding AS eb FROM short sh JOIN embeddings eq ON eq.vec_id = sh.qid JOIN embeddings en ON en.vec_id = sh.nid),
+xd AS MATERIALIZED (SELECT qid, nid, $COS AS cos FROM xp, range(1, 65) r(i) GROUP BY qid, nid),
+rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM xd WHERE cos IS NOT NULL)
+SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
     "sim_vecops" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings) SELECT vec_id, round(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS l2, round(CASE WHEN sqrt(list_sum(list_transform(e, x -> x * x))) > 0 THEN sqrt(list_sum(list_transform(list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))), x -> x * x))) END, 4) AS unit_l2, round(sqrt(list_sum(list_transform(range(1, len(e) + 1), i -> (e[CAST(i AS INT)] - e[CAST(len(e) - i + 1 AS INT)]) * (e[CAST(i AS INT)] - e[CAST(len(e) - i + 1 AS INT)])))), 4) AS eucl_rev FROM v""",
     "sim_topk" ->
