@@ -234,6 +234,74 @@ object GetitemIoQueries {
         .toDF("doc_id", "n_bytes", "sha256", "width", "height", "format")
         .select(col("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("format"))
+    },
+
+    // REAL pixel decode end-to-end: executors encode a solid-color
+    // png/bmp per doc (lossless formats — pixel-exact roundtrip),
+    // imageFeatures decodes the actual pixels back (JDK ImageIO) and
+    // computes channel means + the luminance-histogram argmax bin. The
+    // oracle derives the same statistics analytically from the fill-color
+    // arithmetic — only a correct pixel decode matches it.
+    "mm_pixels" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 1 + (id % 64).toInt
+          val h = 1 + ((id * 7) % 48).toInt
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          Multimodal.MediaRow(id,
+            Multimodal.Codecs.encodeImage(w, h, fmt), s"image/$fmt")
+        })
+      Multimodal.imageFeatures(media, 8)
+        .toDF("doc_id", "width", "height", "is_real",
+          "mean_r", "mean_g", "mean_b", "features")
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("is_real"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"),
+          expr("array_position(features, array_max(features)) - 1")
+            .cast("long").as("luma_bin"),
+          round(aggregate(col("features"), lit(0.0), _ + _), 4).as("f_mass"))
+    },
+
+    // REAL audio decode end-to-end: executors synthesize a doc_id-derived
+    // square wave, the JDK's javax.sound wraps it in a genuine RIFF/WAVE
+    // container, and audioFeatures walks the RIFF chunks + decodes the
+    // PCM16 samples back. A square wave's RMS/meanAbs equal its amplitude
+    // and its zero-crossing count is floor((n-1)/half) — the oracle
+    // computes those analytically, so only a correct sample decode
+    // matches.
+    "mm_audio" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val amp = (1000 + id % 20000).toInt
+          val half = (4 + id % 8).toInt
+          val n = (800 + id % 100).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val samples = Array.tabulate(n)(i =>
+            (if ((i / half) % 2 == 0) amp else -amp).toShort)
+          Multimodal.MediaRow(id,
+            Multimodal.Codecs.encodeWavPcm16(samples, rate), "audio/wav")
+        })
+      Multimodal.audioFeatures(media)
+        .toDF("doc_id", "channels", "sample_rate", "n_frames", "is_real",
+          "rms", "mean_abs", "peak", "zero_crossings")
+        .select(col("doc_id"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_frames"), col("is_real"),
+          round(col("rms"), 4).as("rms"),
+          round(col("mean_abs"), 4).as("mean_abs"),
+          col("peak").cast("long").as("peak"),
+          col("zero_crossings"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -272,5 +340,9 @@ object GetitemIoQueries {
     "mm_frames" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, substr(sha256(substr(text, CAST(i*64+1 AS INT), 64)), 1, 16) AS frame_hash FROM documents, range(0, 10) r(i) WHERE i*64 < octet_length(encode(text)) AND i % 2 = 0""",
     "mm_parse" ->
-      """SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS width, CAST(1 + (doc_id * 7) % 48 AS BIGINT) AS height, CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format FROM documents""")
+      """SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS width, CAST(1 + (doc_id * 7) % 48 AS BIGINT) AS height, CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format FROM documents""",
+    "mm_pixels" ->
+      """WITH c AS (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + (doc_id * 7) % 48 AS h FROM documents), rgb AS (SELECT doc_id, w, h, (w * 37) % 255 AS r, (h * 53) % 255 AS g, 128 AS b FROM c) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, TRUE AS is_real, round(CAST(r AS DOUBLE), 4) AS mean_r, round(CAST(g AS DOUBLE), 4) AS mean_g, round(CAST(b AS DOUBLE), 4) AS mean_b, CAST(((r * 299 + g * 587 + b * 114) // 1000) * 8 // 256 AS BIGINT) AS luma_bin, CAST(1.0 AS DOUBLE) AS f_mass FROM rgb""",
+    "mm_audio" ->
+      """WITH t AS (SELECT doc_id, 1000 + doc_id % 20000 AS amp, 4 + doc_id % 8 AS half, 800 + doc_id % 100 AS n, 8000 + (doc_id % 4) * 4000 AS rate FROM documents) SELECT doc_id, CAST(1 AS BIGINT) AS channels, CAST(rate AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_frames, TRUE AS is_real, round(CAST(amp AS DOUBLE), 4) AS rms, round(CAST(amp AS DOUBLE), 4) AS mean_abs, CAST(amp AS BIGINT) AS peak, CAST((n - 1) // half AS BIGINT) AS zero_crossings FROM t""")
 }

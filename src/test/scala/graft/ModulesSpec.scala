@@ -988,6 +988,75 @@ class ModulesSpec extends SparkSuite {
     assert(Codecs.parseImageHeader(odd).isEmpty)
   }
 
+  test("multimodal: real pixel decode — exact channel means, stub parity") {
+    implicit val s: SparkSession = spark
+    import graft.multimodal.Multimodal._
+    // a two-color image: top half (10,20,30), bottom half (210,20,30) —
+    // means are computable in closed form, histogram splits across bins
+    val img = new java.awt.image.BufferedImage(
+      8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(10, 20, 30)); g.fillRect(0, 0, 8, 2)
+    g.setColor(new java.awt.Color(210, 20, 30)); g.fillRect(0, 2, 8, 2)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val text = "not an image at all".getBytes("UTF-8")
+    val media = Seq(MediaRow(1L, bos.toByteArray, "image/png"),
+      MediaRow(2L, text, "text/plain")).toDS()
+    val out = imageFeatures(media, 8).collect().map(p => p.id -> p).toMap
+    val real = out(1L)
+    assert(real.isReal && real.width == 8 && real.height == 4)
+    assert(real.meanR == 110.0 && real.meanG == 20.0 && real.meanB == 30.0)
+    // luma bins: (10*299+20*587+30*114)/1000=18 -> bin 0;
+    //            (210*299+20*587+30*114)/1000=77 -> bin 2; half mass each
+    assert(real.features.toSeq == Seq(0.5, 0.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0))
+    // the non-image fallback agrees bit-for-bit with the featuresStub
+    // column path (same polyHash arithmetic)
+    val fake = out(2L)
+    assert(!fake.isReal && fake.width == -1 && fake.meanR == -1.0)
+    val viaColumn = Seq(new String(text, "UTF-8")).toDF("text")
+      .select(featuresStub($"text", 8).as("f"))
+      .as[Seq[Double]].head()
+    assert(fake.features.toSeq == viaColumn)
+    // lossless roundtrip through bmp as well (the mm_pixels oracle relies
+    // on png+bmp pixel-exactness)
+    val bmp = Codecs.encodeImage(5, 3, "bmp")
+    val dec = imageFeatures(Seq(MediaRow(3L, bmp, "image/bmp")).toDS(), 8)
+      .collect().head
+    assert(dec.isReal && dec.width == 5 && dec.height == 3)
+    assert(dec.meanR == (5 * 37 % 255).toDouble &&
+      dec.meanG == (3 * 53 % 255).toDouble && dec.meanB == 128.0)
+  }
+
+  test("multimodal: real WAV decode — RIFF walk, exact sample roundtrip") {
+    implicit val s: SparkSession = spark
+    import graft.multimodal.Multimodal._
+    // JDK javax.sound writes the RIFF container; our walker reads it back
+    val samples = Array.tabulate(500)(i =>
+      (if ((i / 5) % 2 == 0) 7000 else -7000).toShort)
+    val wav = Codecs.encodeWavPcm16(samples, 16000)
+    assert(Codecs.parseWavHeader(wav) ==
+      Some(AudioMeta(1, 16000, 16, 500L, "pcm")))
+    val (meta, decoded) = Codecs.decodePcm16(wav).get
+    assert(meta.sampleRate == 16000 && decoded.toSeq == samples.toSeq)
+    // non-audio payloads decline
+    assert(Codecs.parseWavHeader("RIFFnope".getBytes("UTF-8")).isEmpty)
+    assert(Codecs.decodePcm16("plain text".getBytes("UTF-8")).isEmpty)
+    // features through the distributed pipeline: square wave of amplitude
+    // A has rms = meanAbs = peak = A; crossings = floor((n-1)/half)
+    val media = Seq(MediaRow(1L, wav, "audio/wav"),
+      MediaRow(2L, "plain text".getBytes("UTF-8"), "text/plain")).toDS()
+    val out = audioFeatures(media).collect().map(a => a.id -> a).toMap
+    val a = out(1L)
+    assert(a.isReal && a.channels == 1 && a.sampleRate == 16000 &&
+      a.nFrames == 500L)
+    assert(a.rms == 7000.0 && a.meanAbs == 7000.0 && a.peak == 7000)
+    assert(a.zeroCrossings == 499 / 5)
+    val f = out(2L)
+    assert(!f.isReal && f.rms == -1.0 && f.zeroCrossings == -1L)
+  }
+
   test("stageParquet: per-invocation unique path, no cross-run clobber") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     val s1 = graft.io.GraftIO.stageParquet(df, "spec_stage")

@@ -65,6 +65,19 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("multimodal decode stages are map-only: zero exchanges") {
+    // decode/feature extraction is the classic CPU-heavy map stage — at
+    // 100 TB it must scale linearly with executors, so a shuffle sneaking
+    // into the pipeline (e.g. via a repartition or a non-local encode) is
+    // a scale regression, not a style nit
+    for (name <- Seq("mm_meta", "mm_features", "mm_frames", "mm_parse",
+        "mm_pixels", "mm_audio")) {
+      val s = graft.inspect.Inspect.explainSummary(
+        SparkEntry.queries(name)(spark, dir))
+      assert(s.exchanges == 0, s"$name shuffles ${s.exchanges}x: $s")
+    }
+  }
+
   test("native asof join plans AsofJoinExec with exactly two exchanges") {
     val df = SparkEntry.queries("ev_asof_native")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
