@@ -62,11 +62,18 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
       // NANOS surfaces as LongType under the legacy conf and needs the
-      // truncation; re-generated corpora (e.g. the sf1 scale soak) carry
-      // ordinary MICROS timestamps that must pass through untouched.
+      // truncation; plain MICROS without isAdjustedToUTC surfaces as
+      // TIMESTAMP_NTZ and is normalized to TimestampType (identity on the
+      // stored micros under the UTC session this repo runs with) so every
+      // downstream consumer — asof/range joins, watermarks, oracles — sees
+      // the one ts type regardless of which writer produced the corpus;
+      // re-generated corpora (e.g. the scale soaks) carry ordinary
+      // adjusted-to-UTC MICROS timestamps that pass through untouched.
       val df = raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => raw
       }
       if (sys.env.get("SPARK_GRAFT_PERSIST").contains("1")) df.persist() else df
