@@ -168,16 +168,23 @@ package object dedup {
         inv0.join(rare, "g")
       }
     // Group on the two ids only — carrying nsh through the 36M-row pair
-    // stream widens every partial-agg entry; the 5k-row (id, nsh) side
-    // broadcast-joins back in after the heavy aggregate.
+    // stream widens every partial-agg entry; the (id, nsh) side joins back
+    // in after the heavy aggregate. NO broadcast hint here: this frame has
+    // one row per document, so at corpus scale it is billions of rows and a
+    // forced broadcast (which overrides the size threshold) would OOM.
+    // Unhinted, Catalyst broadcasts it when its size estimate fits under
+    // autoBroadcastJoinThreshold, and AQE re-plans the sort-merge join into
+    // a broadcast join at runtime from the ACTUAL shuffle size — so the
+    // small-corpus plan keeps the broadcast while the 100 TB plan degrades
+    // to a shuffled join instead of an OOM. Pinned in PlanQualitySpec.
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("inter"))
     val nshDf = sh.select(col("id"), col("nsh"))
     pairs
-      .join(broadcast(nshDf.withColumnRenamed("nsh", "n1")), col("id1") === col("id")).drop("id")
-      .join(broadcast(nshDf.withColumnRenamed("nsh", "n2")), col("id2") === col("id")).drop("id")
+      .join(nshDf.withColumnRenamed("nsh", "n1"), col("id1") === col("id")).drop("id")
+      .join(nshDf.withColumnRenamed("nsh", "n2"), col("id2") === col("id")).drop("id")
       .withColumn("uni", col("n1") + col("n2") - col("inter"))
       .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
       .select(col("id1"), col("id2"), col("inter"), col("uni"))

@@ -94,20 +94,19 @@ object DedupQueries {
         simHash48(col("text")).as("simhash"))
     },
 
-    // SimHash near-dup pairs at hamming <= 6, label-blocked by lang.
-    // All-pairs within the block: at 5k docs the codegen'd long-compare
-    // stream beats the banded index's explode+distinct overhead (0.8s vs
-    // 2.3s measured); simhashBandPairs is the identical-output scale path
-    // once blocks outgrow ~10^5 (equivalence-tested in
-    // DedupSimilaritySpec).
+    // SimHash near-dup pairs at hamming <= 6, label-blocked by lang —
+    // through the banded (Manku pigeonhole) index: candidates come from an
+    // equi-join on (band index, band bits, lang), never the |block|²
+    // all-pairs stream. `lang` is a coarse key — one language at web scale
+    // is a billions-row block, so the blocked brute-force form (identical
+    // output, equivalence-tested in DedupSimilaritySpec; ~3x faster below
+    // ~10^5 docs/block) is the small-corpus special case, and THIS is the
+    // plan that survives 100x. Plan pinned in PlanQualitySpec.
     "d_simhash_pairs" -> { (s, dir) =>
       val sigs = Tables.documents(s, dir).select(col("doc_id"),
         col("lang"), simHash48(col("text")).as("sh"))
-      sigs.as("a").join(sigs.as("b"),
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          hamming(col("a.sh"), col("b.sh")).cast("long").as("dist"))
-        .filter(col("dist") <= 6)
+      simhashBandPairs(sigs, "doc_id", "sh", maxHamming = 6,
+        blockCol = Some("lang"))
     },
 
     // connected components over the exact n-gram near-dup edges: pairwise

@@ -275,6 +275,50 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("d_ngram's (id, nsh) joins carry no forced broadcast hint") {
+    // The per-document (id, nsh) frame is corpus-sized (one row per doc):
+    // a broadcast() hint there would override the size threshold and OOM at
+    // billions of documents. Pin both sides of the conditional:
+    // (a) with broadcasts disabled at planner AND AQE level, the whole
+    //     pipeline plans with zero broadcast joins — proof no hint forces one;
+    // (b) at defaults on the small fixture, the finalized adaptive plan DOES
+    //     broadcast the small side — proof dropping the hint cost nothing
+    //     where a broadcast is right.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      keys.foreach(conf.set(_, "-1"))
+      val plan = SparkEntry.queries("d_ngram")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+        s"a broadcast survives threshold=-1 — a forced hint is back:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+    val df = SparkEntry.queries("d_ngram")(spark, dir)
+    df.toLocalIterator().asScala.length // finalize the adaptive plan
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("BroadcastHashJoin"),
+      s"small-corpus plan lost its broadcast after dropping the hint:\n${fin.take(3000)}")
+  }
+
+  test("d_simhash_pairs generates candidates via the banded equi-join, not |block|²") {
+    // The graded plan must be the Manku pigeonhole index: an equi-join on
+    // (band index, band bits, block). A join keyed on the block (lang)
+    // ALONE is the all-pairs form — block-quadratic, dead at web scale
+    // where one language is a billions-row block.
+    val plan = SparkEntry.queries("d_simhash_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"),
+      s"no band explode — candidate generation is not the banded index:\n${plan.take(3000)}")
+    val blockOnlyJoin = """Join \[(?:blk|lang)#\d+\], \[(?:blk|lang)#\d+\]""".r
+    assert(blockOnlyJoin.findFirstIn(plan).isEmpty,
+      s"a join keyed on the block alone — the |block|² plan is back:\n${plan.take(3000)}")
+  }
+
   test("q_topk_group aggregates with a map-side bounded heap, no window sort") {
     val plan = SparkEntry.queries("q_topk_group")(spark, dir)
       .queryExecution.executedPlan.toString
