@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,6 +17,10 @@ object Bench {
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shuffleP)
+      // events.ts identity (stored micros == session-local micros) holds
+      // only under UTC; sbt-forked runs set it via javaOptions but a bare
+      // spark-submit on a non-UTC host would silently shift timestamps
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -52,54 +57,78 @@ object Bench {
         .count().count()
       (System.nanoTime() - t0) / 1e9
     }
-    // each measured calibration is preceded by an untimed warm-up call:
-    // the suite's 124 query plans evict this shape's codegen/JIT state, so
-    // an unwarmed end measurement reads ~2x slow on an idle box and would
-    // false-flag contention — both ends must measure the same (warm) state
-    calibrate()
-    val calStart = calibrate()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      // min of two runs: steady-state per-query cost (first run may absorb
-      // codegen compilation for plan shapes no earlier query produced).
-      // Second run skipped past 20s so total bench wall-clock stays bounded.
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop caches a query pinned (e.g. LSH signatures) OUTSIDE the timed
-        // region: queries are independent; accumulated cache blocks would
-        // evict each other's checkpoints and skew later timings
-        spark.sharedState.cacheManager.clearCache()
-        dt
+
+    case class Pass(calStart: Double, calEnd: Double,
+        results: Map[String, Double]) {
+      def total: Double = if (results.nonEmpty) results.values.sum else 0.0
+      def contended: Boolean =
+        math.max(calStart, calEnd) / math.max(1e-9, math.min(calStart, calEnd)) > 2.0
+    }
+
+    def measure(): Pass = {
+      // each measured calibration is preceded by an untimed warm-up call:
+      // the suite's ~128 query plans evict this shape's codegen/JIT state, so
+      // an unwarmed end measurement reads ~2x slow on an idle box and would
+      // false-flag contention — both ends must measure the same (warm) state
+      calibrate()
+      val calStart = calibrate()
+      val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+        // min of two runs: steady-state per-query cost (first run may absorb
+        // codegen compilation for plan shapes no earlier query produced).
+        // Second run skipped past 20s so total bench wall-clock stays bounded.
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // drop caches a query pinned (e.g. LSH signatures) OUTSIDE the timed
+          // region: queries are independent; accumulated cache blocks would
+          // evict each other's checkpoints and skew later timings
+          spark.sharedState.cacheManager.clearCache()
+          dt
+        }
+        val first = once()
+        val dt = if (first > 20.0) first else math.min(first, once())
+        System.err.println(f"[bench] $name%-20s $dt%8.2fs")
+        name -> dt
+      }.toMap
+      calibrate()
+      val calEnd = calibrate()
+      Pass(calStart, calEnd, results)
+    }
+
+    // Auto-retry: a contended recording is not decision-grade (r4 and r5
+    // both shipped one), so when the calibrations disagree, run the whole
+    // suite once more — transient load (a co-tenant build, a GC storm)
+    // usually clears — and report whichever pass is clean, or failing
+    // that, the faster one (still flagged contended). One retry only:
+    // persistent load won't improve with repetition, the flag carries it.
+    val first = measure()
+    val (pass, retried) =
+      if (!first.contended) (first, false)
+      else {
+        System.err.println(
+          f"[bench] contended pass (cal ${first.calStart}%.3f vs ${first.calEnd}%.3f); retrying once")
+        val second = measure()
+        if (!second.contended || second.total < first.total) (second, true)
+        else (first, true)
       }
-      val first = once()
-      val dt = if (first > 20.0) first else math.min(first, once())
-      System.err.println(f"[bench] $name%-20s $dt%8.2fs")
-      name -> dt
-    }.toMap
-    calibrate()
-    val calEnd = calibrate()
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    val contended =
-      math.max(calStart, calEnd) / math.max(1e-9, math.min(calStart, calEnd)) > 2.0
+
     def fmt(v: Double): String = f"$v%.3f"
-    val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full per-query map to stderr for local inspection.
-    System.err.println(results.toSeq.sortBy(-_._2)
+    System.err.println(pass.results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"""\"$k\":${fmt(v)}""" }.mkString("[bench-full] {", ",", "}"))
     // The driver keeps only the tail of the build output, so the stdout JSON
     // line must stay SHORT: report the total plus the slowest queries, capped
     // so line + sbt's trailing "[success] ..." banner fit well under 2000 chars.
     val budget = 1200
-    val top = results.toSeq.sortBy(-_._2).iterator
+    val top = pass.results.toSeq.sortBy(-_._2).iterator
       .map { case (k, v) => s"""\"$k\":${fmt(v)}""" }
       .scanLeft(("", 0)) { case ((_, len), s) => (s, len + s.length + 1) }
       .drop(1).takeWhile(_._2 < budget).map(_._1).toSeq
     val qs = top.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"cal_start":${fmt(calStart)},"cal_end":${fmt(calEnd)},"load_avg":${fmt(loadAvg)},"contended":$contended,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(pass.total)},"unit":"sec","n_queries":${pass.results.size},"cal_start":${fmt(pass.calStart)},"cal_end":${fmt(pass.calEnd)},"load_avg":${fmt(java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage)},"contended":${pass.contended},"retried":$retried,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -59,6 +59,15 @@ object Tables {
     * line up exactly. */
   def events(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "events") {
+      // the TIMESTAMP_NTZ -> TimestampType normalization below is identity
+      // on the stored micros ONLY under a UTC session — enforce it here
+      // rather than inherit it from whichever launcher built the session
+      // (sbt-forked runs set it via javaOptions; a bare spark-submit on a
+      // non-UTC host would otherwise silently shift every ts value)
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"events() requires spark.sql.session.timeZone=UTC (got $tz): " +
+          "the NTZ->Timestamp cast below is only identity on stored micros under UTC")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
       // NANOS surfaces as LongType under the legacy conf and needs the

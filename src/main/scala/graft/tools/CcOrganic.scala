@@ -19,7 +19,7 @@ object CcOrganic {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.core.Tables.documents(spark, dir)
     val pairs = graft.dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 50)

@@ -20,7 +20,7 @@ object CcProbe {
     val n = if (args.length > 2) args(2).toLong else 3000L
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = 10000000L
     val chainIdx = floor(col("id") / (n - 1)).cast("long")

@@ -19,7 +19,7 @@ object CcStress {
     val n = if (args.length > 1) args(1).toLong else 100000L
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val base = 10000000L // chain c occupies [c*base+1, c*base+n]

@@ -11,7 +11,7 @@ object PipelineProbe {
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()

@@ -8,7 +8,7 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println("ENTRY_ROWS=" + graft.SparkEntry.entry(spark).count())
     spark.stop()

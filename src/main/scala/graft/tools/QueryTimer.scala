@@ -17,7 +17,7 @@ object QueryTimer {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- args.drop(1)) {
       val fn = graft.SparkEntry.queries.getOrElse(q,

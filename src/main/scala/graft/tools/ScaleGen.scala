@@ -42,7 +42,7 @@ object ScaleGen {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.parquet.compression.codec", "zstd")
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, src, dest, factor)
