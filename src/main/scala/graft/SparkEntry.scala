@@ -49,7 +49,18 @@ object SparkEntry {
     waves.iterator.map(_._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * SQL may contain the literal `__OUTDIR__`: Verify substitutes the
+    * resolved output directory when writing oracle_sql.json, letting an
+    * oracle read an [[auxDumps]] artifact (e.g. replay an LSH pipeline
+    * over Spark-dumped xxh64 signatures that no SQL engine can recompute). */
   def oracleSql: Map[String, String] =
     waves.iterator.map(_._2).reduce(_ ++ _)
+
+  /** Auxiliary artifacts Verify dumps alongside the graded queries — NOT
+    * graded rows themselves; they exist so an oracle in [[oracleSql]] can
+    * ground a structural replay on Spark-computed intermediates. */
+  def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
+    _root_.graft.queries.DedupQueries.aux
 }

@@ -57,8 +57,15 @@ object DedupQueries {
         "doc_id", "text", n = 2, minJaccardPct = 50)
     },
 
-    // MinHash(32) + LSH(8 bands x 4 rows) candidates — approximate: driver
-    // records rows-only; ScalaTest checks recall vs d_ngram
+    // MinHash(32) + LSH(8 bands x 4 rows) candidates on the production
+    // xxh64 base. The base hash itself is not SQL-recomputable, but
+    // everything downstream of the signatures is deterministic — so the
+    // oracle replays the WHOLE band/candidate/verify pipeline in DuckDB
+    // over the Spark-dumped signatures (the `aux_minhash_sigs` artifact;
+    // __OUTDIR__ resolved by Verify). The signature primitive is covered
+    // separately: d_minhash/d_mlsh_poly hash-match the polyHash twin
+    // lane-for-lane, and ScalaTest pins xxh64 codegen == interpreted plus
+    // recall-1.0 vs the exact pairs.
     "d_minhash_lsh" -> { (s, dir) =>
       minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")
         .filter(col("est_jaccard") >= 0.5)
@@ -199,11 +206,28 @@ object DedupQueries {
 
   private val (mhA, mhB) = graft.functions.HashExprs.minHashCoefficients(8, 42L)
 
+  /** Auxiliary Verify dumps (not graded): the xxh64 MinHash(32) signatures
+    * the d_minhash_lsh oracle replays its pipeline over. Must be the exact
+    * expression minhashLshPairs builds internally. */
+  val aux: Map[String, Q] = Map(
+    "aux_minhash_sigs" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id").as("id"),
+        graft.functions.HashExprs.minHashSignature(
+          wordShingles(col("text"), 2), 32).as("sig"))
+    })
+
   val oracle: Map[String, String] = Map(
     "d_minhash" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), hs AS (SELECT doc_id, list_transform(gs, w -> $POLY) AS hl FROM sh) SELECT doc_id, ${(0 until 8).map(j => s"CAST(coalesce(list_min(list_transform(hl, h -> (h * ${mhA(j)} + ${mhB(j)}) % 2147483647)), 2147483647) AS BIGINT) AS m$j").mkString(", ")} FROM hs""",
     "d_mlsh_poly" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), hs AS (SELECT doc_id, list_transform(gs, w -> $POLY) AS hl FROM sh), sig AS (SELECT doc_id, [${(0 until 8).map(j => s"coalesce(list_min(list_transform(hl, h -> (h * ${mhA(j)} + ${mhB(j)}) % 2147483647)), 2147483647)").mkString(", ")}] AS s FROM hs), bk AS (SELECT doc_id, CAST(b AS INT) AS b, (s[CAST(b * 2 + 1 AS INT)] * 131 + s[CAST(b * 2 + 2 AS INT)]) % 1000000007 AS key FROM sig, range(0, 4) r(b)), cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT c.id1, c.id2, len(list_filter(range(1, 9), i -> sa.s[CAST(i AS INT)] = sb.s[CAST(i AS INT)])) / 8.0 AS est_jaccard FROM cand c JOIN sig sa ON c.id1 = sa.doc_id JOIN sig sb ON c.id2 = sb.doc_id WHERE len(list_filter(range(1, 9), i -> sa.s[CAST(i AS INT)] = sb.s[CAST(i AS INT)])) / 8.0 >= 0.5""",
+    // structural replay over the Spark-dumped xxh64 signatures: band keys
+    // ((fold lane: acc*131+lane) mod 1e9+7 — mod distributes, so one
+    // flattened polynomial per 4-lane band), candidate equi-join on
+    // (band, key) with id1 < id2, distinct, then the exact lane-match
+    // verification (est >= 0.5 as the integer predicate 2*matches >= 32)
+    "d_minhash_lsh" ->
+      """WITH sigs AS (SELECT id, sig FROM '__OUTDIR__/aux_minhash_sigs/*.parquet'), bk AS (SELECT id, CAST(j AS INT) AS band, (((sig[CAST(j*4+1 AS INT)] * 131 + sig[CAST(j*4+2 AS INT)]) * 131 + sig[CAST(j*4+3 AS INT)]) * 131 + sig[CAST(j*4+4 AS INT)]) % 1000000007 AS key FROM sigs, range(0, 8) r(j)), cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id), m AS (SELECT c.id1, c.id2, len(list_filter(range(1, 33), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS nm FROM cand c JOIN sigs sa ON c.id1 = sa.id JOIN sigs sb ON c.id2 = sb.id) SELECT id1, id2 FROM m WHERE nm * 2 >= 32""",
     "d_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents) t GROUP BY 1""",
     "d_ngram" ->
