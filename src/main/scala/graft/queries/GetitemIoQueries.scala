@@ -186,18 +186,38 @@ object GetitemIoQueries {
         .withColumn("height", col("height").cast("long"))
     },
 
-    // feature-extraction stub (fake embedding from polyHash) + resize
-    // arithmetic — the remaining multimodal pipeline verbs, exact oracle
+    // REAL feature extraction on genuine payloads: executors encode
+    // solid-color png/bmp images (doc_id-derived dims large enough that
+    // the resize path actually scales), imageFeatures decodes the actual
+    // pixels (JDK ImageIO), and the output carries the FULL normalized
+    // 8-bin luminance histogram — one-hot for a solid fill — plus the
+    // resize arithmetic applied to the REAL decoded dimensions. The
+    // oracle derives every value analytically from the fill-color
+    // arithmetic, so only a correct pixel decode matches. featuresStub
+    // survives only as imageFeatures' documented non-media fallback.
     "mm_features" -> { (s, dir) =>
-      val feats = Multimodal.featuresStub(col("text"), 8)
-      val resized = Multimodal.resizeStub(
-        (length(col("text")) % 640 + 1).cast("int"),
-        (length(col("text")) % 480 + 1).cast("int"), 256)
-      Tables.documents(s, dir).select(col("doc_id"),
-        round(get(feats, lit(0)), 3).as("f0"),
-        round(aggregate(feats, lit(0.0), _ + _), 3).as("f_sum"),
-        resized.getField("w").cast("long").as("rw"),
-        resized.getField("h").cast("long").as("rh"))
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 100 + (id % 400).toInt
+          val h = 80 + ((id * 7) % 300).toInt
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          Multimodal.MediaRow(id,
+            Multimodal.Codecs.encodeImage(w, h, fmt), s"image/$fmt")
+        })
+      val resized = Multimodal.resizeStub(col("width"), col("height"), 256)
+      Multimodal.imageFeatures(media, 8)
+        .toDF("doc_id", "width", "height", "is_real",
+          "mean_r", "mean_g", "mean_b", "features")
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("is_real"),
+          resized.getField("w").cast("long").as("rw"),
+          resized.getField("h").cast("long").as("rh"),
+          transform(col("features"), v => round(v, 4)).as("features"))
     },
 
     // frame-sampling stub: every 2nd 64-byte frame
@@ -334,7 +354,7 @@ object GetitemIoQueries {
     "io_text" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1""",
     "mm_features" ->
-      """WITH b AS (SELECT doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 131 + x) % 1000000007) AS h, length(text) AS n FROM documents), f AS (SELECT doc_id, n, list_transform(range(0, 8), j -> CAST((h * (j+1)) % 1000 AS DOUBLE) / 1000.0) AS fe FROM b) SELECT doc_id, round(fe[1], 3) AS f0, round(list_sum(fe), 3) AS f_sum, CAST(floor((n % 640 + 1) * least(1.0, 256.0 / greatest(n % 640 + 1, n % 480 + 1))) AS BIGINT) AS rw, CAST(floor((n % 480 + 1) * least(1.0, 256.0 / greatest(n % 640 + 1, n % 480 + 1))) AS BIGINT) AS rh FROM f""",
+      """WITH p AS (SELECT doc_id, 100 + doc_id % 400 AS w, 80 + (doc_id * 7) % 300 AS h FROM documents), c AS (SELECT doc_id, w, h, (w * 37) % 255 AS r, (h * 53) % 255 AS g, 128 AS b FROM p), l AS (SELECT doc_id, w, h, ((r * 299 + g * 587 + b * 114) // 1000) * 8 // 256 AS bin, least(1.0, 256.0 / greatest(w, h)) AS scale FROM c) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, TRUE AS is_real, CAST(floor(w * scale) AS BIGINT) AS rw, CAST(floor(h * scale) AS BIGINT) AS rh, list_transform(range(0, 8), j -> CASE WHEN j = bin THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS features FROM l""",
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha256, CAST(16 + octet_length(encode(text)) % 640 AS BIGINT) AS width, CAST(16 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height, CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format FROM documents""",
     "mm_frames" ->
