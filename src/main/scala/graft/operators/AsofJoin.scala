@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * (inclusive match). Cost profile = one sort-merge pass over
   * |left| + |right| rows — crucially NOT the naive range join, whose
   * candidate set is quadratic in rows-per-key. Skew caveat at 100 TB: a
-  * single hot key serializes into one task; pre-split hot keys by a salt
-  * on coarse time buckets if that bites.
+  * single hot key serializes into one task; [[AsofJoin.asofJoinSalted]] is
+  * the two-phase (key, time-bucket) variant that fans a hot key's timeline
+  * out across tasks.
   */
 object AsofJoin {
 
@@ -100,7 +101,163 @@ object AsofJoin {
   /** Backward as-of join — see [[asofJoin]]. */
   def asofJoinLast(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame =
-    asofJoin(left, right, keyCol, tsCol, payloadCols, "backward")
+    asofJoin(left, right, keyCol, tsCol, payloadCols, "backward"): DataFrame
+
+  /** Skew-safe (salted) as-of join: same output contract as [[asofJoin]],
+    * but the heavy window partitions by (key, time bucket) instead of key
+    * alone — the fix for the one scale hazard of the union+window form: a
+    * single hot key (one instrument, one user) otherwise serializes its
+    * whole timeline into one task.
+    *
+    * Two phases:
+    *  1. per (key, bucket), summarize the last/first right payload; a
+    *     window over the BUCKET SUMMARIES (at most `buckets` rows per key —
+    *     never row-scale) turns those into carry-in state: the match a
+    *     row at the bucket boundary would have found in earlier (backward)
+    *     / later (forward) buckets;
+    *  2. the usual tagged union of left + right rows, PLUS one synthetic
+    *     carry row per (key, bucket), windowed by (key, bucket) — so the
+    *     hot key's timeline fans out over up to `buckets` parallel tasks.
+    *
+    * Bucket boundaries come from one cheap min/max aggregate over both
+    * inputs' ts. Null ts lands in bucket -1, reproducing the window form's
+    * nulls-first-ascending placement exactly (null-ts right rows are
+    * carry-visible to every later bucket in backward mode, and terminal in
+    * forward mode). Differential-pinned against [[asofJoin]] under a
+    * 90%-one-key distribution in OperatorsSpec.
+    *
+    * `tsCol` must be a timestamp or integral type (bucketing needs
+    * arithmetic); [[asofJoin]] remains the form for arbitrary orderable ts.
+    * At 100 TB: reach for this when key cardinality is low or skewed;
+    * prefer [[asofJoin]] when keys are many and balanced (one fewer tiny
+    * shuffle) or [[asofJoinBroadcast]] when the right side is
+    * dimension-sized. */
+  def asofJoinSalted(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, payloadCols: Seq[String],
+      direction: String = "backward", buckets: Int = 32): DataFrame = {
+    Seq("__side", "__p", "__pb", "__pf", "__m", "__t", "__bkt", "__cb", "__cf")
+      .foreach { c =>
+        require(!left.columns.contains(c) && !right.columns.contains(c),
+          s"asofJoinSalted: input already has a column named '$c' (reserved)")
+      }
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoinSalted: unknown direction '$direction'")
+    require(buckets > 0, s"asofJoinSalted: buckets must be positive")
+    def tsNum(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+          c.cast("long")
+        case other => throw new IllegalArgumentException(
+          s"asofJoinSalted: ts must be timestamp/integral for bucketing, got $other")
+      }
+    val lt = tsNum(col(tsCol), left.schema(tsCol).dataType)
+    val rt = tsNum(col(tsCol), right.schema(tsCol).dataType)
+
+    // one scan-only aggregate for the bucket range; width >= 1 always
+    val Array(mn, mx) = left.select(lt.as("t")).unionByName(
+        right.select(rt.as("t")))
+      .agg(min(col("t")), max(col("t"))).collect()(0) match {
+      case r if r.isNullAt(0) => Array(0L, 0L) // all-null ts: one bucket
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val width = math.max(1L, (mx - mn) / buckets + 1L)
+    def bucketOf(t: Column): Column =
+      coalesce(floor((t - lit(mn)) / lit(width)).cast("long"), lit(-1L))
+
+    val payload = struct(col(tsCol).as("__t") +: payloadCols.map(col): _*)
+    val rightSchema = right
+      .select(col(tsCol).as("__t") +: payloadCols.map(col): _*).schema
+
+    // ---- phase 1: per-(key, bucket) carry summaries (bucket-scale rows)
+    val rb = right.select(col(keyCol), col(tsCol), payload.as("__p"))
+      .withColumn("__bkt", bucketOf(rt))
+    // order-consistent sort key: null ts = -inf (nulls-first-asc parity)
+    val sortT = coalesce(rt, lit(Long.MinValue))
+    val perBucket = rb.groupBy(col(keyCol), col("__bkt"))
+      .agg(max_by(col("__p"), sortT).as("__last"),
+        min_by(col("__p"), sortT).as("__first"))
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("__bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // carry rows materialize per summary row; buckets with no right rows
+    // inherit nothing new — their rows match via the nearest earlier
+    // summary, which is exactly what the strictly-before window yields on
+    // the NEXT non-empty bucket... so carries must attach to LEFT buckets
+    // too. Cheapest correct form: compute the carry for EVERY (key, bucket)
+    // pair present on either side.
+    val lb = left.select(col(keyCol), bucketOf(lt).as("__bkt")).distinct()
+    val allBuckets = perBucket.select(col(keyCol), col("__bkt"))
+      .unionByName(lb).distinct()
+    // null-safe key equality: the window form groups null keys into an
+    // ordinary partition, so the carry chain must serve them too
+    val pb2 = perBucket
+      .withColumnRenamed(keyCol, "__k2").withColumnRenamed("__bkt", "__b2")
+    val carries = allBuckets
+      .join(pb2, col(keyCol) <=> col("__k2") && col("__bkt") === col("__b2"),
+        "left")
+      .select(col(keyCol), col("__bkt"),
+        last(col("__last"), ignoreNulls = true).over(wPrev).as("__cbP"),
+        last(col("__first"), ignoreNulls = true).over(wNext).as("__cfP"))
+
+    // ---- phase 2: tagged union + carry rows, windowed by (key, bucket).
+    // __pb/__pf split the payload per direction so each window's
+    // ignoreNulls-last skips the other direction's carry rows.
+    val needB = direction != "forward"
+    val needF = direction != "backward"
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__bkt", bucketOf(lt))
+      .withColumn("__pb", lit(null).cast(rightSchema))
+      .withColumn("__pf", lit(null).cast(rightSchema))
+      .withColumn("__cb", lit(0)).withColumn("__cf", lit(0))
+    def alignRight(df: DataFrame, pb: Column, pf: Column,
+        cb: Int, cf: Int): DataFrame =
+      df.select(left.columns.toIndexedSeq.map { c =>
+        if (c == keyCol) col(keyCol)
+        else if (c == tsCol && cb == 0 && cf == 0) col(tsCol)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } ++ Seq(lit(0).as("__side"), col("__bkt"), pb.as("__pb"),
+        pf.as("__pf"), lit(cb).as("__cb"), lit(cf).as("__cf")): _*)
+    val r = alignRight(rb, col("__p"), col("__p"), 0, 0)
+    val cbRows = alignRight(carries.filter(col("__cbP").isNotNull),
+      col("__cbP"), lit(null).cast(rightSchema), 1, 0)
+    val cfRows = alignRight(carries.filter(col("__cfP").isNotNull),
+      lit(null).cast(rightSchema), col("__cfP"), 0, 1)
+    val union = Seq(Some(l), Some(r),
+      if (needB) Some(cbRows) else None,
+      if (needF) Some(cfRows) else None).flatten.reduce(_ unionByName _)
+
+    def w(first: Column, tsOrder: Column) =
+      Window.partitionBy(col(keyCol), col("__bkt"))
+        .orderBy(first.desc, tsOrder, col("__side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBack = w(col("__cb"), col(tsCol).asc)
+    val wFwd = w(col("__cf"), col(tsCol).desc)
+    val matched = direction match {
+      case "backward" =>
+        union.withColumn("__m", last(col("__pb"), ignoreNulls = true).over(wBack))
+      case "forward" =>
+        union.withColumn("__m", last(col("__pf"), ignoreNulls = true).over(wFwd))
+      case "nearest" =>
+        val b = last(col("__pb"), ignoreNulls = true).over(wBack)
+        val f = last(col("__pf"), ignoreNulls = true).over(wFwd)
+        val rdt = right.schema(tsCol).dataType
+        def num(c: Column) = rdt match {
+          case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+          case _ => c.cast("long")
+        }
+        union.withColumn("__m",
+          when(b.isNull, f).when(f.isNull, b)
+            .when(lt - num(b.getField("__t")) <= num(f.getField("__t")) - lt, b)
+            .otherwise(f))
+    }
+    val out = left.columns.toIndexedSeq.map(col) ++
+      payloadCols.map(p => col("__m").getField(p).as(s"asof_$p"))
+    matched.filter(col("__side") === 1).select(out: _*)
+  }
 
   /** Broadcast as-of join: when the right side is dimension-sized (rates,
     * reference prices, config states — thousands to low millions of rows),

@@ -140,6 +140,62 @@ class OperatorsSpec extends SparkSuite {
       "fixture should produce both matched and unmatched rows")
   }
 
+  test("salted asof join matches the window form under a 90%-one-key skew") {
+    // 90% of rows on one hot key — the distribution that serializes the
+    // plain union+window form into a single task. The salted form must
+    // (a) produce identical output in all three directions, nulls and
+    // ties included, and (b) partition its heavy window by (key, bucket)
+    // so the hot key's timeline actually fans out.
+    def skewed(n: Int, seed: Long) = spark.range(n).select(
+      when($"id" % 10 =!= 0, lit(0L))
+        .when($"id" % 100 === 0, lit(null).cast("long"))
+        .otherwise($"id" % 37 + 1).as("k"),
+      when($"id" % 97 === 0, lit(null).cast("long"))
+        .otherwise(($"id" * seed) % 100000).as("ts"),
+      $"id".as("rid"))
+    val l = skewed(20000, 2654435761L)
+    val r = skewed(2000, 40503L)
+      .groupBy($"k", $"ts").agg(max($"rid").as("pval")) // unique per (k, ts)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"rid", $"asof_pval")
+        .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val plain = canon(graft.operators.AsofJoin.asofJoin(
+        l, r, "k", "ts", Seq("pval"), dir))
+      val salted = graft.operators.AsofJoin.asofJoinSalted(
+        l, r, "k", "ts", Seq("pval"), dir, buckets = 16)
+      val saltedM = canon(salted)
+      assert(saltedM.size == plain.size, dir)
+      val diffs = plain.collect {
+        case (k, v) if saltedM.get(k) != Some(v) => (k, v, saltedM.get(k))
+      }
+      assert(diffs.isEmpty, s"$dir first diffs: ${diffs.take(5)}")
+      // nearest matches every row whose key has any right row, so only the
+      // directional forms are guaranteed a mixed fixture
+      assert(plain.values.exists(_.isDefined) &&
+          (dir == "nearest" || plain.values.exists(_.isEmpty)),
+        s"$dir fixture should produce both matched and unmatched rows")
+      // the heavy window must partition by (key, bucket), not key alone
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(ln =>
+          ln.contains("Window") && ln.contains("__bkt")),
+        s"$dir: heavy window not partitioned by (key, __bkt):\n${plan.take(3000)}")
+    }
+    // realistic corpus differential on top of the synthetic skew
+    val ev = graft.core.Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("pval"))
+    val le = ev.select($"event_id", $"user_id", $"ts")
+    def canonE(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"asof_pval")
+        .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    val w = canonE(graft.operators.AsofJoin.asofJoinLast(
+      le, purchases, "user_id", "ts", Seq("pval")))
+    val s2 = canonE(graft.operators.AsofJoin.asofJoinSalted(
+      le, purchases, "user_id", "ts", Seq("pval")))
+    assert(w == s2, "events-table differential")
+  }
+
   test("broadcast asof join matches the union+window form in all directions") {
     val ev = graft.core.Tables.events(spark, dir)
     val purchases = ev.filter($"event_type" === "purchase")
