@@ -201,11 +201,18 @@ object GetitemIoQueries {
       val media = Tables.documents(s, dir)
         .select(col("doc_id").cast("long")).as[Long]
         .mapPartitions(_.map { id =>
-          val w = 100 + (id % 400).toInt
-          val h = 80 + ((id * 7) % 300).toInt
-          val fmt = if (id % 2 == 0) "png" else "bmp"
+          // every 50th image exceeds the 256 resize box; the rest stay
+          // small so the single-scan-task fixture decodes in well under a
+          // second (pixel volume, not container format, is the cost here)
+          val big = id % 50 == 0
+          val w = (if (big) 280 else 20) + (id % 40).toInt
+          val h = (if (big) 260 else 16) + ((id * 7) % 40).toInt
+          // bmp only: raw encode, no deflate — png/jpeg/gif container
+          // coverage lives in mm_parse/mm_pixels; this query's subject is
+          // the decoded-pixel features + resize, and the corpus-sized
+          // fixture must stay cheap enough to encode inside one scan task
           Multimodal.MediaRow(id,
-            Multimodal.Codecs.encodeImage(w, h, fmt), s"image/$fmt")
+            Multimodal.Codecs.encodeImage(w, h, "bmp"), "image/bmp")
         })
       val resized = Multimodal.resizeStub(col("width"), col("height"), 256)
       Multimodal.imageFeatures(media, 8)
@@ -354,7 +361,7 @@ object GetitemIoQueries {
     "io_text" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1""",
     "mm_features" ->
-      """WITH p AS (SELECT doc_id, 100 + doc_id % 400 AS w, 80 + (doc_id * 7) % 300 AS h FROM documents), c AS (SELECT doc_id, w, h, (w * 37) % 255 AS r, (h * 53) % 255 AS g, 128 AS b FROM p), l AS (SELECT doc_id, w, h, ((r * 299 + g * 587 + b * 114) // 1000) * 8 // 256 AS bin, least(1.0, 256.0 / greatest(w, h)) AS scale FROM c) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, TRUE AS is_real, CAST(floor(w * scale) AS BIGINT) AS rw, CAST(floor(h * scale) AS BIGINT) AS rh, list_transform(range(0, 8), j -> CASE WHEN j = bin THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS features FROM l""",
+      """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN 280 ELSE 20 END + doc_id % 40 AS w, CASE WHEN doc_id % 50 = 0 THEN 260 ELSE 16 END + (doc_id * 7) % 40 AS h FROM documents), c AS (SELECT doc_id, w, h, (w * 37) % 255 AS r, (h * 53) % 255 AS g, 128 AS b FROM p), l AS (SELECT doc_id, w, h, ((r * 299 + g * 587 + b * 114) // 1000) * 8 // 256 AS bin, least(1.0, 256.0 / greatest(w, h)) AS scale FROM c) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, TRUE AS is_real, CAST(floor(w * scale) AS BIGINT) AS rw, CAST(floor(h * scale) AS BIGINT) AS rh, list_transform(range(0, 8), j -> CASE WHEN j = bin THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS features FROM l""",
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha256, CAST(16 + octet_length(encode(text)) % 640 AS BIGINT) AS width, CAST(16 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height, CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format FROM documents""",
     "mm_frames" ->
