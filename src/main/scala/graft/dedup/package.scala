@@ -190,6 +190,52 @@ package object dedup {
       .select(col("id1"), col("id2"), col("inter"), col("uni"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with spherical k-means, then drop any
+    * vector that has a higher-cosine-than-`minCosine` near-duplicate with
+    * a smaller id INSIDE ITS CLUSTER. Clustering replaces label blocking
+    * as the quadratic bound: with the sqrt(N) auto cell count, expected
+    * cell size is sqrt(N), so the within-cell pair term is ~N^1.5 total —
+    * the same budget as the IVF assignment itself — where unblocked
+    * all-pairs is N². Cross-cell near-dups are missed by construction;
+    * that recall loss is the documented SemDeDup trade.
+    *
+    * Deterministic end to end (seed centroids = first k by id, smallest-cid
+    * tie-breaks, exact keep rule), so the WHOLE pipeline — both k-means
+    * training rounds, assignment, within-cell pairs, keep flags — replays
+    * in DuckDB (the d_semdedup oracle). Zero-norm vectors have no cosine
+    * to anything: they keep `cid` null and are always kept.
+    *
+    * Returns one row per input vector: (idCol, cid, kept). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nCells: Int = 0, trainIters: Int = 2): DataFrame = {
+    import graft.similarity.{cosine, kmeansCentroids}
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val nc =
+      if (nCells > 0) nCells
+      else math.min(65536L, math.max(16L,
+        math.ceil(math.sqrt(v.count().toDouble)).toLong)).toInt
+    val centroids = kmeansCentroids(df, idCol, vecCol, nc, trainIters)
+    // N x k assignment against the broadcast k-row centroid table — the
+    // documented IVF cross pattern (crossByDesign in PlanQualitySpec)
+    val home = v.join(broadcast(centroids))
+      .select(col("id"), col("cid"), cosine(col("vec"), col("cvec")).as("sim"))
+      .filter(col("sim").isNotNull)
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
+    val cv = home.join(v, "id")
+    val dropped = cv.as("a").join(cv.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("b.id").as("id"),
+        cosine(col("a.vec"), col("b.vec")).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("id")).distinct()
+    v.select(col("id"))
+      .join(home, Seq("id"), "left")
+      .join(dropped.withColumn("__d", lit(1)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"), col("__d").isNull.as("kept"))
+  }
+
   /** Edit-distance near-dup pairs within a blocking key — the fuzzy-match
     * modality for short or structured text (titles, names, leading
     * boilerplate) where token-set similarity is too coarse: one

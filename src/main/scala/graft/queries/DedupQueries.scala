@@ -95,6 +95,17 @@ object DedupQueries {
         .select(col("id1"), col("id2"), col("est_jaccard"))
     },
 
+    // SemDeDup-style semantic dedup over the embeddings table: two
+    // k-means rounds cluster the space, then within-cluster cosine >= 0.35
+    // drops the higher id of each near-dup pair. Learned-cluster blocking
+    // is d_embed's scale path (label blocks grow with the corpus; sqrt(N)
+    // cells hold the pair term at ~N^1.5). Fully replayed in DuckDB:
+    // training rounds, assignment, pairs and keep flags.
+    "d_semdedup" -> { (s, dir) =>
+      semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        minCosine = 0.35)
+    },
+
     // SimHash-48 signatures (deterministic integer arithmetic => oracled)
     "d_simhash" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -248,6 +259,23 @@ object DedupQueries {
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS w FROM documents), th AS (SELECT doc_id, ($POLY * 2654435761) % 281474976710656 AS h FROM tok), votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v FROM th, range(0, 48) r(j) GROUP BY doc_id, j), sig AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS sh FROM votes GROUP BY doc_id), sigl AS (SELECT s.doc_id, s.sh, d.lang FROM sig s JOIN documents d ON s.doc_id = d.doc_id) SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(bit_count(xor(CAST(a.sh AS BIGINT), CAST(b.sh AS BIGINT))) AS BIGINT) AS dist FROM sigl a JOIN sigl b ON a.lang = b.lang AND a.doc_id < b.doc_id WHERE bit_count(xor(CAST(a.sh AS BIGINT), CAST(b.sh AS BIGINT))) <= 6""",
     "d_embed" ->
       """WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), d AS (SELECT id1, id2, sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) AS dot, sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(ea[CAST(i AS INT)] AS DOUBLE)) AS na2, sum(CAST(eb[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) AS nb2 FROM p, range(1, 65) r(i) GROUP BY id1, id2) SELECT id1, id2, round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos FROM d WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.35""",
+    // full SemDeDup replay: both k-means rounds (SimilarityQueries'
+    // kmeansIterSql — the same CTEs sim_kmeans trains with), max-cosine
+    // assignment with smallest-cid ties, within-cell pairs, keep rule
+    "d_semdedup" ->
+      s"""WITH nc AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cent0 AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT (SELECT k FROM nc)),
+${SimilarityQueries.kmeansIterSql(1)},
+${SimilarityQueries.kmeansIterSql(2)},
+ap AS (SELECT e.vec_id AS vid, c.cid, e.v AS ea, c.cvec AS eb FROM e, cent2 c),
+ac AS (SELECT vid, cid, ${SimilarityQueries.COS} AS sim FROM ap, range(1,65) r(i) GROUP BY vid, cid),
+cells AS (SELECT vid AS id, cid FROM (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS rn FROM ac WHERE sim IS NOT NULL) WHERE rn = 1),
+cv AS (SELECT c.id, c.cid, e.v FROM cells c JOIN e ON e.vec_id = c.id),
+pr AS (SELECT a.id AS id1, b.id AS id2, a.v AS ea, b.v AS eb FROM cv a JOIN cv b ON a.cid = b.cid AND a.id < b.id),
+pd AS (SELECT id1, id2, ${SimilarityQueries.COS} AS cos FROM pr, range(1,65) r(i) GROUP BY id1, id2),
+drp AS (SELECT DISTINCT id2 AS id FROM pd WHERE cos >= 0.35)
+SELECT emb.vec_id, cells.cid, (drp.id IS NULL) AS kept FROM embeddings emb LEFT JOIN cells ON cells.id = emb.vec_id LEFT JOIN drp ON drp.id = emb.vec_id""",
     "d_sentdup" ->
       """WITH s AS (SELECT doc_id, sp, sent FROM (SELECT doc_id, generate_subscripts(sents, 1) AS sp, unnest(sents) AS sent FROM (SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)), x -> length(x) > 0) AS sents FROM documents) a) b), occ AS (SELECT sent, count(*) AS occ, min(struct_pack(id := doc_id, sp := sp)) AS first FROM s GROUP BY sent), k AS (SELECT s.doc_id, s.sp, s.sent FROM s JOIN occ USING (sent) WHERE occ.occ < 2 OR (occ.first.id = s.doc_id AND occ.first.sp = s.sp)), agg AS (SELECT doc_id, count(*) AS n_kept, md5(string_agg(sent, ' | ' ORDER BY sp)) AS kept_md5 FROM k GROUP BY doc_id) SELECT d.doc_id, CAST(len(list_filter(list_transform(string_split_regex(d.text, '[.!?]+'), x -> trim(x)), x -> length(x) > 0)) AS BIGINT) AS n_sent, CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept, coalesce(agg.kept_md5, md5('')) AS kept_md5 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
     "d_spanrm" ->

@@ -80,14 +80,14 @@ object SimilarityQueries {
           round(col("cos"), 4).as("cos"))
     })
 
-  private val COS =
+  private[queries] val COS =
     """sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) / (sqrt(sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(ea[CAST(i AS INT)] AS DOUBLE))) * sqrt(sum(CAST(eb[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE))))"""
 
   /** One spherical-k-means round in SQL: assign every vector to its
     * max-cosine centroid (ties to smallest cid, mirroring the Spark
     * max_by(struct(sim, -cid))), elementwise-mean the members per cell,
     * cells that lost all members keep their previous centroid. */
-  private def kmeansIterSql(n: Int): String = {
+  private[queries] def kmeansIterSql(n: Int): String = {
     val prev = s"cent${n - 1}"
     s"""a${n}p AS (SELECT e.vec_id AS vid, c.cid, e.v AS ea, c.cvec AS eb FROM e, $prev c),
 a${n}c AS (SELECT vid, cid, $COS AS sim FROM a${n}p, range(1,65) r(i) GROUP BY vid, cid),

@@ -283,6 +283,29 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(res.agg(max($"keeper")).as[Long].head < 100000)
   }
 
+  test("semanticDedup drops every exact-duplicate vector, keeps the originals' ids") {
+    // re-keyed exact copies: identical vectors share the argmax cell and
+    // have cosine 1.0 with their (smaller-id) originals, so the keep rule
+    // must drop every copy regardless of how the clustering falls out
+    val base = graft.core.Tables.embeddings(spark, dir)
+    val copies = base.filter($"vec_id" < 20)
+      .withColumn("vec_id", $"vec_id" + 1000000L)
+    val out = semanticDedup(base.unionByName(copies),
+      "vec_id", "embedding", minCosine = 0.999)
+    val n = base.count() + 20
+    assert(out.count() == n, "one row per input vector")
+    val droppedIds = out.filter(!$"kept").select($"vec_id")
+      .as[Long].collect().toSet
+    val copyIds = (0L until 20L).map(_ + 1000000L).toSet
+    assert(copyIds.subsetOf(droppedIds),
+      s"copies not dropped: ${(copyIds -- droppedIds).take(5)}")
+    // at a 0.999 threshold nothing in the organic corpus should collide
+    assert((droppedIds -- copyIds).isEmpty,
+      s"organic vectors dropped at cos>=0.999: ${(droppedIds -- copyIds).take(5)}")
+    // and every dropped row still reports its cluster
+    assert(out.filter(!$"kept" && $"cid".isNull).count() == 0)
+  }
+
   test("wordShingles produces n-1 distinct bigrams for distinct tokens") {
     val df = Seq("a b c d", "x", "").toDF("t")
     val got = df.select(wordShingles($"t", 2)).as[Seq[String]].collect().toSeq

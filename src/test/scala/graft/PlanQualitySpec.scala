@@ -29,7 +29,10 @@ class PlanQualitySpec extends SparkSuite {
       // small-broadcast nested loop IS the right plan there.
       // (sim_pq: the ADC pass broadcast-crosses the tiny query-table set
       // against the COMPRESSED corpus — that scan is the design)
-      val crossByDesign = Set("sim_ivf", "sim_kmeans", "sim_topk", "sim_pq")
+      // (d_semdedup: k-means training + cell assignment broadcast-cross
+      // the corpus with the k-row centroid table, same as sim_kmeans)
+      val crossByDesign = Set("sim_ivf", "sim_kmeans", "sim_topk", "sim_pq",
+        "d_semdedup")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
