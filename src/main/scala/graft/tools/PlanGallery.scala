@@ -54,7 +54,18 @@ object PlanGallery {
       "side resolves per-row by binary search inside mapPartitions — the " +
       "fact scan runs straight into the final aggregate with ZERO " +
       "Exchange nodes before it; neither the union+window form nor the " +
-      "native merge operator can avoid shuffling the fact side."))
+      "native merge operator can avoid shuffling the fact side."),
+    "d_simhash_pairs" -> ("Banded (Manku pigeonhole) simhash near-dup " +
+      "index: signatures explode into maxHamming+1 band keys, candidates " +
+      "come from an equi hash join on (band, bits, lang), and only " +
+      "candidate pairs pay the hamming verification — no join keyed on " +
+      "the language block alone, so one billions-row language at web " +
+      "scale never becomes a |block|-quadratic self-join."),
+    "d_semdedup" -> ("SemDeDup semantic dedup: k-means training and cell " +
+      "assignment broadcast-cross the corpus with the k-row centroid " +
+      "table (the IVF pattern), the within-cell near-dup pairs hash-join " +
+      "on cid — learned-cluster blocking holds the pair term at ~N^1.5 " +
+      "with sqrt(N) cells."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
