@@ -77,6 +77,22 @@ object EventQueries {
           round(sum(col("asof_pval")), 2).as("sum_asof"))
     },
 
+    // scalar as-of lookup: same semantics/oracle as ev_asof through the
+    // codegen'd AsofLookup expression — the batch face of the stream-static
+    // enrichment (streamingAsofEnrich); zero shuffle before the aggregate
+    "ev_asof_lookup" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.streaming.Streaming.streamingAsofEnrich(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, "user_id", "ts", "pval")
+        .groupBy(col("user_id"))
+        .agg(count(when(col("asof_pval").isNotNull, 1)).as("n_matched"),
+          round(sum(col("asof_pval")), 2).as("sum_asof"))
+    },
+
     // broadcast as-of: same semantics/oracle as ev_asof but the dimension-
     // sized purchase table broadcasts with per-row binary search — the
     // fact side is never shuffled (plan asserted Exchange-free in
@@ -230,6 +246,8 @@ object EventQueries {
     "ev_asof" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
     "ev_asof_salted" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
+    "ev_asof_lookup" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
     "ev_asof_bcast" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",

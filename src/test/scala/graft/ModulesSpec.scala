@@ -39,6 +39,35 @@ class ModulesSpec extends SparkSuite {
     got.foreach { case (k, n) => assert(want(k) == n, s"window $k") }
   }
 
+  test("streaming as-of enrichment equals the batch broadcast asof join") {
+    implicit val s: SparkSession = spark
+    val ev = graft.core.Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("pval"))
+    // stream face: the codegen'd lookup runs inside readStream with no
+    // shuffle and no state
+    val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
+    val streamed = graft.streaming.Streaming.runToMemory(
+      graft.streaming.Streaming.streamingAsofEnrich(
+        src.select($"event_id", $"user_id", $"ts"),
+        purchases, "user_id", "ts", "pval"), "t_asof_enrich")
+      .select($"event_id", $"asof_pval")
+      .as[(Long, Option[Double])].collect().toMap
+    // batch reference: the rdd-based broadcast asof join
+    val batch = graft.operators.AsofJoin.asofJoinBroadcast(
+        ev.select($"event_id", $"user_id", $"ts"),
+        purchases, "user_id", "ts", Seq("pval"))
+      .select($"event_id", $"asof_pval")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(streamed.size == batch.size)
+    val diffs = batch.collect {
+      case (k, v) if streamed.get(k) != Some(v) => (k, v, streamed.get(k))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+    assert(batch.values.exists(_.isDefined) && batch.values.exists(_.isEmpty),
+      "fixture should produce both matched and unmatched rows")
+  }
+
   test("streaming near-dup filter: exact dups tagged, uniques kept, state caps") {
     implicit val s: SparkSession = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft_nd_stream").toString
