@@ -35,7 +35,11 @@ class CodegenPinSpec extends SparkSuite {
     val toks = split($"text", " ")
     val sig = HashExprs.minHashSignature(HashExprs.wordNgrams(toks, 2), 16)
     val pqFlat = Array(0.1, 0.2, 0.9, 0.8, -0.5, 0.5, 0.3, -0.3)
+    // tiny asof table: key 1 has states at ts 5 and 10, key 2 none before 0
+    val asofRight = Seq((1L, 5L, 1.5), (1L, 10L, 2.5), (2L, 100L, 9.9))
+      .toDF("k", "t", "v")
     val cols: Seq[Column] = Seq(
+      AsofLookup.asofLookup(asofRight, "k", "t", "v")($"id", lit(7L)),
       HashExprs.wordNgrams(toks, 2),
       HashExprs.wordNgramsSeq(toks, 2),
       HashExprs.simHash48(toks),
