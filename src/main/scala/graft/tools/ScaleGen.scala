@@ -80,37 +80,54 @@ object ScaleGen {
       Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
     write(replicate(read("events"), Seq("event_id", "user_id")), "events")
 
-    // Per-replica Caesar shift over the alphabet (translate() is a char
-    // BIJECTION): intra-replica edit distances are preserved EXACTLY
-    // (Levenshtein is invariant under a char bijection), so per-replica
-    // dedup statistics are the original's — while cross-replica texts
-    // differ in essentially every alphabetic char (distance ~= prefix
-    // length >> any maxDist) and share zero shingles. Earlier designs
-    // that APPENDED a per-replica word suffix failed both ways: the
-    // shared intra-replica suffix inflated within-replica similarity
-    // (124k manufactured pairs at factor 10 vs the organic ~900), and
-    // cross-replica twins stayed within maxDist for short prefixes.
-    // Lengths and whitespace are untouched, so token counts, n_chars,
-    // and packing budgets match the original corpus exactly.
+    // Per-replica AFFINE cipher over the alphabet, c -> s*c + r (mod 26)
+    // with s coprime to 26 (translate() is a char BIJECTION): intra-replica
+    // edit distances are preserved EXACTLY (Levenshtein is invariant under
+    // a char bijection), so per-replica dedup statistics are the
+    // original's — while cross-replica texts differ in essentially every
+    // alphabetic char and share no real shingles (two distinct affine maps
+    // agree on at most 2 of 26 letters). Earlier designs failed:
+    //  - APPENDING a per-replica word suffix inflated within-replica
+    //    similarity (124k manufactured pairs at factor 10 vs the organic
+    //    ~900) and left cross-replica twins within Levenshtein range;
+    //  - plain Caesar ROTATION (the r5 form) wraps at 26: replicas i and
+    //    i+26 were byte-identical twins, which at factor 50 manufactured
+    //    120k+ cross-replica "near-dup" pairs (caught by the r6 sf5 soak).
+    //    Case tricks can't extend it — shingle tokenization lowercases.
+    // 12 units x 26 shifts = 312 distinct bijections; lengths and
+    // whitespace untouched, so token counts, n_chars and packing budgets
+    // match the original corpus exactly.
+    val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    require(factor <= units.length * 26,
+      s"ScaleGen text decorrelation supports at most ${units.length * 26} replicas, got $factor")
     val lower = ('a' to 'z').mkString
     val upper = ('A' to 'Z').mkString
-    def rot(s: String, i: Int) = s.drop(i % 26) + s.take(i % 26)
+    def affine(s: String, i: Int): String = {
+      val (mul, add) = (units(i / 26), i % 26)
+      s.indices.map(c => s((c * mul + add) % 26)).mkString
+    }
     write(replicate(read("documents"), Seq("doc_id"), (d, i) =>
       if (i == 0) d
       else d.withColumn("text",
-        translate(col("text"), lower + upper, rot(lower, i) + rot(upper, i)))),
+        translate(col("text"), lower + upper, affine(lower, i) + affine(upper, i)))),
       "documents")
 
+    // circular shift by i mod dim, sign-flipped every wrap (both are
+    // isometries: norms and intra-replica geometry exact; the flip keeps
+    // replicas i and i+dim from being identical — same wrap hazard the
+    // affine cipher fixes for text). dim=64 => 128 distinct replicas.
+    require(factor <= 128,
+      s"ScaleGen embedding decorrelation supports at most 128 replicas, got $factor")
     write(replicate(read("embeddings"), Seq("vec_id"), (d, i) => {
       if (i == 0) d
       else {
-        // circular shift by i mod dim: slice+concat, no UDF
         val dim = size(col("embedding"))
         val k = lit(i) % dim
+        val shifted = when(k === 0, col("embedding")).otherwise(
+          concat(slice(col("embedding"), k + 1, dim - k),
+            slice(col("embedding"), lit(1), k)))
         d.withColumn("embedding",
-          when(k === 0, col("embedding")).otherwise(
-            concat(slice(col("embedding"), k + 1, dim - k),
-              slice(col("embedding"), lit(1), k))))
+          if ((i / 64) % 2 == 1) transform(shifted, x => -x) else shifted)
       }
     }), "embeddings")
   }
