@@ -205,14 +205,21 @@ class DifferentialFuzzSpec extends SparkSuite {
         val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
           .toDF("row_id", "k", "ts")
         val right = r.toDF("k", "ts", "v")
-        // all three implementations (union+window, native planner exec,
-        // broadcast binary search) against the brute-force model
-        for (impl <- Seq("window", "native", "broadcast")) {
+        // all five implementations (union+window, native planner exec,
+        // broadcast binary search, salted two-phase, scalar lookup
+        // expression) against the brute-force model; tiny buckets so the
+        // salted form's carry chain crosses bucket boundaries constantly
+        for (impl <- Seq("window", "native", "broadcast", "salted", "lookup")) {
           val joined = impl match {
             case "window" => graft.operators.AsofJoin
               .asofJoinLast(left, right, "k", "ts", Seq("v"))
             case "native" => graft.operators.AsofJoin
               .asofJoinNative(left, right, "k", "ts", Seq("v"))
+            case "salted" => graft.operators.AsofJoin
+              .asofJoinSalted(left, right, "k", "ts", Seq("v"), buckets = 4)
+            case "lookup" => left.withColumn("asof_v",
+              graft.functions.AsofLookup.asofLookup(right, "k", "ts", "v")(
+                $"k", $"ts"))
             case _ => graft.operators.AsofJoin
               .asofJoinBroadcast(left, right, "k", "ts", Seq("v"))
           }
