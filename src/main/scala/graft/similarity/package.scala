@@ -147,12 +147,29 @@ package object similarity {
     * members keep their previous centroid. `localCheckpoint` cuts the
     * per-round lineage so the plan stays O(1) across iterations.
     * Input rows with a null cosine against every centroid (zero-norm
-    * vectors) drop out of training. Returns (cid, cvec: array<double>). */
+    * vectors) drop out of training.
+    *
+    * Training cost is bounded: past `trainSampleMax` rows the rounds run
+    * on the first `trainSampleMax` vectors by id (the faiss practice —
+    * centroid quality needs a representative sample, not the corpus, and
+    * sample-size-per-centroid is what matters). The gate is exact: at or
+    * under the bound the plan and results are bit-identical to full-corpus
+    * training (which keeps the DuckDB replays of sim_kmeans/d_semdedup
+    * valid at verify scale), and the sampled path repartitions the
+    * post-limit single partition back to full parallelism and checkpoints
+    * it once so the per-round scans stay parallel and re-read no lineage.
+    * Returns (cid, cvec: array<double>). */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, trainSampleMax: Int = 65536): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val train =
+      if (trainSampleMax > 0 && v.count() > trainSampleMax)
+        v.orderBy(col("id")).limit(trainSampleMax)
+          .repartition(spark.sessionState.conf.numShufflePartitions)
+          .localCheckpoint()
+      else v
     // centroid state is k tiny rows — hold it on the driver and broadcast
     // each round (the MLlib k-means pattern): one job per iteration, no
     // lineage-carrying joins or checkpoints. The corpus never leaves the
@@ -161,7 +178,7 @@ package object similarity {
       seedCentroids(v, k).as[(Long, Seq[Double])].collect().toSeq
     for (_ <- 0 until iters) {
       val cdf = cents.toDF("cid", "cvec")
-      val means = v.join(broadcast(cdf))
+      val means = train.join(broadcast(cdf))
         .select(col("id"), col("vec"), col("cid"),
           cosine(col("vec"), col("cvec")).as("sim"))
         .filter(col("sim").isNotNull)
