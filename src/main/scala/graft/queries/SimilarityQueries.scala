@@ -137,24 +137,24 @@ short AS MATERIALIZED (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER 
 xp AS MATERIALIZED (SELECT sh.qid, sh.nid, eq.embedding AS ea, en.embedding AS eb FROM short sh JOIN embeddings eq ON eq.vec_id = sh.qid JOIN embeddings en ON en.vec_id = sh.nid),
 xd AS MATERIALIZED (SELECT qid, nid, $COS AS cos FROM xp, range(1, 65) r(i) GROUP BY qid, nid),
 rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM xd WHERE cos IS NOT NULL)
-SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
+SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
     "sim_vecops" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings) SELECT vec_id, round(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS l2, round(CASE WHEN sqrt(list_sum(list_transform(e, x -> x * x))) > 0 THEN sqrt(list_sum(list_transform(list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))), x -> x * x))) END, 4) AS unit_l2, round(sqrt(list_sum(list_transform(range(1, len(e) + 1), i -> (e[CAST(i AS INT)] - e[CAST(len(e) - i + 1 AS INT)]) * (e[CAST(i AS INT)] - e[CAST(len(e) - i + 1 AS INT)])))), 4) AS eucl_rev FROM v""",
     "sim_topk" ->
-      s"""WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS ea, c.embedding AS eb FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), d AS (SELECT qid, nid, $COS AS cos FROM p, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d) SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
+      s"""WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS ea, c.embedding AS eb FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), d AS (SELECT qid, nid, $COS AS cos FROM p, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d) SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
     // sim_ivf is fully deterministic (seed centroids = first ~sqrt(N)
     // vectors by id, fixed probe count, lexicographic tie-breaks), so the
     // whole IVF search replays in SQL: same auto cell count, same
     // assignment ranking, same probe set, same final top-k.
     "sim_ivf" ->
-      s"""WITH nc AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings), cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT (SELECT k FROM nc)), ap AS (SELECT e.vec_id AS vid, c.cid, e.embedding AS ea, c.cvec AS eb FROM embeddings e, cent c), ac AS (SELECT vid, cid, $COS AS sim FROM ap, range(1, 65) r(i) GROUP BY vid, cid), ranked AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS rn FROM ac WHERE sim IS NOT NULL), cells AS (SELECT vid AS id, cid FROM ranked WHERE rn = 1), probes AS (SELECT vid AS qid, cid FROM ranked WHERE rn <= 4), cand AS (SELECT p.qid, ce.id AS nid, eq.embedding AS ea, en.embedding AS eb FROM probes p JOIN cells ce ON p.cid = ce.cid AND p.qid <> ce.id JOIN embeddings eq ON eq.vec_id = p.qid JOIN embeddings en ON en.vec_id = ce.id), d AS (SELECT qid, nid, $COS AS cos FROM cand, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL) SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
+      s"""WITH nc AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings), cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT (SELECT k FROM nc)), ap AS (SELECT e.vec_id AS vid, c.cid, e.embedding AS ea, c.cvec AS eb FROM embeddings e, cent c), ac AS (SELECT vid, cid, $COS AS sim FROM ap, range(1, 65) r(i) GROUP BY vid, cid), ranked AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS rn FROM ac WHERE sim IS NOT NULL), cells AS (SELECT vid AS id, cid FROM ranked WHERE rn = 1), probes AS (SELECT vid AS qid, cid FROM ranked WHERE rn <= 4), cand AS (SELECT p.qid, ce.id AS nid, eq.embedding AS ea, en.embedding AS eb FROM probes p JOIN cells ce ON p.cid = ce.cid AND p.qid <> ce.id JOIN embeddings eq ON eq.vec_id = p.qid JOIN embeddings en ON en.vec_id = ce.id), d AS (SELECT qid, nid, $COS AS cos FROM cand, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL) SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
     // sim_lsh replays the hyperplane signatures in SQL: the LCG plane
     // components are pure integer arithmetic ((1103515245*(j*4099+i)+12345)
     // mod 2^31, mapped to [-0.5, 0.5)), the dot accumulates ascending in i
     // exactly like the HyperplaneSig kernel, and the bucket join + exact
     // re-rank mirror lshTopK. Verified hash-exact against the Spark dump.
     "sim_lsh" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), sigs AS (SELECT vec_id, v, CAST(list_sum(list_transform(range(0, 12), j -> CASE WHEN list_sum(list_transform(range(0, 64), i -> v[CAST(i + 1 AS INT)] * (CAST((1103515245 * (j * 4099 + i) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5))) >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig FROM e), p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, a.v AS ea, b.v AS eb FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id <> b.vec_id), d AS (SELECT qid, nid, $COS AS cos FROM p, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL) SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), sigs AS (SELECT vec_id, v, CAST(list_sum(list_transform(range(0, 12), j -> CASE WHEN list_sum(list_transform(range(0, 64), i -> v[CAST(i + 1 AS INT)] * (CAST((1103515245 * (j * 4099 + i) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5))) >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig FROM e), p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, a.v AS ea, b.v AS eb FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id <> b.vec_id), d AS (SELECT qid, nid, $COS AS cos FROM p, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL) SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
     // sim_kmeans replays BOTH training rounds (kmeansIterSql) and then the
     // identical IVF search over the trained centroids. Verified hash-exact
     // against the Spark dump — the cross-engine float risk (summation
@@ -174,5 +174,5 @@ probes AS (SELECT vid AS qid, cid FROM ranked WHERE rn <= 4),
 cand AS (SELECT p.qid, ce.id AS nid, eq.v AS ea, en.v AS eb FROM probes p JOIN cells ce ON p.cid = ce.cid AND p.qid <> ce.id JOIN e eq ON eq.vec_id = p.qid JOIN e en ON en.vec_id = ce.id),
 d AS (SELECT qid, nid, $COS AS cos FROM cand, range(1,65) r(i) GROUP BY qid, nid),
 rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL)
-SELECT qid, rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""")
+SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""")
 }
