@@ -16,7 +16,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    (SparkEntry.queries ++ SparkEntry.auxDumps).foreach { case (name, fn) =>
+    // subset filter for local iteration (same contract as Bench); the
+    // driver leaves it unset and gets the full dump
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    (SparkEntry.queries ++ SparkEntry.auxDumps)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -58,14 +58,44 @@ package object text {
   }
 
   /** Composite quality score in [0,1] — the usual length/punctuation/
-    * stopword blend used for corpus filtering. Deterministic arithmetic so
-    * it is oracle-checkable. */
-  def qualityScore(c: Column): Column =
-    round(
-      least(length(c).cast("double") / 200, lit(1.0)) * 0.3 +
-        (lit(1.0) - least(punctRatio(c) * 5, lit(1.0))) * 0.3 +
-        least(stopwordRatio(c) * 10, lit(1.0)) * 0.2 +
-        alphaRatio(c) * 0.2, 4)
+    * stopword blend used for corpus filtering:
+    *   0.3*min(len/200,1) + 0.3*(1-min(5*punct,1))
+    *     + 0.2*min(10*stop,1) + 0.2*alpha
+    * quantized to 4 decimals ENTIRELY in integer arithmetic:
+    * floor(num * 10^4 / den) over the exact common-denominator form
+    * (den = 2000*len*nt), then one division by 10^4. No float round()
+    * anywhere — engines genuinely disagree there: for a non-dyadic
+    * quotient whose shortest decimal repr lands on x.xxxx5 (measured:
+    * 3552192/5376000 = 0.66075 at sf1), Spark's Round goes through the
+    * double's SHORTEST STRING ("0.66075" -> HALF_UP -> 0.6608) while
+    * DuckDB/C round the true binary value (0.66074999... -> 0.6607).
+    * Integer floor-quantization is identical everywhere, at any scale.
+    * Empty text (len = 0) scores 0.3 — the length and alpha terms
+    * vanish, punctuation contributes its full 0.3, stopwords nothing —
+    * matching the ratio conventions above. nt >= 1 always (splitting a
+    * trimmed string yields at least one token), so den > 0 off the
+    * empty branch. */
+  def qualityScore(c: Column): Column = {
+    val len = length(c).cast("long")
+    val pc = regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("long")
+    val ac = regexp_count(c, lit("[A-Za-z]")).cast("long")
+    val toks = wsTokens(c)
+    val nt = size(toks).cast("long")
+    val sc = size(filter(toks,
+      t => t.isin(defaultStopwords.map(x => x: Any): _*))).cast("long")
+    val num = lit(3L) * least(len, lit(200L)) * len * nt +
+      lit(600L) * (len - least(lit(5L) * pc, len)) * nt +
+      lit(400L) * least(lit(10L) * sc, nt) * len +
+      lit(400L) * ac * nt
+    val den = lit(2000L) * len * nt
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and
+    // num*10^4 exceeds 2^53 where doubles drop integer exactness
+    val q = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(num * lit(10000L)),
+        org.apache.spark.sql.GraftBridge.expression(den)))
+    when(len === 0, lit(0.3)).otherwise(q.cast("double") / lit(10000.0))
+  }
 
   /** Language markers for the n-gram/stopword language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
