@@ -252,23 +252,29 @@ class DifferentialFuzzSpec extends SparkSuite {
         val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
           .toDF("row_id", "k", "ts")
         val right = r.toDF("k", "ts", "v")
-        def run(dir: String) = graft.operators.AsofJoin
-          .asofJoin(left, right, "k", "ts", Seq("v"), dir)
+        def run(dir: String, salted: Boolean) = (if (salted)
+            graft.operators.AsofJoin
+              .asofJoinSalted(left, right, "k", "ts", Seq("v"), dir, buckets = 4)
+          else graft.operators.AsofJoin
+            .asofJoin(left, right, "k", "ts", Seq("v"), dir))
           .select($"row_id", $"asof_v").as[(Long, Option[Double])]
           .collect().toMap
-        val (gotF, gotN) = (run("forward"), run("nearest"))
-        l.zipWithIndex.foreach { case ((k, t), i) =>
-          val back = r.filter(x => x._1 == k && x._2 <= t).sortBy(_._2).lastOption
-          val fwd = r.filter(x => x._1 == k && x._2 >= t).sortBy(_._2).headOption
-          val near = (back, fwd) match {
-            case (Some(b), Some(f)) =>
-              if (t - b._2 <= f._2 - t) Some(b) else Some(f) // tie -> backward
-            case (b, f) => b.orElse(f)
+        for (salted <- Seq(false, true)) {
+          val tag = if (salted) "salted-" else ""
+          val (gotF, gotN) = (run("forward", salted), run("nearest", salted))
+          l.zipWithIndex.foreach { case ((k, t), i) =>
+            val back = r.filter(x => x._1 == k && x._2 <= t).sortBy(_._2).lastOption
+            val fwd = r.filter(x => x._1 == k && x._2 >= t).sortBy(_._2).headOption
+            val near = (back, fwd) match {
+              case (Some(b), Some(f)) =>
+                if (t - b._2 <= f._2 - t) Some(b) else Some(f) // tie -> backward
+              case (b, f) => b.orElse(f)
+            }
+            assert(gotF(i.toLong) == fwd.map(_._3),
+              s"[${tag}forward] row $i key=$k ts=$t l=$l r=$r")
+            assert(gotN(i.toLong) == near.map(_._3),
+              s"[${tag}nearest] row $i key=$k ts=$t l=$l r=$r")
           }
-          assert(gotF(i.toLong) == fwd.map(_._3),
-            s"[forward] row $i key=$k ts=$t l=$l r=$r")
-          assert(gotN(i.toLong) == near.map(_._3),
-            s"[nearest] row $i key=$k ts=$t l=$l r=$r")
         }
         done += 1
       }
