@@ -19,6 +19,22 @@ class ModulesSpec extends SparkSuite {
     d
   }
 
+  test("every query is DuckDB-oracled or on the documented rows-only allowlist") {
+    // the correctness gate is only as strong as its coverage: a new query
+    // landing without an oracle silently downgrades to a rows-only check.
+    // Additions to the allowlist must be approximate BY NATURE (sketch
+    // estimates, order-dependent streaming state), not merely hard to SQL.
+    val rowsOnlyByNature = Set(
+      "q_sketch",   // DataSketches HLL / KLL estimates
+      "st_neardup") // keeper choice depends on arrival order
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == rowsOnlyByNature,
+      s"queries without an oracle beyond the allowlist: ${unoracled -- rowsOnlyByNature}; " +
+        s"stale allowlist entries: ${rowsOnlyByNature -- unoracled}")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles with no query: $orphans")
+  }
+
   test("streaming: tumbling counts over a bounded stream match the batch plan") {
     implicit val s: SparkSession = spark
     // stream the events parquet as a file source
