@@ -32,10 +32,15 @@ import org.apache.spark.sql.types._
 object AsofLookup {
 
   /** Immutable sorted lookup table — a reference object in generated code.
-    * `lookup` returns null when the key is absent or every right ts is
-    * later than `t`. */
+    * `lookup` returns null when the key is absent, every right ts is
+    * later than `t`, or the matched row's payload is null — the last case
+    * mirrors asofJoin/asofJoinBroadcast, which emit null for a matched
+    * row with a null payload (advisor finding: the pre-r7 table mapped
+    * null payloads to NaN, which poisons downstream sums and counts as
+    * matched in count(asof_*), diverging from the join forms). */
   final class Table(keys: Array[Long], offsets: Array[Int],
-      tss: Array[Long], vals: Array[Double]) extends Serializable {
+      tss: Array[Long], vals: Array[Double], nulls: Array[Boolean])
+      extends Serializable {
     def lookup(k: Long, t: Long): java.lang.Double = {
       // binary search the key directory
       var lo = 0; var hi = keys.length - 1
@@ -53,15 +58,18 @@ object AsofLookup {
         val mid = (a + b) >>> 1
         if (tss(mid) <= t) a = mid + 1 else b = mid
       }
-      if (a == start) null else java.lang.Double.valueOf(vals(a - 1))
+      if (a == start || nulls(a - 1)) null
+      else java.lang.Double.valueOf(vals(a - 1))
     }
     def nKeys: Int = keys.length
   }
 
   /** Collect and sort the right side into a [[Table]]. Null keys/ts rows
-    * are dropped (they can never match). Rows should be unique per
-    * (key, ts) — on duplicates the later payload in sort order wins,
-    * matching asofJoinBroadcast's sorted-array behavior. */
+    * are dropped (they can never match); null PAYLOAD rows are kept — they
+    * are real matches that shadow earlier rows, exactly as in the join
+    * forms — and resolve to null. Rows should be unique per (key, ts) —
+    * on duplicates the later payload in sort order wins, matching
+    * asofJoinBroadcast's sorted-array behavior. */
   def buildTable(right: DataFrame, keyCol: String, tsCol: String,
       payloadCol: String): Table = {
     val tsExpr = right.schema(tsCol).dataType match {
@@ -73,16 +81,16 @@ object AsofLookup {
       .collect()
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => (r.getLong(0), r.getLong(1),
-        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2), r.isNullAt(2)))
       .sortBy(t => (t._1, t._2))
     val keys = rows.map(_._1).distinct
     val offsets = new Array[Int](keys.length + 1)
     var ki = 0
-    rows.zipWithIndex.foreach { case ((k, _, _), i) =>
+    rows.zipWithIndex.foreach { case ((k, _, _, _), i) =>
       while (ki < keys.length && keys(ki) != k) { ki += 1; offsets(ki) = i }
     }
     offsets(keys.length) = rows.length
-    new Table(keys, offsets, rows.map(_._2), rows.map(_._3))
+    new Table(keys, offsets, rows.map(_._2), rows.map(_._3), rows.map(_._4))
   }
 
   case class AsofLookupExpr(left: Expression, right: Expression, table: Table)

@@ -162,9 +162,32 @@ object AsofJoin {
       case r if r.isNullAt(0) => Array(0L, 0L) // all-null ts: one bucket
       case r => Array(r.getLong(0), r.getLong(1))
     }
-    val width = math.max(1L, (mx - mn) / buckets + 1L)
+    // span math in BigInt (advisor finding): for extreme mixed-sign long
+    // ts, mx - mn wraps negative in Long, collapsing width to 1 and
+    // letting (t - mn) wrap to NEGATIVE bucket ids that collide with the
+    // reserved -1 null-ts sentinel — silently mixing null-ts semantics
+    // into real rows. Unreachable for epoch-micro timestamps, reachable
+    // for the arbitrary long ts the signature accepts.
+    val spanB = BigInt(mx) - BigInt(mn)
+    val widthB = (spanB / buckets + 1).max(1)
     def bucketOf(t: Column): Column =
-      coalesce(floor((t - lit(mn)) / lit(width)).cast("long"), lit(-1L))
+      if (spanB <= BigInt(Long.MaxValue)) {
+        val width = widthB.toLong
+        coalesce(floor((t - lit(mn)) / lit(width)).cast("long"), lit(-1L))
+      } else {
+        // span exceeds Long: exact decimal arithmetic (cold path). Scale-6
+        // decimal rounding, like the hot path's double rounding, is
+        // MONOTONE in t — which is all bucketing needs: both sides place
+        // the same t in the same bucket and order is preserved, so the
+        // carry chain stays correct; (t - mn) >= 0 keeps ids >= 0, clear
+        // of the -1 sentinel.
+        val w = lit(new java.math.BigDecimal(widthB.bigInteger))
+        val mnD = lit(new java.math.BigDecimal(mn))
+        coalesce(
+          floor((t.cast(org.apache.spark.sql.types.DecimalType(38, 0)) - mnD) / w)
+            .cast("long"),
+          lit(-1L))
+      }
 
     val payload = struct(col(tsCol).as("__t") +: payloadCols.map(col): _*)
     val rightSchema = right

@@ -219,12 +219,16 @@ object DedupQueries {
 
   /** Auxiliary Verify dumps (not graded): the xxh64 MinHash(32) signatures
     * the d_minhash_lsh oracle replays its pipeline over. Must be the exact
-    * expression minhashLshPairs builds internally. */
+    * expression minhashLshPairs builds internally. Lanes dump as SCALAR
+    * columns m0..m31 (not one array<bigint>): even aux artifacts flow
+    * through the driver's pandas sort, which cannot order array cells —
+    * atomic-only top-level schemas are pinned in ModulesSpec. */
   val aux: Map[String, Q] = Map(
     "aux_minhash_sigs" -> { (s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id").as("id"),
-        graft.functions.HashExprs.minHashSignature(
-          wordShingles(col("text"), 2), 32).as("sig"))
+      val sig = graft.functions.HashExprs.minHashSignature(
+        wordShingles(col("text"), 2), 32)
+      Tables.documents(s, dir).select(col("doc_id").as("id") +:
+        (0 until 32).map(i => sig.getItem(i).as(s"m$i")): _*)
     })
 
   val oracle: Map[String, String] = Map(
@@ -232,13 +236,14 @@ object DedupQueries {
       s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), hs AS (SELECT doc_id, list_transform(gs, w -> $POLY) AS hl FROM sh) SELECT doc_id, ${(0 until 8).map(j => s"CAST(coalesce(list_min(list_transform(hl, h -> (h * ${mhA(j)} + ${mhB(j)}) % 2147483647)), 2147483647) AS BIGINT) AS m$j").mkString(", ")} FROM hs""",
     "d_mlsh_poly" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), hs AS (SELECT doc_id, list_transform(gs, w -> $POLY) AS hl FROM sh), sig AS (SELECT doc_id, [${(0 until 8).map(j => s"coalesce(list_min(list_transform(hl, h -> (h * ${mhA(j)} + ${mhB(j)}) % 2147483647)), 2147483647)").mkString(", ")}] AS s FROM hs), bk AS (SELECT doc_id, CAST(b AS INT) AS b, (s[CAST(b * 2 + 1 AS INT)] * 131 + s[CAST(b * 2 + 2 AS INT)]) % 1000000007 AS key FROM sig, range(0, 4) r(b)), cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT c.id1, c.id2, len(list_filter(range(1, 9), i -> sa.s[CAST(i AS INT)] = sb.s[CAST(i AS INT)])) / 8.0 AS est_jaccard FROM cand c JOIN sig sa ON c.id1 = sa.doc_id JOIN sig sb ON c.id2 = sb.doc_id WHERE len(list_filter(range(1, 9), i -> sa.s[CAST(i AS INT)] = sb.s[CAST(i AS INT)])) / 8.0 >= 0.5""",
-    // structural replay over the Spark-dumped xxh64 signatures: band keys
-    // ((fold lane: acc*131+lane) mod 1e9+7 — mod distributes, so one
-    // flattened polynomial per 4-lane band), candidate equi-join on
-    // (band, key) with id1 < id2, distinct, then the exact lane-match
-    // verification (est >= 0.5 as the integer predicate 2*matches >= 32)
+    // structural replay over the Spark-dumped xxh64 signatures (scalar
+    // lane columns m0..m31): band keys ((fold lane: acc*131+lane) mod
+    // 1e9+7 — mod distributes, so one flattened polynomial per 4-lane
+    // band), candidate equi-join on (band, key) with id1 < id2, distinct,
+    // then the exact lane-match verification (est >= 0.5 as the integer
+    // predicate 2*matches >= 32)
     "d_minhash_lsh" ->
-      """WITH sigs AS (SELECT id, sig FROM '__OUTDIR__/aux_minhash_sigs/*.parquet'), bk AS (SELECT id, CAST(j AS INT) AS band, (((sig[CAST(j*4+1 AS INT)] * 131 + sig[CAST(j*4+2 AS INT)]) * 131 + sig[CAST(j*4+3 AS INT)]) * 131 + sig[CAST(j*4+4 AS INT)]) % 1000000007 AS key FROM sigs, range(0, 8) r(j)), cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id), m AS (SELECT c.id1, c.id2, len(list_filter(range(1, 33), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS nm FROM cand c JOIN sigs sa ON c.id1 = sa.id JOIN sigs sb ON c.id2 = sb.id) SELECT id1, id2 FROM m WHERE nm * 2 >= 32""",
+      s"""WITH sigs AS (SELECT * FROM '__OUTDIR__/aux_minhash_sigs/*.parquet'), bk AS (SELECT id, CAST(j AS INT) AS band, CASE CAST(j AS INT) ${(0 until 8).map(b => s"WHEN $b THEN (((m${b * 4} * 131 + m${b * 4 + 1}) * 131 + m${b * 4 + 2}) * 131 + m${b * 4 + 3}) % 1000000007").mkString(" ")} END AS key FROM sigs, range(0, 8) r(j)), cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id), m AS (SELECT c.id1, c.id2, ${(0 until 32).map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")} AS nm FROM cand c JOIN sigs sa ON c.id1 = sa.id JOIN sigs sb ON c.id2 = sb.id) SELECT id1, id2 FROM m WHERE nm * 2 >= 32""",
     "d_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents) t GROUP BY 1""",
     "d_ngram" ->
@@ -265,6 +270,7 @@ object DedupQueries {
     "d_semdedup" ->
       s"""WITH nc AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings),
 e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+${SimilarityQueries.TRAIN_SAMPLE},
 cent0 AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT (SELECT k FROM nc)),
 ${SimilarityQueries.kmeansIterSql(1)},
 ${SimilarityQueries.kmeansIterSql(2)},

@@ -195,6 +195,9 @@ object GetitemIoQueries {
     // oracle derives every value analytically from the fill-color
     // arithmetic, so only a correct pixel decode matches. featuresStub
     // survives only as imageFeatures' documented non-media fallback.
+    // The 8 bins are emitted as SCALAR columns f0..f7 (not one
+    // array<double>): graded outputs must stay pandas-sortable
+    // (atomic-only top-level columns — pinned in ModulesSpec).
     "mm_features" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -218,13 +221,14 @@ object GetitemIoQueries {
       Multimodal.imageFeatures(media, 8)
         .toDF("doc_id", "width", "height", "is_real",
           "mean_r", "mean_g", "mean_b", "features")
-        .select(col("doc_id"),
+        .select(Seq(col("doc_id"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("is_real"),
           resized.getField("w").cast("long").as("rw"),
-          resized.getField("h").cast("long").as("rh"),
-          transform(col("features"), v => round(v, 4)).as("features"))
+          resized.getField("h").cast("long").as("rh")) ++
+          (0 until 8).map(j =>
+            round(col("features").getItem(j), 4).as(s"f$j")): _*)
     },
 
     // frame-sampling stub: every 2nd 64-byte frame
@@ -361,7 +365,7 @@ object GetitemIoQueries {
     "io_text" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1""",
     "mm_features" ->
-      """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN 280 ELSE 20 END + doc_id % 40 AS w, CASE WHEN doc_id % 50 = 0 THEN 260 ELSE 16 END + (doc_id * 7) % 40 AS h FROM documents), c AS (SELECT doc_id, w, h, (w * 37) % 255 AS r, (h * 53) % 255 AS g, 128 AS b FROM p), l AS (SELECT doc_id, w, h, ((r * 299 + g * 587 + b * 114) // 1000) * 8 // 256 AS bin, least(1.0, 256.0 / greatest(w, h)) AS scale FROM c) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, TRUE AS is_real, CAST(floor(w * scale) AS BIGINT) AS rw, CAST(floor(h * scale) AS BIGINT) AS rh, list_transform(range(0, 8), j -> CASE WHEN j = bin THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS features FROM l""",
+      s"""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN 280 ELSE 20 END + doc_id % 40 AS w, CASE WHEN doc_id % 50 = 0 THEN 260 ELSE 16 END + (doc_id * 7) % 40 AS h FROM documents), c AS (SELECT doc_id, w, h, (w * 37) % 255 AS r, (h * 53) % 255 AS g, 128 AS b FROM p), l AS (SELECT doc_id, w, h, ((r * 299 + g * 587 + b * 114) // 1000) * 8 // 256 AS bin, least(1.0, 256.0 / greatest(w, h)) AS scale FROM c) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, TRUE AS is_real, CAST(floor(w * scale) AS BIGINT) AS rw, CAST(floor(h * scale) AS BIGINT) AS rh, ${(0 until 8).map(j => s"CASE WHEN bin = $j THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS f$j").mkString(", ")} FROM l""",
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha256, CAST(16 + octet_length(encode(text)) % 640 AS BIGINT) AS width, CAST(16 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height, CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format FROM documents""",
     "mm_frames" ->

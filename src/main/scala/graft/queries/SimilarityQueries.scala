@@ -83,16 +83,27 @@ object SimilarityQueries {
   private[queries] val COS =
     """sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) / (sqrt(sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(ea[CAST(i AS INT)] AS DOUBLE))) * sqrt(sum(CAST(eb[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE))))"""
 
-  /** One spherical-k-means round in SQL: assign every vector to its
-    * max-cosine centroid (ties to smallest cid, mirroring the Spark
-    * max_by(struct(sim, -cid))), elementwise-mean the members per cell,
-    * cells that lost all members keep their previous centroid. */
+  /** The SQL mirror of kmeansCentroids' training-sample gate
+    * (`trainSampleMax = 65536`): rounds train on the first 65536 vectors
+    * by id. Below the bound this CTE IS the full corpus (same rows), so
+    * the replay stays exact at every verify scale — and keeps matching
+    * if a future sf puts the corpus above the bound (advisor finding:
+    * the previous full-corpus replay would silently diverge there and
+    * look like an engine bug). */
+  private[queries] val TRAIN_SAMPLE =
+    "tr AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 65536)"
+
+  /** One spherical-k-means round in SQL: assign every TRAINING vector
+    * (the `tr` sample — [[TRAIN_SAMPLE]]) to its max-cosine centroid
+    * (ties to smallest cid, mirroring the Spark max_by(struct(sim,
+    * -cid))), elementwise-mean the members per cell, cells that lost all
+    * members keep their previous centroid. Requires `e` and `tr` CTEs. */
   private[queries] def kmeansIterSql(n: Int): String = {
     val prev = s"cent${n - 1}"
-    s"""a${n}p AS (SELECT e.vec_id AS vid, c.cid, e.v AS ea, c.cvec AS eb FROM e, $prev c),
+    s"""a${n}p AS (SELECT tr.vec_id AS vid, c.cid, tr.v AS ea, c.cvec AS eb FROM tr, $prev c),
 a${n}c AS (SELECT vid, cid, $COS AS sim FROM a${n}p, range(1,65) r(i) GROUP BY vid, cid),
 a$n AS (SELECT vid, cid FROM (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS rn FROM a${n}c WHERE sim IS NOT NULL) WHERE rn = 1),
-m$n AS (SELECT cid, list(m ORDER BY i) AS mvec FROM (SELECT a$n.cid, r.i, avg(e.v[CAST(r.i AS INT)]) AS m FROM a$n JOIN e ON e.vec_id = a$n.vid, range(1,65) r(i) GROUP BY a$n.cid, r.i) GROUP BY cid),
+m$n AS (SELECT cid, list(m ORDER BY i) AS mvec FROM (SELECT a$n.cid, r.i, avg(tr.v[CAST(r.i AS INT)]) AS m FROM a$n JOIN tr ON tr.vec_id = a$n.vid, range(1,65) r(i) GROUP BY a$n.cid, r.i) GROUP BY cid),
 cent$n AS (SELECT c.cid, COALESCE(m.mvec, c.cvec) AS cvec FROM $prev c LEFT JOIN m$n m ON c.cid = m.cid)"""
   }
 
@@ -163,6 +174,7 @@ SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE r
     "sim_kmeans" ->
       s"""WITH nc AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings),
 e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+$TRAIN_SAMPLE,
 cent0 AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT (SELECT k FROM nc)),
 ${kmeansIterSql(1)},
 ${kmeansIterSql(2)},

@@ -280,7 +280,7 @@ object TextQueries {
       // Scaladoc) — no float round() anywhere: Spark's Round rounds the
       // double's shortest string while DuckDB rounds the binary value, and
       // they disagree on non-dyadic x.xxxx5 quotients
-      s"""WITH q AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS ln, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS pc, CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS ac, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt, CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS sc FROM documents) SELECT doc_id, round($punct, 4) AS punct_ratio, round($alpha, 4) AS alpha_ratio, round($stopr, 4) AS stop_ratio, round(CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / $nws, 4) AS mean_tok_len, CASE WHEN ln = 0 THEN 0.3 ELSE CAST(((3*least(ln, 200)*ln*nt + 600*(ln - least(5*pc, ln))*nt + 400*least(10*sc, nt)*ln + 400*ac*nt) * 10000) // (2000*ln*nt) AS DOUBLE) / 10000.0 END AS quality FROM q""",
+      s"""WITH q AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS ln, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS pc, CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS ac, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt, CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS sc FROM documents), qc AS (SELECT *, least(ln, 33554432) AS lnc, least(nt, 33554432) AS ntc FROM q), qn AS (SELECT *, 3*least(lnc, 200)*lnc*ntc + 600*(lnc - least(5*pc, lnc))*ntc + 400*least(10*sc, ntc)*lnc + 400*least(ac, lnc)*ntc AS nm, lnc*ntc AS dn FROM qc) SELECT doc_id, round($punct, 4) AS punct_ratio, round($alpha, 4) AS alpha_ratio, round($stopr, 4) AS stop_ratio, round(CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / $nws, 4) AS mean_tok_len, CASE WHEN ln = 0 THEN 0.3 ELSE CAST((nm // dn) * 5 + ((nm % dn) * 5) // dn AS DOUBLE) / 10000.0 END AS quality FROM qn""",
     "t_langid" ->
       s"""SELECT doc_id, $langCase AS pred_lang, lang AS labeled_lang FROM (SELECT doc_id, lang, ${langScores.map { case (l, e) => s"$e AS c_$l" }.mkString(", ")} FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents) u) t""",
     "t_fingerprint" ->

@@ -154,8 +154,10 @@ package object similarity {
     * centroid quality needs a representative sample, not the corpus, and
     * sample-size-per-centroid is what matters). The gate is exact: at or
     * under the bound the plan and results are bit-identical to full-corpus
-    * training (which keeps the DuckDB replays of sim_kmeans/d_semdedup
-    * valid at verify scale), and the sampled path repartitions the
+    * training, and the sim_kmeans/d_semdedup DuckDB replays mirror the
+    * sample ("ORDER BY vec_id LIMIT 65536" — SimilarityQueries
+    * .TRAIN_SAMPLE), so they stay exact at ANY scale, not just under the
+    * bound; the sampled path repartitions the
     * post-limit single partition back to full parallelism and checkpoints
     * it once so the per-round scans stay parallel and re-read no lineage.
     * Returns (cid, cvec: array<double>). */
@@ -164,8 +166,10 @@ package object similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // bound-probe, not a full count: LocalLimit stops each partition at
+    // max+1 rows, so the gate costs O(max) rows scanned, not O(corpus)
     val train =
-      if (trainSampleMax > 0 && v.count() > trainSampleMax)
+      if (trainSampleMax > 0 && v.limit(trainSampleMax + 1).count() > trainSampleMax)
         v.orderBy(col("id")).limit(trainSampleMax)
           .repartition(spark.sessionState.conf.numShufflePartitions)
           .localCheckpoint()

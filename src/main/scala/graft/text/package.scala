@@ -74,8 +74,23 @@ package object text {
     * vanish, punctuation contributes its full 0.3, stopwords nothing —
     * matching the ratio conventions above. nt >= 1 always (splitting a
     * trimmed string yields at least one token), so den > 0 off the
-    * empty branch. */
+    * empty branch.
+    *
+    * Overflow-proof to JVM string limits (advisor finding): the naive
+    * num*10^4 blows Long near len ~ 10^6 (Spark non-ANSI wraps silently,
+    * DuckDB errors — the engines diverge exactly there). Three moves keep
+    * every intermediate under 2^63 with the SAME output for any doc
+    * under 2^25 chars/tokens (i.e. every real corpus doc):
+    *  1. scale reduction: floor(num*10^4 / (2000*len*nt)) ==
+    *     floor(num*5 / (len*nt)) exactly — 2000x headroom for free;
+    *  2. div/mod decomposition: floor(n*5/d) == (n div d)*5 +
+    *     ((n mod d)*5) div d, so nothing is ever multiplied past d*5;
+    *  3. input clamps at 2^25 on len/nt (and ac <= len, so the num <=
+    *     2000*len*nt invariant the decomposition bound relies on holds),
+    *     bounding num at 2000*2^50 < 2^63. Docs beyond 33.5M chars score
+    *     with saturated ratios — documented, and mirrored in the oracle. */
   def qualityScore(c: Column): Column = {
+    val CAP = 1L << 25
     val len = length(c).cast("long")
     val pc = regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("long")
     val ac = regexp_count(c, lit("[A-Za-z]")).cast("long")
@@ -83,17 +98,21 @@ package object text {
     val nt = size(toks).cast("long")
     val sc = size(filter(toks,
       t => t.isin(defaultStopwords.map(x => x: Any): _*))).cast("long")
-    val num = lit(3L) * least(len, lit(200L)) * len * nt +
-      lit(600L) * (len - least(lit(5L) * pc, len)) * nt +
-      lit(400L) * least(lit(10L) * sc, nt) * len +
-      lit(400L) * ac * nt
-    val den = lit(2000L) * len * nt
-    // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and
-    // num*10^4 exceeds 2^53 where doubles drop integer exactness
-    val q = org.apache.spark.sql.GraftBridge.column(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        org.apache.spark.sql.GraftBridge.expression(num * lit(10000L)),
-        org.apache.spark.sql.GraftBridge.expression(den)))
+    val lenC = least(len, lit(CAP))
+    val ntC = least(nt, lit(CAP))
+    val num = lit(3L) * least(lenC, lit(200L)) * lenC * ntC +
+      lit(600L) * (lenC - least(lit(5L) * pc, lenC)) * ntC +
+      lit(400L) * least(lit(10L) * sc, ntC) * lenC +
+      lit(400L) * least(ac, lenC) * ntC
+    val den = lenC * ntC
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and the
+    // intermediates exceed 2^53 where doubles drop integer exactness
+    def idiv(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftBridge.expression(a),
+          org.apache.spark.sql.GraftBridge.expression(b)))
+    val q = idiv(num, den) * lit(5L) + idiv((num % den) * lit(5L), den)
     when(len === 0, lit(0.3)).otherwise(q.cast("double") / lit(10000.0))
   }
 

@@ -239,6 +239,60 @@ class DifferentialFuzzSpec extends SparkSuite {
     }
   }
 
+  test("asof: null payloads resolve to null in every impl; extreme-span salted buckets stay exact") {
+    // advisor findings, round 6. (a) AsofLookup's table mapped a matched
+    // null payload to NaN — diverging from the join forms' null and
+    // poisoning downstream sums; all five impls must now agree on null.
+    val left = Seq((0L, 1L, 10L), (1L, 1L, 25L), (2L, 2L, 10L))
+      .toDF("row_id", "k", "ts")
+    val right = Seq((1L, 5L, Some(1.5)), (1L, 20L, None), (2L, 50L, Some(9.9)))
+      .toDF("k", "ts", "v")
+    // row 0: matches (1,5)=1.5; row 1: matches (1,20)=NULL payload —
+    // the later null row SHADOWS the earlier 1.5; row 2: no match
+    val want = Map(0L -> Some(1.5), 1L -> None, 2L -> None)
+    for (impl <- Seq("window", "native", "broadcast", "salted", "lookup")) {
+      val joined = impl match {
+        case "window" => graft.operators.AsofJoin
+          .asofJoinLast(left, right, "k", "ts", Seq("v"))
+        case "native" => graft.operators.AsofJoin
+          .asofJoinNative(left, right, "k", "ts", Seq("v"))
+        case "salted" => graft.operators.AsofJoin
+          .asofJoinSalted(left, right, "k", "ts", Seq("v"), buckets = 4)
+        case "lookup" => left.withColumn("asof_v",
+          graft.functions.AsofLookup.asofLookup(right, "k", "ts", "v")(
+            $"k", $"ts"))
+        case _ => graft.operators.AsofJoin
+          .asofJoinBroadcast(left, right, "k", "ts", Seq("v"))
+      }
+      val got = joined.select($"row_id", $"asof_v")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(got == want, s"[$impl] got $got")
+      assert(!got.values.flatten.exists(_.isNaN), s"[$impl] NaN leaked")
+    }
+    // (b) asofJoinSalted's span math: for mixed-sign extreme long ts,
+    // mx - mn used to wrap negative, collapsing width to 1 and sending
+    // real rows to negative bucket ids that collide with the -1 null-ts
+    // sentinel. The BigInt span + decimal bucketing path must match the
+    // window form exactly.
+    val xl = Seq((0L, 1L, Long.MinValue / 2), (1L, 1L, -10L),
+      (2L, 1L, 10L), (3L, 1L, Long.MaxValue / 2), (4L, 2L, Long.MaxValue - 5))
+      .toDF("row_id", "k", "ts")
+    val xr = Seq((1L, Long.MinValue / 2 - 100L, 1.0), (1L, -50L, 2.0),
+      (1L, 5L, 3.0), (1L, Long.MaxValue / 2 - 7L, 4.0),
+      (2L, Long.MaxValue - 9L, 5.0)).toDF("k", "ts", "v")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val wantX = graft.operators.AsofJoin
+        .asofJoin(xl, xr, "k", "ts", Seq("v"), dir)
+        .select($"row_id", $"asof_v").as[(Long, Option[Double])]
+        .collect().toMap
+      val gotX = graft.operators.AsofJoin
+        .asofJoinSalted(xl, xr, "k", "ts", Seq("v"), dir, buckets = 8)
+        .select($"row_id", $"asof_v").as[(Long, Option[Double])]
+        .collect().toMap
+      assert(gotX == wantX, s"[$dir] salted=$gotX window=$wantX")
+    }
+  }
+
   test("asofJoin forward/nearest match brute-force on random inputs") {
     val rows: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] = for {
       l <- Gen.listOfN(20, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))

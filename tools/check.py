@@ -66,6 +66,17 @@ def main():
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
             continue
+        # fidelity to the driver's harness: it sorts the RAW frame with
+        # pandas sort_values, which throws on array/struct cells. Our
+        # canon() stringifies first and would mask that — replicate the
+        # driver's sort so an unsortable output FAILS here too (this is
+        # what let the round-6 mm_features regression through locally).
+        try:
+            spark_df.sort_values(list(spark_df.columns))
+        except Exception as e:
+            print(f"FAIL {name}: driver-style sort_values would err: {e}")
+            n_fail += 1
+            continue
         try:
             duck_df = con.execute(sql).df()
         except Exception as e:
@@ -97,6 +108,20 @@ def main():
         else:
             print(f"PASS {name} ({len(a)} rows)")
             n_pass += 1
+    # aux dumps carry no oracle but the driver still diffs (and sorts)
+    # them — apply the same driver-style sortability check
+    for d in sorted(os.listdir(out_dir)):
+        if d in oracle or not os.path.isdir(f"{out_dir}/{d}"):
+            continue
+        if only and d not in only:
+            continue
+        try:
+            aux_df = pd.read_parquet(f"{out_dir}/{d}")
+            aux_df.sort_values(list(aux_df.columns))
+            print(f"PASS {d} (aux, sortable, {len(aux_df)} rows)")
+        except Exception as e:
+            print(f"FAIL {d}: aux dump unsortable/unreadable: {e}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
