@@ -125,6 +125,53 @@ package object dedup {
       .filter(col("dist") <= maxHamming)
   }
 
+  /** Blocked all-pairs simhash compare: every same-block pair pays one
+    * codegen'd xor/popcount. |block|-quadratic — the small-block special
+    * case of [[simhashBandPairs]] (identical output, equivalence-pinned
+    * in DedupSimilaritySpec), ~3x faster below the ~10^5-docs/block
+    * crossover where banding's explode + distinct + two sig joins
+    * dominate. Never reach for this when a block can grow with the
+    * corpus. */
+  def simhashBrutePairs(df: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, blockCol: Option[String] = None): DataFrame = {
+    val blockSel = blockCol.map(c => col(c).as("blk")).toSeq
+    val sigs = df.select(
+      Seq(col(idCol).as("id"), col(sigCol).as("sig")) ++ blockSel: _*)
+    val blockCond = if (blockCol.isDefined)
+      col("a.blk") === col("b.blk") else lit(true)
+    sigs.as("a").join(sigs.as("b"), blockCond && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        hamming(col("a.sig"), col("b.sig")).cast("long").as("dist"))
+      .filter(col("dist") <= maxHamming)
+  }
+
+  /** Adaptive simhash near-dup pairs: ONE cheap probe (max block size — a
+    * groupBy(block).count() max, or a total count with no block) picks the
+    * plan. Below `bandedThreshold` docs in the largest block, the blocked
+    * all-pairs compare wins (measured 3x at 5k docs/block — banding pays
+    * explode + distinct + two sig joins); at or above it, only the banded
+    * pigeonhole index survives (|block|^2 is dead at web scale where one
+    * language is a billions-row block). Output identical either way.
+    *
+    * The default threshold is the measured ~10^5 crossover
+    * (dedup/package.scala:86-89). The probe is a block-cardinality
+    * aggregate — two tiny shuffles, O(distinct blocks) rows — priced far
+    * under either pair plan. */
+  def simhashPairsAdaptive(df: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, bits: Int = 48, blockCol: Option[String] = None,
+      bandedThreshold: Long = 100000L): DataFrame = {
+    val maxBlock = blockCol match {
+      case Some(c) =>
+        val r = df.groupBy(col(c)).count().agg(max(col("count"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      case None => df.count()
+    }
+    if (maxBlock < bandedThreshold)
+      simhashBrutePairs(df, idCol, sigCol, maxHamming, blockCol)
+    else
+      simhashBandPairs(df, idCol, sigCol, maxHamming, bits, blockCol)
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs via inverted-index join.
     * Returns (id1, id2, inter, uni) with 2*inter >= uni (jaccard >= 0.5
     * as an exact integer predicate — no float rounding in the cut).

@@ -113,17 +113,18 @@ object DedupQueries {
     },
 
     // SimHash near-dup pairs at hamming <= 6, label-blocked by lang —
-    // through the banded (Manku pigeonhole) index: candidates come from an
-    // equi-join on (band index, band bits, lang), never the |block|²
-    // all-pairs stream. `lang` is a coarse key — one language at web scale
-    // is a billions-row block, so the blocked brute-force form (identical
-    // output, equivalence-tested in DedupSimilaritySpec; ~3x faster below
-    // ~10^5 docs/block) is the small-corpus special case, and THIS is the
-    // plan that survives 100x. Plan pinned in PlanQualitySpec.
+    // through the ADAPTIVE plan chooser: one cheap max-block-size probe
+    // picks the blocked all-pairs compare below the measured ~10^5
+    // docs/block crossover (3x faster there — banding pays explode +
+    // distinct + two sig joins) and the banded (Manku pigeonhole) index
+    // at or above it, where |block|² is dead (one language at web scale
+    // is a billions-row block). Identical output either way
+    // (equivalence-tested in DedupSimilaritySpec); the probe-driven
+    // choice is pinned on BOTH sides of the threshold in PlanQualitySpec.
     "d_simhash_pairs" -> { (s, dir) =>
       val sigs = Tables.documents(s, dir).select(col("doc_id"),
         col("lang"), simHash48(col("text")).as("sh"))
-      simhashBandPairs(sigs, "doc_id", "sh", maxHamming = 6,
+      simhashPairsAdaptive(sigs, "doc_id", "sh", maxHamming = 6,
         blockCol = Some("lang"))
     },
 

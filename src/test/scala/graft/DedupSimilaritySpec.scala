@@ -66,6 +66,21 @@ class DedupSimilaritySpec extends SparkSuite {
       .collect().map(_.toSeq).toSet
     assert(brute.nonEmpty && banded == brute,
       s"banded=${banded.size} brute=${brute.size}")
+    // the adaptive chooser returns the SAME pairs whichever side of the
+    // threshold the probe lands on (threshold 1 forces banded; the
+    // default keeps the fixture on brute)
+    val adBrute = simhashPairsAdaptive(sigs, "doc_id", "sh", 6, 48, Some("lang"))
+      .collect().map(_.toSeq).toSet
+    val adBanded = simhashPairsAdaptive(sigs, "doc_id", "sh", 6, 48,
+        Some("lang"), bandedThreshold = 1L)
+      .collect().map(_.toSeq).toSet
+    assert(adBrute == brute && adBanded == brute)
+    // no block: probe falls back to a total count; both sides still agree
+    val nb = simhashBrutePairs(sigs.limit(60), "doc_id", "sh", 10)
+      .collect().map(_.toSeq).toSet
+    val nbAd = simhashPairsAdaptive(sigs.limit(60), "doc_id", "sh", 10,
+        bandedThreshold = 1L).collect().map(_.toSeq).toSet
+    assert(nb == nbAd && nb.nonEmpty)
   }
 
   test("simhash: near-dup pairs have much smaller hamming than random pairs") {

@@ -308,18 +308,32 @@ class PlanQualitySpec extends SparkSuite {
       s"small-corpus plan lost its broadcast after dropping the hint:\n${fin.take(3000)}")
   }
 
-  test("d_simhash_pairs generates candidates via the banded equi-join, not |block|²") {
-    // The graded plan must be the Manku pigeonhole index: an equi-join on
-    // (band index, band bits, block). A join keyed on the block (lang)
-    // ALONE is the all-pairs form — block-quadratic, dead at web scale
-    // where one language is a billions-row block.
-    val plan = SparkEntry.queries("d_simhash_pairs")(spark, dir)
+  test("simhash adaptive pair plan: brute below the crossover, banded above") {
+    // The graded d_simhash_pairs runs simhashPairsAdaptive: a max-block-
+    // size probe picks blocked all-pairs below ~10^5 docs/block (3x
+    // faster there) and the Manku pigeonhole index above (the plan that
+    // survives web scale). Pin the CHOICE on both sides by forcing the
+    // threshold around the fixture's block sizes.
+    val sigs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), graft.dedup.simHash48(col("text")).as("sh"))
+    // side 1: fixture blocks are far under the default threshold → brute
+    // (a join on the block key, NO band explode)
+    val small = graft.dedup.simhashPairsAdaptive(sigs, "doc_id", "sh", 6,
+        blockCol = Some("lang"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Generate explode"),
-      s"no band explode — candidate generation is not the banded index:\n${plan.take(3000)}")
+    assert(!small.contains("Generate explode"),
+      s"small blocks should take the all-pairs compare, not banding:\n${small.take(3000)}")
+    // side 2: threshold 1 forces every block over it → the banded index
+    // (band explode present, and no join keyed on the block ALONE — the
+    // |block|² shape that dies at web scale)
+    val banded = graft.dedup.simhashPairsAdaptive(sigs, "doc_id", "sh", 6,
+        blockCol = Some("lang"), bandedThreshold = 1L)
+      .queryExecution.executedPlan.toString
+    assert(banded.contains("Generate explode"),
+      s"no band explode — candidate generation is not the banded index:\n${banded.take(3000)}")
     val blockOnlyJoin = """Join \[(?:blk|lang)#\d+\], \[(?:blk|lang)#\d+\]""".r
-    assert(blockOnlyJoin.findFirstIn(plan).isEmpty,
-      s"a join keyed on the block alone — the |block|² plan is back:\n${plan.take(3000)}")
+    assert(blockOnlyJoin.findFirstIn(banded).isEmpty,
+      s"a join keyed on the block alone — the |block|² plan is back:\n${banded.take(3000)}")
   }
 
   test("q_topk_group aggregates with a map-side bounded heap, no window sort") {
