@@ -686,6 +686,69 @@ class ModulesSpec extends SparkSuite {
     assert(fin.select($"event_id").distinct().count() == ev.count())
   }
 
+  test("streaming: RocksDB stateful sessions survive kill-and-restart exactly-once") {
+    // recovery is the streaming claim a production operator actually
+    // relies on: the stateful (session-window) query is KILLED between
+    // batches and restarted from its checkpoint on the RocksDB state
+    // store, and its total output must be multiset-identical to an
+    // uninterrupted control run over the same data with the same batch
+    // boundaries — no dropped sessions (state loss), no repeated ones
+    // (sink replay).
+    implicit val s: SparkSession = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    graft.streaming.Streaming.withRocksDBState(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_rec").toString
+    try {
+      val ev = graft.core.Tables.events(spark, dir)
+      def land(src: String, half: Int): Unit = ev
+        .filter($"event_id" % 2 === half)
+        .coalesce(1).write.mode("append").parquet(src)
+      def start(src: String, out: String, chk: String) =
+        graft.streaming.Streaming.userSessions(
+            spark.readStream.schema(graft.streaming.Streaming.eventsSchema)
+              .parquet(src))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", chk).start()
+      // control: ONE query instance sees both halves as two batches
+      new java.io.File(s"$base/srcC").mkdirs()
+      land(s"$base/srcC", 0)
+      val qc = start(s"$base/srcC", s"$base/outC", s"$base/chkC")
+      qc.processAllAvailable()
+      land(s"$base/srcC", 1)
+      qc.processAllAvailable()
+      qc.stop()
+      // interrupted: same data, same batch boundary, killed in between
+      new java.io.File(s"$base/srcI").mkdirs()
+      land(s"$base/srcI", 0)
+      val q1 = start(s"$base/srcI", s"$base/outI", s"$base/chkI")
+      q1.processAllAvailable(); q1.stop()
+      land(s"$base/srcI", 1)
+      val q2 = start(s"$base/srcI", s"$base/outI", s"$base/chkI")
+      q2.processAllAvailable(); q2.stop()
+      // compare (start, end, user, n_events) exactly; the double sum at
+      // 4dp (reduce order may differ between physical runs)
+      def rows(out: String) = spark.read.parquet(out)
+        .select($"session_start", $"session_end", $"user_id", $"n_events",
+          round($"session_value", 4))
+        .collect().map(_.toSeq).toSeq
+      val ctl = rows(s"$base/outC")
+      val rec = rows(s"$base/outI")
+      assert(ctl.nonEmpty, "control emitted nothing — fixture too small")
+      val ctlM = ctl.groupBy(identity).view.mapValues(_.size).toMap
+      val recM = rec.groupBy(identity).view.mapValues(_.size).toMap
+      assert(recM == ctlM,
+        s"recovered output != control: missing=${(ctlM.keySet -- recM.keySet).take(3)} " +
+          s"extra=${(recM.keySet -- ctlM.keySet).take(3)}")
+      // and exactly-once on its own terms: a (user, session_start) key
+      // appears once
+      assert(rec.map(r => (r(0), r(2))).distinct.size == rec.size)
+    } finally {
+      prev.fold(spark.conf.unset(key))(p => spark.conf.set(key, p))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("streaming: windowed HLL sketches union into the cross-window distinct") {
     implicit val s: SparkSession = spark
     val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
