@@ -161,6 +161,22 @@ object EventQueries {
     // graft.streaming.Streaming.purchaseAttribution): each purchase joined
     // to the same user's clicks in the preceding 10 minutes — the
     // stream-stream join whose time bound keeps state finite
+    // batch face of keyed streaming dedup (Streaming.dedupedEvents /
+    // dropDuplicatesWithinWatermark): per dedup key, the duplicate count
+    // and the first occurrence — "first" decided by (ts, event_id)
+    // lexicographic min, so the answer is arrival-order-independent even
+    // though a streaming run's *kept row* is first-arrival. One shuffle;
+    // min(struct) keeps the agg a single bounded map-side combine.
+    "st_dedup" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_dupes"),
+          min(struct(col("ts"), col("event_id"))).as("f"))
+        .select(col("user_id"), col("event_type"), col("n_dupes"),
+          unix_timestamp(col("f.ts")).as("first_ts"),
+          col("f.event_id").as("first_eid"))
+    },
+
     // batch face of Streaming.streamingNearDupFilter (stateful simhash
     // near-dup tagging). Keeper choice is arrival-order-dependent, so only
     // the order-independent total is emitted — rows-only driver check; the
@@ -263,6 +279,8 @@ object EventQueries {
       """SELECT ws, count(*) AS n FROM (SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS ws FROM events UNION ALL SELECT CAST(floor(epoch(ts)/300)*300 - 300 AS BIGINT) AS ws FROM events) t GROUP BY 1""",
     "st_sessions" ->
       """WITH o AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800 THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM o) SELECT user_id, CAST(count(DISTINCT sess_id) AS BIGINT) AS n_sessions, CAST(sum(cnt) AS BIGINT) AS n_events, CAST(max(cnt) AS BIGINT) AS max_session FROM (SELECT user_id, sess_id, count(*) AS cnt FROM s GROUP BY 1, 2) g GROUP BY user_id""",
+    "st_dedup" ->
+      """WITH g AS (SELECT user_id, event_type, count(*) AS n_dupes, min(ts) AS mt FROM events GROUP BY 1, 2), f AS (SELECT g.user_id, g.event_type, g.n_dupes, g.mt, min(e.event_id) AS first_eid FROM g JOIN events e ON e.user_id = g.user_id AND e.event_type = g.event_type AND e.ts = g.mt GROUP BY 1, 2, 3, 4) SELECT user_id, event_type, n_dupes, CAST(floor(epoch(mt)) AS BIGINT) AS first_ts, first_eid FROM f""",
     "st_json_typed" ->
       """SELECT user_id, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_null FROM events GROUP BY 1""",
     "ev_range" ->

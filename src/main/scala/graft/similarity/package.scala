@@ -79,7 +79,7 @@ package object similarity {
     * rather than the typed [[TopKScoredIds]] Aggregator — same bounded
     * shuffle contract, but no per-row encoder serialization on the hot
     * scoring path. DedupSimilaritySpec pins the two implementations equal. */
-  private[similarity] def topKPerKey(scored: DataFrame, keyCol: String,
+  private[graft] def topKPerKey(scored: DataFrame, keyCol: String,
       scoreCol: String, idCol: String, k: Int): DataFrame =
     scored.groupBy(col(keyCol))
       .agg(graft.operators.GroupTopK.smallestK(

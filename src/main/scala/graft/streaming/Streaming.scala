@@ -48,6 +48,18 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Keyed streaming dedup: first arrival per (user_id, event_type) within
+    * the watermark horizon survives, later duplicates are dropped from
+    * state-bounded RocksDB/HDFS state. The batch face is the graded
+    * `st_dedup` query (first occurrence decided order-independently by
+    * (ts, event_id) min); streaming keeps whichever row ARRIVES first, so
+    * only the emitted key set — not the kept row — is order-stable, and
+    * that is what the ModulesSpec test asserts. */
+  def dedupedByKey(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Stream-stream interval join (attribution shape): each purchase joins
     * the same user's clicks from the preceding 10 minutes. Both sides are
     * watermarked so state for expired intervals is dropped — the join

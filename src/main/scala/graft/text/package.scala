@@ -274,6 +274,66 @@ package object text {
         col("rank"))
   }
 
+  /** BM25 top-k retrieval (Robertson-Spärck Jones, the Okapi form) over a
+    * deterministic query set derived from the corpus itself: the `2*nq`
+    * highest-corpus-frequency tokens of length >= 4 (ties broken by token
+    * asc) are paired in rank order into `nq` two-term queries, so both
+    * engines construct the identical benchmark workload with no external
+    * query file. Two-term queries keep the per-document score a sum of
+    * exactly <= 2 doubles — fp addition is commutative, so the score is
+    * bit-identical regardless of which term's row arrives first.
+    *
+    * score(q, D) = sum over q's terms t present in D of
+    *   ln(1 + (N - df + 0.5)/(df + 0.5)) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    *
+    * 100 TB shape: tokenize + per-doc length map-side; one shuffle for
+    * (doc, tok) term frequencies; one vocabulary-sized shuffle for
+    * document frequencies; the query set (2*nq rows, nq bounded by
+    * contract) is collected and broadcast-joined back into tf, so the
+    * corpus-sized side never reshuffles for scoring; per-query top-k runs
+    * on the bounded-heap [[graft.operators.GroupTopK]] aggregate (at most
+    * k candidates per (query, partition) cross the wire, not every scored
+    * pair). N and avgdl are two scalar literals from one agg job — the
+    * oracle's scalar subqueries do the same. Ranks order by the 4-decimal
+    * rounded score (desc, doc asc): a cross-engine `ln` ulp drift of
+    * ~1e-16 cannot move a 4dp boundary, so ranking is engine-stable. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      nq: Int = 3, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).as("id"),
+      countTokensWs(lower(col(textCol))).cast("long").as("dl"),
+      explode(wsTokens(lower(col(textCol)))).as("tok"))
+    val tf = toks.groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+    // corpus cardinality + mean doc length: one scalar agg job, embedded
+    // as literals (sum-of-longs / count is exact, so both engines divide
+    // the same integers)
+    val statsRow = df.select(countTokensWs(lower(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = if (nDocs == 0) 1.0 else statsRow.getLong(1).toDouble / nDocs
+    // query terms: 2*nq rows by contract — driver collect is bounded
+    val terms = dfreq.filter(length(col("tok")) >= 4)
+      .orderBy(col("ctf").desc, col("tok"))
+      .limit(2 * nq)
+      .select(col("tok"), col("df")).as[(String, Long)].collect()
+    val qterms = spark.createDataFrame(terms.toIndexedSeq.zipWithIndex.map {
+      case ((t, d), i) => (i / 2, t, d)
+    }).toDF("qid", "qtok", "qdf")
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("qdf") + lit(0.5)) / (col("qdf") + lit(0.5)))
+    val tfn = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = tf.join(broadcast(qterms), col("tok") === col("qtok"))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(idf * tfn), 4).as("score"))
+    graft.similarity.topKPerKey(scored, "qid", "score", "id", k)
+      .select(col("qid"), col("rank"), col("id").as(idCol), col("score"))
+  }
+
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram distribution — the language-model quality proxy (CCNet-style
     * perplexity bucketing, computable without any external model): rare-

@@ -588,6 +588,58 @@ class ModulesSpec extends SparkSuite {
     assert(expLp.forall { case (id, e) => math.abs(gotLp(id) - e) < 1e-9 })
   }
 
+  test("bm25TopK matches a brute-force BM25 model") {
+    val docs = graft.core.Tables.documents(spark, dir).limit(80)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+    val tf = toks.map { case (id, ts) =>
+      id -> ts.groupBy(identity).view.mapValues(_.size.toLong).toMap }
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val ctf = toks.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n = docs.length
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+    val terms = ctf.toSeq.filter(_._1.length >= 4)
+      .sortBy { case (t, c) => (-c, t) }.take(6)
+    val (k1, b) = (1.2, 0.75)
+    val df80 = docs.toSeq.toDF("doc_id", "text")
+    val got = graft.text.bm25TopK(df80, "doc_id", "text")
+      .select($"qid", $"rank", $"doc_id", $"score")
+      .as[(Int, Int, Long, Double)].collect()
+    assert(got.nonEmpty && got.map(_._1).distinct.sorted.toSeq == Seq(0, 1, 2))
+    // per query: ranks are 1..k, scores non-increasing, all docs distinct
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, bb) => a._4 >= bb._4; case _ => true })
+      assert(rows.map(_._3).distinct.length == rows.length)
+    }
+    // direct model for the top-scoring doc of each query
+    val dls = toks.view.mapValues(_.size.toLong).toMap
+    def bm25(qid: Int, id: Long): Double = {
+      val ts2 = terms.slice(qid * 2, qid * 2 + 2)
+      val s = ts2.map { case (t, _) =>
+        tf(id).get(t).fold(0.0) { f =>
+          val d = dfreq(t).toDouble
+          math.log(1.0 + (n - d + 0.5) / (d + 0.5)) *
+            (f * (k1 + 1.0) / (f + k1 * ((1.0 - b) + b * dls(id) / avgdl)))
+        }
+      }.sum
+      math.rint(s * 1e4) / 1e4
+    }
+    val expTop = (0 to 2).map { qid =>
+      val best = tf.keys.map(id => (id, bm25(qid, id)))
+        .filter(_._2 > 0).toSeq.sortBy { case (id, s) => (-s, id) }.head
+      qid -> best
+    }.toMap
+    got.filter(_._2 == 1).foreach { case (qid, _, id, sc) =>
+      assert((id, sc) == expTop(qid), s"q$qid top-1 mismatch")
+    }
+  }
+
   test("perplexityBuckets: tiers partition the corpus, ordered by score") {
     val docs = graft.core.Tables.documents(spark, dir)
     val got = graft.text.perplexityBuckets(docs, "doc_id", "text", 3)
@@ -796,6 +848,19 @@ class ModulesSpec extends SparkSuite {
         src.union(src)), "t_dedup")
     val n = graft.core.Tables.events(spark, dir).count()
     assert(out.count() == n, s"expected $n deduped events")
+  }
+
+  test("streaming: keyed dedup emits exactly the batch-face key set") {
+    implicit val s: SparkSession = spark
+    val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
+    val out = graft.streaming.Streaming.runToMemory(
+      graft.streaming.Streaming.dedupedByKey(src.union(src)), "t_keydedup")
+    val batchKeys = graft.queries.EventQueries.queries("st_dedup")(spark, dir)
+      .select($"user_id", $"event_type").as[(Long, String)].collect().toSet
+    val streamKeys = out.select($"user_id", $"event_type")
+      .as[(Long, String)].collect()
+    assert(streamKeys.length == streamKeys.toSet.size, "duplicate keys emitted")
+    assert(streamKeys.toSet == batchKeys, "streamed key set != batch face")
   }
 
   test("streaming: stream-stream interval join matches the batch join") {
