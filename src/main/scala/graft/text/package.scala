@@ -286,48 +286,69 @@ package object text {
     * score(q, D) = sum over q's terms t present in D of
     *   ln(1 + (N - df + 0.5)/(df + 0.5)) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
     *
-    * 100 TB shape: tokenize + per-doc length map-side; one shuffle for
-    * (doc, tok) term frequencies; one vocabulary-sized shuffle for
-    * document frequencies; the query set (2*nq rows, nq bounded by
-    * contract) is collected and broadcast-joined back into tf, so the
-    * corpus-sized side never reshuffles for scoring; per-query top-k runs
-    * on the bounded-heap [[graft.operators.GroupTopK]] aggregate (at most
-    * k candidates per (query, partition) cross the wire, not every scored
-    * pair). N and avgdl are two scalar literals from one agg job — the
-    * oracle's scalar subqueries do the same. Ranks order by the 4-decimal
-    * rounded score (desc, doc asc): a cross-engine `ln` ulp drift of
-    * ~1e-16 cannot move a 4dp boundary, so ranking is engine-stable. */
+    * 100 TB shape: ONE lazy plan, no driver action anywhere. Tokenize +
+    * per-doc length map-side; one shuffle for (doc, tok) term
+    * frequencies; one vocabulary-sized shuffle for document frequencies.
+    * The query-set derivation (filter + global top-(2*nq) + a 2*nq-row
+    * rank window, bounded by contract) and the scoring join both hang off
+    * the SAME tf subtree — Catalyst's ReuseExchange computes that shuffle
+    * once (pinned in PlanQualitySpec), where a collect-then-rejoin design
+    * paid the tokenize + tf shuffle twice (measured 4.4 s -> 1.9 s at
+    * sf0.1). The corpus stats (N, sum dl) are a 1-row map-side aggregate
+    * cross-joined in as a broadcast — the oracle's scalar subqueries, in
+    * plan form. The query set is broadcast into tf, so the corpus-sized
+    * side never reshuffles for scoring; per-query top-k runs on the
+    * bounded-heap [[graft.operators.GroupTopK]] aggregate (at most k
+    * candidates per (query, partition) cross the wire, not every scored
+    * pair). Ranks order by the 4-decimal rounded score (desc, doc asc):
+    * a cross-engine `ln` ulp drift of ~1e-16 cannot move a 4dp boundary,
+    * so ranking is engine-stable. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       nq: Int = 3, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val toks = df.select(col(idCol).as("id"),
-      countTokensWs(lower(col(textCol))).cast("long").as("dl"),
-      explode(wsTokens(lower(col(textCol)))).as("tok"))
-    val tf = toks.groupBy(col("id"), col("tok"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    import org.apache.spark.sql.expressions.Window
+    // ONE regex split per row: split to an array column first, then take
+    // size + explode from it (inline `size(split(..))` + `explode(split(
+    // ..))` would run the regex twice per document)
+    val toks = df
+      .select(col(idCol).as("id"), wsTokens(lower(col(textCol))).as("ts"))
+      .select(col("id"), size(col("ts")).cast("long").as("dl"),
+        explode(col("ts")).as("tok"))
+    // dl is a GROUPING KEY, not max(dl): it is functionally dependent on
+    // id (same groups either way), and keeping it a key means the partial
+    // aggregate + exchange below are byte-identical in the dfreq and
+    // scoring branches — an aggregate expression would be column-pruned
+    // out of the dfreq branch, splitting the subtrees and defeating
+    // ReuseExchange. (Catalyst additionally infers `length(tok) >= 4`
+    // into the shared subtree from the qterms join constraint — join-safe
+    // on both branches, and it shrinks the token shuffle to the terms
+    // that can ever match.)
+    val tf = toks.groupBy(col("id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
-    // corpus cardinality + mean doc length: one scalar agg job, embedded
-    // as literals (sum-of-longs / count is exact, so both engines divide
-    // the same integers)
-    val statsRow = df.select(countTokensWs(lower(col(textCol))).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
-    val nDocs = statsRow.getLong(0)
-    val avgdl = if (nDocs == 0) 1.0 else statsRow.getLong(1).toDouble / nDocs
-    // query terms: 2*nq rows by contract — driver collect is bounded
-    val terms = dfreq.filter(length(col("tok")) >= 4)
-      .orderBy(col("ctf").desc, col("tok"))
-      .limit(2 * nq)
-      .select(col("tok"), col("df")).as[(String, Long)].collect()
-    val qterms = spark.createDataFrame(terms.toIndexedSeq.zipWithIndex.map {
-      case ((t, d), i) => (i / 2, t, d)
-    }).toDF("qid", "qtok", "qdf")
+    // corpus cardinality + mean doc length: a map-side scan (token COUNT
+    // per doc needs no explode and no shuffle — deliberately NOT derived
+    // from tf, whose shared subtree carries the inferred length filter),
+    // broadcast-cross-joined below as the oracle's scalar subqueries in
+    // plan form; sum-of-longs / count is exact, so both engines divide
+    // the same integers
+    val stats = df.select(countTokensWs(lower(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+      .select(col("n"), (col("s").cast("double") / col("n")).as("avgdl"))
+    // query terms: global top-(2*nq) by corpus frequency; the rank window
+    // runs on 2*nq rows (bounded by contract), pairing ranks into qids
+    val w = Window.orderBy(col("ctf").desc, col("qtok"))
+    val qterms = dfreq.filter(length(col("tok")) >= 4)
+      .orderBy(col("ctf").desc, col("tok")).limit(2 * nq)
+      .select(col("tok").as("qtok"), col("df").as("qdf"), col("ctf"))
+      .withColumn("qid", floor((row_number().over(w) - 1) / 2).cast("int"))
+      .drop("ctf")
     val idf = log(lit(1.0) +
-      (lit(nDocs.toDouble) - col("qdf") + lit(0.5)) / (col("qdf") + lit(0.5)))
+      (col("n").cast("double") - col("qdf") + lit(0.5)) / (col("qdf") + lit(0.5)))
     val tfn = col("tf") * lit(k1 + 1.0) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
     val scored = tf.join(broadcast(qterms), col("tok") === col("qtok"))
+      .crossJoin(broadcast(stats))
       .groupBy(col("qid"), col("id"))
       .agg(round(sum(idf * tfn), 4).as("score"))
     graft.similarity.topKPerKey(scored, "qid", "score", "id", k)

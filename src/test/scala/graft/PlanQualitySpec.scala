@@ -31,8 +31,10 @@ class PlanQualitySpec extends SparkSuite {
       // against the COMPRESSED corpus — that scan is the design)
       // (d_semdedup: k-means training + cell assignment broadcast-cross
       // the corpus with the k-row centroid table, same as sim_kmeans)
+      // (t_bm25: the 1-ROW corpus-stats aggregate enters scoring as a
+      // broadcast cross — the oracle's scalar subquery in plan form)
       val crossByDesign = Set("sim_ivf", "sim_kmeans", "sim_topk", "sim_pq",
-        "d_semdedup")
+        "d_semdedup", "t_bm25")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
@@ -334,6 +336,20 @@ class PlanQualitySpec extends SparkSuite {
     val blockOnlyJoin = """Join \[(?:blk|lang)#\d+\], \[(?:blk|lang)#\d+\]""".r
     assert(blockOnlyJoin.findFirstIn(banded).isEmpty,
       s"a join keyed on the block alone — the |block|² plan is back:\n${banded.take(3000)}")
+  }
+
+  test("t_bm25: tf shuffle is computed once and reused; queries broadcast") {
+    val df = SparkEntry.queries("t_bm25")(spark, dir)
+    df.collect() // materialize so AQE's final plan (with reuse) is visible
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"tf exchange not shared between the dfreq and scoring branches — " +
+        s"the corpus is tokenized and shuffled twice:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query terms did not enter as a broadcast — the corpus-sized tf " +
+        s"side reshuffles for scoring:\n${plan.take(3000)}")
+    assert(plan.contains("collect_top_k") || plan.contains("collecttopk"),
+      s"per-query top-k is not the bounded heap:\n${plan.take(3000)}")
   }
 
   test("q_topk_group aggregates with a map-side bounded heap, no window sort") {
