@@ -54,10 +54,13 @@ object Streaming {
     * `st_dedup` query (first occurrence decided order-independently by
     * (ts, event_id) min); streaming keeps whichever row ARRIVES first, so
     * only the emitted key set — not the kept row — is order-stable, and
-    * that is what the ModulesSpec test asserts. */
-  def dedupedByKey(events: DataFrame): DataFrame =
+    * that is what the ModulesSpec test asserts. `delay` is the dedup
+    * horizon: duplicates farther apart in event time than the watermark
+    * delay are correctly re-emitted (their state has been evicted) — size
+    * it to the product contract, not to memory. */
+  def dedupedByKey(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** Stream-stream interval join (attribution shape): each purchase joins

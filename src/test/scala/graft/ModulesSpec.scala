@@ -738,6 +738,53 @@ class ModulesSpec extends SparkSuite {
     assert(fin.select($"event_id").distinct().count() == ev.count())
   }
 
+  test("streaming: dedup state survives restart — post-restart duplicates dropped") {
+    // the dedup-specific recovery claim: a key first seen BEFORE the kill
+    // must still be recognized as a duplicate when it arrives again AFTER
+    // the restart — i.e. the dropDuplicatesWithinWatermark state store
+    // reloads, not just the source offsets. Events are landed so half 1
+    // repeats every key of half 0 (same (user_id, event_type) space).
+    // The dedup horizon is set past the whole event range: within-horizon
+    // semantics are what the recovery claim is about — with a short delay
+    // the engine CORRECTLY re-emits far-apart duplicates (state evicted)
+    // and drops late rows, which would test eviction, not recovery.
+    implicit val s: SparkSession = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    graft.streaming.Streaming.withRocksDBState(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_ddrec").toString
+    try {
+      val ev = graft.core.Tables.events(spark, dir)
+      val (src, out, chk) = (s"$base/src", s"$base/out", s"$base/chk")
+      new java.io.File(src).mkdirs()
+      def land(half: Int): Unit = ev.filter($"event_id" % 2 === half)
+        .coalesce(1).write.mode("append").parquet(src)
+      def runOnce(): Unit = {
+        val q = graft.streaming.Streaming.dedupedByKey(
+            spark.readStream.schema(graft.streaming.Streaming.eventsSchema)
+              .parquet(src), delay = "3650 days")
+          .select($"user_id", $"event_type")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", chk).start()
+        q.processAllAvailable(); q.stop()
+      }
+      land(0); runOnce() // first run emits half 0's key set, then is killed
+      val afterFirst = spark.read.parquet(out)
+        .as[(Long, String)].collect()
+      land(1); runOnce() // restart; half 1's keys overlap half 0's heavily
+      val fin = spark.read.parquet(out).as[(Long, String)].collect()
+      val expect = ev.select($"user_id", $"event_type")
+        .distinct().as[(Long, String)].collect().toSet
+      assert(afterFirst.nonEmpty && afterFirst.length < expect.size + 1)
+      assert(fin.length == fin.toSet.size,
+        "a key was emitted twice across the restart — dedup state was lost")
+      assert(fin.toSet == expect, "emitted key set != batch distinct keys")
+    } finally {
+      prev.fold(spark.conf.unset(key))(p => spark.conf.set(key, p))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("streaming: RocksDB stateful sessions survive kill-and-restart exactly-once") {
     // recovery is the streaming claim a production operator actually
     // relies on: the stateful (session-window) query is KILLED between
