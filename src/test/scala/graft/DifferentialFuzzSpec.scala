@@ -514,6 +514,63 @@ class DifferentialFuzzSpec extends SparkSuite {
     }
   }
 
+  test("bm25TopK full output matches a brute model on random corpora") {
+    // every row — qid pairing, ranks, ids, 4dp scores — against a plain-
+    // Scala BM25 with the identical double expression tree (association
+    // matters) and Spark's HALF_UP shortest-decimal rounding
+    val rnd = new scala.util.Random(4242L)
+    val vocab = Vector("ab", "cd", "ef", "wolf", "raven", "heron", "otter",
+      "lynx", "marten", "badger", "stoat", "vole", "shrew", "x")
+    for (trial <- 0 until 6) {
+      val nq = 1 + rnd.nextInt(3)
+      val k = 1 + rnd.nextInt(5)
+      val (k1, b) = (0.5 + rnd.nextDouble(), rnd.nextDouble())
+      val docs = (0L until (5 + rnd.nextInt(25)).toLong).map { id =>
+        val n = rnd.nextInt(30)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = graft.text.bm25TopK(docs.toDF("doc_id", "text"),
+          "doc_id", "text", nq = nq, k = k, k1 = k1, b = b)
+        .select($"qid", $"rank", $"doc_id", $"score")
+        .as[(Int, Int, Long, Double)].collect().toSet
+      // brute model
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+      val n = docs.length
+      val avgdl = toks.valuesIterator.map(_.size.toLong).sum.toDouble / n
+      val tf = toks.view.mapValues(
+        _.groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
+      val dfreq = tf.values.flatMap(_.keys).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val ctf = toks.values.flatten.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val terms = ctf.toSeq.filter(_._1.length >= 4)
+        .sortBy { case (t, c) => (-c, t) }.take(2 * nq)
+      def rnd4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+      val exp = terms.indices.by(2).flatMap { i =>
+        val qid = i / 2
+        val qts = terms.slice(i, i + 2)
+        val scored = toks.keys.toSeq.flatMap { id =>
+          val s = qts.map { case (t, _) =>
+            tf(id).get(t).fold(0.0) { f =>
+              val d = dfreq(t)
+              math.log(1.0 + ((n.toDouble - d.toDouble) + 0.5) / (d.toDouble + 0.5)) *
+                ((f.toDouble * (k1 + 1.0)) /
+                  (f.toDouble + k1 * ((1.0 - b) + (b * toks(id).size.toDouble) / avgdl)))
+            }
+          }.sum
+          if (s > 0.0) Seq((id, rnd4(s))) else Nil
+        }
+        scored.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+          .map { case ((id, s), r) => (qid, r + 1, id, s) }
+      }.toSet
+      assert(got == exp,
+        s"trial $trial (nq=$nq k=$k k1=$k1 b=$b): " +
+          s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+    }
+  }
+
   test("runLengths matches a linear Scala pass") {
     forAllSamples() { rows =>
       def rl(r: List[Double]): Seq[Int] = {
