@@ -519,9 +519,14 @@ class DifferentialFuzzSpec extends SparkSuite {
     // Scala BM25 with the identical double expression tree (association
     // matters) and Spark's HALF_UP shortest-decimal rounding
     val rnd = new scala.util.Random(4242L)
-    val vocab = Vector("ab", "cd", "ef", "wolf", "raven", "heron", "otter",
+    val rich = Vector("ab", "cd", "ef", "wolf", "raven", "heron", "otter",
       "lynx", "marten", "badger", "stoat", "vole", "shrew", "x")
-    for (trial <- 0 until 6) {
+    // degenerate vocabularies: fewer qualifying (len>=4) terms than 2*nq
+    // (odd counts give a trailing one-term query), or none at all
+    val sparse = Vector("ab", "cd", "ef", "gh", "wolf", "raven", "heron")
+    val barren = Vector("ab", "cd", "ef", "gh", "x")
+    for (trial <- 0 until 9) {
+      val vocab = Seq(rich, sparse, barren)(trial % 3)
       val nq = 1 + rnd.nextInt(3)
       val k = 1 + rnd.nextInt(5)
       val (k1, b) = (0.5 + rnd.nextDouble(), rnd.nextDouble())
