@@ -85,11 +85,17 @@ object AsofJoin {
         }
         val lt = num(col(tsCol), left.schema(tsCol).dataType)
         val rdt = right.schema(tsCol).dataType
-        // ties (equal distance) take the backward match; <= encodes that
+        // ties (equal distance) take the backward match; <= encodes that.
+        // Distances are compared in DECIMAL(21,0): with back <= t <= fwd,
+        // a raw Long `t - b` wraps negative once the span exceeds Long
+        // range (mixed-sign extreme ts), silently picking the FAR match —
+        // unreachable for epoch timestamps, reachable for the arbitrary
+        // long ts the signature accepts.
+        def d(c: Column) = c.cast("decimal(21,0)")
         union.withColumn("__m",
           when(b.isNull, f).when(f.isNull, b)
-            .when(lt - num(b.getField("__t"), rdt)
-              <= num(f.getField("__t"), rdt) - lt, b)
+            .when(d(lt) - d(num(b.getField("__t"), rdt))
+              <= d(num(f.getField("__t"), rdt)) - d(lt), b)
             .otherwise(f))
     }
 
@@ -272,9 +278,13 @@ object AsofJoin {
           case org.apache.spark.sql.types.TimestampType => unix_micros(c)
           case _ => c.cast("long")
         }
+        // decimal distance compare: same Long-wrap hazard as asofJoin's
+        // nearest (see the comment there)
+        def d(c: Column) = c.cast("decimal(21,0)")
         union.withColumn("__m",
           when(b.isNull, f).when(f.isNull, b)
-            .when(lt - num(b.getField("__t")) <= num(f.getField("__t")) - lt, b)
+            .when(d(lt) - d(num(b.getField("__t")))
+              <= d(num(f.getField("__t"))) - d(lt), b)
             .otherwise(f))
     }
     val out = left.columns.toIndexedSeq.map(col) ++
@@ -333,10 +343,15 @@ object AsofJoin {
       case other => throw new IllegalArgumentException(
         s"asofJoinBroadcast: nearest needs numeric/timestamp ts, got $other")
     }
-    // true iff |ts - back| <= |fwd - ts| (backward wins ties)
+    // true iff |ts - back| <= |fwd - ts| (backward wins ties). With
+    // b <= t <= f both true distances lie in [0, 2^64), so the wrapped
+    // Long difference equals the true distance mod 2^64 and an UNSIGNED
+    // compare is exact — a signed `t - b <= f - t` wraps negative for
+    // extreme mixed-sign ts and picks the far match.
     def backCloser(ts: Any, back: Any, fwd: Any): Boolean =
       (tsLong(ts), tsLong(back), tsLong(fwd)) match {
-        case (Some(t), Some(b), Some(f)) => t - b <= f - t
+        case (Some(t), Some(b), Some(f)) =>
+          java.lang.Long.compareUnsigned(t - b, f - t) <= 0
         case _ => tsNum(ts) - tsNum(back) <= tsNum(fwd) - tsNum(ts)
       }
     @inline def cmp(a: Any, b: Any): Int =

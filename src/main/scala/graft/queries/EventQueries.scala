@@ -157,11 +157,7 @@ object EventQueries {
           round(sum(col("asof_pval")), 2).as("sum_asof"))
     },
 
-    // interval-join attribution (the batch face of
-    // graft.streaming.Streaming.purchaseAttribution): each purchase joined
-    // to the same user's clicks in the preceding 10 minutes — the
-    // stream-stream join whose time bound keeps state finite
-    // batch face of keyed streaming dedup (Streaming.dedupedEvents /
+    // batch face of keyed streaming dedup (Streaming.dedupedByKey /
     // dropDuplicatesWithinWatermark): per dedup key, the duplicate count
     // and the first occurrence — "first" decided by (ts, event_id)
     // lexicographic min, so the answer is arrival-order-independent even
@@ -189,6 +185,10 @@ object EventQueries {
           count(when(col("dist") === 0, 1)).as("n_exact_dups"))
     },
 
+    // interval-join attribution (the batch face of
+    // graft.streaming.Streaming.purchaseAttribution): each purchase joined
+    // to the same user's clicks in the preceding 10 minutes — the
+    // stream-stream join whose time bound keeps state finite
     "st_attrib" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")

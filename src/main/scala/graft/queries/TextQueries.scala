@@ -189,9 +189,6 @@ object TextQueries {
         .agg(count(lit(1)).as("n_rows"))
     },
 
-    // PII scrubbing (graft.text.redactPii/piiCounts): the corpus carries no
-    // PII, so the query plants one deterministic instance of each class per
-    // doc (derived from doc_id — reproducible in the oracle), then audits
     // BM25 (Okapi) top-10 retrieval over a corpus-derived deterministic
     // query set (graft.text.bm25TopK): 3 two-term queries from the six
     // highest-frequency len>=4 tokens; broadcast query join + bounded-heap
@@ -200,6 +197,9 @@ object TextQueries {
       bm25TopK(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // PII scrubbing (graft.text.redactPii/piiCounts): the corpus carries no
+    // PII, so the query plants one deterministic instance of each class per
+    // doc (derived from doc_id — reproducible in the oracle), then audits
     // detection counts and redacted output per language. All map-side
     // codegen'd regexps; `leftover_at` asserts redaction left no '@' behind.
     "t_pii" -> { (s, dir) =>
@@ -298,9 +298,13 @@ object TextQueries {
     // BM25: the score expression is kept syntactically parallel to
     // bm25TopK's Column tree (idf * ((tf * (k1+1)) / den) — double
     // multiplication is non-associative, so the SQL parenthesizes the
-    // same way); ranks are decided on the 4dp-rounded score
+    // same way). Every fractional constant is CAST to DOUBLE: DuckDB
+    // parses bare 1.2/0.75/0.5 as DECIMAL and would fold tf*(1.2+1) in
+    // exact decimal — converted to double ONCE at the end, 1-2 ulp from
+    // Spark's per-op double rounding (tf=3: 6.5999999999999996 vs
+    // 6.6000000000000005). Ranks are decided on the 4dp-rounded score.
     "t_bm25" ->
-      """WITH tok AS (SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS dl, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents), tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM tok GROUP BY 1, 2, 3), dfq AS (SELECT tok, count(*) AS df, sum(tf) AS ctf FROM tf GROUP BY 1), st AS (SELECT count(*) AS n, sum(len(string_split_regex(trim(lower(text)), '\s+'))) * 1.0 / count(*) AS avgdl FROM documents), terms AS (SELECT tok, df, row_number() OVER (ORDER BY ctf DESC, tok) AS r FROM dfq WHERE length(tok) >= 4), q AS (SELECT CAST((r - 1) // 2 AS INT) AS qid, tok, df FROM terms WHERE r <= 6), sc AS (SELECT q.qid, tf.doc_id, round(sum(ln(1 + ((SELECT n FROM st) - q.df + 0.5) / (q.df + 0.5)) * ((tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM st))))), 4) AS score FROM tf JOIN q USING (tok) GROUP BY 1, 2), rk AS (SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM sc) SELECT qid, CAST(rank AS INT) AS rank, CAST(doc_id AS BIGINT) AS doc_id, score FROM rk WHERE rank <= 10""",
+      """WITH tok AS (SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS dl, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents), tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM tok GROUP BY 1, 2, 3), dfq AS (SELECT tok, count(*) AS df, sum(tf) AS ctf FROM tf GROUP BY 1), st AS (SELECT count(*) AS n, sum(len(string_split_regex(trim(lower(text)), '\s+'))) * CAST(1.0 AS DOUBLE) / count(*) AS avgdl FROM documents), terms AS (SELECT tok, df, row_number() OVER (ORDER BY ctf DESC, tok) AS r FROM dfq WHERE length(tok) >= 4), q AS (SELECT CAST((r - 1) // 2 AS INT) AS qid, tok, df FROM terms WHERE r <= 6), sc AS (SELECT q.qid, tf.doc_id, round(sum(ln(1 + ((SELECT n FROM st) - q.df + CAST(0.5 AS DOUBLE)) / (q.df + CAST(0.5 AS DOUBLE))) * ((tf.tf * (CAST(1.2 AS DOUBLE) + 1)) / (tf.tf + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * tf.dl / (SELECT avgdl FROM st))))), 4) AS score FROM tf JOIN q USING (tok) GROUP BY 1, 2), rk AS (SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM sc) SELECT qid, CAST(rank AS INT) AS rank, CAST(doc_id AS BIGINT) AS doc_id, score FROM rk WHERE rank <= 10""",
     "t_pii" ->
       s"""WITH inj AS (SELECT lang, text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.9 tel 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t FROM documents), r AS (SELECT lang, t, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, '$PAT_EMAIL', '<EMAIL>', 'g'), '$PAT_IP', '<IP>', 'g'), '$PAT_PHONE', '<PHONE>', 'g'), '$PAT_SSN', '<SSN>', 'g') AS red FROM inj) SELECT lang, CAST(sum(len(regexp_extract_all(t, '$PAT_EMAIL'))) AS BIGINT) AS n_email, CAST(sum(len(regexp_extract_all(t, '$PAT_IP'))) AS BIGINT) AS n_ip, CAST(sum(len(regexp_extract_all(t, '$PAT_PHONE'))) AS BIGINT) AS n_phone, CAST(sum(len(regexp_extract_all(t, '$PAT_SSN'))) AS BIGINT) AS n_ssn, CAST(sum(length(red)) AS BIGINT) AS red_len, CAST(sum(CASE WHEN contains(red, '@') THEN 1 ELSE 0 END) AS BIGINT) AS leftover_at FROM r GROUP BY lang""")
 }

@@ -293,6 +293,35 @@ class DifferentialFuzzSpec extends SparkSuite {
     }
   }
 
+  test("asof nearest: extreme-span distances compared exactly in every impl") {
+    // the nearest distance compare `t - b <= f - t` wraps in Long when the
+    // back-to-fwd span exceeds Long range, picking the FAR match. All
+    // impls used the same wrapping arithmetic, so an impl-vs-impl
+    // differential could never catch it — this model computes distances
+    // in BigInt, independently of any engine path.
+    val lt = Long.MaxValue / 2
+    val left = Seq((0L, 1L, lt)).toDF("row_id", "k", "ts")
+    // backward match ~9.2e18 away, forward match 10 away: nearest = fwd
+    val right = Seq((1L, Long.MinValue / 2 - 100L, 1.0), (1L, lt + 10L, 2.0))
+      .toDF("k", "ts", "v")
+    val wantB = BigInt(lt) - (BigInt(Long.MinValue / 2) - 100)
+    val wantF = BigInt(lt + 10L) - BigInt(lt)
+    assert(wantF < wantB) // the model itself: forward is nearer
+    for (impl <- Seq("window", "salted", "broadcast")) {
+      val joined = impl match {
+        case "window" => graft.operators.AsofJoin
+          .asofJoin(left, right, "k", "ts", Seq("v"), "nearest")
+        case "salted" => graft.operators.AsofJoin
+          .asofJoinSalted(left, right, "k", "ts", Seq("v"), "nearest", buckets = 4)
+        case _ => graft.operators.AsofJoin
+          .asofJoinBroadcast(left, right, "k", "ts", Seq("v"), "nearest")
+      }
+      val got = joined.select($"asof_v").as[Option[Double]].collect().head
+      assert(got.contains(2.0),
+        s"[$impl] picked the far match across a wrapped span: $got")
+    }
+  }
+
   test("asofJoin forward/nearest match brute-force on random inputs") {
     val rows: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] = for {
       l <- Gen.listOfN(20, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
