@@ -35,6 +35,12 @@ object PlanGallery {
       "table through a broadcast, candidates cost m table lookups " +
       "(pqadcscore), and only the bounded shortlist joins back full-width " +
       "vectors for the exact cosine re-rank."),
+    "t_bm25" -> ("BM25 retrieval as one lazy plan: the corpus-derived " +
+      "query set (global top-6 + 6-row rank window) and the scoring join " +
+      "hang off the SAME (id, dl, tok) aggregate — a single ReusedExchange " +
+      "tokenize+shuffle — the 1-row corpus-stats aggregate and the query " +
+      "set enter as broadcasts, and the per-query top-k is the bounded " +
+      "heap, k rows per (query, partition) on the wire."),
     "q_skew_build" -> ("Two-phase salted ragged build under extreme key " +
       "skew (3 keys over the whole table): phase 1 aggregates on " +
       "(key, salt) so the hot key's rows pre-pack into arrays across 32 " +
