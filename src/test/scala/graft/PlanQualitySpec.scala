@@ -338,6 +338,15 @@ class PlanQualitySpec extends SparkSuite {
       s"a join keyed on the block alone — the |block|² plan is back:\n${banded.take(3000)}")
   }
 
+  test("st_dedup: one exchange, map-side partial aggregation") {
+    val plan = SparkEntry.queries("st_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      s"no map-side combine — every duplicate row crosses the wire:\n${plan.take(2000)}")
+  }
+
   test("t_bm25: tf shuffle is computed once and reused; queries broadcast") {
     val df = SparkEntry.queries("t_bm25")(spark, dir)
     df.collect() // materialize so AQE's final plan (with reuse) is visible
