@@ -189,6 +189,15 @@ object TextQueries {
         .agg(count(lit(1)).as("n_rows"))
     },
 
+    // overlapping token-window chunking (graft.text.chunkText): 32-token
+    // chunks every 24 tokens (8-token overlap) — the RAG/pretraining
+    // chunking step upstream of t_pack. Pure generator expression, no
+    // shuffle; the oracle re-slices every chunk's exact text in DuckDB.
+    "t_chunk" -> { (s, dir) =>
+      chunkText(Tables.documents(s, dir), "doc_id", "text",
+        size = 32, stride = 24)
+    },
+
     // BM25 (Okapi) top-10 retrieval over a corpus-derived deterministic
     // query set (graft.text.bm25TopK): 3 two-term queries from the six
     // highest-frequency len>=4 tokens; broadcast query join + bounded-heap
@@ -295,6 +304,10 @@ object TextQueries {
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS bow_fp, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS roll_fp FROM documents""",
     "t_epochs" ->
       """WITH h AS (SELECT lang, (list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 10000) / 10000.0 AS b, CASE WHEN lang = 'en' THEN 1.5 WHEN lang = 'de' THEN 2.25 ELSE 1.0 END AS w FROM documents) SELECT lang, CAST(sum(CAST(floor(w) AS BIGINT) + CASE WHEN b < w - floor(w) THEN 1 ELSE 0 END) AS BIGINT) AS n_rows FROM h GROUP BY lang""",
+    // chunking: DuckDB's 1-based inclusive list slice ts[a:b] mirrors
+    // Spark's slice(ts, a, len); chunk count = (n-1)//stride + 1
+    "t_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents), c AS (SELECT doc_id, ts, unnest(range(0, (len(ts) - 1) // 24 + 1)) AS chunk_id FROM t), s AS (SELECT doc_id, chunk_id, ts[CAST(chunk_id * 24 + 1 AS INT):CAST(least(chunk_id * 24 + 32, len(ts)) AS INT)] AS ck FROM c) SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(len(ck) AS BIGINT) AS n_chunk_toks, array_to_string(ck, ' ') AS chunk_text FROM s""",
     // BM25: the score expression is kept syntactically parallel to
     // bm25TopK's Column tree (idf * ((tf * (k1+1)) / den) — double
     // multiplication is non-associative, so the SQL parenthesizes the

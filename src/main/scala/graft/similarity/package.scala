@@ -262,6 +262,97 @@ package object similarity {
     topKPerKey(scored, "qid", "cos", "nid", k)
   }
 
+  /** Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    * SIGIR 1998): re-rank each query's `nCand` exact-cosine candidates
+    * into `kOut` picks that trade relevance against redundancy. Pick 1 is
+    * the most relevant candidate; pick i maximizes
+    * `lambda*rel - (1-lambda) * max cosine to the already-picked`
+    * (ties to the smaller neighbor id). The first pick's reported `mmr`
+    * is its `rel` — the redundancy blend only exists once a selected set
+    * does.
+    *
+    * Deterministic cross-engine: every relevance and pairwise cosine
+    * accumulates ascending-index in double ([[cosine]]'s kernel order),
+    * the blend is written `lambda*rel - (1 - lambda)*msim` with the SAME
+    * double ops on both engines (note `1 - lambda` as an op, NOT a
+    * pre-folded 0.3 literal — those differ by an ulp), and argmax ties
+    * break on the id. The DuckDB oracle replays the greedy as `kOut`
+    * unrolled SQL steps.
+    *
+    * 100 TB posture: candidate generation is [[bruteForceTopK]]'s
+    * broadcast-queries + bounded-heap shape (swap in [[lshTopK]]/
+    * [[ivfTopK]] upstream for corpus-sized query sets); the greedy itself
+    * runs per query group over `nCand` rows — bounded by contract — in
+    * one `flatMapGroups` pass: a single qid-keyed shuffle of at most
+    * `nCand` rows per query, O(nCand^2 * kOut) flops per group, no
+    * corpus-wide state, no driver collect. Returns
+    * (qid, rank, nid, rel, mmr) with rank in selection order. */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, nCand: Int, kOut: Int, lambda: Double = 0.7): DataFrame = {
+    require(nCand > 0 && kOut > 0 && kOut <= nCand,
+      s"bad nCand=$nCand kOut=$kOut (need 0 < kOut <= nCand)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"bad lambda=$lambda")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cands = bruteForceTopK(queries, corpus, idCol, vecCol, nCand)
+    val withVec = cands
+      .join(corpus.select(col(idCol).cast("long").as("nid"),
+        col(vecCol).cast("array<double>").as("nv")), "nid")
+      .select(col("qid").cast("long"), col("nid"), col("cos").cast("double"),
+        col("nv"))
+      .as[(Long, Long, Double, Seq[Double])]
+    val mu = 1.0 - lambda // one subtraction, mirrored verbatim in the oracle
+    val picked = withVec.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cs = it.toArray.sortBy(c => (-c._3, c._2)) // rel desc, nid asc
+      val vecs = cs.map(_._4.toArray)
+      def cosv(a: Array[Double], b: Array[Double]): Double = {
+        val n = math.min(a.length, b.length)
+        var dot = 0.0; var na2 = 0.0; var nb2 = 0.0; var i = 0
+        while (i < n) {
+          dot += a(i) * b(i); na2 += a(i) * a(i); nb2 += b(i) * b(i); i += 1
+        }
+        dot / (math.sqrt(na2) * math.sqrt(nb2)) // norms > 0: rel was non-null
+      }
+      val used = new Array[Boolean](cs.length)
+      val out = Array.newBuilder[(Long, Int, Long, Double, Double)]
+      var rank = 1
+      while (rank <= math.min(kOut, cs.length)) {
+        var best = -1; var bestScore = 0.0
+        var j = 0
+        while (j < cs.length) {
+          if (!used(j)) {
+            val score =
+              if (rank == 1) cs(j)._3
+              else {
+                var msim = Double.NegativeInfinity
+                var p = 0
+                while (p < cs.length) {
+                  if (used(p)) {
+                    val s = cosv(vecs(j), vecs(p))
+                    if (s > msim) msim = s
+                  }
+                  p += 1
+                }
+                lambda * cs(j)._3 - mu * msim
+              }
+            // strict >: ties stay with the earlier (smaller-nid-on-equal-rel,
+            // and the explicit nid compare covers equal scores at differing rel)
+            if (best < 0 || score > bestScore ||
+                (score == bestScore && cs(j)._2 < cs(best)._2)) {
+              best = j; bestScore = score
+            }
+          }
+          j += 1
+        }
+        used(best) = true
+        out += ((qid, rank, cs(best)._2, cs(best)._3, bestScore))
+        rank += 1
+      }
+      out.result().iterator
+    }
+    picked.toDF("qid", "rank", "nid", "rel", "mmr")
+  }
+
   /** All pairs with cosine >= threshold within a blocking key — embedding
     * near-dup detection. Blocking bounds the quadratic term. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

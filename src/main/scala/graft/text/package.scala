@@ -563,6 +563,51 @@ package object text {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Overlapping token-window chunking — the RAG/pretraining chunk step
+    * upstream of [[packSequences]]: document text becomes `ceil(n/stride)`
+    * chunks of up to `size` whitespace tokens, chunk `i` covering token
+    * positions `[i*stride, min(i*stride+size, n))`. With `stride < size`
+    * consecutive chunks overlap by `size - stride` tokens (the standard
+    * retrieval-context overlap); `stride == size` tiles exactly.
+    *
+    * A document always yields at least one chunk (an empty/null text
+    * yields one empty chunk, so no document silently vanishes between
+    * pipeline stages — drop `n_chunk_toks = 0` rows downstream if
+    * desired). Start positions are `0, stride, 2*stride, ...` strictly
+    * below `n`, so no chunk is ever empty for non-empty docs and the tail
+    * chunk is the only one shorter than `size`.
+    *
+    * 100 TB posture: a single generator expression — `explode(sequence)`
+    * over a per-row bounded range + `slice`/`array_join` on the already-
+    * split token array — entirely inside the scan's whole-stage-codegen
+    * span. No shuffle, no UDF, no state; output volume is
+    * `ceil(n/stride)` rows per doc by construction (the caller picks
+    * stride to bound the blow-up factor at `size/stride`).
+    *
+    * Returns (idCol, chunk_id, n_chunk_toks, chunk_text). */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"bad chunk size=$size stride=$stride (need 0 < stride <= size)")
+    // split once per row; explode from the bound array column
+    val d = df.select(col(idCol).as("id"), wsTokens(col(textCol)).as("ts"))
+      .select(col("id"), col("ts"),
+        coalesce(size_(col("ts")), lit(0)).as("n"))
+    d.select(col("id"), col("ts"),
+        explode(sequence(lit(0),
+          greatest((col("n") - 1), lit(0)).divide(stride).cast("int")))
+          .as("chunk_id"))
+      .select(col("id").as(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("ts"), col("chunk_id") * stride + 1, lit(size)).as("ck"))
+      .select(col(idCol), col("chunk_id"),
+        // null text -> null token array -> one (0, "") chunk, keeping the
+        // no-document-vanishes contract instead of emitting null cells
+        coalesce(size_(col("ck")), lit(0)).cast("long").as("n_chunk_toks"),
+        coalesce(array_join(col("ck"), " "), lit("")).as("chunk_text"))
+  }
+  // `size` the function vs `size` the parameter: alias the sql function
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** PII patterns for training-data scrubbing. Deliberately restricted to
     * the regex subset that means the same thing in Java regex (Spark,
     * codegen'd `regexp_replace`/`regexp_count`) and RE2 (DuckDB oracle,

@@ -419,6 +419,54 @@ class ModulesSpec extends SparkSuite {
     assert(hs.max > hs.sum / 2, hs.toString)
   }
 
+  test("chunkText: hand-computed windows, overlap, tiling, degenerate docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks
+      (2L, "only"),                                   // 1 tok
+      (3L, ""),                                       // empty -> [""] (1 tok)
+      (4L, null.asInstanceOf[String]))                // null -> 1 empty chunk
+      .toDF("doc_id", "text")
+    val got = graft.text.chunkText(docs, "doc_id", "text", size = 4, stride = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // doc 1: starts 0,3,6,9 -> 4,4,4,1 tokens; windows overlap by 1
+    assert(got(1L -> 0L) == ((4L, "w1 w2 w3 w4")))
+    assert(got(1L -> 1L) == ((4L, "w4 w5 w6 w7")))
+    assert(got(1L -> 2L) == ((4L, "w7 w8 w9 w10")))
+    assert(got(1L -> 3L) == ((1L, "w10")))
+    assert(got(2L -> 0L) == ((1L, "only")))
+    // split("") yields [""] — same 1-token convention as qualityScore
+    assert(got(3L -> 0L) == ((1L, "")))
+    assert(got(4L -> 0L) == ((0L, "")))
+    assert(got.size == 7)
+    // stride == size tiles exactly: concatenation rebuilds the doc
+    val tiled = graft.text.chunkText(docs.filter($"doc_id" === 1), "doc_id",
+        "text", size = 3, stride = 3)
+      .orderBy($"chunk_id").as[(Long, Long, Long, String)].collect()
+    assert(tiled.map(_._3).sum == 10L)
+    assert(tiled.map(_._4).mkString(" ") == (1 to 10).map(i => s"w$i").mkString(" "))
+    // differential vs a brute model over random token counts
+    val rnd = new scala.util.Random(11)
+    val rdocs = (0 until 80).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(90))).map(j => s"t${i}_$j").mkString(" "))
+    }
+    val rdf = rdocs.toDF("doc_id", "text").repartition(5)
+    val rgot = graft.text.chunkText(rdf, "doc_id", "text", size = 16, stride = 7)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val model = rdocs.flatMap { case (id, t) =>
+      val ts = t.split("\\s+")
+      (0 to (ts.length - 1) / 7).map { c =>
+        val ck = ts.slice(c * 7, math.min(c * 7 + 16, ts.length))
+        (id, c.toLong) -> ((ck.length.toLong, ck.mkString(" ")))
+      }
+    }.toMap
+    assert(rgot == model)
+    intercept[IllegalArgumentException] {
+      graft.text.chunkText(docs, "doc_id", "text", size = 4, stride = 5)
+    }
+  }
+
   test("packSequences: hand-computed layout; two-level scan = global window") {
     val docs = Seq((1L, 10L), (2L, 5L), (3L, 2000L), (4L, 100L))
       .toDF("doc_id", "nt")
