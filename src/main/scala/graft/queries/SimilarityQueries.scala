@@ -78,6 +78,19 @@ object SimilarityQueries {
         nCells = 0, nprobe = 4, k = 3, trainIters = 2)
         .select(col("qid"), col("rank"), col("nid"),
           round(col("cos"), 4).as("cos"))
+    },
+
+    // MMR diversification (Carbonell & Goldstein 1998): 8 exact-cosine
+    // candidates per query re-ranked into 4 relevance-vs-redundancy picks
+    // at lambda=0.7. Deterministic greedy (double blend mirrored op-for-op,
+    // ties to smaller nid) => the selection replays in DuckDB as four
+    // unrolled argmax steps
+    "sim_mmr" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      mmrRerank(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        nCand = 8, kOut = 4, lambda = 0.7)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("rel"), 4).as("rel"), round(col("mmr"), 4).as("mmr"))
     })
 
   private[queries] val COS =
@@ -121,7 +134,41 @@ pm$n AS MATERIALIZED (SELECT s, j, list(mv ORDER BY i) AS cv FROM (SELECT s, j, 
 pc$n AS MATERIALIZED (SELECT c.s, c.j, COALESCE(m.cv, c.cv) AS cv FROM $prev c LEFT JOIN pm$n m ON m.s = c.s AND m.j = c.j)"""
   }
 
+  /** One unrolled MMR greedy step: from the not-yet-picked candidates,
+    * score `L*rel - (1-L)*max(cos to picked)` and take the per-qid argmax
+    * (ties to smaller nid). `L` is CAST(0.7 AS DOUBLE) and the complement
+    * is the double subtraction `1 - L` — NOT a pre-folded 0.3 literal:
+    * DuckDB parses bare decimals as DECIMAL, so `1 - 0.7` would be exact
+    * 0.3 while the Scala blend uses `1.0 - 0.7 = 0.30000000000000004`;
+    * the two differ by an ulp, which is enough to flip near-tied picks.
+    * Requires `cands(qid, nid, rel)`, `pcs(qid, x, y, cos)` and the
+    * running picked set `ps${n-1}`. */
+  private def mmrStepSql(n: Int): String = {
+    val prev = s"ps${n - 1}"
+    val L = "CAST(0.7 AS DOUBLE)"
+    s"""st$n AS (SELECT c.qid, c.nid, c.rel, $L * c.rel - (1 - $L) * max(p.cos) AS score FROM cands c JOIN $prev k ON k.qid = c.qid JOIN pcs p ON p.qid = c.qid AND p.x = c.nid AND p.y = k.nid WHERE c.nid NOT IN (SELECT nid FROM $prev w WHERE w.qid = c.qid) GROUP BY c.qid, c.nid, c.rel),
+pk$n AS (SELECT qid, nid, rel, score AS mmr FROM (SELECT qid, nid, rel, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM st$n) WHERE rn = 1),
+ps$n AS (SELECT qid, nid FROM $prev UNION ALL SELECT qid, nid FROM pk$n)"""
+  }
+
   val oracle: Map[String, String] = Map(
+    // sim_mmr replays the greedy selection as unrolled SQL: exact top-8
+    // candidates (sim_topk's kernel), all pairwise candidate cosines, pick
+    // 1 = argmax rel, picks 2-4 via mmrStepSql. Every double op mirrors
+    // mmrRerank bit-for-bit (ascending-index cosine accumulation, the
+    // `1 - L` complement as an op, argmax ties to smaller nid).
+    "sim_mmr" ->
+      s"""WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS ea, c.embedding AS eb FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+d AS (SELECT qid, nid, $COS AS cos FROM p, range(1, 65) r(i) GROUP BY qid, nid),
+cands AS (SELECT qid, nid, cos AS rel FROM (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM d WHERE cos IS NOT NULL) WHERE rn <= 8),
+cv AS (SELECT c.qid, c.nid, e.embedding AS v FROM cands c JOIN embeddings e ON e.vec_id = c.nid),
+pcp AS (SELECT a.qid, a.nid AS x, b.nid AS y, a.v AS ea, b.v AS eb FROM cv a JOIN cv b ON a.qid = b.qid AND a.nid <> b.nid),
+pcs AS (SELECT qid, x, y, $COS AS cos FROM pcp, range(1, 65) r(i) GROUP BY qid, x, y),
+pk1 AS (SELECT qid, nid, rel, rel AS mmr FROM (SELECT qid, nid, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn FROM cands) WHERE rn = 1),
+ps1 AS (SELECT qid, nid FROM pk1),
+${(2 to 4).map(mmrStepSql).mkString(",\n")},
+sel AS (SELECT qid, 1 AS rank, nid, rel, mmr FROM pk1 UNION ALL SELECT qid, 2, nid, rel, mmr FROM pk2 UNION ALL SELECT qid, 3, nid, rel, mmr FROM pk3 UNION ALL SELECT qid, 4, nid, rel, mmr FROM pk4)
+SELECT qid, CAST(rank AS INT) AS rank, nid, round(rel, 4) AS rel, round(mmr, 4) AS mmr FROM sel""",
     // sim_pq replays the ENTIRE product-quantization pipeline in SQL:
     // driver-side codebook training (12 Lloyd's rounds x 16 subspaces on
     // the first-4096-by-id sample), corpus encoding, ADC scoring, the

@@ -198,6 +198,41 @@ object TextQueries {
         size = 32, stride = 24)
     },
 
+    // BPE merge-rule training (graft.text.bpeTrainMerges): 12 merges
+    // learned from the top-200 word vocabulary. The corpus is scanned
+    // once; every round runs on the cached 200-row vocab and collects one
+    // argmax row. The oracle replays all 12 rounds with the same
+    // delimited-string replace.
+    "t_bpe" -> { (s, dir) =>
+      bpeTrainMerges(Tables.documents(s, dir), "text",
+        vocabCap = 200, nMerges = 12)
+    },
+
+    // apply the learned merges corpus-wide (graft.text.bpeSegmentCounts):
+    // per-doc subword token counts through the 12-replace fold — a single
+    // codegen'd projection, no join/shuffle once the 12-row rule table is
+    // collected (bounded by contract)
+    "t_bpe_seg" -> { (s, dir) =>
+      val rules = bpeTrainMerges(Tables.documents(s, dir), "text",
+          vocabCap = 200, nMerges = 12)
+        .orderBy(col("merge_rank")).select(col("sym_a"), col("sym_b"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      bpeSegmentCounts(Tables.documents(s, dir), "doc_id", "text", rules)
+    },
+
+    // DSIR-style importance scoring (graft.text.dsirScore): target domain
+    // = the English slice, raw = the whole corpus, 4096 hashed unigram+
+    // bigram buckets. The oracle replays bucket counts, the smoothed
+    // log-ratio weights and the per-doc sums op-for-op; 4dp rounding at
+    // the edge absorbs cross-engine sum order.
+    "t_dsir" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      dsirScore(docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+          nBuckets = 4096)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("score"), 4).as("score"))
+    },
+
     // BM25 (Okapi) top-10 retrieval over a corpus-derived deterministic
     // query set (graft.text.bm25TopK): 3 two-term queries from the six
     // highest-frequency len>=4 tokens; broadcast query join + bounded-heap
@@ -235,6 +270,34 @@ object TextQueries {
 
   // DuckDB mirrors. The formulas are kept syntactically parallel to the
   // Spark expressions so identical doubles reach identical roundings.
+  /** One BPE merge round in SQL: count adjacent symbol pairs weighted by
+    * word count, argmax by (weight desc, a, b), rewrite the vocab with one
+    * literal replace. MATERIALIZED is load-bearing: each round references
+    * the previous twice, so inlined CTEs would expand 2^12-fold. */
+  private def bpeRoundSql(n: Int): String = {
+    val prev = s"v${n - 1}"
+    s"""p$n AS MATERIALIZED (SELECT pr.a AS a, pr.b AS b, sum(cnt) AS w FROM (SELECT unnest(list_transform(range(1, len(s)), i -> {'a': s[CAST(i AS INT)], 'b': s[CAST(i AS INT) + 1]})) AS pr, cnt FROM (SELECT string_split(trim(repr, '|'), '||') AS s, cnt FROM $prev) y) x GROUP BY 1, 2),
+m$n AS MATERIALIZED (SELECT a, b, w FROM p$n ORDER BY w DESC, a, b LIMIT 1),
+v$n AS MATERIALIZED (SELECT replace(repr, '|' || m.a || '||' || m.b || '|', '|' || m.a || m.b || '|') AS repr, cnt FROM $prev, m$n m)"""
+  }
+
+  /** Shared BPE training replay: word counts -> top-200 vocab cap ->
+    * delimited symbol strings -> 12 unrolled merge rounds. */
+  private val BPE_BASE =
+    s"""w0 AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents) WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
+cap AS MATERIALIZED (SELECT w, cnt FROM w0 ORDER BY cnt DESC, w LIMIT 200),
+v0 AS MATERIALIZED (SELECT '|' || array_to_string(string_split_regex(w, ''), '||') || '|' AS repr, cnt FROM cap),
+${(1 to 12).map(bpeRoundSql).mkString(",\n")}"""
+
+  /** The learned merges applied as a 12-deep replace fold — the SQL mirror
+    * of bpeSegmentCounts' Column tree, with the rule operands read from
+    * the pivoted one-row `rl` CTE. */
+  private val bpeChainSql: String =
+    (1 to 12).foldLeft("'|' || array_to_string(string_split_regex(w, ''), '||') || '|'") {
+      (acc, i) =>
+        s"replace($acc, '|' || rl.a$i || '||' || rl.b$i || '|', '|' || rl.a$i || rl.b$i || '|')"
+    }
+
   private val nws = """len(string_split_regex(trim(text), '\s+'))"""
   private val punct = """CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) ELSE 0.0 END"""
   private val alpha = """CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) ELSE 0.0 END"""
@@ -304,6 +367,27 @@ object TextQueries {
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS bow_fp, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS roll_fp FROM documents""",
     "t_epochs" ->
       """WITH h AS (SELECT lang, (list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 10000) / 10000.0 AS b, CASE WHEN lang = 'en' THEN 1.5 WHEN lang = 'de' THEN 2.25 ELSE 1.0 END AS w FROM documents) SELECT lang, CAST(sum(CAST(floor(w) AS BIGINT) + CASE WHEN b < w - floor(w) THEN 1 ELSE 0 END) AS BIGINT) AS n_rows FROM h GROUP BY lang""",
+    // BPE training: full 12-round replay; pair_count cast from DuckDB's
+    // HUGEINT sum back to BIGINT to match Spark's long
+    "t_bpe" ->
+      s"""WITH $BPE_BASE
+SELECT * FROM (${(1 to 12).map(i =>
+        s"SELECT CAST($i AS INT) AS merge_rank, a AS sym_a, b AS sym_b, a || b AS merged, CAST(w AS BIGINT) AS pair_count FROM m$i")
+        .mkString(" UNION ALL ")})""",
+    // BPE segmentation: same training replay, rules pivoted to one row,
+    // then the per-word replace chain inside a list_transform lambda
+    "t_bpe_seg" ->
+      s"""WITH $BPE_BASE,
+rl AS MATERIALIZED (SELECT ${(1 to 12).map(i =>
+        s"(SELECT a FROM m$i) AS a$i, (SELECT b FROM m$i) AS b$i").mkString(", ")})
+SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_words, CAST(list_sum(list_transform(t, w -> CASE WHEN regexp_matches(w, '^[a-z0-9]+$$') THEN len(string_split(trim($bpeChainSql, '|'), '||')) ELSE 1 END)) AS BIGINT) AS n_bpe
+FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents) d, rl""",
+    // DSIR: features = unigrams + sequential bigrams with multiplicity
+    // over trim(lower(text)) tokens, bucket = polyHash(f) % 4096; weights
+    // = ln((tc+1)/(Tt+B)) - ln((rc+1)/(Tr+B)) with the cast-then-add
+    // numerator form mirroring the Spark Column tree
+    "t_dsir" ->
+      """WITH tk AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents), fe AS (SELECT doc_id, lang, unnest(list_concat(t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS f FROM tk), fb AS (SELECT doc_id, lang, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(f, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 4096 AS b FROM fe), rc AS (SELECT b, count(*) AS rc FROM fb GROUP BY b), tc AS (SELECT b, count(*) AS tc FROM fb WHERE lang = 'en' GROUP BY b), tot AS (SELECT (SELECT count(*) FROM fb) AS tr, (SELECT count(*) FROM fb WHERE lang = 'en') AS tt), w AS (SELECT rc.b, ln((CAST(coalesce(tc.tc, 0) AS DOUBLE) + 1.0) / CAST(tt + 4096 AS DOUBLE)) - ln((CAST(rc.rc AS DOUBLE) + 1.0) / CAST(tr + 4096 AS DOUBLE)) AS w FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot) SELECT fb.doc_id, count(*) AS n_feats, round(sum(w.w), 4) AS score FROM fb JOIN w ON fb.b = w.b GROUP BY fb.doc_id""",
     // chunking: DuckDB's 1-based inclusive list slice ts[a:b] mirrors
     // Spark's slice(ts, a, len); chunk count = (n-1)//stride + 1
     "t_chunk" ->

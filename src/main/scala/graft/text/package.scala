@@ -608,6 +608,173 @@ package object text {
   // `size` the function vs `size` the parameter: alias the sql function
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 
+  /** BPE merge-rule training (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): learn `nMerges`
+    * byte-pair merges from the corpus word-frequency table. Classic
+    * formulation — train on the word vocabulary with counts, not the
+    * running text: each round counts adjacent symbol pairs weighted by
+    * word frequency, merges the most frequent pair (ties to the
+    * lexicographically smaller (a, b)), and rewrites the vocabulary.
+    *
+    * Words are whitespace tokens of `lower(textCol)` restricted to
+    * `^[a-z0-9]+$` (the symbol alphabet must exclude the '|' delimiter
+    * below; everything else segments as unknown downstream), and training
+    * runs on the top `vocabCap` words by (count desc, word asc) — the
+    * standard bounded-vocab gate, and the contract that makes every
+    * later stage driver-safe.
+    *
+    * Symbol sequences travel as delimited strings `|c1||c2||...|`, so a
+    * merge is ONE literal string replace: `|a||b|` -> `|ab|`. Literal
+    * replace is left-to-right non-overlapping in both engines, which IS
+    * BPE's merge order (e.g. [a,a,a] + (a,a) -> [aa, a]), and the
+    * replacement can never cascade within a round because a merged symbol
+    * `ab` only equals a rule operand of a LATER round. The DuckDB oracle
+    * replays every round with the same replace.
+    *
+    * 100 TB posture: the corpus is scanned ONCE (word count: one shuffle
+    * with map-side partials, then a bounded TakeOrdered for the cap).
+    * Each merge round runs on the CACHED `vocabCap`-row vocabulary —
+    * a pair explode + groupBy over <= cap rows — and collects exactly one
+    * argmax row to the driver (bounded by contract). Rounds cost nothing
+    * at any corpus scale; only the initial scan grows.
+    *
+    * Returns `nMerges` rows (merge_rank, sym_a, sym_b, merged,
+    * pair_count), stopping early if the vocabulary runs out of adjacent
+    * pairs. */
+  def bpeTrainMerges(df: DataFrame, textCol: String, vocabCap: Int = 200,
+      nMerges: Int = 12): DataFrame = {
+    require(vocabCap > 0 && nMerges > 0, s"bad cap=$vocabCap merges=$nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab0 = df
+      .select(explode(wsTokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabCap)
+      .select(concat(lit("|"), array_join(split(col("w"), ""), "||"),
+        lit("|")).as("repr"), col("cnt"))
+      .cache()
+    vocab0.count() // materialize: rounds must not rescan the corpus
+    val rules = Array.newBuilder[(Int, String, String, String, Long)]
+    var vocab = vocab0.select(col("repr"), col("cnt"))
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val syms = split(trim(col("repr"), "|"), "\\|\\|")
+      // guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty —
+      // single-symbol words must contribute no pairs, not bad indices
+      val idx = when(size(syms) >= 2, sequence(lit(1), size(syms) - 1))
+        .otherwise(array().cast("array<int>"))
+      val top = vocab
+        .select(col("cnt"), explode(transform(idx,
+          i => struct(element_at(syms, i).as("a"),
+            element_at(syms, i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("w"))
+        .orderBy(col("w").desc, col("a"), col("b")).limit(1)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, w) = top(0)
+        rules += ((r, a, b, a + b, w))
+        vocab = vocab.select(
+          replace(col("repr"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("repr"),
+          col("cnt"))
+        r += 1
+      }
+    }
+    val out = rules.result().toSeq
+      .toDF("merge_rank", "sym_a", "sym_b", "merged", "pair_count")
+    vocab0.unpersist(blocking = false)
+    out
+  }
+
+  /** Apply learned BPE merges and count the resulting subword tokens per
+    * document — the "how many tokens will this corpus cost" pass. Words
+    * matching `^[a-z0-9]+$` segment through the full merge sequence (the
+    * same delimited-string replace chain as [[bpeTrainMerges]], folded
+    * into ONE codegen'd Column expression — no join, no shuffle, no UDF);
+    * any other token counts as a single unknown. Returns
+    * (idCol, n_words, n_bpe). */
+  def bpeSegmentCounts(df: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    def nsym(w: Column): Column = {
+      val repr0 = concat(lit("|"), array_join(split(w, ""), "||"), lit("|"))
+      val reprN = rules.foldLeft(repr0) { case (acc, (a, b)) =>
+        replace(acc, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+      }
+      size_(split(trim(reprN, "|"), "\\|\\|")).cast("long")
+    }
+    df.select(col(idCol),
+      coalesce(size_(toks), lit(0)).cast("long").as("n_words"),
+      coalesce(aggregate(toks, lit(0L), (acc, w) =>
+        acc + when(w.rlike("^[a-z0-9]+$"), nsym(w)).otherwise(lit(1L))),
+        lit(0L)).as("n_bpe"))
+  }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by the log-likelihood ratio of its hashed n-gram features under a
+    * bag-of-ngrams model of the TARGET domain vs the RAW corpus —
+    * `score(d) = sum over d's features of [ln p_target(b) - ln p_raw(b)]`
+    * with add-one smoothing over `nBuckets` hashed buckets. High scores
+    * mark documents that look like the target domain; the standard
+    * pretraining-data selection step is "keep the top-k by score".
+    *
+    * Features are word unigrams AND bigrams (the paper's configuration),
+    * WITH multiplicity, hashed by the cross-engine [[graft.dedup.polyHash]]
+    * into `polyHash(f) % nBuckets` (poly < 1e9+7 is non-negative, so `%`
+    * agrees across engines). Weights are pure double ops mirrored
+    * op-for-op in the DuckDB oracle:
+    * `ln((tc+1)/(Tt+B)) - ln((rc+1)/(Tr+B))`; per-doc sums round to 4dp
+    * at the query edge (same ulp posture as [[unigramLogProb]]).
+    *
+    * 100 TB posture: feature extraction is map-side (codegen'd PolyHash on
+    * exploded features); bucket counting is one shuffle each for raw and
+    * target with map-side partials into exactly `nBuckets` rows; the
+    * weight table is bounded by contract at `nBuckets` rows and joins back
+    * via an explicit `broadcast` (the one forced broadcast here is
+    * CORRECT — B is a constructor constant, not data-sized); scoring is
+    * one per-doc shuffle. The two totals are 1-row driver aggregates.
+    * Nothing scales with corpus size except the linear scans.
+    *
+    * Returns (idCol, n_feats, score) — one row per raw doc with at least
+    * one feature (null text drops, matching the explode convention). */
+  def dsirScore(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets > 0, s"bad nBuckets=$nBuckets")
+    def feats(df: DataFrame): DataFrame = {
+      val t = wsTokens(lower(col(textCol)))
+      df.select(col(idCol).cast("long").as("id"),
+          concat(t, graft.functions.HashExprs.wordNgramsSeq(t, 2)).as("fs"))
+        .select(col("id"), explode(col("fs")).as("f"))
+        .select(col("id"),
+          (graft.functions.HashExprs.polyHashFast(col("f")) % nBuckets).as("b"))
+    }
+    val rawF = feats(raw)
+    val tgtF = feats(target)
+    val rc = rawF.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tc = tgtF.groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val trTot = Option(rc.agg(sum(col("rc"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    val ttTot = Option(tc.agg(sum(col("tc"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    // raw-side left join: every scored feature exists in the raw counts by
+    // construction (the scored corpus IS the raw corpus), target count
+    // defaults to 0 and rides on the smoothing
+    val w = rc.join(tc, Seq("b"), "left")
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)).cast("double") + 1.0) /
+            lit((ttTot + nBuckets).toDouble)) -
+          log((col("rc").cast("double") + 1.0) /
+            lit((trTot + nBuckets).toDouble))).as("w"))
+    rawF.join(broadcast(w), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+      .select(col("id").as(idCol), col("n_feats"), col("score"))
+  }
+
   /** PII patterns for training-data scrubbing. Deliberately restricted to
     * the regex subset that means the same thing in Java regex (Spark,
     * codegen'd `regexp_replace`/`regexp_count`) and RE2 (DuckDB oracle,

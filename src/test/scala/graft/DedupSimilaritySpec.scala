@@ -476,4 +476,73 @@ class DedupSimilaritySpec extends SparkSuite {
         driverSolveMaxEdges = 0L).collect()
     }
   }
+
+  test("mmrRerank: diversification demotes the near-duplicate runner-up") {
+    // q's nearest two are near-duplicates of each other; n3 is diverse.
+    // Plain cosine ranks (n1, n2, n3); MMR at lambda=0.5 must flip rank 2
+    // to n3 because n2's redundancy to the already-picked n1 (~0.99998)
+    // eats its relevance edge.
+    val corpus = Seq(
+      (1L, Seq(0.99f, 0.10f, 0f, 0f)),
+      (2L, Seq(0.98f, 0.12f, 0f, 0f)),
+      (3L, Seq(0.50f, 0f, 0.866f, 0f)),
+      (10L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 10)
+    val plain = bruteForceTopK(q, corpus, "vec_id", "embedding", 3)
+      .orderBy($"rank").select($"nid").as[Long].collect()
+    assert(plain.toSeq == Seq(1L, 2L, 3L))
+    val mmr = mmrRerank(q, corpus, "vec_id", "embedding",
+        nCand = 3, kOut = 3, lambda = 0.5)
+      .orderBy($"rank").select($"nid").as[Long].collect()
+    assert(mmr.toSeq == Seq(1L, 3L, 2L))
+  }
+
+  test("mmrRerank matches a driver-side greedy model on real embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, dir).limit(200)
+    val got = mmrRerank(emb.filter($"vec_id" < 5), emb, "vec_id", "embedding",
+        nCand = 6, kOut = 4, lambda = 0.7)
+      .as[(Long, Int, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._5))).toMap
+    // independent model: collect candidate vectors, replay the greedy
+    val cands = bruteForceTopK(emb.filter($"vec_id" < 5), emb,
+        "vec_id", "embedding", 6)
+      .join(emb.select($"vec_id".as("nid"),
+        $"embedding".cast("array<double>").as("v")), "nid")
+      .select($"qid", $"nid", $"cos", $"v")
+      .as[(Long, Long, Double, Seq[Double])].collect()
+    def cosv(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val model = cands.groupBy(_._1).flatMap { case (qid, cs0) =>
+      var remaining = cs0.sortBy(c => (-c._3, c._2)).toList
+      var picked = List.empty[(Long, Long, Double, Seq[Double])]
+      (1 to 4).map { rank =>
+        val scored = remaining.map { c =>
+          val s = if (rank == 1) c._3
+            else 0.7 * c._3 - (1.0 - 0.7) *
+              picked.map(p => cosv(c._4, p._4)).max
+          (c, s)
+        }
+        val (best, bs) = scored.minBy { case (c, s) => (-s, c._2) }
+        remaining = remaining.filterNot(_._2 == best._2)
+        picked ::= best
+        (qid, rank) -> ((best._2, bs))
+      }
+    }.toMap
+    assert(got.keySet == model.keySet)
+    model.foreach { case (k, (nid, s)) =>
+      assert(got(k)._1 == nid, s"pick at $k: got ${got(k)._1}, want $nid")
+      assert(math.abs(got(k)._2 - s) < 1e-9, s"score at $k")
+    }
+    // ranks are 1..4 per query and picks are distinct
+    val byQ = got.keys.groupBy(_._1)
+    byQ.values.foreach(ks => assert(ks.map(_._2).toSet == Set(1, 2, 3, 4)))
+    got.toSeq.groupBy(_._1._1).values.foreach { rows =>
+      assert(rows.map(_._2._1).distinct.size == 4, "duplicate pick")
+    }
+  }
 }

@@ -467,6 +467,81 @@ class ModulesSpec extends SparkSuite {
     }
   }
 
+  test("bpeTrainMerges: hand-computed Sennrich example; segment counts") {
+    // the classic BPE fixture: low:7, lower:2(within low's 7? no) —
+    // counts: low x5, lower x2, newest x6, widest x3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = graft.text.bpeTrainMerges(docs, "text",
+        vocabCap = 10, nMerges = 4)
+      .orderBy($"merge_rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // r1: es/st tie at 9 -> lex ("e","s"); r2: ("es","t") 9; r3: lo/ow tie
+    // at 7 -> ("l","o"); r4: ("lo","w") 7
+    assert(merges == Seq(
+      (1, "e", "s", "es", 9L), (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L), (4, "lo", "w", "low", 7L)), merges.toString)
+    // segmentation with the learned rules: lower = [low,e,r] (3),
+    // newest = [n,e,w,est] (4); non-alphanumeric words count 1
+    val rules = merges.map(m => (m._2, m._3))
+    val seg = graft.text.bpeSegmentCounts(
+        Seq((1L, "lower newest"), (2L, "Hello! low"), (3L, ""))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", rules)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(seg(1L) == ((2L, 7L)), seg.toString)
+    // "hello!" (lowered) has '!' -> unknown (1); "low" -> 1 symbol
+    assert(seg(2L) == ((2L, 2L)), seg.toString)
+    // empty text: one ''-token, unmatched -> 1
+    assert(seg(3L) == ((1L, 1L)), seg.toString)
+    // all-single-symbol vocab: no pairs -> early stop, empty rule table
+    val none = graft.text.bpeTrainMerges(
+      Seq((1L, "a b c a")).toDF("doc_id", "text"), "text", 10, 5)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq ==
+      Seq("merge_rank", "sym_a", "sym_b", "merged", "pair_count"))
+  }
+
+  test("dsirScore: target-domain docs outscore off-domain; model-exact") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "der hund lief schnell im park heute", "de"),
+      (3L, "the dog sat on the rug", "en"),
+      (4L, "le chat est sur le tapis", "fr"),
+      (5L, "", "en")) // empty text: one ''-unigram feature, no bigram
+    val raw = rows.toDF("doc_id", "text", "lang")
+    val got = graft.text.dsirScore(raw, raw.filter($"lang" === "en"),
+        "doc_id", "text", nBuckets = 64)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // driver-side model of the whole pipeline
+    def fs(t: String): Seq[String] = {
+      val ts = t.trim.toLowerCase.split("\\s+").toSeq
+      ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val B = 64
+    def bk(f: String): Int = (graft.functions.HashExprs.polyHash(f) % B).toInt
+    val rawB = rows.map { case (id, t, _) => id -> fs(t).map(bk) }.toMap
+    val rcnt = rawB.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val tcnt = rows.filter(_._3 == "en")
+      .flatMap(r => fs(r._2).map(bk)).groupBy(identity).view.mapValues(_.size).toMap
+    val tr = rcnt.values.sum.toLong; val tt = tcnt.values.sum.toLong
+    def w(b: Int): Double =
+      math.log((tcnt.getOrElse(b, 0).toDouble + 1.0) / (tt + B).toDouble) -
+        math.log((rcnt(b).toDouble + 1.0) / (tr + B).toDouble)
+    rows.foreach { case (id, t, _) =>
+      val bs = rawB(id)
+      assert(got(id)._1 == bs.size.toLong, s"n_feats for $id")
+      assert(math.abs(got(id)._2 - bs.map(w).sum) < 1e-9, s"score for $id")
+      assert(got(id)._1 == 2L * fs(t).count(!_.contains(' ')) - 1,
+        s"unigram+bigram count for $id")
+    }
+    // the selection property DSIR exists for: target-domain docs rank first
+    assert(Seq(1L, 3L).map(got(_)._2).min > Seq(2L, 4L).map(got(_)._2).max,
+      got.toString)
+  }
+
   test("packSequences: hand-computed layout; two-level scan = global window") {
     val docs = Seq((1L, 10L), (2L, 5L), (3L, 2000L), (4L, 100L))
       .toDF("doc_id", "nt")

@@ -33,8 +33,11 @@ class PlanQualitySpec extends SparkSuite {
       // the corpus with the k-row centroid table, same as sim_kmeans)
       // (t_bm25: the 1-ROW corpus-stats aggregate enters scoring as a
       // broadcast cross — the oracle's scalar subquery in plan form)
+      // (sim_mmr: candidate generation IS bruteForceTopK — the same tiny
+      // broadcast-query-set cross as sim_topk; the greedy itself is a
+      // bounded keyed MapGroups, no cross)
       val crossByDesign = Set("sim_ivf", "sim_kmeans", "sim_topk", "sim_pq",
-        "d_semdedup", "t_bm25")
+        "d_semdedup", "t_bm25", "sim_mmr")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
