@@ -736,7 +736,8 @@ package object text {
     * weight table is bounded by contract at `nBuckets` rows and joins back
     * via an explicit `broadcast` (the one forced broadcast here is
     * CORRECT — B is a constructor constant, not data-sized); scoring is
-    * one per-doc shuffle. The two totals are 1-row driver aggregates.
+    * one per-doc shuffle. The two totals ride as a broadcast 1-row cross
+    * join whose sums ReuseExchange serves from the rc/tc shuffles.
     * Nothing scales with corpus size except the linear scans.
     *
     * Returns (idCol, n_feats, score) — one row per raw doc with at least
@@ -756,19 +757,22 @@ package object text {
     val tgtF = feats(target)
     val rc = rawF.groupBy(col("b")).agg(count(lit(1)).as("rc"))
     val tc = tgtF.groupBy(col("b")).agg(count(lit(1)).as("tc"))
-    val trTot = Option(rc.agg(sum(col("rc"))).head().get(0))
-      .fold(0L)(_.asInstanceOf[Long])
-    val ttTot = Option(tc.agg(sum(col("tc"))).head().get(0))
-      .fold(0L)(_.asInstanceOf[Long])
+    // totals enter as a broadcast 1-ROW cross join (the oracle's scalar
+    // subquery in plan form) instead of driver .head() jobs: the whole
+    // operator stays ONE lazy plan, and ReuseExchange serves the total
+    // sums from the same partial-aggregate shuffles that produced rc/tc —
+    // no extra corpus pass, no eager job at construction
+    val tot = rc.agg(coalesce(sum(col("rc")), lit(0L)).as("tr"))
+      .crossJoin(tc.agg(coalesce(sum(col("tc")), lit(0L)).as("tt")))
     // raw-side left join: every scored feature exists in the raw counts by
     // construction (the scored corpus IS the raw corpus), target count
     // defaults to 0 and rides on the smoothing
-    val w = rc.join(tc, Seq("b"), "left")
+    val w = rc.join(tc, Seq("b"), "left").crossJoin(broadcast(tot))
       .select(col("b"),
         (log((coalesce(col("tc"), lit(0L)).cast("double") + 1.0) /
-            lit((ttTot + nBuckets).toDouble)) -
+            (col("tt") + nBuckets).cast("double")) -
           log((col("rc").cast("double") + 1.0) /
-            lit((trTot + nBuckets).toDouble))).as("w"))
+            (col("tr") + nBuckets).cast("double"))).as("w"))
     rawF.join(broadcast(w), "b")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))

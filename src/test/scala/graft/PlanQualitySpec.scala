@@ -36,8 +36,10 @@ class PlanQualitySpec extends SparkSuite {
       // (sim_mmr: candidate generation IS bruteForceTopK — the same tiny
       // broadcast-query-set cross as sim_topk; the greedy itself is a
       // bounded keyed MapGroups, no cross)
+      // (t_dsir: the 1-ROW feature-total aggregate enters the weight
+      // table as a broadcast cross — same shape as t_bm25's stats row)
       val crossByDesign = Set("sim_ivf", "sim_kmeans", "sim_topk", "sim_pq",
-        "d_semdedup", "t_bm25", "sim_mmr")
+        "d_semdedup", "t_bm25", "sim_mmr", "t_dsir")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
