@@ -736,8 +736,8 @@ package object text {
     * weight table is bounded by contract at `nBuckets` rows and joins back
     * via an explicit `broadcast` (the one forced broadcast here is
     * CORRECT — B is a constructor constant, not data-sized); scoring is
-    * one per-doc shuffle. The two totals ride as a broadcast 1-row cross
-    * join whose sums ReuseExchange serves from the rc/tc shuffles.
+    * one per-doc shuffle. The two totals are window sums over the
+    * bounded weight table itself — no extra corpus pass, no driver job.
     * Nothing scales with corpus size except the linear scans.
     *
     * Returns (idCol, n_feats, score) — one row per raw doc with at least
@@ -757,19 +757,25 @@ package object text {
     val tgtF = feats(target)
     val rc = rawF.groupBy(col("b")).agg(count(lit(1)).as("rc"))
     val tc = tgtF.groupBy(col("b")).agg(count(lit(1)).as("tc"))
-    // totals enter as a broadcast 1-ROW cross join (the oracle's scalar
-    // subquery in plan form) instead of driver .head() jobs: the whole
-    // operator stays ONE lazy plan, and ReuseExchange serves the total
-    // sums from the same partial-aggregate shuffles that produced rc/tc —
-    // no extra corpus pass, no eager job at construction
-    val tot = rc.agg(coalesce(sum(col("rc")), lit(0L)).as("tr"))
-      .crossJoin(tc.agg(coalesce(sum(col("tc")), lit(0L)).as("tt")))
-    // raw-side left join: every scored feature exists in the raw counts by
-    // construction (the scored corpus IS the raw corpus), target count
-    // defaults to 0 and rides on the smoothing
-    val w = rc.join(tc, Seq("b"), "left").crossJoin(broadcast(tot))
+    // totals are unbounded window sums OVER THE WEIGHT TABLE ITSELF —
+    // a single-task global window, which is exactly right here because
+    // the frame is bounded at <= nBuckets rows by contract. The
+    // alternatives both rescan the corpus: driver .head() totals add two
+    // eager jobs, and a 1-row aggregate cross join is NOT exchange-reused
+    // by AQE against the rc/tc shuffles (measured: 5 corpus scans).
+    // This shape is one lazy plan with exactly 3 corpus passes.
+    // Full outer join: a target bucket absent from raw still counts
+    // toward tt (generic-target semantics); rc=0 buckets drop out at the
+    // scoring inner join anyway.
+    val win = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val w = rc.join(tc, Seq("b"), "full")
+      .select(col("b"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+      .select(col("b"), col("rc"), col("tc"),
+        sum(col("rc")).over(win).as("tr"), sum(col("tc")).over(win).as("tt"))
       .select(col("b"),
-        (log((coalesce(col("tc"), lit(0L)).cast("double") + 1.0) /
+        (log((col("tc").cast("double") + 1.0) /
             (col("tt") + nBuckets).cast("double")) -
           log((col("rc").cast("double") + 1.0) /
             (col("tr") + nBuckets).cast("double"))).as("w"))

@@ -36,10 +36,8 @@ class PlanQualitySpec extends SparkSuite {
       // (sim_mmr: candidate generation IS bruteForceTopK — the same tiny
       // broadcast-query-set cross as sim_topk; the greedy itself is a
       // bounded keyed MapGroups, no cross)
-      // (t_dsir: the 1-ROW feature-total aggregate enters the weight
-      // table as a broadcast cross — same shape as t_bm25's stats row)
       val crossByDesign = Set("sim_ivf", "sim_kmeans", "sim_topk", "sim_pq",
-        "d_semdedup", "t_bm25", "sim_mmr", "t_dsir")
+        "d_semdedup", "t_bm25", "sim_mmr")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
@@ -350,6 +348,48 @@ class PlanQualitySpec extends SparkSuite {
     assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n${plan.take(2000)}")
     assert(plan.contains("partial_count") || plan.contains("partial_min"),
       s"no map-side combine — every duplicate row crosses the wire:\n${plan.take(2000)}")
+  }
+
+  test("t_chunk: chunking is one shuffle-free generate inside codegen") {
+    val plan = SparkEntry.queries("t_chunk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must be map-only — a shuffle here scans the corpus " +
+        s"twice at 100 TB:\n${plan.take(2000)}")
+    assert(plan.contains("Generate explode"),
+      s"expected a generator for the chunk windows:\n${plan.take(2000)}")
+  }
+
+  test("t_bpe_seg: segmentation after training is a map-only projection") {
+    // training collects its bounded rule table eagerly; the returned
+    // segmentation frame itself must plan zero exchanges — the 12-replace
+    // fold is one codegen'd projection over the scan
+    val plan = SparkEntry.queries("t_bpe_seg")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"segmentation must not shuffle:\n${plan.take(2000)}")
+    assert(plan.contains("*(1)"), // whole-stage-codegen stage marker
+      s"replace fold fell out of codegen:\n${plan.take(2000)}")
+  }
+
+  test("t_dsir: weight table broadcasts; exactly 3 corpus scans") {
+    val df = SparkEntry.queries("t_dsir")(spark, dir)
+    df.collect() // AQE final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the nBuckets-row weight table must broadcast onto the feature " +
+        s"stream — a shuffle join here reshuffles the corpus:\n${plan.take(3000)}")
+    // rc pass + tc pass + scoring pass. The totals must NOT add scans:
+    // they are window sums over the bounded weight table (the 1-row
+    // aggregate cross-join alternative measured 5 scans — AQE does not
+    // exchange-reuse it against the rc/tc shuffles). Count only the AQE
+    // final-plan section: toString repeats the initial plan below it.
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).length
+    assert(scans == 3,
+      s"expected 3 corpus scans, got $scans:\n${finalPlan.take(3000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"unexpected cross:\n${plan.take(3000)}")
   }
 
   test("t_bm25: tf shuffle is computed once and reused; queries broadcast") {
