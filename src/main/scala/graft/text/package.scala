@@ -721,6 +721,10 @@ package object text {
     * (idCol, n_words, n_bpe). */
   def bpeSegmentCounts(df: DataFrame, idCol: String, textCol: String,
       rules: Seq[(String, String)]): DataFrame = {
+    rules.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && !a.contains("|") && !b.contains("|"),
+        s"rule operands must be non-empty and '|'-free, got ('$a', '$b')")
+    }
     val toks = wsTokens(lower(col(textCol)))
     def nsym(w: Column): Column = {
       val repr0 = concat(lit("|"), array_join(split(w, ""), "||"), lit("|"))
