@@ -71,7 +71,19 @@ object PlanGallery {
       "assignment broadcast-cross the corpus with the k-row centroid " +
       "table (the IVF pattern), the within-cell near-dup pairs hash-join " +
       "on cid — learned-cluster blocking holds the pair term at ~N^1.5 " +
-      "with sqrt(N) cells."))
+      "with sqrt(N) cells."),
+    "t_chunk" -> ("Overlapping token-window chunking: one shuffle-free " +
+      "Generate (explode of a per-row bounded sequence) + slice/" +
+      "array_join inside the scan's codegen span — RAG chunking at " +
+      "scan speed, output bounded at size/stride times the input."),
+    "t_dsir" -> ("DSIR importance scoring: two bucket-count shuffles " +
+      "(bounded at nBuckets rows each), totals as window sums over the " +
+      "bounded weight table itself, and the weight table broadcast onto " +
+      "the feature stream — exactly 3 corpus scans, pinned."),
+    "t_bpe_seg" -> ("BPE segmentation with learned merges: the 12-rule " +
+      "replace chain folds into ONE codegen'd projection over the scan " +
+      "(training collected its bounded rule table beforehand) — zero " +
+      "exchanges, zero joins; corpus-wide token costing at scan speed."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

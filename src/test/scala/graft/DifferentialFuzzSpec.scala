@@ -621,4 +621,53 @@ class DifferentialFuzzSpec extends SparkSuite {
       assert(run[Seq[Int]](rows, runLengths($"xs")) == rows.map(rl))
     }
   }
+
+  test("bpeTrainMerges matches a string-replace reference on random corpora") {
+    // the driver merge loop is imperative array code; this pins it against
+    // an INDEPENDENT model built on the oracle's exact mechanism —
+    // delimited |c1||c2| strings + literal java String.replace (left-to-
+    // right non-overlapping, same as Spark/DuckDB replace). Alphabet of 3
+    // and short words force dense pair-count ties, exercising the
+    // (weight desc, a, b) tie-break on both sides.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val alpha = "abc"
+      val words = (0 until 40).map { _ =>
+        (0 until 1 + rnd.nextInt(6))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.text.bpeTrainMerges(df, "text",
+          vocabCap = 30, nMerges = 6)
+        .orderBy($"merge_rank")
+        .as[(Int, String, String, String, Long)].collect().toSeq
+      var vocab: Seq[(String, Long)] = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq
+        .sortBy { case (w, c) => (-c, w) }.take(30)
+        .map { case (w, c) =>
+          ("|" + w.split("").filter(_.nonEmpty).mkString("||") + "|", c) }
+      val want = scala.collection.mutable.Buffer[(Int, String, String, String, Long)]()
+      var r = 1
+      var stop = false
+      while (r <= 6 && !stop) {
+        val pairs = scala.collection.mutable.Map[(String, String), Long]()
+        vocab.foreach { case (repr, c) =>
+          val syms = repr.stripPrefix("|").stripSuffix("|").split("\\|\\|")
+          syms.sliding(2).filter(_.length == 2).foreach { p =>
+            pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + c
+          }
+        }
+        if (pairs.isEmpty) stop = true
+        else {
+          val ((a, b), w) = pairs.toSeq
+            .minBy { case ((pa, pb), pw) => (-pw, pa, pb) }
+          want += ((r, a, b, a + b, w))
+          vocab = vocab.map { case (repr, c) =>
+            (repr.replace(s"|$a||$b|", s"|$a$b|"), c) }
+          r += 1
+        }
+      }
+      assert(got == want.toSeq, s"trial $trial: got $got, want $want")
+    }
+  }
 }
