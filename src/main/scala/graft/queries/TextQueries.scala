@@ -375,12 +375,17 @@ SELECT * FROM (${(1 to 12).map(i =>
         s"SELECT CAST($i AS INT) AS merge_rank, a AS sym_a, b AS sym_b, a || b AS merged, CAST(w AS BIGINT) AS pair_count FROM m$i")
         .mkString(" UNION ALL ")})""",
     // BPE segmentation: same training replay, rules pivoted to one row,
-    // then the per-word replace chain inside a list_transform lambda
+    // then the per-word replace chain inside a list_transform lambda.
+    // Null-safety mirrors the Spark side: an exhausted merge round's
+    // empty m$i coalesces to ''-operand rules whose '||||' pattern can
+    // never match (symbols are non-empty, so pipe runs are at most 2) —
+    // without the coalesce a NULL pattern would NULL-poison every
+    // alphanumeric word's count; null text scores (0, 0), not NULL.
     "t_bpe_seg" ->
       s"""WITH $BPE_BASE,
 rl AS MATERIALIZED (SELECT ${(1 to 12).map(i =>
-        s"(SELECT a FROM m$i) AS a$i, (SELECT b FROM m$i) AS b$i").mkString(", ")})
-SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_words, CAST(list_sum(list_transform(t, w -> CASE WHEN regexp_matches(w, '^[a-z0-9]+$$') THEN len(string_split(trim($bpeChainSql, '|'), '||')) ELSE 1 END)) AS BIGINT) AS n_bpe
+        s"coalesce((SELECT a FROM m$i), '') AS a$i, coalesce((SELECT b FROM m$i), '') AS b$i").mkString(", ")})
+SELECT d.doc_id, CAST(coalesce(len(t), 0) AS BIGINT) AS n_words, CAST(coalesce(list_sum(list_transform(t, w -> CASE WHEN regexp_matches(w, '^[a-z0-9]+$$') THEN len(string_split(trim($bpeChainSql, '|'), '||')) ELSE 1 END)), 0) AS BIGINT) AS n_bpe
 FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents) d, rl""",
     // DSIR: features = unigrams + sequential bigrams with multiplicity
     // over trim(lower(text)) tokens, bucket = polyHash(f) % 4096; weights
@@ -389,9 +394,13 @@ FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM doc
     "t_dsir" ->
       """WITH tk AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents), fe AS (SELECT doc_id, lang, unnest(list_concat(t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS f FROM tk), fb AS (SELECT doc_id, lang, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(f, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 4096 AS b FROM fe), rc AS (SELECT b, count(*) AS rc FROM fb GROUP BY b), tc AS (SELECT b, count(*) AS tc FROM fb WHERE lang = 'en' GROUP BY b), tot AS (SELECT (SELECT count(*) FROM fb) AS tr, (SELECT count(*) FROM fb WHERE lang = 'en') AS tt), w AS (SELECT rc.b, ln((CAST(coalesce(tc.tc, 0) AS DOUBLE) + 1.0) / CAST(tt + 4096 AS DOUBLE)) - ln((CAST(rc.rc AS DOUBLE) + 1.0) / CAST(tr + 4096 AS DOUBLE)) AS w FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot) SELECT fb.doc_id, count(*) AS n_feats, round(sum(w.w), 4) AS score FROM fb JOIN w ON fb.b = w.b GROUP BY fb.doc_id""",
     // chunking: DuckDB's 1-based inclusive list slice ts[a:b] mirrors
-    // Spark's slice(ts, a, len); chunk count = (n-1)//stride + 1
+    // Spark's slice(ts, a, len); chunk count = (n-1)//stride + 1.
+    // Null text mirrors chunkText's no-document-vanishes contract: the
+    // coalesce(len, 1) forces exactly one chunk row whose NULL slice
+    // coalesces to (0, '') — without it, range(0, NULL) unnests to zero
+    // rows and the document silently disappears from the oracle only.
     "t_chunk" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents), c AS (SELECT doc_id, ts, unnest(range(0, (len(ts) - 1) // 24 + 1)) AS chunk_id FROM t), s AS (SELECT doc_id, chunk_id, ts[CAST(chunk_id * 24 + 1 AS INT):CAST(least(chunk_id * 24 + 32, len(ts)) AS INT)] AS ck FROM c) SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(len(ck) AS BIGINT) AS n_chunk_toks, array_to_string(ck, ' ') AS chunk_text FROM s""",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents), c AS (SELECT doc_id, ts, unnest(range(0, (coalesce(len(ts), 1) - 1) // 24 + 1)) AS chunk_id FROM t), s AS (SELECT doc_id, chunk_id, ts[CAST(chunk_id * 24 + 1 AS INT):CAST(least(chunk_id * 24 + 32, len(ts)) AS INT)] AS ck FROM c) SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(coalesce(len(ck), 0) AS BIGINT) AS n_chunk_toks, coalesce(array_to_string(ck, ' '), '') AS chunk_text FROM s""",
     // BM25: the score expression is kept syntactically parallel to
     // bm25TopK's Column tree (idf * ((tf * (k1+1)) / den) — double
     // multiplication is non-associative, so the SQL parenthesizes the

@@ -284,8 +284,9 @@ package object similarity {
     * [[ivfTopK]] upstream for corpus-sized query sets); the greedy itself
     * runs per query group over `nCand` rows — bounded by contract — in
     * one `flatMapGroups` pass: a single qid-keyed shuffle of at most
-    * `nCand` rows per query, O(nCand^2 * kOut) flops per group, no
-    * corpus-wide state, no driver collect. Returns
+    * `nCand` rows per query, O(nCand * kOut * dim) flops per group (one
+    * running max-similarity per candidate, folded against the newest
+    * pick), no corpus-wide state, no driver collect. Returns
     * (qid, rank, nid, rel, mmr) with rank in selection order. */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, nCand: Int, kOut: Int, lambda: Double = 0.7): DataFrame = {
@@ -314,27 +315,33 @@ package object similarity {
         dot / (math.sqrt(na2) * math.sqrt(nb2)) // norms > 0: rel was non-null
       }
       val used = new Array[Boolean](cs.length)
+      // classic incremental MMR: one running max-similarity per candidate,
+      // folded against ONLY the newest pick each rank — O(nCand*kOut*dim)
+      // instead of recomputing every candidate-to-picked cosine per rank.
+      // Bit-identical picks: double max is order-insensitive and exact, so
+      // accumulating per-pick equals re-scanning the full picked set.
+      val msim = Array.fill(cs.length)(Double.NegativeInfinity)
       val out = Array.newBuilder[(Long, Int, Long, Double, Double)]
       var rank = 1
+      var last = -1
       while (rank <= math.min(kOut, cs.length)) {
+        if (last >= 0) {
+          var j = 0
+          while (j < cs.length) {
+            if (!used(j)) {
+              val s = cosv(vecs(j), vecs(last))
+              if (s > msim(j)) msim(j) = s
+            }
+            j += 1
+          }
+        }
         var best = -1; var bestScore = 0.0
         var j = 0
         while (j < cs.length) {
           if (!used(j)) {
             val score =
               if (rank == 1) cs(j)._3
-              else {
-                var msim = Double.NegativeInfinity
-                var p = 0
-                while (p < cs.length) {
-                  if (used(p)) {
-                    val s = cosv(vecs(j), vecs(p))
-                    if (s > msim) msim = s
-                  }
-                  p += 1
-                }
-                lambda * cs(j)._3 - mu * msim
-              }
+              else lambda * cs(j)._3 - mu * msim(j)
             // strict >: ties stay with the earlier (smaller-nid-on-equal-rel,
             // and the explicit nid compare covers equal scores at differing rel)
             if (best < 0 || score > bestScore ||
@@ -345,6 +352,7 @@ package object similarity {
           j += 1
         }
         used(best) = true
+        last = best
         out += ((qid, rank, cs(best)._2, cs(best)._3, bestScore))
         rank += 1
       }

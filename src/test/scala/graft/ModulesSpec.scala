@@ -486,7 +486,8 @@ class ModulesSpec extends SparkSuite {
     // newest = [n,e,w,est] (4); non-alphanumeric words count 1
     val rules = merges.map(m => (m._2, m._3))
     val seg = graft.text.bpeSegmentCounts(
-        Seq((1L, "lower newest"), (2L, "Hello! low"), (3L, ""))
+        Seq((1L, "lower newest"), (2L, "Hello! low"), (3L, ""),
+          (4L, null.asInstanceOf[String]))
           .toDF("doc_id", "text"),
         "doc_id", "text", rules)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
@@ -495,6 +496,8 @@ class ModulesSpec extends SparkSuite {
     assert(seg(2L) == ((2L, 2L)), seg.toString)
     // empty text: one ''-token, unmatched -> 1
     assert(seg(3L) == ((1L, 1L)), seg.toString)
+    // null text: (0, 0) — the oracle mirrors both coalesces
+    assert(seg(4L) == ((0L, 0L)), seg.toString)
     // all-single-symbol vocab: no pairs -> early stop, empty rule table
     val none = graft.text.bpeTrainMerges(
       Seq((1L, "a b c a")).toDF("doc_id", "text"), "text", 10, 5)
