@@ -582,7 +582,11 @@ package object text {
     * split token array — entirely inside the scan's whole-stage-codegen
     * span. No shuffle, no UDF, no state; output volume is
     * `ceil(n/stride)` rows per doc by construction (the caller picks
-    * stride to bound the blow-up factor at `size/stride`).
+    * stride to bound the blow-up factor at `size/stride`). Per-doc bound:
+    * `sequence` materializes the chunk-id array per row, so a single doc
+    * is capped at ~`stride * MAX_ROUNDED_ARRAY_LENGTH` tokens (hundreds
+    * of millions at any realistic stride) — split pathological docs
+    * upstream.
     *
     * Returns (idCol, chunk_id, n_chunk_toks, chunk_text). */
   def chunkText(df: DataFrame, idCol: String, textCol: String,
