@@ -467,6 +467,47 @@ class ModulesSpec extends SparkSuite {
     }
   }
 
+  test("round-7 operators are total on empty and degenerate corpora") {
+    // empty-corpus robustness: every operator must return an empty (or
+    // rule-free) frame, not throw — the behavior a pipeline stage needs
+    // when an upstream filter leaves nothing
+    val docs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(graft.text.chunkText(docs, "doc_id", "text", 32, 24).count() == 0)
+    assert(graft.text.bpeTrainMerges(docs, "text", 10, 3).count() == 0)
+    assert(graft.text.bpeSegmentCounts(docs, "doc_id", "text",
+      Seq(("a", "b"))).count() == 0)
+    assert(graft.text.dsirScore(docs, docs, "doc_id", "text", 64).count() == 0)
+    val emb = spark.emptyDataset[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.similarity.mmrRerank(emb, emb, "vec_id", "embedding",
+      nCand = 4, kOut = 2).count() == 0)
+    // empty TARGET, non-empty raw: every raw doc still scores (tt = 0
+    // rides on the smoothing), nothing NaN/throws
+    val raw = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val scored = graft.text.dsirScore(raw, docs, "doc_id", "text", 64)
+      .as[(Long, Long, Double)].collect()
+    assert(scored.length == 2 && scored.forall(r => !r._3.isNaN))
+  }
+
+  test("chunkText is stateless: identical output under Structured Streaming") {
+    // the generator expression runs unmodified on a stream — no state, no
+    // watermark, no shuffle; append-mode output must equal the batch run
+    val d = java.nio.file.Files.createTempDirectory("graft_chunk_stream").toString
+    val batchIn = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").limit(100)
+    batchIn.write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(batchIn.schema).parquet(d)
+    val q = graft.text.chunkText(stream, "doc_id", "text", size = 8, stride = 6)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("chunk_stream")
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = graft.text.chunkText(spark.read.parquet(d), "doc_id", "text",
+        size = 8, stride = 6)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("bpeTrainMerges: hand-computed Sennrich example; segment counts") {
     // the classic BPE fixture: low:7, lower:2(within low's 7? no) —
     // counts: low x5, lower x2, newest x6, widest x3
