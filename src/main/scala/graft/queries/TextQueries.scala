@@ -220,6 +220,23 @@ object TextQueries {
       bpeSegmentCounts(Tables.documents(s, dir), "doc_id", "text", rules)
     },
 
+    // the full pretraining planning pipeline in one query: learn BPE
+    // merges, cost every document in learned subword tokens, pack the
+    // corpus into 2048-token sequences (two-level prefix scan) — per-seq
+    // doc/token counts. Composition of t_bpe + t_bpe_seg + t_pack.
+    "t_bpe_pack" -> { (s, dir) =>
+      val rules = bpeTrainMerges(Tables.documents(s, dir), "text",
+          vocabCap = 200, nMerges = 12)
+        .orderBy(col("merge_rank")).select(col("sym_a"), col("sym_b"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val costed = bpeSegmentCounts(Tables.documents(s, dir), "doc_id",
+          "text", rules)
+        .select(col("doc_id"), col("n_bpe").as("nt"))
+      packSequences(costed, "doc_id", "nt", budget = 2048)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    },
+
     // DSIR-style importance scoring (graft.text.dsirScore): target domain
     // = the English slice, raw = the whole corpus, 4096 hashed unigram+
     // bigram buckets. The oracle replays bucket counts, the smoothed
@@ -289,6 +306,13 @@ cap AS MATERIALIZED (SELECT w, cnt FROM w0 ORDER BY cnt DESC, w LIMIT 200),
 v0 AS MATERIALIZED (SELECT '|' || array_to_string(string_split_regex(w, ''), '||') || '|' AS repr, cnt FROM cap),
 ${(1 to 12).map(bpeRoundSql).mkString(",\n")}"""
 
+  /** The learned rules pivoted to one row, with exhausted rounds
+    * coalesced to ''-operand no-op rules (pattern '||||' can never match
+    * a well-formed repr: symbols are non-empty, so pipe runs cap at 2). */
+  private val BPE_RL: String =
+    s"""rl AS MATERIALIZED (SELECT ${(1 to 12).map(i =>
+      s"coalesce((SELECT a FROM m$i), '') AS a$i, coalesce((SELECT b FROM m$i), '') AS b$i").mkString(", ")})"""
+
   /** The learned merges applied as a 12-deep replace fold — the SQL mirror
     * of bpeSegmentCounts' Column tree, with the rule operands read from
     * the pivoted one-row `rl` CTE. */
@@ -297,6 +321,11 @@ ${(1 to 12).map(bpeRoundSql).mkString(",\n")}"""
       (acc, i) =>
         s"replace($acc, '|' || rl.a$i || '||' || rl.b$i || '|', '|' || rl.a$i || rl.b$i || '|')"
     }
+
+  /** Per-doc BPE token cost over token-list column `t` (alphanumeric
+    * words through the chain, anything else 1 unknown; null text -> 0). */
+  private val BPE_NBPE: String =
+    s"""CAST(coalesce(list_sum(list_transform(t, w -> CASE WHEN regexp_matches(w, '^[a-z0-9]+$$') THEN len(string_split(trim($bpeChainSql, '|'), '||')) ELSE 1 END)), 0) AS BIGINT)"""
 
   private val nws = """len(string_split_regex(trim(text), '\s+'))"""
   private val punct = """CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) ELSE 0.0 END"""
@@ -383,10 +412,18 @@ SELECT * FROM (${(1 to 12).map(i =>
     // alphanumeric word's count; null text scores (0, 0), not NULL.
     "t_bpe_seg" ->
       s"""WITH $BPE_BASE,
-rl AS MATERIALIZED (SELECT ${(1 to 12).map(i =>
-        s"coalesce((SELECT a FROM m$i), '') AS a$i, coalesce((SELECT b FROM m$i), '') AS b$i").mkString(", ")})
-SELECT d.doc_id, CAST(coalesce(len(t), 0) AS BIGINT) AS n_words, CAST(coalesce(list_sum(list_transform(t, w -> CASE WHEN regexp_matches(w, '^[a-z0-9]+$$') THEN len(string_split(trim($bpeChainSql, '|'), '||')) ELSE 1 END)), 0) AS BIGINT) AS n_bpe
+$BPE_RL
+SELECT d.doc_id, CAST(coalesce(len(t), 0) AS BIGINT) AS n_words, $BPE_NBPE AS n_bpe
 FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents) d, rl""",
+    // the pretraining planning query end to end: BPE-learned token costs
+    // fed into the packing layout — same cumsum/seq_id math as t_pack,
+    // same training replay as t_bpe_seg
+    "t_bpe_pack" ->
+      s"""WITH $BPE_BASE,
+$BPE_RL,
+costed AS (SELECT d.doc_id, $BPE_NBPE AS nt FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents) d, rl),
+c AS (SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id) AS cum FROM costed)
+SELECT CAST((cum - nt) // 2048 AS BIGINT) AS seq_id, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens FROM c GROUP BY 1""",
     // DSIR: features = unigrams + sequential bigrams with multiplicity
     // over trim(lower(text)) tokens, bucket = polyHash(f) % 4096; weights
     // = ln((tc+1)/(Tt+B)) - ln((rc+1)/(Tr+B)) with the cast-then-add
