@@ -361,6 +361,61 @@ package object similarity {
     picked.toDF("qid", "rank", "nid", "rel", "mmr")
   }
 
+  /** Behavior-sequence similarity search: top-`k` most similar entities
+    * by n-gram Jaccard over their time-ordered token sequences (event
+    * types, page paths, action codes) — the distributed re-expression of
+    * trajectory top-k search (REPOSE, ICDE 2021 — local tries become an
+    * inverted n-gram index; the global top-k becomes a bounded heap).
+    *
+    * Sequence = tokens ordered by (tsCol, tieCol) — the explicit integer
+    * tiebreak makes the ragged build deterministic under equal
+    * timestamps on any partitioning. Similarity = Jaccard over the
+    * DISTINCT n-gram sets; ranking compares the raw double
+    * `inter/union` (one division, bit-identical cross-engine), ties to
+    * the smaller neighbor id.
+    *
+    * 100 TB posture: one shuffle builds the per-entity sequences
+    * (sort_array over collect_list — the io_nested ragged-build shape,
+    * AQE-skew-safe); candidates come from an inverted n-gram equi-join
+    * (never all-pairs) with posting lists capped at `dfCap` (a gram
+    * shared by more than dfCap entities is boilerplate, not signal —
+    * same escape hatch as ngramJaccardPairs); the per-entity top-k is a
+    * map-side bounded heap (GroupTopK), k rows per entity out of the
+    * pair shuffle. Caveat that is inherent to the method, not the plan:
+    * both the discriminative power and the inverted-index bound need a
+    * token space larger than the entity count — over a tiny alphabet
+    * (a handful of event types at millions of users) every posting list
+    * is hot and dfCap would drain the index; feed richer tokens (page
+    * paths, typed action codes) or raise `n` there.
+    * Returns (idCol, rank, nid, jac). */
+  def sequenceJaccardTopK(df: DataFrame, idCol: String, tsCol: String,
+      tokCol: String, tieCol: String, n: Int = 3, k: Int = 5,
+      dfCap: Int = 1000): DataFrame = {
+    require(n > 0 && k > 0 && dfCap > 0, s"bad n=$n k=$k dfCap=$dfCap")
+    val seqs = df.groupBy(col(idCol).cast("long").as("uid"))
+      .agg(transform(sort_array(collect_list(struct(
+          col(tsCol).as("ts"), col(tieCol).as("tie"),
+          col(tokCol).as("tok")))),
+        x => x.getField("tok")).as("toks"))
+    val grams = seqs.select(col("uid"),
+      graft.functions.HashExprs.wordNgrams(col("toks"), n).as("gs"))
+    val inv = grams
+      .select(col("uid"), size(col("gs")).as("nsh"), explode(col("gs")).as("g"))
+    val hot = inv.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") > dfCap)
+    val invf = inv.join(hot, Seq("g"), "left_anti")
+    val scored = invf.as("a").join(invf.as("b"),
+        col("a.g") === col("b.g") && col("a.uid") =!= col("b.uid"))
+      .groupBy(col("a.uid").as("uid"), col("b.uid").as("nid"),
+        col("a.nsh").as("nsh1"), col("b.nsh").as("nsh2"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("uid"), col("nid"),
+        (col("inter").cast("double") /
+          (col("nsh1") + col("nsh2") - col("inter"))).as("jac"))
+    topKPerKey(scored, "uid", "jac", "nid", k)
+      .select(col("uid").as(idCol), col("rank"), col("nid"), col("jac"))
+  }
+
   /** All pairs with cosine >= threshold within a blocking key — embedding
     * near-dup detection. Blocking bounds the quadratic term. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

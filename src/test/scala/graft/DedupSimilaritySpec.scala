@@ -477,6 +477,38 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("sequenceJaccardTopK: hand-computed trigram jaccard; ts tiebreak") {
+    def evs(uid: Long, toks: Seq[String]): Seq[(Long, Long, Long, String)] =
+      toks.zipWithIndex.map { case (t, i) => (uid * 100 + i, i.toLong, uid, t) }
+    val df = (evs(1, Seq("a", "b", "c", "d")) ++ evs(2, Seq("a", "b", "c", "e")) ++
+      evs(3, Seq("x", "y", "z", "w")) ++ evs(4, Seq("a", "b", "c", "d", "e")))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = sequenceJaccardTopK(df, "user_id", "ts", "event_type",
+        "event_id", n = 3, k = 2)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // u1{abc,bcd} u2{abc,bce} u4{abc,bcd,cde}; u3 disjoint -> absent
+    assert(got((1L, 1)) == ((4L, 2.0 / 3)), got.toString)
+    assert(got((1L, 2)) == ((2L, 1.0 / 3)), got.toString)
+    assert(got((2L, 1)) == ((1L, 1.0 / 3)), got.toString)
+    assert(got((2L, 2)) == ((4L, 1.0 / 4)), got.toString)
+    assert(got((4L, 1)) == ((1L, 2.0 / 3)), got.toString)
+    assert(!got.keySet.exists(_._1 == 3L), "disjoint user must be absent")
+    // equal timestamps order by the event_id tiebreak: a scrambled-insert
+    // user with tied timestamps must reconstruct the same sequence as a
+    // clean one and score jac = 1.0 against it
+    val tied = Seq(
+      (12L, 0L, 5L, "b"), (11L, 0L, 5L, "a"), (13L, 1L, 5L, "c"),
+      (14L, 2L, 5L, "d"),
+      (21L, 0L, 6L, "a"), (22L, 1L, 6L, "b"), (23L, 2L, 6L, "c"),
+      (24L, 3L, 6L, "d"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val tb = sequenceJaccardTopK(tied, "user_id", "ts", "event_type",
+        "event_id", n = 3, k = 1)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(tb == Set((5L, 1, 6L, 1.0), (6L, 1, 5L, 1.0)), tb.toString)
+  }
+
   test("mmrRerank: diversification demotes the near-duplicate runner-up") {
     // q's nearest two are near-duplicates of each other; n3 is diverse.
     // Plain cosine ranks (n1, n2, n3); MMR at lambda=0.5 must flip rank 2
