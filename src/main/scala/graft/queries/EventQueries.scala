@@ -15,14 +15,23 @@ object EventQueries {
 
   val queries: Map[String, Q] = Map(
     // behavior-sequence similarity search (graft.similarity
-    // .sequenceJaccardTopK): top-3 most similar users by trigram Jaccard
-    // over their time-ordered event-type sequences — inverted n-gram
-    // index + bounded heap, never all-pairs. (event_id breaks timestamp
-    // ties deterministically; the raw inter/union double ranks
-    // identically in both engines.)
+    // .sequenceJaccardTopK): top-3 most similar users by transition-
+    // bigram Jaccard over their time-ordered action sequences — inverted
+    // n-gram index + bounded heap, never all-pairs. Token granularity is
+    // the operator's documented contract made concrete: the bare 5-type
+    // alphabet saturates every posting list (0 rows at sf1's 1,500
+    // users), per-unit value buckets are too discriminative for random
+    // sequences (0 rows at 150 users); event_type + a capped value
+    // decade (~50 tokens, bigram space 2.5k) yields full coverage with
+    // discriminative scores (450 rows, avg jac 0.13 at sf0.01).
+    // (event_id breaks timestamp ties deterministically; the raw
+    // inter/union double ranks identically in both engines.)
     "ev_seqsim" -> { (s, dir) =>
-      graft.similarity.sequenceJaccardTopK(Tables.events(s, dir),
-          "user_id", "ts", "event_type", "event_id", n = 3, k = 3)
+      val ev = Tables.events(s, dir).withColumn("tok",
+        concat(col("event_type"), lit(":"),
+          least(floor(col("value") / 25), lit(9.0)).cast("long")))
+      graft.similarity.sequenceJaccardTopK(ev,
+          "user_id", "ts", "tok", "event_id", n = 2, k = 3)
         .select(col("user_id"), col("rank"), col("nid"),
           round(col("jac"), 4).as("jac"))
     },
@@ -277,7 +286,7 @@ object EventQueries {
     // mirrored for shape), ranking by the raw inter/union double with
     // nid tiebreak — row_number mirrors the bounded heap exactly
     "ev_seqsim" ->
-      """WITH s AS (SELECT user_id AS uid, list(event_type ORDER BY ts, event_id) AS toks FROM events GROUP BY user_id), g AS (SELECT uid, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS gs FROM s), inv AS (SELECT uid, len(gs) AS nsh, unnest(gs) AS g FROM g), hot AS (SELECT g FROM (SELECT g, count(*) AS c FROM inv GROUP BY g) WHERE c > 1000), invf AS (SELECT inv.* FROM inv WHERE g NOT IN (SELECT g FROM hot)), p AS (SELECT a.uid AS uid, b.uid AS nid, count(*) AS inter, a.nsh + b.nsh - count(*) AS uni FROM invf a JOIN invf b ON a.g = b.g AND a.uid <> b.uid GROUP BY a.uid, b.uid, a.nsh, b.nsh), r AS (SELECT uid, nid, CAST(inter AS DOUBLE) / uni AS jac, row_number() OVER (PARTITION BY uid ORDER BY CAST(inter AS DOUBLE) / uni DESC, nid) AS rank FROM p) SELECT uid AS user_id, CAST(rank AS INT) AS rank, nid, round(jac, 4) AS jac FROM r WHERE rank <= 3""",
+      """WITH s AS (SELECT user_id AS uid, list(event_type || ':' || CAST(least(floor(value / 25), 9) AS BIGINT) ORDER BY ts, event_id) AS toks FROM events GROUP BY user_id), g AS (SELECT uid, list_distinct(list_transform(range(1, len(toks)), i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS gs FROM s), inv AS (SELECT uid, len(gs) AS nsh, unnest(gs) AS g FROM g), hot AS (SELECT g FROM (SELECT g, count(*) AS c FROM inv GROUP BY g) WHERE c > 1000), invf AS (SELECT inv.* FROM inv WHERE g NOT IN (SELECT g FROM hot)), p AS (SELECT a.uid AS uid, b.uid AS nid, count(*) AS inter, a.nsh + b.nsh - count(*) AS uni FROM invf a JOIN invf b ON a.g = b.g AND a.uid <> b.uid GROUP BY a.uid, b.uid, a.nsh, b.nsh), r AS (SELECT uid, nid, CAST(inter AS DOUBLE) / uni AS jac, row_number() OVER (PARTITION BY uid ORDER BY CAST(inter AS DOUBLE) / uni DESC, nid) AS rank FROM p) SELECT uid AS user_id, CAST(rank AS INT) AS rank, nid, round(jac, 4) AS jac FROM r WHERE rank <= 3""",
     "ev_asof" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
     "ev_asof_salted" ->

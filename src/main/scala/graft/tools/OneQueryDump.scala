@@ -1,0 +1,30 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Dump a single SparkEntry query + its oracle into an existing Verify
+  * out-dir (targeted re-checks without a full re-dump). */
+object OneQueryDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, name) = args
+    val spark = SparkSession.builder().master(
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/$name")
+    // merge the query's oracle into the existing oracle_sql.json
+    val p = java.nio.file.Paths.get(s"$outDir/oracle_sql.json")
+    val existing = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val sql = graft.SparkEntry.oracleSql(name)
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n")
+    val merged = existing.stripSuffix("}").stripSuffix("\n") +
+      s""", "$name": "$sql"}"""
+    java.nio.file.Files.writeString(p, merged)
+    println(s"[dump] wrote $name")
+    spark.stop()
+  }
+}
