@@ -381,7 +381,13 @@ package object similarity {
     * shared by more than dfCap entities is boilerplate, not signal —
     * same escape hatch as ngramJaccardPairs); the per-entity top-k is a
     * map-side bounded heap (GroupTopK), k rows per entity out of the
-    * pair shuffle. Caveat that is inherent to the method, not the plan:
+    * pair shuffle. When the exact pair term still dominates (dense
+    * postings under heavy duplication — measured 21 s at 15k heavily-
+    * replicated users), the scale path is the same one the dedup family
+    * ships: MinHash the gram sets ([[graft.functions.HashExprs
+    * .minHashSignature]] applies to any array<string>) and band-join
+    * candidates before the exact Jaccard verify.
+    * Caveat that is inherent to the method, not the plan:
     * both the discriminative power and the inverted-index bound need a
     * token space larger than the entity count — over a tiny alphabet
     * (a handful of event types at millions of users) every posting list
@@ -399,19 +405,30 @@ package object similarity {
         x => x.getField("tok")).as("toks"))
     val grams = seqs.select(col("uid"),
       graft.functions.HashExprs.wordNgrams(col("toks"), n).as("gs"))
-    val inv = grams
-      .select(col("uid"), size(col("gs")).as("nsh"), explode(col("gs")).as("g"))
-    val hot = inv.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-      .filter(col("gdf") > dfCap)
-    val invf = inv.join(hot, Seq("g"), "left_anti")
-    val scored = invf.as("a").join(invf.as("b"),
+    val nshDf = grams.select(col("uid"), size(col("gs")).as("nsh"))
+    // join on the 64-bit hash of each gram, not the string — the
+    // inverted-index self-join probes this key sum(df^2) times; same
+    // collision posture as ngramJaccardPairs (|vocab|^2 / 2^65)
+    val inv0 = grams.select(col("uid"), explode(col("gs")).as("gs"))
+      .select(col("uid"), xxhash64(col("gs")).as("g"))
+    val rare = inv0.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") <= dfCap).select(col("g"))
+    // group the heavy pair stream on the two ids only; the per-entity
+    // gram counts join back in AFTER the aggregate (carrying them
+    // through widens every partial-agg entry — the d_ngram lesson)
+    val invf = inv0.join(rare, "g")
+    val pairs = invf.as("a").join(invf.as("b"),
         col("a.g") === col("b.g") && col("a.uid") =!= col("b.uid"))
-      .groupBy(col("a.uid").as("uid"), col("b.uid").as("nid"),
-        col("a.nsh").as("nsh1"), col("b.nsh").as("nsh2"))
+      .groupBy(col("a.uid").as("uid"), col("b.uid").as("nid"))
       .agg(count(lit(1)).as("inter"))
+    val scored = pairs
+      .join(nshDf.select(col("uid").as("u1"), col("nsh").as("n1")),
+        col("uid") === col("u1")).drop("u1")
+      .join(nshDf.select(col("uid").as("u2"), col("nsh").as("n2")),
+        col("nid") === col("u2")).drop("u2")
       .select(col("uid"), col("nid"),
         (col("inter").cast("double") /
-          (col("nsh1") + col("nsh2") - col("inter"))).as("jac"))
+          (col("n1") + col("n2") - col("inter"))).as("jac"))
     topKPerKey(scored, "uid", "jac", "nid", k)
       .select(col("uid").as(idCol), col("rank"), col("nid"), col("jac"))
   }
