@@ -59,6 +59,118 @@ object GraftIO {
       compression: String = "zstd"): Unit =
     df.write.mode("overwrite").option("compression", compression).parquet(dest)
 
+  /** The `to_parquet(write_metadata_file=True)` analog (reference
+    * `parquet.py:584-640` aggregates per-partition footer metadata into a
+    * `_metadata` sidecar through a dedicated reduction layer). Spark's
+    * commit protocol has no sidecar concept, so the Spark-first analog is
+    * an explicit manifest: after the write, every data file's footer is
+    * read ON THE EXECUTORS (one task per file slice — the same footer
+    * scan the reference pays in its metadata collectors, parallelized)
+    * and aggregated to one row per file — row count, byte size, and
+    * per-leaf-column (null count, min, max) from the parquet statistics,
+    * merged across row groups. The manifest lands as a single JSON
+    * sidecar `_graft_metadata.json` next to the data (driver writes it;
+    * the manifest is bounded by contract at one row per file) and is
+    * returned as a DataFrame. Readers get it back via
+    * [[fromParquetManifest]] — file skipping by min/max without touching
+    * a single footer at plan time. */
+  def toParquetWithMetadata(df: DataFrame, dest: String,
+      compression: String = "zstd"): DataFrame = {
+    toParquet(df, dest, compression)
+    writeManifest(df.sparkSession, dest)
+  }
+
+  /** Build + write the `_graft_metadata.json` sidecar for an existing
+    * parquet directory. Distributed footer read; driver only sees the
+    * per-file summary rows. */
+  def writeManifest(spark: SparkSession, dest: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dest)
+    val fs = p.getFileSystem(hconf)
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => (s.getPath.toString, s.getLen))
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .map { case (path, len) =>
+        // executor-local Configuration: manifest reads go through the
+        // same filesystem the scan would use
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks
+          var nRows = 0L
+          // per-column (nulls, min, max) merged across row groups; the
+          // mins/maxes of one column path always share a concrete type,
+          // so the Comparable merge is safe
+          val stats = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Long, Any, Any)]
+          blocks.forEach { b =>
+            nRows += b.getRowCount
+            b.getColumns.forEach { c =>
+              val key = c.getPath.toDotString
+              val s = c.getStatistics
+              if (s != null) {
+                val (n0, mn0, mx0) = stats.getOrElse(key, (0L, null, null))
+                var mn = mn0; var mx = mx0
+                if (s.hasNonNullValue) {
+                  val smin: Any = s.genericGetMin
+                  val smax: Any = s.genericGetMax
+                  if (mn == null ||
+                      smin.asInstanceOf[Comparable[Any]].compareTo(mn) < 0)
+                    mn = smin
+                  if (mx == null ||
+                      smax.asInstanceOf[Comparable[Any]].compareTo(mx) > 0)
+                    mx = smax
+                }
+                stats(key) = (n0 + s.getNumNulls, mn, mx)
+              }
+            }
+          }
+          def fmt(v: Any): String = v match {
+            case null => null
+            case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+            case other => String.valueOf(other)
+          }
+          val colStats = stats.map { case (k, (n, mn, mx)) =>
+            k -> (n, fmt(mn), fmt(mx))
+          }.toMap
+          (path.substring(path.lastIndexOf('/') + 1), nRows, len, colStats)
+        } finally r.close()
+      }
+      .collect() // bounded by contract: one row per data file
+    val manifest = rows.toSeq
+      .toDF("file", "n_rows", "n_bytes", "col_stats")
+      .select(col("file"), col("n_rows"), col("n_bytes"),
+        col("col_stats").cast(
+          "map<string,struct<nulls:bigint,min:string,max:string>>"))
+    // NDJSON: one manifest row per line — a single sidecar file that
+    // symmetric line-based readers (including spark.read.json) parse
+    val json = manifest.toJSON.collect().mkString("\n")
+    val out = new org.apache.hadoop.fs.Path(p, "_graft_metadata.json")
+    val os = fs.create(out, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+    manifest
+  }
+
+  /** Read the `_graft_metadata.json` sidecar back as a DataFrame —
+    * (file, n_rows, n_bytes, col_stats). */
+  def fromParquetManifest(spark: SparkSession, dest: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dest, "_graft_metadata.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    spark.read
+      .schema("file string, n_rows bigint, n_bytes bigint, " +
+        "col_stats map<string,struct<nulls:bigint,min:string,max:string>>")
+      .json(json.split("\n").toSeq.filter(_.trim.nonEmpty).toDS())
+  }
+
   private val stagedLocalDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
   private lazy val stageCleanupHook: Unit = {

@@ -112,6 +112,27 @@ object GetitemIoQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
     },
 
+    // the to_parquet(write_metadata_file=True) analog
+    // (GraftIO.toParquetWithMetadata): write + distributed footer scan ->
+    // one-row-per-file manifest sidecar. The graded output aggregates the
+    // SIDECAR (not the data): total rows, global min/max/nulls of
+    // l_quantity recovered purely from the merged parquet statistics —
+    // a footer/stats bug fails the hash against the data-derived oracle.
+    "io_manifest" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_manifest").toString + "/li"
+      graft.io.GraftIO.toParquetWithMetadata(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        tmp)
+      val q = element_at(col("col_stats"), "l_quantity")
+      graft.io.GraftIO.fromParquetManifest(s, tmp)
+        .agg(sum(col("n_rows")).as("total_rows"),
+          min(q.getField("min").cast("double")).as("min_qty"),
+          max(q.getField("max").cast("double")).as("max_qty"),
+          sum(q.getField("nulls")).as("null_qty"))
+    },
+
     // CSV round-trip (schema carried explicitly — CSV stores none): same
     // aggregate as the parquet roundtrip, proving the format path and the
     // text-codec edge cases (quoting, nulls) preserve values exactly
@@ -356,6 +377,9 @@ object GetitemIoQueries {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem WHERE l_quantity >= 40 GROUP BY 1""",
     "io_csv" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem WHERE l_quantity >= 40 GROUP BY 1""",
+    // the manifest aggregates must equal the data-derived truth
+    "io_manifest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, CAST(count(*) - count(l_quantity) AS BIGINT) AS null_qty FROM lineitem""",
     "io_orc" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem WHERE l_quantity >= 40 GROUP BY 1""",
     "io_nested" ->

@@ -467,6 +467,31 @@ class ModulesSpec extends SparkSuite {
     }
   }
 
+  test("toParquetWithMetadata: sidecar aggregates exact footer stats") {
+    val d = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val df = Seq((1L, 4.5, "a"), (2L, 1.5, "b"),
+      (3L, 9.0, null.asInstanceOf[String]), (4L, 2.0, "c"))
+      .toDF("id", "v", "s").repartition(2)
+    val man = graft.io.GraftIO.toParquetWithMetadata(df, d)
+    assert(man.count() == 2, "one manifest row per part file")
+    // sidecar round-trips exactly
+    val rt = graft.io.GraftIO.fromParquetManifest(spark, d)
+    assert(rt.orderBy($"file").collect().toSeq ==
+      man.orderBy($"file").collect().toSeq)
+    assert(rt.agg(sum($"n_rows")).as[Long].head() == 4L)
+    // merged column stats recover the exact data min/max/null counts
+    val vs = rt.select(explode($"col_stats")).filter($"key" === "v")
+      .select($"value.min".cast("double"), $"value.max".cast("double"),
+        $"value.nulls").as[(Double, Double, Long)].collect()
+    assert(vs.map(_._1).min == 1.5 && vs.map(_._2).max == 9.0)
+    assert(vs.map(_._3).sum == 0L)
+    val sn = rt.select(explode($"col_stats")).filter($"key" === "s")
+      .select($"value.nulls").as[Long].collect().sum
+    assert(sn == 1L, "string column null count from footers")
+    // the underscore sidecar is invisible to the data scan
+    assert(spark.read.parquet(d).count() == 4L)
+  }
+
   test("round-7 operators are total on empty and degenerate corpora") {
     // empty-corpus robustness: every operator must return an empty (or
     // rule-free) frame, not throw — the behavior a pipeline stage needs
