@@ -156,6 +156,30 @@ object GraftIO {
     manifest
   }
 
+  /** Manifest-driven file skipping: read only the data files whose
+    * [min, max] range for `column` (from the sidecar) intersects
+    * [lo, hi]. The skipping decision costs one sidecar read — zero
+    * parquet footers touched at plan time; files with no recorded stats
+    * for the column are conservatively kept. `cast` must name the
+    * column's Spark type (stats travel as strings in the sidecar); the
+    * comparison happens post-cast, so numeric ranges compare numerically.
+    * The caller still applies the row-level filter — skipping is a
+    * superset guarantee, exactly like parquet's own row-group pruning
+    * one level up. */
+  def fromParquetSkipping(spark: SparkSession, dest: String, column: String,
+      lo: Any, hi: Any, cast: String): DataFrame = {
+    val stats = element_at(col("col_stats"), column)
+    val keep = fromParquetManifest(spark, dest)
+      .filter(stats.isNull || stats.getField("min").isNull ||
+        (stats.getField("max").cast(cast) >= lit(lo) &&
+          stats.getField("min").cast(cast) <= lit(hi)))
+      .select(col("file")).collect().map(_.getString(0))
+    if (keep.isEmpty)
+      spark.read.parquet(dest).limit(0) // schema-preserving empty
+    else
+      spark.read.parquet(keep.map(f => s"$dest/$f").toSeq: _*)
+  }
+
   /** Read the `_graft_metadata.json` sidecar back as a DataFrame —
     * (file, n_rows, n_bytes, col_stats). */
   def fromParquetManifest(spark: SparkSession, dest: String): DataFrame = {

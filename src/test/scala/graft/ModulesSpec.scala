@@ -492,6 +492,32 @@ class ModulesSpec extends SparkSuite {
     assert(spark.read.parquet(d).count() == 4L)
   }
 
+  test("fromParquetSkipping: sidecar min/max skips files, results exact") {
+    val d = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    // range-partitioned on v => disjoint per-file ranges, skippable
+    val df = (1 to 400).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .repartitionByRange(4, $"v")
+    graft.io.GraftIO.toParquetWithMetadata(df, d)
+    val man = graft.io.GraftIO.fromParquetManifest(spark, d)
+    assert(man.count() == 4)
+    // a range inside one file's span: the skipping read must return the
+    // same rows as a full-scan filter...
+    val got = graft.io.GraftIO
+      .fromParquetSkipping(spark, d, "v", 120.0, 130.0, "double")
+      .filter($"v".between(120.0, 130.0))
+      .as[(Long, Double)].collect().toSet
+    assert(got == (120 to 130).map(i => (i.toLong, i.toDouble)).toSet)
+    // ...while reading strictly fewer files than exist
+    val nScanned = graft.io.GraftIO
+      .fromParquetSkipping(spark, d, "v", 120.0, 130.0, "double")
+      .select(input_file_name()).distinct().count()
+    assert(nScanned < 4, s"expected skipping, scanned $nScanned of 4 files")
+    // out-of-range => schema-preserving empty
+    val none = graft.io.GraftIO
+      .fromParquetSkipping(spark, d, "v", 1e9, 2e9, "double")
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+  }
+
   test("round-7 operators are total on empty and degenerate corpora") {
     // empty-corpus robustness: every operator must return an empty (or
     // rule-free) frame, not throw — the behavior a pipeline stage needs
