@@ -83,7 +83,12 @@ object PlanGallery {
     "t_bpe_seg" -> ("BPE segmentation with learned merges: the 12-rule " +
       "replace chain folds into ONE codegen'd projection over the scan " +
       "(training collected its bounded rule table beforehand) — zero " +
-      "exchanges, zero joins; corpus-wide token costing at scan speed."))
+      "exchanges, zero joins; corpus-wide token costing at scan speed."),
+    "ev_seqsim" -> ("Behavior-sequence similarity top-k: one ragged-build " +
+      "shuffle (ordered collect_list), inverted transition-bigram index " +
+      "joined on 64-bit gram hashes, pair aggregate grouped on the two " +
+      "ids only, per-entity bounded heap — never all-pairs, dfCap bounds " +
+      "hot postings."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
