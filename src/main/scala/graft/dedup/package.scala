@@ -653,4 +653,53 @@ package object dedup {
         (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
           e => e)).cast("double") / k).as("est_jaccard"))
   }
+
+  /** The persisted state of incremental near-dup ingest: (id, sig)
+    * xxh64 MinHash signatures — exactly what [[minhashLshPairs]] builds
+    * internally, exposed so an ingest pipeline computes each batch's
+    * signatures ONCE, dedups against the store, and appends them. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"),
+      minHashSignature(wordShingles(col(textCol), n), k).as("sig"))
+
+  /** Incremental near-dup ingest — the production pattern batch-full
+    * [[minhashLshPairs]] and the streaming near-dup filter bracket: each
+    * run dedups its NEW batch against the existing corpus through the
+    * corpus's PERSISTED signatures ([[minhashSignatures]]), never
+    * recomputing or re-pairing what earlier runs covered. Candidates
+    * require at least one NEW side: the banding join probes only the
+    * delta's buckets against (store + delta), so seen-seen pairs — all
+    * reported by earlier runs by induction — never even form. Output =
+    * exactly [[minhashLshPairs]] over (seen + new) minus its seen-seen
+    * pairs, at delta-proportional cost; pinned by a differential test.
+    *
+    * 100 TB posture: the store-side bucket explode is a linear scan of
+    * the signature table (8-byte lanes, no text); the candidate join is
+    * delta-bucket-keyed, so a 1% delta probes ~1% of bucket space;
+    * verify joins attach two k-lane signatures per surviving candidate
+    * only. Returns (id1, id2, est_jaccard) with id1 < id2. */
+  def minhashLshPairsIncremental(newSigs: DataFrame, seenSigs: DataFrame,
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    val allSigs = seenSigs.select(col("id"), col("sig"))
+      .unionByName(newSigs.select(col("id"), col("sig")))
+    def buckets(s: DataFrame): DataFrame =
+      s.select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = buckets(allSigs).as("a").join(buckets(newSigs).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"))
+      .distinct()
+    cand
+      .join(allSigs.select(col("id"), col("sig").as("sig1")),
+        col("id1") === col("id")).drop("id")
+      .join(allSigs.select(col("id"), col("sig").as("sig2")),
+        col("id2") === col("id"))
+      .select(col("id1"), col("id2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          e => e)).cast("double") / k).as("est_jaccard"))
+  }
 }

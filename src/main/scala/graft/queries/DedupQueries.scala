@@ -72,6 +72,22 @@ object DedupQueries {
         .select(col("id1"), col("id2"))
     },
 
+    // incremental ingest face (graft.dedup.minhashLshPairsIncremental):
+    // odd-id docs arrive as the NEW batch, even-id docs are the existing
+    // corpus with PERSISTED signatures — the delta probes the store's
+    // buckets, seen-seen pairs never form. Oracle = the full-pipeline
+    // replay minus both-even pairs.
+    "d_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val seen = minhashSignatures(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val fresh = minhashSignatures(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      minhashLshPairsIncremental(fresh, seen)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id1"), col("id2"))
+    },
+
     // MinHash signatures with the polyHash base (k=8): every lane exactly
     // reproduced by the oracle from the same embedded (a_i, b_i) constants —
     // the hash-matched face of the minhash primitive (the xxh64 production
@@ -232,6 +248,15 @@ object DedupQueries {
         (0 until 32).map(i => sig.getItem(i).as(s"m$i")): _*)
     })
 
+  /** The d_minhash_lsh structural replay over the Spark-dumped xxh64
+    * signatures (scalar lanes m0..m31): band keys as one flattened
+    * polynomial per 4-lane band, candidate equi-join on (band, key) with
+    * id1 < id2, distinct, exact lane-match verification (est >= 0.5 as
+    * the integer predicate 2*matches >= 32). `extraPred` appends to the
+    * final WHERE (the incremental face filters seen-seen pairs). */
+  private def minhashLshReplaySql(extraPred: String): String =
+    s"""WITH sigs AS (SELECT * FROM '__OUTDIR__/aux_minhash_sigs/*.parquet'), bk AS (SELECT id, CAST(j AS INT) AS band, CASE CAST(j AS INT) ${(0 until 8).map(b => s"WHEN $b THEN (((m${b * 4} * 131 + m${b * 4 + 1}) * 131 + m${b * 4 + 2}) * 131 + m${b * 4 + 3}) % 1000000007").mkString(" ")} END AS key FROM sigs, range(0, 8) r(j)), cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id), m AS (SELECT c.id1, c.id2, ${(0 until 32).map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")} AS nm FROM cand c JOIN sigs sa ON c.id1 = sa.id JOIN sigs sb ON c.id2 = sb.id) SELECT id1, id2 FROM m WHERE nm * 2 >= 32$extraPred"""
+
   val oracle: Map[String, String] = Map(
     "d_minhash" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), hs AS (SELECT doc_id, list_transform(gs, w -> $POLY) AS hl FROM sh) SELECT doc_id, ${(0 until 8).map(j => s"CAST(coalesce(list_min(list_transform(hl, h -> (h * ${mhA(j)} + ${mhB(j)}) % 2147483647)), 2147483647) AS BIGINT) AS m$j").mkString(", ")} FROM hs""",
@@ -243,8 +268,12 @@ object DedupQueries {
     // band), candidate equi-join on (band, key) with id1 < id2, distinct,
     // then the exact lane-match verification (est >= 0.5 as the integer
     // predicate 2*matches >= 32)
-    "d_minhash_lsh" ->
-      s"""WITH sigs AS (SELECT * FROM '__OUTDIR__/aux_minhash_sigs/*.parquet'), bk AS (SELECT id, CAST(j AS INT) AS band, CASE CAST(j AS INT) ${(0 until 8).map(b => s"WHEN $b THEN (((m${b * 4} * 131 + m${b * 4 + 1}) * 131 + m${b * 4 + 2}) * 131 + m${b * 4 + 3}) % 1000000007").mkString(" ")} END AS key FROM sigs, range(0, 8) r(j)), cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id), m AS (SELECT c.id1, c.id2, ${(0 until 32).map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")} AS nm FROM cand c JOIN sigs sa ON c.id1 = sa.id JOIN sigs sb ON c.id2 = sb.id) SELECT id1, id2 FROM m WHERE nm * 2 >= 32""",
+    "d_minhash_lsh" -> minhashLshReplaySql(""),
+    // the incremental face replays the SAME pipeline and drops the
+    // seen-seen (both-even) pairs — exactly what the delta-probing
+    // candidate join never generates
+    "d_incremental" ->
+      minhashLshReplaySql(" AND NOT (id1 % 2 = 0 AND id2 % 2 = 0)"),
     "d_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents) t GROUP BY 1""",
     "d_ngram" ->

@@ -18,7 +18,11 @@ object OneQueryDump {
     // merge the query's oracle into the existing oracle_sql.json
     val p = java.nio.file.Paths.get(s"$outDir/oracle_sql.json")
     val existing = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    // same __OUTDIR__ resolution as Verify: aux-replay oracles read the
+    // dump dir's own artifacts
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val sql = graft.SparkEntry.oracleSql(name)
+      .replace("__OUTDIR__", outAbs)
       .replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n")
     val merged = existing.stripSuffix("}").stripSuffix("\n") +

@@ -477,6 +477,29 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("incremental LSH ingest = full pairs minus seen-seen, at any cut") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val full = minhashLshPairs(docs, "doc_id", "text")
+      .select($"id1", $"id2", $"est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full.nonEmpty)
+    // two different seen/new cuts: parity and a range split
+    for (seenPred <- Seq($"doc_id" % 2 === 0, $"doc_id" < 250)) {
+      val seen = minhashSignatures(docs.filter(seenPred), "doc_id", "text")
+      val fresh = minhashSignatures(docs.filter(!seenPred), "doc_id", "text")
+      val seenIds = docs.filter(seenPred)
+        .select($"doc_id").as[Long].collect().toSet
+      val inc = minhashLshPairsIncremental(fresh, seen)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = full.filterNot(p => seenIds(p._1) && seenIds(p._2))
+      assert(inc == want, s"cut $seenPred: ${inc.size} vs ${want.size}")
+    }
+    // signatures round-trip: the store face equals the internal form
+    val sigs = minhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs.size == 500 && sigs.values.forall(_.size == 32))
+  }
+
   test("sequenceJaccardTopK: hand-computed trigram jaccard; ts tiebreak") {
     def evs(uid: Long, toks: Seq[String]): Seq[(Long, Long, Long, String)] =
       toks.zipWithIndex.map { case (t, i) => (uid * 100 + i, i.toLong, uid, t) }
