@@ -718,17 +718,32 @@ package object text {
 
   /** Apply learned BPE merges and count the resulting subword tokens per
     * document — the "how many tokens will this corpus cost" pass. Words
-    * matching `^[a-z0-9]+$` segment through the full merge sequence (the
-    * same delimited-string replace chain as [[bpeTrainMerges]], folded
-    * into ONE codegen'd Column expression — no join, no shuffle, no UDF);
-    * any other token counts as a single unknown. Returns
-    * (idCol, n_words, n_bpe). */
+    * matching `^[a-z0-9]+$` segment through the full merge sequence; any
+    * other token counts as a single unknown. One codegen'd expression
+    * over the scan — no join, no shuffle, no UDF: the merge-and-count
+    * runs as a tight symbol-array loop ([[graft.functions.BpeExprs]]),
+    * the algorithm the trainer uses and the fuzz pins equal to the
+    * literal-replace semantics the oracle replays. (The HOF replace-fold
+    * spelling survives as [[bpeSegmentCountsHof]] for the A/B test —
+    * Spark evaluates higher-order lambdas interpreted, re-scanning the
+    * delimited string once per rule.) Returns (idCol, n_words, n_bpe). */
   def bpeSegmentCounts(df: DataFrame, idCol: String, textCol: String,
       rules: Seq[(String, String)]): DataFrame = {
     rules.foreach { case (a, b) =>
       require(a.nonEmpty && b.nonEmpty && !a.contains("|") && !b.contains("|"),
         s"rule operands must be non-empty and '|'-free, got ('$a', '$b')")
     }
+    val toks = wsTokens(lower(col(textCol)))
+    df.select(col(idCol),
+      coalesce(size_(toks), lit(0)).cast("long").as("n_words"),
+      coalesce(graft.functions.BpeExprs.bpeCount(toks, rules), lit(0L))
+        .as("n_bpe"))
+  }
+
+  /** The Column-HOF spelling of [[bpeSegmentCounts]] (aggregate over a
+    * per-word 12-replace fold) — semantics reference for the A/B test. */
+  private[graft] def bpeSegmentCountsHof(df: DataFrame, idCol: String,
+      textCol: String, rules: Seq[(String, String)]): DataFrame = {
     val toks = wsTokens(lower(col(textCol)))
     def nsym(w: Column): Column = {
       val repr0 = concat(lit("|"), array_join(split(w, ""), "||"), lit("|"))

@@ -58,7 +58,8 @@ class CodegenPinSpec extends SparkSuite {
         PqExprs.pqEncode($"vec2", pqFlat, m = 2, ksub = 2, dsub = 2),
         m = 2, ksub = 2),
       ReducerExprs.argExtremum($"vec", smaller = true),
-      ReducerExprs.argExtremum($"vec", smaller = false)
+      ReducerExprs.argExtremum($"vec", smaller = false),
+      BpeExprs.bpeCount(toks, Seq(("t", "h"), ("th", "e"), ("q", "u")))
     ).zipWithIndex.map { case (c, i) => c.as(s"c$i") }
 
     val interpreted = withConfs(

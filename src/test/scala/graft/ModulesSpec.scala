@@ -596,6 +596,19 @@ class ModulesSpec extends SparkSuite {
     assert(none.count() == 0)
     assert(none.columns.toSeq ==
       Seq("merge_rank", "sym_a", "sym_b", "merged", "pair_count"))
+    // the codegen'd BpeCount expression == the HOF replace-fold spelling,
+    // on the real corpus with REAL trained rules (mixed punctuation,
+    // uppercase, empty lines all present)
+    val corpus = graft.core.Tables.documents(spark, dir)
+    val realRules = graft.text.bpeTrainMerges(corpus, "text", 200, 12)
+      .orderBy($"merge_rank").select($"sym_a", $"sym_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val fast = graft.text.bpeSegmentCounts(corpus, "doc_id", "text", realRules)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val hof = graft.text.bpeSegmentCountsHof(corpus, "doc_id", "text", realRules)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fast == hof, "expression and HOF spellings diverged")
+    assert(fast.nonEmpty && fast.exists(_._3 > 0))
   }
 
   test("dsirScore: target-domain docs outscore off-domain; model-exact") {
