@@ -13,8 +13,12 @@ object OneQueryDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.SparkEntry.queries(name)(spark, sfDir)
+    graft.SparkEntry.queries.getOrElse(name,
+        graft.SparkEntry.auxDumps(name))(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/$name")
+    if (!graft.SparkEntry.oracleSql.contains(name)) {
+      println(s"[dump] wrote $name (no oracle)"); spark.stop(); return
+    }
     // merge the query's oracle into the existing oracle_sql.json
     val p = java.nio.file.Paths.get(s"$outDir/oracle_sql.json")
     val existing = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -25,8 +29,10 @@ object OneQueryDump {
       .replace("__OUTDIR__", outAbs)
       .replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n")
-    val merged = existing.stripSuffix("}").stripSuffix("\n") +
-      s""", "$name": "$sql"}"""
+    val head = existing.trim.stripSuffix("}").stripSuffix("\n").trim
+    val merged =
+      if (head == "{") s"""{"$name": "$sql"}"""
+      else head + s""", "$name": "$sql"}"""
     java.nio.file.Files.writeString(p, merged)
     println(s"[dump] wrote $name")
     spark.stop()
