@@ -88,12 +88,23 @@ object GraftIO {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dest)
     val fs = p.getFileSystem(hconf)
-    val files = fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(s => (s.getPath.toString, s.getLen))
+    // recursive: partitionBy layouts nest part- files under key=value
+    // dirs; manifest rows carry dest-RELATIVE paths so the sidecar works
+    // for flat and partitioned layouts alike
+    val baseUri = fs.makeQualified(p).toUri
+    def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.startsWith("part-")) Seq(s)
+        else Nil
+      }
+    val files = walk(p).map { s =>
+      val rel = baseUri.relativize(fs.makeQualified(s.getPath).toUri).getPath
+      (fs.makeQualified(s.getPath).toString, rel, s.getLen)
+    }
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 32)))
-      .map { case (path, len) =>
+      .map { case (path, rel, len) =>
         // executor-local Configuration: manifest reads go through the
         // same filesystem the scan would use
         val conf = new org.apache.hadoop.conf.Configuration()
@@ -138,7 +149,7 @@ object GraftIO {
           val colStats = stats.map { case (k, (n, mn, mx)) =>
             k -> (n, fmt(mn), fmt(mx))
           }.toMap
-          (path.substring(path.lastIndexOf('/') + 1), nRows, len, colStats)
+          (rel, nRows, len, colStats)
         } finally r.close()
       }
       .collect() // bounded by contract: one row per data file
@@ -177,7 +188,10 @@ object GraftIO {
     if (keep.isEmpty)
       spark.read.parquet(dest).limit(0) // schema-preserving empty
     else
-      spark.read.parquet(keep.map(f => s"$dest/$f").toSeq: _*)
+      // basePath keeps partition columns alive when the manifest's
+      // relative paths point into a partitionBy layout
+      spark.read.option("basePath", dest)
+        .parquet(keep.map(f => s"$dest/$f").toSeq: _*)
   }
 
   /** Read the `_graft_metadata.json` sidecar back as a DataFrame —

@@ -516,6 +516,21 @@ class ModulesSpec extends SparkSuite {
     val none = graft.io.GraftIO
       .fromParquetSkipping(spark, d, "v", 1e9, 2e9, "double")
     assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+    // partitionBy layout: manifest walks the key=value subdirs and the
+    // skipping read keeps the partition column alive via basePath
+    val pd = java.nio.file.Files.createTempDirectory("graft_skip_part").toString
+    (1 to 100).map(i => (i.toLong, i.toDouble, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "v", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(pd)
+    val pman = graft.io.GraftIO.writeManifest(spark, pd)
+    assert(pman.count() >= 2, "one manifest row per leaf file")
+    assert(pman.select($"file").as[String].collect().forall(_.contains("lang=")))
+    assert(pman.agg(sum($"n_rows")).as[Long].head() == 100L)
+    val pread = graft.io.GraftIO
+      .fromParquetSkipping(spark, pd, "v", 10.0, 20.0, "double")
+      .filter($"v".between(10.0, 20.0))
+    assert(pread.columns.contains("lang"), "partition column must survive")
+    assert(pread.count() == 11L)
   }
 
   test("round-7 operators are total on empty and degenerate corpora") {
