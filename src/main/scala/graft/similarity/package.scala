@@ -383,10 +383,9 @@ package object similarity {
     * map-side bounded heap (GroupTopK), k rows per entity out of the
     * pair shuffle. When the exact pair term still dominates (dense
     * postings under heavy duplication — measured 21 s at 15k heavily-
-    * replicated users), the scale path is the same one the dedup family
-    * ships: MinHash the gram sets ([[graft.functions.HashExprs
-    * .minHashSignature]] applies to any array<string>) and band-join
-    * candidates before the exact Jaccard verify.
+    * replicated users), [[sequenceJaccardTopKBanded]] is the shipped
+    * scale path: MinHash-band the gram sets and verify only band-bucket
+    * candidates with the exact Jaccard.
     * Caveat that is inherent to the method, not the plan:
     * both the discriminative power and the inverted-index bound need a
     * token space larger than the entity count — over a tiny alphabet
@@ -398,37 +397,123 @@ package object similarity {
       tokCol: String, tieCol: String, n: Int = 3, k: Int = 5,
       dfCap: Int = 1000): DataFrame = {
     require(n > 0 && k > 0 && dfCap > 0, s"bad n=$n k=$k dfCap=$dfCap")
-    val seqs = df.groupBy(col(idCol).cast("long").as("uid"))
+    // explicit, output-equivalent null-id prefilter (a null uid group
+    // never matches the uid<>uid pair join, so it can never reach the
+    // output): InferFiltersFromConstraints pushes isnotnull(uid) into
+    // the two self-join branches but NOT the df-cap branch — without
+    // this filter that one divergent Filter node splits otherwise
+    // byte-identical subtrees and the ragged build runs twice
+    val seqs = df.filter(col(idCol).isNotNull)
+      .groupBy(col(idCol).cast("long").as("uid"))
       .agg(transform(sort_array(collect_list(struct(
           col(tsCol).as("ts"), col(tieCol).as("tie"),
           col(tokCol).as("tok")))),
         x => x.getField("tok")).as("toks"))
-    val grams = seqs.select(col("uid"),
-      graft.functions.HashExprs.wordNgrams(col("toks"), n).as("gs"))
-    val nshDf = grams.select(col("uid"), size(col("gs")).as("nsh"))
-    // join on the 64-bit hash of each gram, not the string — the
+    // ONE canonical (uid, nsh, g) frame for every consumer. The trailing
+    // distinct() is a value no-op (wordNgrams is already distinct per
+    // uid) but it makes uid/nsh/g GROUPING KEYS — the t_bm25 subtree
+    // discipline: grouping keys cannot be column-pruned, so the df-cap
+    // branch (needs g only) and both self-join sides keep byte-identical
+    // children and ReuseExchange computes the ragged build + explode
+    // ONCE. The r7 shape (nsh and the inverted index as separate
+    // projections of the gram frame) diverged by pruning into SIX
+    // parquet scans / six collect_list exchanges.
+    // Join key is the 64-bit hash of each gram, not the string — the
     // inverted-index self-join probes this key sum(df^2) times; same
-    // collision posture as ngramJaccardPairs (|vocab|^2 / 2^65)
-    val inv0 = grams.select(col("uid"), explode(col("gs")).as("gs"))
-      .select(col("uid"), xxhash64(col("gs")).as("g"))
-    val rare = inv0.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    // collision posture as ngramJaccardPairs (|vocab|^2 / 2^65).
+    val inv = seqs
+      .select(col("uid"),
+        graft.functions.HashExprs.wordNgrams(col("toks"), n).as("gs"))
+      .select(col("uid"), size(col("gs")).as("nsh"),
+        explode(col("gs")).as("gstr"))
+      .select(col("uid"), col("nsh"), xxhash64(col("gstr")).as("g"))
+      .distinct()
+    val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") <= dfCap).select(col("g"))
-    // group the heavy pair stream on the two ids only; the per-entity
-    // gram counts join back in AFTER the aggregate (carrying them
-    // through widens every partial-agg entry — the d_ngram lesson)
-    val invf = inv0.join(rare, "g")
+    val invf = inv.join(rare, "g")
+    // nsh rides the pair aggregate as a grouping key (functionally
+    // dependent on uid — same groups) instead of joining back after:
+    // +16 bytes per partial-agg entry buys eliminating two corpus-sized
+    // rebuild branches, the inverse of the d_ngram trade where the
+    // (id, nsh) frame was already materialized either way. The oracle
+    // groups by (uid, nid, n1, n2) identically.
     val pairs = invf.as("a").join(invf.as("b"),
         col("a.g") === col("b.g") && col("a.uid") =!= col("b.uid"))
-      .groupBy(col("a.uid").as("uid"), col("b.uid").as("nid"))
+      .groupBy(col("a.uid").as("uid"), col("a.nsh").as("n1"),
+        col("b.uid").as("nid"), col("b.nsh").as("n2"))
       .agg(count(lit(1)).as("inter"))
-    val scored = pairs
-      .join(nshDf.select(col("uid").as("u1"), col("nsh").as("n1")),
-        col("uid") === col("u1")).drop("u1")
-      .join(nshDf.select(col("uid").as("u2"), col("nsh").as("n2")),
-        col("nid") === col("u2")).drop("u2")
+    val scored = pairs.select(col("uid"), col("nid"),
+      (col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter"))).as("jac"))
+    topKPerKey(scored, "uid", "jac", "nid", k)
+      .select(col("uid").as(idCol), col("rank"), col("nid"), col("jac"))
+  }
+
+  /** Approximate face of [[sequenceJaccardTopK]] — the dense-posting
+    * escape hatch its scaladoc names, shipped as a callable: MinHash the
+    * distinct-gram sets, band the signatures (LSH), generate candidate
+    * pairs from band-bucket equi-joins, then verify candidates with the
+    * EXACT Jaccard (array_intersect over the two gram sets) before the
+    * bounded-heap top-k. Where the exact path's inverted index pays
+    * sum(df^2) over every rare gram, this pays sum(bucket^2) over
+    * `bands` buckets per entity — under heavy duplication (dense
+    * postings) the bucket term is far smaller; recall is the standard
+    * LSH S-curve in true Jaccard (1-(1-s^r)^b), and every SURVIVING pair
+    * carries its exact score, so precision is 1 and ranks agree with the
+    * exact path on shared pairs (differential-pinned in
+    * DedupSimilaritySpec with a measured crossover).
+    *
+    * 100 TB posture: the gram frame (uid, gs) is projected identically
+    * by the signature branch and both verify sides, so the ragged build
+    * is ReuseExchange-shared; signatures are `numHashes` longs per
+    * entity regardless of sequence length; band buckets are equi-join
+    * keys (AQE skew-split applies); candidate dedup happens BEFORE the
+    * gram arrays join back in, so the wide verify join only ever sees
+    * distinct candidate pairs. Returns (idCol, rank, nid, jac). */
+  def sequenceJaccardTopKBanded(df: DataFrame, idCol: String,
+      tsCol: String, tokCol: String, tieCol: String, n: Int = 3,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 16,
+      poly: Boolean = false): DataFrame = {
+    require(n > 0 && k > 0 && bands > 0 && numHashes % bands == 0,
+      s"bad n=$n k=$k numHashes=$numHashes bands=$bands")
+    // same uniform isnotnull prefilter as the exact path (see there)
+    val seqs = df.filter(col(idCol).isNotNull)
+      .groupBy(col(idCol).cast("long").as("uid"))
+      .agg(transform(sort_array(collect_list(struct(
+          col(tsCol).as("ts"), col(tieCol).as("tie"),
+          col(tokCol).as("tok")))),
+        x => x.getField("tok")).as("toks"))
+    // (uid, gs) and nothing else: all three consumers (signatures,
+    // verify-a, verify-b) need exactly these two columns, keeping the
+    // subtrees byte-identical for ReuseExchange; per-side gram counts
+    // are derived at verify time as size(gs), not carried. Empty gram
+    // sets (sequences shorter than n) are dropped up front: the exact
+    // path never sees them (no postings), but their all-sentinel
+    // signatures would band-collide with EVERY other empty set and
+    // produce 0/0 jaccard rows.
+    val grams = seqs.select(col("uid"),
+        graft.functions.HashExprs.wordNgrams(col("toks"), n).as("gs"))
+      .filter(size(col("gs")) > 0)
+    // poly=true swaps the xxh64 signature base for the polyHash twin —
+    // identical banding structure, lanes replayable in ANSI SQL (the
+    // d_minhash / d_mlsh_poly oracle convention)
+    val sig =
+      if (poly) graft.functions.HashExprs.minHashSignaturePoly(col("gs"), numHashes)
+      else graft.functions.HashExprs.minHashSignature(col("gs"), numHashes)
+    val cand = grams
+      .select(col("uid"), explode(graft.functions.HashExprs.lshBandKeys(
+        sig, bands, numHashes / bands)).as("bk"))
+    val pairs0 = cand.as("a").join(cand.as("b"),
+        col("a.bk") === col("b.bk") && col("a.uid") =!= col("b.uid"))
+      .select(col("a.uid").as("uid"), col("b.uid").as("nid"))
+      .distinct()
+    val scored = pairs0
+      .join(grams.select(col("uid"), col("gs").as("g1")), "uid")
+      .join(grams.select(col("uid").as("nid"), col("gs").as("g2")), "nid")
       .select(col("uid"), col("nid"),
-        (col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter"))).as("jac"))
+        size(array_intersect(col("g1"), col("g2"))).cast("double").as("i"),
+        (size(col("g1")) + size(col("g2"))).cast("double").as("s"))
+      .select(col("uid"), col("nid"), (col("i") / (col("s") - col("i"))).as("jac"))
     topKPerKey(scored, "uid", "jac", "nid", k)
       .select(col("uid").as(idCol), col("rank"), col("nid"), col("jac"))
   }

@@ -19,21 +19,22 @@ object OneQueryDump {
     if (!graft.SparkEntry.oracleSql.contains(name)) {
       println(s"[dump] wrote $name (no oracle)"); spark.stop(); return
     }
-    // merge the query's oracle into the existing oracle_sql.json
+    // merge the query's oracle into the out-dir's oracle_sql.json:
+    // parse-and-put (Jackson ships with Spark) so a re-dump REPLACES the
+    // key instead of appending a duplicate, and a fresh out-dir (no file
+    // yet) starts a new object instead of crashing
     val p = java.nio.file.Paths.get(s"$outDir/oracle_sql.json")
-    val existing = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val obj =
+      if (java.nio.file.Files.exists(p))
+        mapper.readTree(java.nio.file.Files.readAllBytes(p))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else mapper.createObjectNode()
     // same __OUTDIR__ resolution as Verify: aux-replay oracles read the
     // dump dir's own artifacts
     val outAbs = new java.io.File(outDir).getAbsolutePath
-    val sql = graft.SparkEntry.oracleSql(name)
-      .replace("__OUTDIR__", outAbs)
-      .replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n")
-    val head = existing.trim.stripSuffix("}").stripSuffix("\n").trim
-    val merged =
-      if (head == "{") s"""{"$name": "$sql"}"""
-      else head + s""", "$name": "$sql"}"""
-    java.nio.file.Files.writeString(p, merged)
+    obj.put(name, graft.SparkEntry.oracleSql(name).replace("__OUTDIR__", outAbs))
+    java.nio.file.Files.writeString(p, mapper.writeValueAsString(obj))
     println(s"[dump] wrote $name")
     spark.stop()
   }

@@ -1,0 +1,19 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Print the full final physical plan of one query after execution. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(args(1))(spark, args(0))
+    df.collect()
+    println(df.queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}

@@ -532,6 +532,53 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(tb == Set((5L, 1, 6L, 1.0), (6L, 1, 5L, 1.0)), tb.toString)
   }
 
+  test("sequenceJaccardTopKBanded: exact scores on survivors, clone recall") {
+    // heavy-duplication corpus — the regime where the exact inverted
+    // index pays sum(df^2) and banding is the designed escape: 8 clone
+    // groups of 5 users sharing one 12-token sequence (with a 1-token
+    // per-user perturbation so within-group jaccard is high but not all
+    // 1.0), over a 40-token alphabet.
+    val rnd = new scala.util.Random(11)
+    val alpha = (0 until 40).map(i => s"t$i")
+    val rows = for {
+      grp <- 0 until 8
+      base = Seq.fill(12)(alpha(rnd.nextInt(alpha.size)))
+      u <- 0 until 5
+      uid = grp * 10 + u
+      seq = base.updated(rnd.nextInt(12), alpha(rnd.nextInt(alpha.size)))
+      (t, i) <- seq.zipWithIndex
+    } yield (uid * 100L + i, i.toLong, uid.toLong, t)
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+    def asMap(r: org.apache.spark.sql.DataFrame) =
+      r.as[(Long, Int, Long, Double)].collect()
+        .map(x => (x._1, x._3) -> x._4).toMap
+    // k = corpus size so both faces return EVERY scored pair, making the
+    // pair-level differential well-defined (top-k over a candidate
+    // subset could otherwise legitimately promote different neighbors)
+    val exact = asMap(sequenceJaccardTopK(
+      df, "user_id", "ts", "event_type", "event_id", n = 2, k = 40))
+    for (poly <- Seq(false, true)) {
+      val banded = asMap(sequenceJaccardTopKBanded(
+        df, "user_id", "ts", "event_type", "event_id", n = 2, k = 40,
+        numHashes = 8, bands = 4, poly = poly))
+      // precision 1: every surviving pair carries the EXACT jaccard
+      banded.foreach { case (pair, jac) =>
+        assert(exact.get(pair).contains(jac),
+          s"poly=$poly $pair: banded=$jac exact=${exact.get(pair)}")
+      }
+      // recall on the high-similarity tail (the pairs dedup cares
+      // about): >= 90% of exact pairs with jac >= 0.8 must survive
+      // banding (the 1-(1-s^2)^4 S-curve gives ~0.98 at s=0.8)
+      val hi = exact.filter(_._2 >= 0.8).keySet
+      val got = hi.count(banded.contains)
+      assert(hi.nonEmpty && got >= (hi.size * 9) / 10,
+        s"poly=$poly recall ${got}/${hi.size} on jac>=0.8 pairs")
+      // and banding must actually prune: strictly fewer pairs than exact
+      assert(banded.size < exact.size,
+        s"poly=$poly banded ${banded.size} !< exact ${exact.size}")
+    }
+  }
+
   test("mmrRerank: diversification demotes the near-duplicate runner-up") {
     // q's nearest two are near-duplicates of each other; n3 is diverse.
     // Plain cosine ranks (n1, n2, n3); MMR at lambda=0.5 must flip rank 2

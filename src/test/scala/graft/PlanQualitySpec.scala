@@ -406,6 +406,29 @@ class PlanQualitySpec extends SparkSuite {
       s"per-query top-k is not the bounded heap:\n${plan.take(3000)}")
   }
 
+  test("ev_seqsim: ragged sequence build runs ONCE, shared by every branch") {
+    // the r7 plan rebuilt the collect_list subtree up to 6x (projection
+    // divergence defeated ReuseExchange); the r8 shape makes (uid, nsh,
+    // g) GROUPING KEYS of one canonical frame plus a uniform isnotnull
+    // prefilter, so the df-cap branch and both self-join sides reuse one
+    // exchange. Exactly one partial_collect_list may appear in the final
+    // adaptive plan; the other consumers must be ReusedExchange.
+    for (name <- Seq("ev_seqsim", "ev_seqsim_banded")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // AQE final plan is where stage reuse is visible
+      // count inside the FINAL adaptive plan only — the toString also
+      // prints the pre-reuse "Initial Plan" section, which legitimately
+      // repeats the subtree
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val builds = "partial_collect_list".r.findAllIn(plan).size
+      assert(builds == 1,
+        s"$name: ragged build duplicated ($builds partial_collect_list):\n${plan.take(3000)}")
+      assert(plan.contains("ReusedExchange"),
+        s"$name: no ReusedExchange — consumers rebuilt the sequence frame:\n${plan.take(3000)}")
+    }
+  }
+
   test("q_topk_group aggregates with a map-side bounded heap, no window sort") {
     val plan = SparkEntry.queries("q_topk_group")(spark, dir)
       .queryExecution.executedPlan.toString
