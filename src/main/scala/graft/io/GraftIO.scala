@@ -11,6 +11,25 @@ import org.apache.spark.sql.types.StructType
   * per-file read *report* stream (`from_parquet(report=True)`,
   * reference `lib/io/parquet.py:36-61`).
   */
+/** Serializable carrier for the driver's Hadoop Configuration (Hadoop's
+  * Configuration itself is not java-serializable): executor-side footer
+  * reads in [[GraftIO.writeManifest]] must see every spark.hadoop.*
+  * setting — object-store credentials, endpoints, custom FileSystem
+  * implementations — not default resources. */
+private[io] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object GraftIO {
 
   /** `from_parquet` (reference `parquet.py:251-427`): columns pushdown via
@@ -102,32 +121,54 @@ object GraftIO {
       val rel = baseUri.relativize(fs.makeQualified(s.getPath).toUri).getPath
       (fs.makeQualified(s.getPath).toString, rel, s.getLen)
     }
+    // ship the DRIVER's hadoop configuration to the executor tasks: a
+    // fresh Configuration() there would carry default resources only,
+    // dropping every spark.hadoop.* setting (object-store credentials,
+    // endpoints, custom FileSystem impls) — the footer read must go
+    // through the same filesystem the scan would use
+    val confSer = new SerializableHadoopConf(hconf)
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 32)))
       .map { case (path, rel, len) =>
-        // executor-local Configuration: manifest reads go through the
-        // same filesystem the scan would use
-        val conf = new org.apache.hadoop.conf.Configuration()
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+          .fromPath(new org.apache.hadoop.fs.Path(path), confSer.value)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           val blocks = r.getFooter.getBlocks
           var nRows = 0L
           // per-column (nulls, min, max) merged across row groups; the
           // mins/maxes of one column path always share a concrete type,
-          // so the Comparable merge is safe
+          // so the Comparable merge is safe. Two recording gates:
+          // - null counts only while every row group has isNumNullsSet
+          //   (getNumNulls returns -1 when unknown — summing that in
+          //   would poison the total; unknown propagates as null)
+          // - min/max only for types whose Comparable order matches the
+          //   logical order: numeric/boolean primitives and UTF8-
+          //   annotated binary (Binary.compareTo is unsigned
+          //   lexicographic — correct for UTF8 strings, WRONG for
+          //   signed-ordered binary-backed logicals like FLBA decimals,
+          //   which record no range and are conservatively kept by
+          //   fromParquetSkipping)
           val stats = scala.collection.mutable.LinkedHashMap
-            .empty[String, (Long, Any, Any)]
+            .empty[String, (java.lang.Long, Any, Any)]
           blocks.forEach { b =>
             nRows += b.getRowCount
             b.getColumns.forEach { c =>
               val key = c.getPath.toDotString
               val s = c.getStatistics
               if (s != null) {
-                val (n0, mn0, mx0) = stats.getOrElse(key, (0L, null, null))
+                val pt = c.getPrimitiveType
+                import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                val ordered = pt.getPrimitiveTypeName match {
+                  case BINARY | FIXED_LEN_BYTE_ARRAY =>
+                    pt.getLogicalTypeAnnotation.isInstanceOf[
+                      org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+                  case INT96 => false
+                  case _ => true
+                }
+                val (n0, mn0, mx0) = stats.getOrElse(key, (0L: java.lang.Long, null, null))
                 var mn = mn0; var mx = mx0
-                if (s.hasNonNullValue) {
+                if (ordered && s.hasNonNullValue) {
                   val smin: Any = s.genericGetMin
                   val smax: Any = s.genericGetMax
                   if (mn == null ||
@@ -137,7 +178,10 @@ object GraftIO {
                       smax.asInstanceOf[Comparable[Any]].compareTo(mx) > 0)
                     mx = smax
                 }
-                stats(key) = (n0 + s.getNumNulls, mn, mx)
+                val n: java.lang.Long =
+                  if (n0 == null || !s.isNumNullsSet) null
+                  else java.lang.Long.valueOf(n0 + s.getNumNulls)
+                stats(key) = (n, mn, mx)
               }
             }
           }
@@ -180,10 +224,19 @@ object GraftIO {
   def fromParquetSkipping(spark: SparkSession, dest: String, column: String,
       lo: Any, hi: Any, cast: String): DataFrame = {
     val stats = element_at(col("col_stats"), column)
+    // the conservative-keep guarantee must survive bad casts: a recorded
+    // min/max string that does not cast to `cast` (mistyped caller, or a
+    // stat rendered from a differently-typed footer) must KEEP the file
+    // (fall back to a full scan), not drop it through a NULL range
+    // conjunction — and under ANSI mode (Spark 4 default) a plain cast
+    // would not even null, it would throw mid-filter. try_cast gives the
+    // tolerate-and-null semantics in both modes.
+    val mnS = stats.getField("min").try_cast(cast)
+    val mxS = stats.getField("max").try_cast(cast)
     val keep = fromParquetManifest(spark, dest)
       .filter(stats.isNull || stats.getField("min").isNull ||
-        (stats.getField("max").cast(cast) >= lit(lo) &&
-          stats.getField("min").cast(cast) <= lit(hi)))
+        mnS.isNull || mxS.isNull ||
+        (mxS >= lit(lo) && mnS <= lit(hi)))
       .select(col("file")).collect().map(_.getString(0))
     if (keep.isEmpty)
       spark.read.parquet(dest).limit(0) // schema-preserving empty

@@ -133,6 +133,28 @@ object GetitemIoQueries {
           sum(q.getField("nulls")).as("null_qty"))
     },
 
+    // manifest-driven file skipping graded END TO END: write a range-
+    // partitioned 8-file layout + sidecar, then answer a selective range
+    // query through fromParquetSkipping (plan-time file pruning from the
+    // sidecar ranges — PlanQualitySpec pins that this reads strictly
+    // fewer files than the full scan; here DuckDB pins that pruning
+    // never changes the answer)
+    "io_skipping" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_skipq").toString + "/li"
+      graft.io.GraftIO.toParquetWithMetadata(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .repartitionByRange(8, col("l_orderkey")),
+        tmp)
+      graft.io.GraftIO
+        .fromParquetSkipping(s, tmp, "l_orderkey", 1000L, 3000L, "bigint")
+        .filter(col("l_orderkey").between(1000L, 3000L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+
     // CSV round-trip (schema carried explicitly — CSV stores none): same
     // aggregate as the parquet roundtrip, proving the format path and the
     // text-codec edge cases (quoting, nulls) preserve values exactly
@@ -380,6 +402,8 @@ object GetitemIoQueries {
     // the manifest aggregates must equal the data-derived truth
     "io_manifest" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_rows, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, CAST(count(*) - count(l_quantity) AS BIGINT) AS null_qty FROM lineitem""",
+    "io_skipping" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000 GROUP BY 1""",
     "io_orc" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem WHERE l_quantity >= 40 GROUP BY 1""",
     "io_nested" ->

@@ -516,6 +516,13 @@ class ModulesSpec extends SparkSuite {
     val none = graft.io.GraftIO
       .fromParquetSkipping(spark, d, "v", 1e9, 2e9, "double")
     assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+    // conservative-keep under a bad cast: "v" stats are doubles; asking
+    // for them as DATE nulls every cast, and the contract is keep-all
+    // (fall back to a full scan), never silently drop files
+    val badCast = graft.io.GraftIO
+      .fromParquetSkipping(spark, d, "v", "2001-01-01", "2001-01-02", "date")
+    assert(badCast.count() == 400L,
+      "files with non-castable stats must be kept, not dropped")
     // partitionBy layout: manifest walks the key=value subdirs and the
     // skipping read keeps the partition column alive via basePath
     val pd = java.nio.file.Files.createTempDirectory("graft_skip_part").toString

@@ -406,6 +406,35 @@ class PlanQualitySpec extends SparkSuite {
       s"per-query top-k is not the bounded heap:\n${plan.take(3000)}")
   }
 
+  test("manifest skipping scans strictly fewer files; answers unchanged") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_skipplan").toString + "/li"
+    graft.io.GraftIO.toParquetWithMetadata(
+      graft.core.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey")),
+      tmp)
+    def files(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.relation.location.inputFiles.length.toLong
+      }.sum
+    val full = spark.read.parquet(tmp)
+    // lineitem orderkeys span ~1..6000 at sf0.001: [1000, 1500] sits in
+    // a strict subset of the 8 range-partitioned files
+    val skip = graft.io.GraftIO
+      .fromParquetSkipping(spark, tmp, "l_orderkey", 1000L, 1500L, "bigint")
+    assert(files(full) == 8L, s"expected 8 data files, saw ${files(full)}")
+    assert(files(skip) < 8L && files(skip) > 0L,
+      s"manifest pruning ineffective: ${files(skip)} of 8 files in the scan")
+    // pruning must be invisible to the answer
+    val a = full.filter(col("l_orderkey").between(1000L, 1500L))
+      .agg(count(lit(1)), sum(col("l_quantity"))).collect().toSeq
+    val b = skip.filter(col("l_orderkey").between(1000L, 1500L))
+      .agg(count(lit(1)), sum(col("l_quantity"))).collect().toSeq
+    assert(a == b, s"skipping changed the answer: $a vs $b")
+  }
+
   test("ev_seqsim: ragged sequence build runs ONCE, shared by every branch") {
     // the r7 plan rebuilt the collect_list subtree up to 6x (projection
     // divergence defeated ReuseExchange); the r8 shape makes (uid, nsh,
