@@ -42,12 +42,27 @@ object Bench {
         .agg(count(lit(1))).count()
     } catch { case _: Throwable => }
     // Self-defense against machine load: a fixed CPU-bound calibration
-    // query (no table data, pure range->hash->agg) runs before and after
-    // the suite. On an idle box the two times agree; under contention they
-    // diverge, and the JSON carries both plus the OS load average with a
-    // "contended" flag — a reader (or a later round's judge) can then
-    // discount the run instead of chasing phantom regressions (BENCH_r04
-    // recorded 75.3 s for a 46.9 s suite this way).
+    // query (no table data, pure range->hash->agg) runs before the suite,
+    // after it, and every 25 queries IN BETWEEN. The r7 lesson: endpoint
+    // agreement alone is blind both to constant load (both ends slow by
+    // the same factor) and to bursts that land between the endpoints —
+    // BENCH_r07 recorded a 19% inflated suite with agreeing endpoint
+    // calibrations. Three gates now trip `contended`:
+    //   1. endpoint disagreement > 2x (the original transient detector),
+    //   2. ANY calibration sample > 2x the recorded idle reference
+    //      (constant or bursty load, wherever it lands),
+    //   3. ambient load average AT START > 2x its idle reference (the
+    //      pre-run machine state, before our own work pollutes the 1-min
+    //      average).
+    // The idle references were measured on this build box with the suite
+    // quiesced (cal 0.30-0.47 s warm-to-cold, load 1.5-2.5) and are env-
+    // overridable for different hardware.
+    val calRef = sys.env.getOrElse("SPARK_GRAFT_CAL_REF", "0.35").toDouble
+    val loadRef = sys.env.getOrElse("SPARK_GRAFT_LOAD_REF", "2.5").toDouble
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     def calibrate(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
@@ -69,12 +84,16 @@ object Bench {
     case class QTime(steady: Double, first: Double, runs: Int) {
       def warmRatio: Double = first / math.max(1e-9, steady)
     }
-    case class Pass(calStart: Double, calEnd: Double,
-        results: Map[String, QTime]) {
+    case class Pass(cals: Seq[Double], results: Map[String, QTime]) {
+      def calStart: Double = cals.head
+      def calEnd: Double = cals.last
       def total: Double =
         if (results.nonEmpty) results.values.map(_.steady).sum else 0.0
-      def contended: Boolean =
+      def endpointsDisagree: Boolean =
         math.max(calStart, calEnd) / math.max(1e-9, math.min(calStart, calEnd)) > 2.0
+      def absSlow: Boolean = cals.max > 2.0 * calRef
+      def ambientLoaded: Boolean = loadStart > 2.0 * loadRef
+      def contended: Boolean = endpointsDisagree || absSlow || ambientLoaded
     }
 
     def measure(): Pass = {
@@ -83,7 +102,8 @@ object Bench {
       // an unwarmed end measurement reads ~2x slow on an idle box and would
       // false-flag contention — both ends must measure the same (warm) state
       calibrate()
-      val calStart = calibrate()
+      val cals = scala.collection.mutable.ArrayBuffer(calibrate())
+      var sinceCal = 0
       val results = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
@@ -113,11 +133,18 @@ object Bench {
           }
         System.err.println(
           f"[bench] $name%-20s ${qt.steady}%8.2fs  (first ${qt.first}%.2fs, runs ${qt.runs})")
+        // mid-suite calibration sample (~0.3 s each, 5-6 per full pass):
+        // catches the load burst that lands BETWEEN the endpoints. No
+        // warm-up call here — the suite itself keeps the shape warm, and
+        // a JIT-evicted sample reads at most ~cold (0.47 s idle), well
+        // under the 2x-idle trip wire.
+        sinceCal += 1
+        if (sinceCal >= 25) { cals += calibrate(); sinceCal = 0 }
         name -> qt
       }.toMap
       calibrate()
-      val calEnd = calibrate()
-      Pass(calStart, calEnd, results)
+      cals += calibrate()
+      Pass(cals.toSeq, results)
     }
 
     // Auto-retry: a contended recording is not decision-grade (r4 and r5
@@ -131,7 +158,8 @@ object Bench {
       if (!first.contended) (first, false)
       else {
         System.err.println(
-          f"[bench] contended pass (cal ${first.calStart}%.3f vs ${first.calEnd}%.3f); retrying once")
+          f"[bench] contended pass (cals ${first.cals.map(c => f"$c%.3f").mkString("/")}, " +
+            f"load_start $loadStart%.2f); retrying once")
         val second = measure()
         if (!second.contended || second.total < first.total) (second, true)
         else (first, true)
@@ -161,7 +189,7 @@ object Bench {
       .scanLeft(("", 0)) { case ((_, len), s) => (s, len + s.length + 1) }
       .drop(1).takeWhile(_._2 < 300).map(_._1).toSeq
     val wj = jitBound.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(pass.total)},"unit":"sec","n_queries":${pass.results.size},"cal_start":${fmt(pass.calStart)},"cal_end":${fmt(pass.calEnd)},"load_avg":${fmt(java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage)},"contended":${pass.contended},"retried":$retried,"steady_min_runs":3,"warmup_ratio_gt2":$wj,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(pass.total)},"unit":"sec","n_queries":${pass.results.size},"cal_start":${fmt(pass.calStart)},"cal_end":${fmt(pass.calEnd)},"cal_max":${fmt(pass.cals.max)},"cal_ref":${fmt(calRef)},"load_start":${fmt(loadStart)},"load_avg":${fmt(loadAvg())},"contended":${pass.contended},"retried":$retried,"steady_min_runs":3,"warmup_ratio_gt2":$wj,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
