@@ -90,21 +90,30 @@ package object dedup {
     *
     * `blockCol` optionally confines pairs to equal-block rows (e.g.
     * language), matching the brute-force query's semantics. */
-  def simhashBandPairs(df: DataFrame, idCol: String, sigCol: String,
-      maxHamming: Int, bits: Int = 48,
-      blockCol: Option[String] = None): DataFrame = {
+  /** The Manku band split of a packed `sig` column: maxHamming+1 bands
+    * (pigeonhole — a pair within maxHamming bits agrees on at least one),
+    * first `bits % nBands` bands one bit wider. Shared by the full and
+    * incremental banded planners so their candidate spaces are identical
+    * by construction. */
+  private def simhashBandStructs(maxHamming: Int, bits: Int): Seq[Column] = {
     val nBands = maxHamming + 1
     val base = bits / nBands
     val extra = bits % nBands // first `extra` bands get one extra bit
     val offsets = (0 until nBands).scanLeft(0) { (acc, j) =>
       acc + base + (if (j < extra) 1 else 0)
     }
-    val bandExprs = (0 until nBands).map { j =>
+    (0 until nBands).map { j =>
       val w = base + (if (j < extra) 1 else 0)
       val mask = (1L << w) - 1L
       struct(lit(j).as("j"),
         shiftright(col("sig"), offsets(j)).bitwiseAND(lit(mask)).as("bk"))
     }
+  }
+
+  def simhashBandPairs(df: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, bits: Int = 48,
+      blockCol: Option[String] = None): DataFrame = {
+    val bandExprs = simhashBandStructs(maxHamming, bits)
     val blockSel = blockCol.map(c => col(c).as("blk")).toSeq
     val sigs = df.select(
       Seq(col(idCol).as("id"), col(sigCol).as("sig")) ++ blockSel: _*)
@@ -120,6 +129,43 @@ package object dedup {
     cand
       .join(sigs.select(col("id"), col("sig").as("s1")), col("id1") === col("id")).drop("id")
       .join(sigs.select(col("id"), col("sig").as("s2")), col("id2") === col("id")).drop("id")
+      .select(col("id1"), col("id2"),
+        hamming(col("s1"), col("s2")).cast("long").as("dist"))
+      .filter(col("dist") <= maxHamming)
+  }
+
+  /** Incremental face of [[simhashBandPairs]] — streaming-backfill parity
+    * with [[minhashLshPairsIncremental]]: candidates come from probing the
+    * band index of (seen ∪ new) with the NEW side only, so seen-seen pairs
+    * never form and per-ingest cost is delta-proportional (|new| band rows
+    * probe the index; the seen corpus is never self-joined). Output ==
+    * full-corpus [[simhashBandPairs]] over seen ∪ new MINUS the pairs
+    * both of whose ids are seen (differential-pinned in
+    * DedupSimilaritySpec). Both frames need (idCol, sigCol[, blockCol]);
+    * ids must be unique across the union. Returns (id1, id2, dist). */
+  def simhashBandPairsIncremental(newDf: DataFrame, seenDf: DataFrame,
+      idCol: String, sigCol: String, maxHamming: Int, bits: Int = 48,
+      blockCol: Option[String] = None): DataFrame = {
+    val bandExprs = simhashBandStructs(maxHamming, bits)
+    val blockSel = blockCol.map(c => col(c).as("blk")).toSeq
+    def sigsOf(df: DataFrame) = df.select(
+      Seq(col(idCol).as("id"), col(sigCol).as("sig")) ++ blockSel: _*)
+    val allSigs = sigsOf(seenDf).unionByName(sigsOf(newDf))
+    def keysOf(s: DataFrame) = s.select(
+      Seq(col("id"), explode(array(bandExprs: _*)).as("b")) ++
+        (if (blockCol.isDefined) Seq(col("blk")) else Nil): _*)
+    val blockCond = if (blockCol.isDefined)
+      col("a.blk") === col("b.blk") else lit(true)
+    // all x new: a new-new pair collides twice (once per orientation),
+    // a seen-new pair once; least/greatest + distinct canonicalizes both
+    val cand = keysOf(allSigs).as("a").join(keysOf(sigsOf(newDf)).as("b"),
+        col("a.b") === col("b.b") && col("a.id") =!= col("b.id") && blockCond)
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"))
+      .distinct()
+    cand
+      .join(allSigs.select(col("id"), col("sig").as("s1")), col("id1") === col("id")).drop("id")
+      .join(allSigs.select(col("id"), col("sig").as("s2")), col("id2") === col("id")).drop("id")
       .select(col("id1"), col("id2"),
         hamming(col("s1"), col("s2")).cast("long").as("dist"))
       .filter(col("dist") <= maxHamming)

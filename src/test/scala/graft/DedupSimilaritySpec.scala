@@ -83,6 +83,36 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(nb == nbAd && nb.nonEmpty)
   }
 
+  test("simhashBandPairsIncremental = full banded pairs minus seen-seen") {
+    // streaming-backfill parity face (the minhashLshPairsIncremental
+    // shape): probing the (seen ∪ new) band index with only the new side
+    // must reproduce the full-corpus banded pairs minus those whose both
+    // ends were already seen — at any cut, with and without a block key
+    val sigs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", simHash48($"text").as("sh"))
+    for (blockCol <- Seq(Some("lang"), None)) {
+      val full = simhashBandPairs(sigs, "doc_id", "sh", 6, 48, blockCol)
+        .collect().map(_.toSeq).toSet
+      assert(full.nonEmpty)
+      for (seenPred <- Seq($"doc_id" % 2 === 0, $"doc_id" < 250)) {
+        val seenIds = sigs.filter(seenPred)
+          .select($"doc_id").as[Long].collect().toSet
+        val inc = simhashBandPairsIncremental(
+            sigs.filter(!seenPred), sigs.filter(seenPred),
+            "doc_id", "sh", 6, 48, blockCol)
+          .collect().map(_.toSeq).toSet
+        val want = full.filterNot(p =>
+          seenIds(p.head.asInstanceOf[Long]) && seenIds(p(1).asInstanceOf[Long]))
+        assert(inc == want,
+          s"block=$blockCol cut $seenPred: ${inc.size} vs ${want.size}")
+      }
+      // empty seen store: the incremental face IS the full computation
+      val cold = simhashBandPairsIncremental(sigs, sigs.limit(0),
+        "doc_id", "sh", 6, 48, blockCol).collect().map(_.toSeq).toSet
+      assert(cold == full)
+    }
+  }
+
   test("simhash: near-dup pairs have much smaller hamming than random pairs") {
     val docs = graft.core.Tables.documents(spark, dir)
     val sigs = docs.select($"doc_id", simHash48($"text").as("sh"))
