@@ -44,10 +44,16 @@ object GraftIO {
     * nested leaves: read with an explicitly pruned schema so the parquet
     * reader materializes only the named leaf columns.
     *
-    * Needed because Catalyst's SchemaPruning does not (yet) look through
-    * higher-order-function lambdas — `transform(items, x -> x.q)` scans the
-    * full struct, while `items.q` or this explicit schema prunes. Paths use
-    * dots, list levels are transparent: "items.quantity". */
+    * Catalyst's SchemaPruning does not look through higher-order-function
+    * lambdas on its own; the graft.plans.TransformFieldPruning and
+    * LambdaFieldPruning optimizer rules close that gap for field-access
+    * lambdas (transform/aggregate/exists/forall), so under
+    * GraftExtensions the explicit schema is rarely needed. This explicit
+    * form remains the manual override for sessions without the
+    * extensions, for HOFs whose output IS the element struct (filter,
+    * sort — not prunable by rewrite), and for deeper-than-first-level
+    * leaf selection. Paths use dots, list levels are transparent:
+    * "items.quantity". */
   def fromParquetProjected(spark: SparkSession, path: String,
       leaves: Seq[String]): DataFrame = {
     val full = spark.read.parquet(path).schema

@@ -1268,6 +1268,71 @@ class ModulesSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("LambdaFieldPruning: multi-field/aggregate/exists lambdas prune the scan") {
+    // the general rule: lambda bodies that USE the element variable only
+    // through field accesses get their array input narrowed to an
+    // arrays_zip of the touched leaves — SchemaPruning then prunes the
+    // parquet scan even though the access sits inside a HOF lambda
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lfp").toString
+    graft.core.Tables.ordersNested(spark, dir).write
+      .mode("overwrite").parquet(tmp)
+    val nested = spark.read.parquet(tmp)
+    def leaves(df: org.apache.spark.sql.DataFrame): String =
+      graft.inspect.Inspect.necessaryColumns(df).values.head.mkString(";")
+
+    // multi-field transform: quantity * (1 - discount), string leaf unused
+    val multi = nested.select(graft.reducers.sumList(transform($"items",
+      x => x.getField("quantity") * (lit(1.0) - x.getField("discount")))).as("s"))
+    val ncm = leaves(multi)
+    assert(ncm.contains("quantity") && ncm.contains("discount") &&
+      !ncm.contains("returnflag") && !ncm.contains("extendedprice"),
+      s"multi-field lambda not pruned: $ncm")
+
+    // aggregate: element var is the merge lambda's SECOND argument
+    val agg = nested.select(aggregate($"items", lit(0.0),
+      (acc, x) => acc + x.getField("quantity")).as("s"))
+    val nca = leaves(agg)
+    assert(nca.contains("quantity") && !nca.contains("extendedprice"),
+      s"aggregate lambda not pruned: $nca")
+
+    // exists / forall return booleans — input prunable
+    val ex = nested.select(exists($"items", x => x.getField("quantity") > 30).as("e"))
+    assert(!leaves(ex).contains("returnflag"), s"exists not pruned: ${leaves(ex)}")
+    val fa = nested.select(forall($"items", x => x.getField("discount") < 1.0).as("f"))
+    assert(!leaves(fa).contains("returnflag"), s"forall not pruned: ${leaves(fa)}")
+
+    // whole-element use DISQUALIFIES the rewrite (x itself escapes):
+    // results must stay correct and the scan keeps the full struct
+    val whole = nested.select(size(filter($"items", x => x.isNotNull)).as("n"))
+    assert(leaves(whole).contains("returnflag"), "filter output needs all fields")
+
+    // values are unchanged by the rewrite (vs the explode spelling), and
+    // null ELEMENTS keep the per-field null semantics
+    val viaExplode = nested.select($"o_orderkey", explode($"items").as("it"))
+      .groupBy($"o_orderkey")
+      .agg(sum($"it.quantity" * (lit(1.0) - $"it.discount")).as("s"))
+      .agg(round(sum($"s"), 2)).as[Double].head
+    val viaLambda = nested.groupBy($"o_orderkey")
+      .agg(first(graft.reducers.sumList(transform($"items",
+        x => x.getField("quantity") * (lit(1.0) - x.getField("discount"))))).as("s"))
+      .agg(round(sum($"s"), 2)).as[Double].head
+    assert(math.abs(viaExplode - viaLambda) < 1e-6, s"$viaExplode vs $viaLambda")
+    val nullElems = Seq((1L, Seq[Integer](1, null, 3))).toDF("id", "xs")
+      .select($"id", transform($"xs",
+        i => struct(i.as("a"), (i * 2).as("b"), lit("z").as("c"))).as("items"))
+      .select(transform($"items", x => x.getField("a") + x.getField("b")).as("r"))
+      .as[Seq[Option[Long]]].head
+    assert(nullElems == Seq(Some(3L), None, Some(9L)), nullElems.toString)
+    // a genuinely NULL struct element: pre-rewrite, x.a on a null struct
+    // is null; post-rewrite the zipped element is struct(null, null) and
+    // each field access is null — same observable value
+    val nullStruct = spark.sql(
+      "SELECT transform(array(named_struct('a', 1, 'b', 2, 'c', 'z'), " +
+        "CAST(NULL AS struct<a:int,b:int,c:string>)), x -> x.a + x.b) AS r")
+      .as[Seq[Option[Int]]].head
+    assert(nullStruct == Seq(Some(3), None), nullStruct.toString)
+  }
+
   test("inspect: necessaryBuffers separates shape-only from data touches") {
     // reference report_necessary_buffers (lib/inspect.py:21-115): ak.num
     // touches only the offsets buffer. Spark spelling: size(items).
