@@ -37,20 +37,27 @@ object EventQueries {
     },
     // the LSH-banded face of the same search (graft.similarity
     // .sequenceJaccardTopKBanded): MinHash the bigram sets (8 polyHash
-    // lanes — the replayable d_minhash convention), band 4x2, candidate
+    // lanes — the replayable d_minhash convention), band 4x4, candidate
     // pairs from band-bucket collisions, EXACT Jaccard verify on
     // survivors. Deterministic end to end, so the full pipeline —
     // signatures, band keys, candidate join, set-intersect verify,
     // bounded-heap top-k — replays in DuckDB (rows+schema+hash graded,
-    // not recall-bounded). The exact-vs-banded differential and the
-    // dense-posting crossover live in DedupSimilaritySpec.
+    // not recall-bounded). Band geometry is r=4 rows/band, MEASURED at
+    // sf5 (SCALE_SOAK round 8): r=2 band keys collide at the corpus's
+    // ~0.2 background jaccard (s^2 = 4% per band) and generate 127M
+    // candidate pairs from 75k users — the verify join spills to death —
+    // while r=4 at 16 lanes / 4 bands yields 15.5M with a 350-row max
+    // bucket (and 8/2 r=4 keeps only 2 rows at the graded sf0.01 —
+    // 4 bands restores usable recall at the same per-band selectivity).
+    // The exact-vs-banded differential and the dense-posting crossover
+    // live in DedupSimilaritySpec.
     "ev_seqsim_banded" -> { (s, dir) =>
       val ev = Tables.events(s, dir).withColumn("tok",
         concat(col("event_type"), lit(":"),
           least(floor(col("value") / 25), lit(9.0)).cast("long")))
       graft.similarity.sequenceJaccardTopKBanded(ev,
           "user_id", "ts", "tok", "event_id", n = 2, k = 3,
-          numHashes = 8, bands = 4, poly = true)
+          numHashes = 16, bands = 4, poly = true)
         .select(col("user_id"), col("rank"), col("nid"),
           round(col("jac"), 4).as("jac"))
     },
@@ -301,18 +308,19 @@ object EventQueries {
   // same polyHash / coefficient literals as DedupQueries' minhash oracles
   // (HashExprs.minHashCoefficients is the single source of truth)
   private val POLY = """list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(w, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)"""
-  private val (mhA, mhB) = graft.functions.HashExprs.minHashCoefficients(8, 42L)
+  private val (mhA, mhB) = graft.functions.HashExprs.minHashCoefficients(16, 42L)
 
   val oracle: Map[String, String] = Map(
     // full structural replay of the banded pipeline: ordered token list,
     // distinct bigrams (empty sets dropped — all-sentinel signatures
     // would band-collide with every other empty set), 8 polyHash minhash
-    // lanes, 4x2 band keys (one flattened polynomial per band — mod
-    // distributes), candidate pairs from band-bucket equi-joins (both
-    // orientations, distinct), exact list-intersect Jaccard verify, and
-    // the rank window standing in for the bounded heap
+    // lanes, 2x4 band keys (one flattened 4-term polynomial per band —
+    // mod distributes; 131^3 = 2248091, 131^2 = 17161), candidate pairs
+    // from band-bucket equi-joins (both orientations, distinct), exact
+    // list-intersect Jaccard verify, and the rank window standing in for
+    // the bounded heap
     "ev_seqsim_banded" ->
-      s"""WITH s AS (SELECT user_id AS uid, list(event_type || ':' || CAST(least(floor(value / 25), 9) AS BIGINT) ORDER BY ts, event_id) AS toks FROM events WHERE user_id IS NOT NULL GROUP BY user_id), g AS (SELECT uid, gs FROM (SELECT uid, list_distinct(list_transform(range(1, len(toks)), i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS gs FROM s) x WHERE len(gs) > 0), hs AS (SELECT uid, gs, list_transform(gs, w -> $POLY) AS hl FROM g), sig AS (SELECT uid, gs, [${(0 until 8).map(j => s"coalesce(list_min(list_transform(hl, h -> (h * ${mhA(j)} + ${mhB(j)}) % 2147483647)), 2147483647)").mkString(", ")}] AS sg FROM hs), bk AS (SELECT uid, CAST(b AS INT) AS b, (sg[CAST(b * 2 + 1 AS INT)] * 131 + sg[CAST(b * 2 + 2 AS INT)]) % 1000000007 AS key FROM sig, range(0, 4) r(b)), cand AS (SELECT a.uid AS uid, b.uid AS nid FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key AND a.uid <> b.uid GROUP BY 1, 2), v AS (SELECT c.uid, c.nid, len(list_intersect(ga.gs, gb.gs)) AS inter, len(ga.gs) + len(gb.gs) AS s2 FROM cand c JOIN g ga ON c.uid = ga.uid JOIN g gb ON c.nid = gb.uid), r AS (SELECT uid, nid, CAST(inter AS DOUBLE) / (s2 - inter) AS jac, row_number() OVER (PARTITION BY uid ORDER BY CAST(inter AS DOUBLE) / (s2 - inter) DESC, nid) AS rank FROM v) SELECT uid AS user_id, CAST(rank AS INT) AS rank, nid, round(jac, 4) AS jac FROM r WHERE rank <= 3""",
+      s"""WITH s AS (SELECT user_id AS uid, list(event_type || ':' || CAST(least(floor(value / 25), 9) AS BIGINT) ORDER BY ts, event_id) AS toks FROM events WHERE user_id IS NOT NULL GROUP BY user_id), g AS (SELECT uid, gs FROM (SELECT uid, list_distinct(list_transform(range(1, len(toks)), i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS gs FROM s) x WHERE len(gs) > 0), hs AS (SELECT uid, gs, list_transform(gs, w -> $POLY) AS hl FROM g), sig AS (SELECT uid, gs, [${(0 until 16).map(j => s"coalesce(list_min(list_transform(hl, h -> (h * ${mhA(j)} + ${mhB(j)}) % 2147483647)), 2147483647)").mkString(", ")}] AS sg FROM hs), bk AS (SELECT uid, CAST(b AS INT) AS b, (sg[CAST(b * 4 + 1 AS INT)] * 2248091 + sg[CAST(b * 4 + 2 AS INT)] * 17161 + sg[CAST(b * 4 + 3 AS INT)] * 131 + sg[CAST(b * 4 + 4 AS INT)]) % 1000000007 AS key FROM sig, range(0, 4) r(b)), cand AS (SELECT a.uid AS uid, b.uid AS nid FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key AND a.uid <> b.uid GROUP BY 1, 2), v AS (SELECT c.uid, c.nid, len(list_intersect(ga.gs, gb.gs)) AS inter, len(ga.gs) + len(gb.gs) AS s2 FROM cand c JOIN g ga ON c.uid = ga.uid JOIN g gb ON c.nid = gb.uid), r AS (SELECT uid, nid, CAST(inter AS DOUBLE) / (s2 - inter) AS jac, row_number() OVER (PARTITION BY uid ORDER BY CAST(inter AS DOUBLE) / (s2 - inter) DESC, nid) AS rank FROM v) SELECT uid AS user_id, CAST(rank AS INT) AS rank, nid, round(jac, 4) AS jac FROM r WHERE rank <= 3""",
     // sequence similarity: per-user ordered event-type list (ts, then
     // event_id tiebreak), distinct trigrams, inverted-index pair counts
     // with the dfCap>1000 posting filter (no-op on this corpus but

@@ -472,7 +472,7 @@ package object similarity {
     * distinct candidate pairs. Returns (idCol, rank, nid, jac). */
   def sequenceJaccardTopKBanded(df: DataFrame, idCol: String,
       tsCol: String, tokCol: String, tieCol: String, n: Int = 3,
-      k: Int = 5, numHashes: Int = 32, bands: Int = 16,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
       poly: Boolean = false): DataFrame = {
     require(n > 0 && k > 0 && bands > 0 && numHashes % bands == 0,
       s"bad n=$n k=$k numHashes=$numHashes bands=$bands")
