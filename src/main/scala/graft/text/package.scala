@@ -257,8 +257,10 @@ package object text {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = df.count() // one count job; embedded as a literal (the
-                           // oracle's scalar subquery does the same)
+    // corpus cardinality rides the plan as a broadcast 1-row aggregate
+    // (the oracle's scalar subquery in plan form, the bm25 stats shape) —
+    // ONE lazy plan, no driver count job
+    val nd = df.agg(count(lit(1)).cast("double").as("ndocs"))
     val toks = df.select(col(idCol).as("id"),
       explode(wsTokens(lower(col(textCol)))).as("tok"))
     val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -267,10 +269,11 @@ package object text {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("tf").desc, col("df").asc, col("tok"))
     tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nd))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id").as(idCol), col("tok"), col("tf"), col("df"),
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4).as("score"),
+        round(col("tf") * log(col("ndocs") / col("df")), 4).as("score"),
         col("rank"))
   }
 
@@ -365,39 +368,44 @@ package object text {
     val toks = df.select(col(idCol).as("id"),
       explode(wsTokens(lower(col(textCol)))).as("tok"))
     val cnts = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
-    // empty corpus: sum is null; 1 keeps the (never-evaluated) expression
-    // well-formed and the result frame empty instead of an NPE here
-    val tot = Option(cnts.agg(sum(col("ctf"))).head().get(0))
-      .fold(1L)(_.asInstanceOf[Long])
+    // corpus token total as a broadcast 1-row aggregate: ONE lazy plan,
+    // no driver action; `tok` is a grouping key so the `cnts` subtree is
+    // byte-identical here and in the join branch and its exchange is
+    // computed once (ReuseExchange — the bm25 discipline). An empty
+    // corpus yields an empty join (no rows ever divide by the null sum).
+    val tot = cnts.agg(sum(col("ctf")).cast("double").as("tot"))
     toks.join(cnts, "tok")
+      .crossJoin(broadcast(tot))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_toks"),
-        avg(log(col("ctf").cast("double") / tot)).as("logprob"))
+        avg(log(col("ctf") / col("tot"))).as("logprob"))
       .select(col("id").as(idCol), col("n_toks"), col("logprob"))
   }
 
   /** CCNet-style quality bucketing: split the corpus into `nBuckets` tiers
-    * by [[unigramLogProb]] score (bucket 0 = best/most-fluent). Thresholds
-    * come from one driver-side exact-percentile job over the scores; the
-    * bucket assignment itself is a map-side comparison — no global sort,
-    * no corpus-wide window, so the shape survives 100 TB (swap the exact
-    * percentile for `percentile_approx` there; the assignment pass is
-    * unchanged). Returns (idCol, n_toks, logprob, bucket). */
+    * by [[unigramLogProb]] score (bucket 0 = best/most-fluent). The
+    * (nBuckets-1)-element exact-percentile threshold array rides the plan
+    * as a broadcast 1-row aggregate — ONE lazy plan, no driver job — and
+    * the bucket assignment is a map-side comparison against its elements:
+    * no global sort, no corpus-wide window, so the shape survives 100 TB
+    * (swap the exact percentile for `percentile_approx` there; everything
+    * else is unchanged). Returns (idCol, n_toks, logprob, bucket). */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, s"bad nBuckets=$nBuckets")
     val scored = unigramLogProb(df, idCol, textCol)
     val cuts = (1 until nBuckets).map(_.toDouble / nBuckets)
-    val thrRow = scored.agg(
-      expr(s"percentile(logprob, array(${cuts.mkString(",")}))")).head()
-    val thr = thrRow.getSeq[Double](0)
+    val thr = scored.agg(
+      expr(s"percentile(logprob, array(${cuts.mkString(",")}))").as("thr"))
     // bucket 0 = HIGHEST logprob tier (most fluent); fold ascending so the
     // highest threshold's check lands OUTERMOST in the nested when-chain
-    val b = thr.zipWithIndex.foldLeft(lit(nBuckets - 1)) {
-      case (acc, (t, i)) =>
-        when(col("logprob") >= t, lit(nBuckets - 2 - i)).otherwise(acc)
+    val b = (0 until nBuckets - 1).foldLeft(lit(nBuckets - 1): Column) {
+      case (acc, i) =>
+        when(col("logprob") >= element_at(col("thr"), i + 1),
+          lit(nBuckets - 2 - i)).otherwise(acc)
     }
-    scored.select(col(idCol), col("n_toks"), col("logprob"), b.as("bucket"))
+    scored.crossJoin(broadcast(thr))
+      .select(col(idCol), col("n_toks"), col("logprob"), b.as("bucket"))
   }
 
   /** Sentence-level corpus dedup, keep-first: any exact sentence occurring
