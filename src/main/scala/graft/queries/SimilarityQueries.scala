@@ -55,6 +55,19 @@ object SimilarityQueries {
           round(col("cos"), 4).as("cos"))
     },
 
+    // scalar-quantization ANN (SQ8: per-dimension [min,max] ranges, 8-bit
+    // codes = 4x corpus compression, zero training iterations) searched
+    // asymmetrically: float64 queries against the dequantized corpus.
+    // Deterministic (floor(x+0.5) half-up codes, range stats as a 1-row
+    // broadcast) => train/encode/dequantize/search replays in DuckDB
+    "sim_sq8" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Sq.sq8TopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("cos"), 4).as("cos"))
+    },
+
     // product-quantization ANN (16 subspaces x 32 centroids = 16 B/vector,
     // a 16x corpus compression) with an ADC shortlist of 50 re-ranked by
     // exact cosine. Deterministic end to end (first-4096-by-id training
@@ -200,6 +213,11 @@ SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE r
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings) SELECT vec_id, round(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS l2, round(CASE WHEN sqrt(list_sum(list_transform(e, x -> x * x))) > 0 THEN sqrt(list_sum(list_transform(list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))), x -> x * x))) END, 4) AS unit_l2, round(sqrt(list_sum(list_transform(range(1, len(e) + 1), i -> (e[CAST(i AS INT)] - e[CAST(len(e) - i + 1 AS INT)]) * (e[CAST(i AS INT)] - e[CAST(len(e) - i + 1 AS INT)])))), 4) AS eucl_rev FROM v""",
     "sim_topk" ->
       s"""WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS ea, c.embedding AS eb FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), d AS (SELECT qid, nid, $COS AS cos FROM p, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d) SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
+    // SQ8 full replay: per-dimension ranges, half-up 8-bit codes,
+    // dequantize, asymmetric cosine, rank — same arithmetic order as the
+    // Spark plan (mn + code * (mx - mn) / 255; floor(x + 0.5))
+    "sim_sq8" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), d0 AS (SELECT CAST(i AS INT) AS dim, min(v[CAST(i AS INT)]) AS mn, max(v[CAST(i AS INT)]) AS mx FROM e, range(1, 65) r(i) GROUP BY 1), st AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM d0), w AS (SELECT vec_id, list_transform(range(1, 65), i -> CASE WHEN mxs[CAST(i AS INT)] > mns[CAST(i AS INT)] THEN mns[CAST(i AS INT)] + greatest(0.0, least(255.0, floor((v[CAST(i AS INT)] - mns[CAST(i AS INT)]) / (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]) * 255 + 0.5))) * (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]) / 255 ELSE mns[CAST(i AS INT)] END) AS w FROM e, st), p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.v AS ea, c.w AS eb FROM e q JOIN w c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), d AS (SELECT qid, nid, $COS AS cos FROM p, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL) SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
     // sim_ivf is fully deterministic (seed centroids = first ~sqrt(N)
     // vectors by id, fixed probe count, lexicographic tie-breaks), so the
     // whole IVF search replays in SQL: same auto cell count, same

@@ -609,6 +609,42 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("sq8: codes in range, reconstruction within half-step, search ~ exact") {
+    import graft.similarity.Sq
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val stats = Sq.sq8Train(emb, "embedding")
+    val st = stats.head()
+    val mns = st.getSeq[Double](0); val mxs = st.getSeq[Double](1)
+    assert(mns.size == 64 && mxs.size == 64 &&
+      mns.zip(mxs).forall { case (a, b) => a <= b })
+    // every code is an 8-bit value
+    val codes = Sq.sq8Encode(emb, "vec_id", "embedding", stats)
+    val bad = codes.select(explode($"q8").as("c"))
+      .filter($"c" < 0 || $"c" > 255).count()
+    assert(bad == 0L)
+    // reconstruction error per dimension <= half a quantization step
+    val maxErr = codes.join(emb.select($"vec_id", $"embedding"), "vec_id")
+      .select(posexplode($"q8").as(Seq("i", "c")), $"embedding")
+      .select($"i", $"c", element_at($"embedding", $"i" + 1).cast("double").as("x"))
+      .collect().map { r =>
+        val i = r.getInt(0); val c = r.getInt(1); val x = r.getDouble(2)
+        val (mn, mx) = (mns(i), mxs(i))
+        val dq = mn + c * (mx - mn) / 255
+        math.abs(dq - x) - (mx - mn) / 255 / 2
+      }.max
+    assert(maxErr <= 1e-9, s"reconstruction off by $maxErr past the half-step")
+    // asymmetric SQ8 search agrees with the exact search at top-1 for
+    // most queries (4x compression, 64 dims — distortion is tiny)
+    val q = emb.filter($"vec_id" < 10)
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"rank" === 1).select($"qid", $"nid")
+        .as[(Long, Long)].collect().toMap
+    val exact = top1(graft.similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3))
+    val sq = top1(Sq.sq8TopK(q, emb, "vec_id", "embedding", 3))
+    val agree = exact.count { case (k, v) => sq.get(k).contains(v) }
+    assert(agree >= 8, s"top-1 agreement $agree/10")
+  }
+
   test("mmrRerank: diversification demotes the near-duplicate runner-up") {
     // q's nearest two are near-duplicates of each other; n3 is diverse.
     // Plain cosine ranks (n1, n2, n3); MMR at lambda=0.5 must flip rank 2

@@ -36,8 +36,15 @@ class PlanQualitySpec extends SparkSuite {
       // (sim_mmr: candidate generation IS bruteForceTopK — the same tiny
       // broadcast-query-set cross as sim_topk; the greedy itself is a
       // bounded keyed MapGroups, no cross)
+      // (sim_sq8: the 1-ROW range-stats frame broadcast-crosses into the
+      // encode/dequantize passes, and the tiny query set crosses the
+      // compressed corpus — both the sim_topk/t_bm25 shapes)
+      // (t_ppl / t_tfidf: the 1-ROW corpus token-total / cardinality
+      // aggregates ride the plan as broadcast crosses since round 8 —
+      // previously driver actions, now the oracle's scalar subqueries in
+      // plan form)
       val crossByDesign = Set("sim_ivf", "sim_kmeans", "sim_topk", "sim_pq",
-        "d_semdedup", "t_bm25", "sim_mmr")
+        "d_semdedup", "t_bm25", "sim_mmr", "sim_sq8", "t_ppl", "t_tfidf")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
