@@ -24,6 +24,18 @@ object TextQueries {
         .limit(50)
     },
 
+    // trainable multinomial Naive Bayes language classifier
+    // (graft.text.naiveBayesClassify): self-train on the corpus's lang
+    // labels, classify every doc — per-token log-likelihood terms floor-
+    // quantized to 2^20ths so the score sums (and the argmax) are
+    // integer-exact in both engines; ties to the smallest label
+    "t_nbayes" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.text.naiveBayesClassify(docs, docs, "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("pred"))
+    },
+
     // deterministic hash-based train/valid/test split (graft.text.hashSplit):
     // reproducible on any cluster/partitioning, no RNG — per-(lang, split)
     // counts, exact oracle via the same rolling hash in DuckDB
@@ -357,7 +369,17 @@ ${(1 to 12).map(bpeRoundSql).mkString(",\n")}"""
   private val PAT_PHONE = graft.text.piiPatterns.find(_._1 == "phone").get._2
   private val PAT_SSN = graft.text.piiPatterns.find(_._1 == "ssn").get._2
 
+  // the documents label alphabet, sorted — mirrors naiveBayesClassify's
+  // bounded driver-collected class list
+  private val NBC = Seq("de", "en", "es", "fr", "zh").zipWithIndex
+
   val oracle: Map[String, String] = Map(
+    // Naive Bayes full replay: token-likelihood table, class totals +
+    // vocab size, doc priors, per-token quantized log terms (CAST floor
+    // to BIGINT — DuckDB floor is DOUBLE; integer sums are what make the
+    // argmax engine-exact), rank window for the argmax with label-asc tie
+    "t_nbayes" ->
+      s"""WITH tr AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents), tk AS (SELECT lang AS y, unnest(ts) AS tok FROM tr), wc AS (SELECT tok, ${NBC.map { case (c, i) => s"count(*) FILTER (WHERE y = '$c') AS n_$i" }.mkString(", ")} FROM tk GROUP BY tok), tot AS (SELECT count(*) AS v, ${NBC.map { case (_, i) => s"sum(n_$i) AS t_$i" }.mkString(", ")} FROM wc), pr AS (SELECT count(*) AS nd, ${NBC.map { case (c, i) => s"count(*) FILTER (WHERE lang = '$c') AS d_$i" }.mkString(", ")} FROM documents), tt AS (SELECT doc_id AS id, unnest(ts) AS tok FROM tr), terms AS (SELECT id, ${NBC.map { case (_, i) => s"CAST(floor(ln(CAST(coalesce(n_$i, 0) + 1 AS DOUBLE) / CAST(t_$i + v AS DOUBLE)) * 1048576) AS BIGINT) AS q_$i" }.mkString(", ")} FROM tt LEFT JOIN wc USING (tok), tot), s AS (SELECT id, ${NBC.map { case (_, i) => s"CAST(sum(q_$i) AS BIGINT) AS s_$i" }.mkString(", ")} FROM terms GROUP BY id), sc AS (SELECT id, ${NBC.map { case (_, i) => s"s_$i + CAST(floor(ln(CAST(d_$i AS DOUBLE) / CAST(nd AS DOUBLE)) * 1048576) AS BIGINT) AS f_$i" }.mkString(", ")} FROM s, pr), p AS (SELECT id, unnest([${NBC.map { case (c, _) => s"'$c'" }.mkString(", ")}]) AS cl, unnest([${NBC.map { case (_, i) => s"f_$i" }.mkString(", ")}]) AS f FROM sc), rk AS (SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY f DESC, cl) AS rn FROM p) SELECT d.doc_id, d.lang, rk.cl AS pred FROM rk JOIN documents d ON rk.id = d.doc_id WHERE rn = 1""",
     "t_vocab" ->
       """SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents) t GROUP BY tok ORDER BY df DESC, tok LIMIT 50""",
     "t_heavy" ->

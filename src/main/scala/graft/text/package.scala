@@ -839,6 +839,69 @@ package object text {
       .select(col("id").as(idCol), col("n_feats"), col("score"))
   }
 
+  /** Multinomial Naive Bayes text classifier — the trainable companion to
+    * the n-gram langid heuristic (and the classic fastText-quality stand-in
+    * that needs no gradient loop): train token likelihoods per label on
+    * `train`, classify `test` by argmax of log P(label) + sum log
+    * P(token | label) with add-one smoothing.
+    *
+    * Engine-exact by integer quantization: every per-token log term (and
+    * the prior) is floor-quantized to 2^20ths BEFORE summation —
+    * integer sums are associative, so the scores (and the argmax) cannot
+    * depend on either engine's reduction order, where raw double sums
+    * can flip a near-tied argmax between engines. (Residual cross-engine
+    * risk is ln() differing in the last ulp exactly at a floor boundary
+    * — the bm25 ulp argument, measured-negligible.) Ties break to the
+    * lexicographically smallest label.
+    *
+    * 100 TB shape: ONE driver action bounded by contract (the label
+    * alphabet); token-likelihood table is one tok-keyed aggregate whose
+    * exchange is shared with the class-totals branch (tok is a grouping
+    * key — the bm25 discipline); totals and priors ride as broadcast
+    * 1-row aggregates; scoring is a vocab-keyed join + per-doc integer
+    * aggregate. Docs with zero tokens produce no row (no evidence, no
+    * score). Returns (idCol, pred). */
+  def naiveBayesClassify(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, labelCol: String): DataFrame = {
+    val classes = train.select(col(labelCol).cast("string").as("y"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(classes.nonEmpty, "empty training set")
+    val Q = 1L << 20
+    val toks = train.select(col(labelCol).cast("string").as("y"),
+      explode(wsTokens(lower(col(textCol)))).as("tok"))
+    val wc = toks.groupBy(col("tok")).agg(
+      count(when(col("y") === classes.head, 1)).as("n_0"),
+      classes.tail.zipWithIndex.map { case (c, i) =>
+        count(when(col("y") === c, 1)).as(s"n_${i + 1}") }: _*)
+    val tot = wc.agg(count(lit(1)).as("v"),
+      classes.indices.map(i => sum(col(s"n_$i")).as(s"t_$i")): _*)
+    val priors = train.agg(count(lit(1)).as("nd"),
+      classes.zipWithIndex.map { case (c, i) =>
+        count(when(col(labelCol).cast("string") === c, 1)).as(s"d_$i") }: _*)
+    val ttoks = test.select(col(idCol).as("id"),
+      explode(wsTokens(lower(col(textCol)))).as("tok"))
+    val terms = ttoks.join(wc, Seq("tok"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("id") +: classes.indices.map { i =>
+        floor(log((coalesce(col(s"n_$i"), lit(0L)) + 1).cast("double") /
+          (col(s"t_$i") + col("v")).cast("double")) * Q)
+          .cast("long").as(s"q_$i") }: _*)
+    val scores = terms.groupBy(col("id"))
+      .agg(sum(col("q_0")).as("s_0"),
+        classes.indices.tail.map(i => sum(col(s"q_$i")).as(s"s_$i")): _*)
+      .crossJoin(broadcast(priors))
+      .select(col("id") +: classes.indices.map { i =>
+        (col(s"s_$i") + floor(log(col(s"d_$i").cast("double") /
+          col("nd").cast("double")) * Q).cast("long")).as(s"f_$i") }: _*)
+    // argmax fold, strict > so ties keep the earlier (smaller) label
+    val (_, pred) = classes.indices.tail.foldLeft(
+        (col("f_0"), lit(classes.head))) { case ((bs, bc), i) =>
+      (when(col(s"f_$i") > bs, col(s"f_$i")).otherwise(bs),
+        when(col(s"f_$i") > bs, lit(classes(i))).otherwise(bc))
+    }
+    scores.select(col("id").as(idCol), pred.as("pred"))
+  }
+
   /** PII patterns for training-data scrubbing. Deliberately restricted to
     * the regex subset that means the same thing in Java regex (Spark,
     * codegen'd `regexp_replace`/`regexp_count`) and RE2 (DuckDB oracle,

@@ -1333,6 +1333,40 @@ class ModulesSpec extends SparkSuite {
     assert(nullStruct == Seq(Some(3), None), nullStruct.toString)
   }
 
+  test("naiveBayesClassify: separable corpus exact, priors break unseen docs") {
+    // three classes with disjoint vocabularies and EQUAL per-class token
+    // totals (12 each — the smoothing denominator t_c + V must match or
+    // the unseen-token likelihood 1/(t_c+V) favors smaller classes, by
+    // design): every doc classifies back to its label; a doc of ONLY
+    // unseen tokens then gets identical token terms, so the PRIOR
+    // decides (class b has the most docs), with the label-asc tie rule
+    // exercised between the two equal-prior classes a and c
+    val train = (
+      (1 to 4).map(i => (i.toLong, "alpha beta filler", "a")) ++
+      (11 to 16).map(i => (i.toLong, "gamma delta", "b")) ++
+      (21 to 24).map(i => (i.toLong, "epsilon zeta filler", "c"))
+    ).toDF("doc_id", "text", "lang")
+    val self = graft.text.naiveBayesClassify(train, train,
+        "doc_id", "text", "lang")
+      .as[(Long, String)].collect().toMap
+    assert(self.size == 14)
+    train.as[(Long, String, String)].collect().foreach { case (id, _, y) =>
+      assert(self(id) == y, s"doc $id: ${self(id)} != $y")
+    }
+    val unseen = Seq((99L, "omega psi")).toDF("doc_id", "text")
+    val p = graft.text.naiveBayesClassify(train, unseen,
+      "doc_id", "text", "lang").as[(Long, String)].head()
+    assert(p == (99L, "b"), s"prior should pick the majority class: $p")
+    // whitespace-only text carries ONE empty token (the text family's
+    // nt >= 1 split convention) — unseen, so the prior decides again;
+    // null text explodes to nothing and produces no row
+    val edge = Seq((100L, Some("   ")), (101L, None))
+      .toDF("doc_id", "text")
+    val ep = graft.text.naiveBayesClassify(train, edge,
+      "doc_id", "text", "lang").as[(Long, String)].collect().toSeq
+    assert(ep == Seq((100L, "b")), ep.toString)
+  }
+
   test("inspect: necessaryBuffers separates shape-only from data touches") {
     // reference report_necessary_buffers (lib/inspect.py:21-115): ak.num
     // touches only the offsets buffer. Spark spelling: size(items).
