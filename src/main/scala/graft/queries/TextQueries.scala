@@ -24,6 +24,34 @@ object TextQueries {
         .limit(50)
     },
 
+    // bigram Stupid-Backoff LM scoring (graft.text.bigramLogProb):
+    // train bigram/unigram counts on the hashSplit train partition,
+    // score the VALID partition (held-out, so the backoff path actually
+    // fires on unseen bigrams). logprob = (integer-quantized term sum /
+    // 2^20) / n_bigrams — two IEEE divisions of exact integers, engine-
+    // identical without any round()
+    "t_bigram" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("sp", graft.text.hashSplit(col("text")))
+      graft.text.bigramLogProb(
+        docs.filter(col("sp") === "train"),
+        docs.filter(col("sp") === "valid"), "doc_id", "text")
+    },
+
+    // temperature-based mixture rebalancing (graft.text
+    // .temperatureMixture + applyMixture): derive per-lang p^0.5
+    // sampling shares from the corpus itself, quantize the repeat factor
+    // to 1e-4ths, apply deterministically by text-hash fraction — per-
+    // lang pre/post-mix doc counts are integer-exact in both engines
+    "t_temp" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val mix = graft.text.temperatureMixture(docs, "lang", 0.5)
+      graft.text.applyMixture(docs, col("text"), "lang", mix)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("copies")).as("n_mixed"),
+          min(col("copies")).as("min_copies"), max(col("copies")).as("max_copies"))
+    },
+
     // trainable multinomial Naive Bayes language classifier
     // (graft.text.naiveBayesClassify): self-train on the corpus's lang
     // labels, classify every doc — per-token log-likelihood terms floor-
@@ -374,6 +402,20 @@ ${(1 to 12).map(bpeRoundSql).mkString(",\n")}"""
   private val NBC = Seq("de", "en", "es", "fr", "zh").zipWithIndex
 
   val oracle: Map[String, String] = Map(
+    // bigram Stupid-Backoff replay: polyHash split, train bigram/unigram
+    // tables, per-test-bigram CASE (seen -> c2/c1(w1); unseen bigram ->
+    // 0.4*c1(w2)/N; unseen w2 -> 0.4/N) floor-quantized to 2^20ths,
+    // integer sums, two exact IEEE divisions
+    "t_bigram" ->
+      """WITH sp AS (SELECT doc_id, text, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 100 AS b FROM documents), trt AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ts FROM sp WHERE b < 80), uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(ts) AS w FROM trt) GROUP BY w), tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS nn FROM uni), bg2 AS (SELECT bg, count(*) AS c2 FROM (SELECT unnest(list_transform(range(1, len(ts)), i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])) AS bg FROM trt) GROUP BY bg), teb AS (SELECT doc_id AS id, unnest(list_transform(range(1, len(ts)), i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])) AS bg FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM sp WHERE b >= 80 AND b < 90)), terms AS (SELECT id, CAST(floor(ln(CASE WHEN c2 IS NOT NULL THEN CAST(c2 AS DOUBLE) / CAST(c1f AS DOUBLE) WHEN coalesce(c1t, 0) > 0 THEN 0.4 * CAST(coalesce(c1t, 0) AS DOUBLE) / nn ELSE 0.4 / nn END) * 1048576) AS BIGINT) AS q FROM teb LEFT JOIN bg2 USING (bg) LEFT JOIN (SELECT w AS w1k, c1 AS c1f FROM uni) u1 ON split_part(bg, ' ', 1) = u1.w1k LEFT JOIN (SELECT w AS w2k, c1 AS c1t FROM uni) u2 ON split_part(bg, ' ', 2) = u2.w2k, tot), s AS (SELECT id, count(*) AS n_bigrams, CAST(sum(q) AS BIGINT) AS sq FROM terms GROUP BY id) SELECT id AS doc_id, n_bigrams, CAST(sq AS DOUBLE) / 1048576 / n_bigrams AS logprob FROM s""",
+
+    // temperature mixture replay: per-lang counts, p^0.5 shares and
+    // repeat factors with the SAME left-associated arithmetic as the
+    // plan (budget * (np/snp) * N / n, then floor(x * 1e4)), applied by
+    // the polyHash text fraction against the integer threshold
+    "t_temp" ->
+      """WITH c AS (SELECT lang AS source, count(*) AS n FROM documents GROUP BY 1), t AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS np, sum(pow(CAST(n AS DOUBLE), 0.5)) OVER () AS snp, CAST(sum(n) OVER () AS DOUBLE) AS nn FROM c), m AS (SELECT source, CAST(floor(1.0 * (np / snp) * nn / CAST(n AS DOUBLE) * 10000) AS BIGINT) AS r4 FROM t), h AS (SELECT lang, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 10000 AS b FROM documents), a AS (SELECT lang, r4 // 10000 + CASE WHEN b < r4 % 10000 THEN 1 ELSE 0 END AS copies FROM h JOIN m ON h.lang = m.source) SELECT lang, count(*) AS n, CAST(sum(copies) AS BIGINT) AS n_mixed, min(copies) AS min_copies, max(copies) AS max_copies FROM a GROUP BY lang""",
+
     // Naive Bayes full replay: token-likelihood table, class totals +
     // vocab size, doc priors, per-token quantized log terms (CAST floor
     // to BIGINT — DuckDB floor is DOUBLE; integer sums are what make the

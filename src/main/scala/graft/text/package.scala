@@ -839,6 +839,122 @@ package object text {
       .select(col("id").as(idCol), col("n_feats"), col("score"))
   }
 
+  /** Bigram language-model scoring with Stupid Backoff (Brants et al.
+    * 2007, "Large Language Models in Machine Translation") — the
+    * web-scale LM quality signal one step up from [[unigramLogProb]]:
+    * train bigram/unigram counts on `train`, score each `test` doc by
+    * the mean per-bigram log-score
+    *   S(w2 | w1) = c(w1 w2) / c(w1)          when the bigram was seen,
+    *              = 0.4 * c(w2) / N            backed off to the unigram
+    *              = 0.4 / N                    for an unseen w2
+    * (no normalization — Stupid Backoff's defining shortcut; 0.4 is the
+    * paper's constant, exactly representable in binary so both engines
+    * multiply the same double).
+    *
+    * Sequential bigrams (wordNgramsSeq — duplicates kept: a doc that
+    * repeats a transition repeats its evidence). Engine-exact the same
+    * way [[naiveBayesClassify]] is: per-bigram log terms floor-quantize
+    * to 2^20ths before the per-doc INTEGER sum, so the mean cannot
+    * depend on reduction order; the returned `logprob` is that integer
+    * sum divided once by 2^20 and once by the bigram count. One lazy
+    * plan: bigram and unigram count tables are tok-keyed aggregates,
+    * corpus total rides as a broadcast 1-row aggregate, scoring is two
+    * vocab-keyed left joins + a per-doc aggregate. Docs with < 2 tokens
+    * have no bigrams and produce no row. Returns
+    * (idCol, n_bigrams, logprob). */
+  def bigramLogProb(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val Q = 1L << 20
+    def bigrams(df: DataFrame, idc: Column) = df
+      .select(idc.as("id"),
+        explode(graft.functions.HashExprs.wordNgramsSeq(
+          wsTokens(lower(col(textCol))), 2)).as("bg"))
+    val trBg = bigrams(train, lit(0L))
+    val c2 = trBg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val uni = train.select(
+        explode(wsTokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).cast("double").as("nn"))
+    // per-test-doc bigrams: w1 = token before the space, w2 = after (the
+    // space-joined bigram splits back unambiguously for whitespace
+    // tokenization — tokens cannot contain whitespace by construction)
+    val te = bigrams(test, col(idCol))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val term = when(col("c2").isNotNull,
+        col("c2").cast("double") / col("c1f").cast("double"))
+      .otherwise(lit(0.4) * coalesce(col("c1t"), lit(0L)).cast("double") /
+        col("nn"))
+    te.join(c2, Seq("bg"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1f")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1t")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      // an unseen w2 backs off to 0.4 * 0 / N = 0 probability — floor the
+      // log of a tiny positive floor instead: 0.4/N (the "+1 token" view)
+      .select(col("id"),
+        floor(log(when(term > 0, term).otherwise(lit(0.4) / col("nn"))) * Q)
+          .cast("long").as("q"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        (col("sq").cast("double") / Q / col("n_bigrams")).as("logprob"))
+  }
+
+  /** Temperature-based mixture rebalancing — the multilingual-pretraining
+    * p^alpha reweighting (XLM-R / mT5 convention): given per-source corpus
+    * shares p_d, the target sampling shares are q_d proportional to
+    * p_d^alpha (alpha < 1 upsamples low-resource sources, alpha = 1 is a
+    * no-op, alpha -> 0 approaches uniform), and each source's repeat
+    * factor is r_d = budget * q_d * N / n_d — chosen so the expected
+    * post-mix corpus size is budget * N. Where [[mixtureKeep]] and
+    * [[mixtureRepeat]] take EXPLICIT weights, this derives them from the
+    * corpus itself.
+    *
+    * One lazy plan, no driver action: per-source counts (bounded by the
+    * source alphabet), normalizations as window sums over that bounded
+    * table (the dsirScore totals trick — the frame is <= |sources| rows
+    * by contract). `repeat1e4` = floor(r_d * 1e4) rides along as the
+    * integer threshold [[applyMixture]] consumes: quantizing the repeat
+    * to 1e-4ths makes the applied copy counts integer-exact cross-engine
+    * (the residual risk is pow() differing in the last ulp exactly at a
+    * floor boundary — the bm25 ulp argument). Returns one row per source:
+    * (source, n, p, q, repeat, repeat1e4). */
+  def temperatureMixture(df: DataFrame, sourceCol: String, alpha: Double,
+      budget: Double = 1.0): DataFrame = {
+    require(alpha > 0 && budget > 0, s"bad alpha=$alpha budget=$budget")
+    val win = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    df.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n"))
+      .select(col("source"), col("n"),
+        (col("n").cast("double") / sum(col("n")).over(win).cast("double")).as("p"),
+        (pow(col("n").cast("double"), alpha) /
+          sum(pow(col("n").cast("double"), alpha)).over(win)).as("q"),
+        sum(col("n")).over(win).cast("double").as("nn"))
+      .select(col("source"), col("n"), col("p"), col("q"),
+        (lit(budget) * col("q") * col("nn") / col("n").cast("double")).as("repeat"))
+      .select(col("source"), col("n"), col("p"), col("q"), col("repeat"),
+        floor(col("repeat") * 10000).cast("long").as("repeat1e4"))
+  }
+
+  /** Deterministic application of a [[temperatureMixture]] table: per-doc
+    * copy counts copies = repeat1e4 div 10^4 plus one more when the doc's
+    * hash fraction (pmod(rollingHash(key), 10^4)) falls under the
+    * fractional part — integer threshold against an integer hash, exact
+    * in any engine, stable under repartitioning, monotone in the weight
+    * (the [[mixtureRepeat]] contract with a DERIVED, column-valued
+    * weight). The mixture table broadcasts (<= |sources| rows). Returns
+    * the input columns plus `copies`; materialize duplicates with
+    * `explode(array_repeat(lit(1), copies))` or a generator. */
+  def applyMixture(df: DataFrame, key: Column, sourceCol: String,
+      mix: DataFrame): DataFrame =
+    df.join(broadcast(mix.select(col("source").as("__mix_source"),
+        col("repeat1e4").as("__mix_r"))),
+        col(sourceCol) === col("__mix_source"))
+      .withColumn("copies", expr("__mix_r DIV 10000") +
+        when(pmod(rollingHash(key), lit(10000L)) <
+          pmod(col("__mix_r"), lit(10000L)), 1L).otherwise(0L))
+      .drop("__mix_source", "__mix_r")
+
   /** Multinomial Naive Bayes text classifier — the trainable companion to
     * the n-gram langid heuristic (and the classic fastText-quality stand-in
     * that needs no gradient loop): train token likelihoods per label on

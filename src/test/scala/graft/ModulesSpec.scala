@@ -1333,6 +1333,62 @@ class ModulesSpec extends SparkSuite {
     assert(nullStruct == Seq(Some(3), None), nullStruct.toString)
   }
 
+  test("bigramLogProb: hand-computed stupid backoff, all three term paths") {
+    // train "a b a b c": unigrams a:2 b:2 c:1 (N=5); bigrams "a b":2,
+    // "b a":1, "b c":1. Test "a b x c" exercises every path:
+    //   "a b" seen        -> c2/c1(a)   = 2/2
+    //   "b x" w2 unseen   -> 0.4/N      = 0.08
+    //   "x c" backoff     -> 0.4*c1(c)/N = 0.08
+    val train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val test0 = Seq((7L, "a b x c"), (8L, "solo")).toDF("doc_id", "text")
+    val got = graft.text.bigramLogProb(train, test0, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def q(x: Double) = math.floor(math.log(x) * (1L << 20)).toLong
+    val sq = q(2.0 / 2.0) + q(0.4 / 5.0) + q(0.4 * 1.0 / 5.0)
+    val want = sq.toDouble / (1L << 20) / 3
+    assert(got.size == 1, s"single-token doc must produce no row: $got")
+    val (n, lp) = got(7L)
+    assert(n == 3L && lp == want, s"($n, $lp) vs (3, $want)")
+  }
+
+  test("temperatureMixture: alpha=1 is identity, alpha<1 upsamples minority") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    // alpha = 1: q == p, repeat == budget == 1 -> every doc exactly once
+    val id = graft.text.temperatureMixture(docs, "lang", 1.0)
+    assert(id.select($"repeat1e4").as[Long].collect().forall(_ == 10000L))
+    val applied1 = graft.text.applyMixture(docs, col("text"), "lang", id)
+    assert(applied1.filter($"copies" =!= 1L).count() == 0)
+    // alpha = 0.5: the majority class (en) downsamples below 1, the
+    // minorities upsample above 1, and the expected post-mix total stays
+    // within the 1e-4 quantization of the original corpus size
+    val mix = graft.text.temperatureMixture(docs, "lang", 0.5)
+    val m = mix.select($"source", $"n", $"repeat", $"repeat1e4")
+      .as[(String, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(m("en")._3 < 1.0 && m.filterKeys(_ != "en").values.forall(_._3 > 1.0))
+    val total = docs.count()
+    val expected = m.values.map(r => r._2 * r._3).sum
+    assert(math.abs(expected - total) < 1.0, s"$expected vs $total")
+    // deterministic application: exact repeat twice, and per-lang mixed
+    // counts land within hash noise of n * repeat
+    val a = graft.text.applyMixture(docs, col("text"), "lang", mix)
+    val b = graft.text.applyMixture(docs, col("text"), "lang", mix)
+    assert(a.groupBy($"lang").agg(sum($"copies")).collect().toSet ==
+      b.groupBy($"lang").agg(sum($"copies")).collect().toSet)
+    val mixed = a.groupBy($"lang").agg(sum($"copies").as("s"))
+      .as[(String, Long)].collect().toMap
+    m.foreach { case (lang, (_, n, r, _)) =>
+      val exp = n * r
+      assert(math.abs(mixed(lang) - exp) <= math.max(4.0, 0.35 * math.sqrt(n) * 3),
+        s"$lang: ${mixed(lang)} vs expected $exp")
+    }
+    // budget doubles the expected post-mix size
+    val m2 = graft.text.temperatureMixture(docs, "lang", 0.5, budget = 2.0)
+    val exp2 = m2.select($"n", $"repeat").as[(Long, Double)].collect()
+      .map(r => r._1 * r._2).sum
+    assert(math.abs(exp2 - 2.0 * total) < 1.0)
+  }
+
   test("naiveBayesClassify: separable corpus exact, priors break unseen docs") {
     // three classes with disjoint vocabularies and EQUAL per-class token
     // totals (12 each — the smoothing denominator t_c + V must match or

@@ -44,7 +44,8 @@ class PlanQualitySpec extends SparkSuite {
       // previously driver actions, now the oracle's scalar subqueries in
       // plan form)
       val crossByDesign = Set("sim_ivf", "sim_kmeans", "sim_topk", "sim_pq",
-        "d_semdedup", "t_bm25", "sim_mmr", "sim_sq8", "t_ppl", "t_tfidf")
+        "d_semdedup", "t_bm25", "sim_mmr", "sim_sq8", "t_ppl", "t_tfidf",
+        "t_bigram", "t_nbayes")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
