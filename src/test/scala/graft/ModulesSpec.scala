@@ -177,6 +177,63 @@ class ModulesSpec extends SparkSuite {
     }
   }
 
+  test("streaming incremental LSH ingest (foreachBatch) = batch corpus pairs") {
+    // the production ingest loop: each micro-batch signs its docs, probes
+    // the accumulated signature store through the incremental band index
+    // (seen-seen pairs never form), then joins the store. After the
+    // stream drains, the union of per-batch pair outputs must equal the
+    // one-shot batch pipeline over the whole corpus — same differential
+    // the batch face pins, here across real micro-batch boundaries.
+    implicit val s: SparkSession = spark
+    import graft.dedup._
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").localCheckpoint()
+    val full = minhashLshPairs(docs, "doc_id", "text")
+      .select($"id1", $"id2", $"est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full.nonEmpty)
+    val in = java.nio.file.Files.createTempDirectory("graft_ing_in").toString
+    try {
+      // three arrival waves as separate files; maxFilesPerTrigger=1
+      // makes each its own micro-batch (arrival order is engine-chosen —
+      // the differential is order-invariant)
+      docs.filter($"doc_id" % 3 === 0).coalesce(1).write.parquet(s"$in/b0")
+      docs.filter($"doc_id" % 3 === 1).coalesce(1).write.parquet(s"$in/b1")
+      docs.filter($"doc_id" % 3 === 2).coalesce(1).write.parquet(s"$in/b2")
+      val pairs = scala.collection.mutable.Set[(Long, Long, Double)]()
+      var seen = minhashSignatures(docs.limit(0), "doc_id", "text")
+        .localCheckpoint()
+      var batches = 0
+      val q = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // materialize: the batch frame is only valid inside this call,
+          // and the store must not re-drag stream lineage
+          val newSigs = minhashSignatures(batch, "doc_id", "text")
+            .localCheckpoint()
+          pairs ++= minhashLshPairsIncremental(newSigs, seen)
+            .as[(Long, Long, Double)](
+              org.apache.spark.sql.Encoders.tuple(
+                org.apache.spark.sql.Encoders.scalaLong,
+                org.apache.spark.sql.Encoders.scalaLong,
+                org.apache.spark.sql.Encoders.scalaDouble))
+            .collect()
+          seen = seen.unionByName(newSigs).localCheckpoint()
+          batches += 1
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      assert(batches >= 3, s"expected one micro-batch per file, got $batches")
+      assert(pairs.toSet == full,
+        s"streamed ${pairs.size} vs batch ${full.size}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(in))
+    }
+  }
+
   test("streaming contamination flag: no false negatives, stream = batch") {
     implicit val s: SparkSession = spark
     val docs = graft.core.Tables.documents(spark, dir)
@@ -1331,6 +1388,29 @@ class ModulesSpec extends SparkSuite {
         "CAST(NULL AS struct<a:int,b:int,c:string>)), x -> x.a + x.b) AS r")
       .as[Seq[Option[Int]]].head
     assert(nullStruct == Seq(Some(3), None), nullStruct.toString)
+  }
+
+  test("Inspect.profile: exact per-column stats in one scan; approx sane") {
+    val df = Seq(
+      (1L, Some("x"), Some(1.5)), (2L, Some("y"), None),
+      (3L, None, Some(2.5)), (4L, Some("x"), Some(2.5)))
+      .toDF("id", "s", "v")
+    val p = graft.inspect.Inspect.profile(df)
+      .as[(String, String, Long, Long, Long, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(p("id") == (("id", "bigint", 4L, 0L, 4L, "1", "4")))
+    assert(p("s") == (("s", "string", 4L, 1L, 2L, "x", "y")))
+    val v = p("v")
+    assert(v._2 == "double" && v._3 == 4L && v._4 == 1L && v._5 == 2L &&
+      v._6.toDouble == 1.5 && v._7.toDouble == 2.5)
+    // the report is ONE scan of the data (Expand shares it)
+    assert(graft.inspect.Inspect.explainSummary(
+      graft.inspect.Inspect.profile(df)).scans <= 1)
+    // HLL path: same frame shape, distinct counts within HLL tolerance
+    val a = graft.inspect.Inspect.profile(df, approxDistinct = true)
+      .as[(String, String, Long, Long, Long, String, String)]
+      .collect().map(r => r._1 -> r._5).toMap
+    assert(a.values.forall(n => n >= 1 && n <= 6), a.toString)
   }
 
   test("bigramLogProb: hand-computed stupid backoff, all three term paths") {
