@@ -84,11 +84,23 @@ object PlanGallery {
       "replace chain folds into ONE codegen'd projection over the scan " +
       "(training collected its bounded rule table beforehand) — zero " +
       "exchanges, zero joins; corpus-wide token costing at scan speed."),
-    "ev_seqsim" -> ("Behavior-sequence similarity top-k: one ragged-build " +
-      "shuffle (ordered collect_list), inverted transition-bigram index " +
-      "joined on 64-bit gram hashes, pair aggregate grouped on the two " +
-      "ids only, per-entity bounded heap — never all-pairs, dfCap bounds " +
-      "hot postings."))
+    "ev_seqsim" -> ("Behavior-sequence similarity top-k: ONE ragged-build " +
+      "shuffle (ordered collect_list) shared by every consumer — the " +
+      "(uid, nsh, g) frame's distinct() makes all three columns grouping " +
+      "keys pruning cannot remove, so the df-cap branch and both " +
+      "self-join sides are ReusedExchange; pair aggregate carries nsh as " +
+      "a grouping key, per-entity bounded heap, never all-pairs."),
+    "ev_seqsim_banded" -> ("The LSH face of sequence similarity: minhash " +
+      "signatures over the shared gram frame, band-bucket equi-join " +
+      "candidates (r=4 rows/band — the measured sf5 geometry), exact " +
+      "set-intersect verification only on survivors."),
+    "sim_sq8" -> ("SQ8 scalar-quantization ANN: per-dimension ranges as " +
+      "a 1-row broadcast, half-up 8-bit codes, float64 queries against " +
+      "the dequantized corpus through the shared bounded-heap tail."),
+    "t_nbayes" -> ("Naive Bayes classification: tok-keyed likelihood " +
+      "table shared with its totals branch by ReuseExchange, priors and " +
+      "vocab size as broadcast 1-row aggregates, integer-quantized " +
+      "log terms so the argmax is reduction-order-free."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
