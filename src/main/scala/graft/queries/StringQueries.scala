@@ -96,6 +96,23 @@ object StringQueries {
         isTitle(title(col("p_name"))).as("ti"))
     },
 
+    // strings_astype (a TODO stub in the reference itself,
+    // structure.py:857-865 — implemented here with its promised
+    // semantics): parse ragged string arrays to numbers, malformed
+    // elements nulling out (try_cast), whitespace trimmed. The battery
+    // parses a constructed per-doc array covering the paths: a real
+    // number rendered from data, junk, padded, empty, decimals
+    "str_astype" -> { (s, dir) =>
+      val vs = graft.strings.stringsAstype(array(
+        col("n_chars").cast("string"), lit("x7"), lit(" 42 "),
+        lit(""), lit("1.5"), lit("-0.25")), "double")
+      Tables.documents(s, dir).select(col("doc_id"), vs.as("vs"))
+        .select(col("doc_id"),
+          col("vs").getItem(0).as("v0"),
+          col("vs").getItem(2).as("v42"),
+          size(filter(col("vs"), x => x.isNotNull)).cast("long").as("n_ok"))
+    },
+
     // to_categorical (reference str.py:867): dictionary-encode two string
     // columns; codes are dense ranks in sorted value order, so the oracle
     // reproduces them with window dense_rank over the raw table
@@ -108,6 +125,8 @@ object StringQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    "str_astype" ->
+      """WITH v AS (SELECT doc_id, list_transform([CAST(n_chars AS VARCHAR), 'x7', ' 42 ', '', '1.5', '-0.25'], x -> TRY_CAST(trim(x) AS DOUBLE)) AS vs FROM documents) SELECT doc_id, vs[1] AS v0, vs[3] AS v42, CAST(len(list_filter(vs, x -> x IS NOT NULL)) AS BIGINT) AS n_ok FROM v""",
     "str_categorical" ->
       """SELECT doc_id, lang, dense_rank() OVER (ORDER BY lang) - 1 AS lang_code, source, dense_rank() OVER (ORDER BY source) - 1 AS source_code FROM documents""",
     "str_case" ->

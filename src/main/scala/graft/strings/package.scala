@@ -170,4 +170,16 @@ package object strings {
       .withColumn(codeCol, (dense_rank().over(w) - 1).cast("long"))
     (df.join(broadcast(dict), valueCol), dict)
   }
+
+  /** `ak.strings_astype` — a TODO stub in the reference itself
+    * (reference `structure.py:857-865` raises DaskAwkwardNotImplemented),
+    * implemented here with the semantics its docstring promises: parse an
+    * array-of-strings column to numbers. Malformed elements become null
+    * (try_cast semantics — in ANSI mode a plain cast would throw
+    * mid-pipeline on the first stray token, and silently nulling is what
+    * every CSV-ish ingestion expects); leading/trailing whitespace is
+    * trimmed first, matching numpy's `astype(str -> float)` tolerance.
+    * Row-local, stays inside whole-stage codegen. */
+  def stringsAstype(c: Column, to: String): Column =
+    transform(c, x => trim(x).try_cast(to))
 }
