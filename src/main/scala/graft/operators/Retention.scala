@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cohort retention and event-transition analytics — the other two
+  * staples (besides [[Funnel]]) of an events-table engine.
+  *
+  * Both are shaped for the 100 TB case:
+  *  - retention pays exactly TWO shuffles: one per-entity aggregate
+  *    (min-week cohort + distinct active weeks in the same pass, so the
+  *    cohort assignment never needs a second corpus shuffle) and one
+  *    (cohort, offset) aggregate whose output is bounded by
+  *    #weeks-in-corpus squared — the per-cohort window for the
+  *    retention share runs over that bounded frame, never the corpus;
+  *  - transitions pay one per-entity sort (window lead over
+  *    (ts, tiebreak) inside each entity's partition — parallel across
+  *    entities) plus one aggregate over the bounded #types^2 pair
+  *    domain; the probability normalization windows over that bounded
+  *    frame.
+  */
+object Retention {
+
+  /** Cohort retention at `grain` ("day" or "week"): each entity's
+    * cohort is the calendar period of its first activity in `df` (pass
+    * a pre-filtered frame to define "activity" — e.g. purchase events
+    * only); for every (cohort, period offset) pair, how many cohort
+    * members were active that period, and what share of the cohort that
+    * is. Share uses the integer-quantization convention (x * 10^6 DIV
+    * base, one exact /10^4) so any engine reproduces the 4-decimal
+    * percent bit-for-bit.
+    *
+    * Returns (cohort: "yyyy-MM-dd" string, offset: int, n_active: long,
+    * pct_retained: double), the offset-0 row carrying the cohort size
+    * (every member is active in its own first period by construction).
+    * The cohort is a string, not a date, because engines disagree on
+    * whether a date survives a parquet round-trip as date or
+    * midnight-timestamp — the formatted day is unambiguous.
+    */
+  def cohortRetention(df: DataFrame, idCol: String, tsCol: String,
+      grain: String = "week"): DataFrame = {
+    val days = grain match {
+      case "day" => 1
+      case "week" => 7
+      case g => throw new IllegalArgumentException(
+        s"grain must be day or week: $g")
+    }
+    val perUser = df.filter(col(idCol).isNotNull)
+      .groupBy(col(idCol).cast("long").as("uid"))
+      .agg(min(date_trunc(grain, col(tsCol))).as("cwk"),
+        collect_set(date_trunc(grain, col(tsCol))).as("wks"))
+    val perCell = perUser
+      .select(col("cwk"), explode(col("wks")).as("wk"))
+      .groupBy(to_date(col("cwk")).as("cohort"),
+        (datediff(to_date(col("wk")), to_date(col("cwk"))) / days)
+          .cast("int").as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    // the window partitions by cohort over the bounded
+    // (#periods x #offsets) frame, never the corpus
+    val byCohort = Window.partitionBy(col("cohort"))
+    perCell
+      .withColumn("cohort_n",
+        max(when(col("offset") === 0, col("n_active"))).over(byCohort))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("offset"), col("n_active"),
+        (expr("n_active * 1000000 DIV cohort_n").cast("double") / 10000.0)
+          .as("pct_retained"))
+  }
+
+  /** First-order Markov transition matrix over per-entity event-type
+    * sequences: for each ordered (src, dst) adjacent pair, its count
+    * and its probability share among transitions leaving `src`
+    * (integer-quantized to 6 decimals). The per-entity ordering uses
+    * (tsCol, tieCol) — the same explicit-tiebreak discipline as the
+    * funnel and seqsim builds, so results are deterministic under
+    * equal timestamps.
+    *
+    * Returns (src, dst, n: long, prob: double).
+    */
+  def transitionMatrix(df: DataFrame, idCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val byUser = Window.partitionBy(col("uid"))
+      .orderBy(col(tsCol), col(tieCol))
+    val bySrc = Window.partitionBy(col("src"))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("uid"), col(tsCol), col(tieCol),
+        col(typeCol).as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(byUser))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .withColumn("src_n", sum(col("n")).over(bySrc))
+      .select(col("src"), col("dst"), col("n"),
+        (expr("n * 1000000 DIV src_n").cast("double") / 1000000.0)
+          .as("prob"))
+  }
+}

@@ -61,6 +61,36 @@ object EventQueries {
         .select(col("user_id"), col("rank"), col("nid"),
           round(col("jac"), 4).as("jac"))
     },
+    // ordered funnel analysis (graft.operators.Funnel): per-user depth
+    // through view -> click -> purchase in strict event-time order with
+    // a 6-hour conversion window between consecutive stages (one ragged
+    // build + a row-local greedy fold carrying (depth, matched-ts)
+    // state), rolled up to the per-depth report with cumulative reached
+    // counts and integer-quantized conversion shares
+    "ev_funnel" -> { (s, dir) =>
+      graft.operators.Funnel.funnelReport(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"),
+        windowUs = Some(6L * 3600 * 1000000))
+    },
+    // daily cohort retention over purchase activity
+    // (graft.operators.Retention): cohort = day of first purchase; per
+    // (cohort, day offset) active counts + integer-quantized retained
+    // share. Two shuffles; the share window runs over the bounded
+    // days^2 frame
+    "ev_retention" -> { (s, dir) =>
+      graft.operators.Retention.cohortRetention(
+        Tables.events(s, dir).filter(col("event_type") === "purchase"),
+        "user_id", "ts", grain = "day")
+    },
+    // first-order Markov transition matrix over per-user event-type
+    // sequences ((ts, event_id)-ordered lead, one window pass + one
+    // bounded #types^2 aggregate), probabilities integer-quantized
+    "ev_transitions" -> { (s, dir) =>
+      graft.operators.Retention.transitionMatrix(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type")
+    },
+
     // 5-minute tumbling window aggregation (the Structured Streaming
     // groupBy(window(...)) shape, executed on a batch frame)
     "st_tumbling" -> { (s, dir) =>
@@ -328,6 +358,22 @@ object EventQueries {
     // nid tiebreak — row_number mirrors the bounded heap exactly
     "ev_seqsim" ->
       """WITH s AS (SELECT user_id AS uid, list(event_type || ':' || CAST(least(floor(value / 25), 9) AS BIGINT) ORDER BY ts, event_id) AS toks FROM events GROUP BY user_id), g AS (SELECT uid, list_distinct(list_transform(range(1, len(toks)), i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS gs FROM s), inv AS (SELECT uid, len(gs) AS nsh, unnest(gs) AS g FROM g), hot AS (SELECT g FROM (SELECT g, count(*) AS c FROM inv GROUP BY g) WHERE c > 1000), invf AS (SELECT inv.* FROM inv WHERE g NOT IN (SELECT g FROM hot)), p AS (SELECT a.uid AS uid, b.uid AS nid, count(*) AS inter, a.nsh + b.nsh - count(*) AS uni FROM invf a JOIN invf b ON a.g = b.g AND a.uid <> b.uid GROUP BY a.uid, b.uid, a.nsh, b.nsh), r AS (SELECT uid, nid, CAST(inter AS DOUBLE) / uni AS jac, row_number() OVER (PARTITION BY uid ORDER BY CAST(inter AS DOUBLE) / uni DESC, nid) AS rank FROM p) SELECT uid AS user_id, CAST(rank AS INT) AS rank, nid, round(jac, 4) AS jac FROM r WHERE rank <= 3""",
+    // funnel replay via the min-tuple chain (equivalent to the greedy
+    // fold: first view = min (ts,tie) view event, first in-window click
+    // after it = min (ts,tie) click beyond that tuple with ts within
+    // 6 h, ...); DuckDB struct comparison is lexicographic, matching
+    // the plan's sort_array ordering on (ts, tie)
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id AS uid, event_type AS t, ts, event_id AS tie FROM events WHERE user_id IS NOT NULL), u AS (SELECT DISTINCT uid FROM e), s1 AS (SELECT uid, min({'ts': ts, 'tie': tie}) AS m FROM e WHERE t = 'view' GROUP BY uid), s2 AS (SELECT e.uid, min({'ts': e.ts, 'tie': e.tie}) AS m FROM e JOIN s1 ON e.uid = s1.uid AND {'ts': e.ts, 'tie': e.tie} > s1.m AND e.ts <= s1.m.ts + INTERVAL 6 HOUR WHERE e.t = 'click' GROUP BY e.uid), s3 AS (SELECT e.uid, min({'ts': e.ts, 'tie': e.tie}) AS m FROM e JOIN s2 ON e.uid = s2.uid AND {'ts': e.ts, 'tie': e.tie} > s2.m AND e.ts <= s2.m.ts + INTERVAL 6 HOUR WHERE e.t = 'purchase' GROUP BY e.uid), d AS (SELECT u.uid, CASE WHEN s3.uid IS NOT NULL THEN 3 WHEN s2.uid IS NOT NULL THEN 2 WHEN s1.uid IS NOT NULL THEN 1 ELSE 0 END AS depth FROM u LEFT JOIN s1 ON u.uid = s1.uid LEFT JOIN s2 ON u.uid = s2.uid LEFT JOIN s3 ON u.uid = s3.uid), g AS (SELECT depth, count(*) AS n FROM d GROUP BY depth), c AS (SELECT depth, n, CAST(sum(n) OVER (ORDER BY depth DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_reached, CAST(sum(n) OVER () AS BIGINT) AS total FROM g) SELECT depth, n, n_reached, CAST((n_reached * 1000000) // total AS DOUBLE) / 10000.0 AS pct_of_entered FROM c""",
+    // retention replay: DuckDB's date_trunc matches Spark's (both
+    // Monday-based at week grain); `//` everywhere to avoid DuckDB's
+    // round-half-up CAST
+    "ev_retention" ->
+      """WITH a AS (SELECT user_id AS uid, date_trunc('day', ts) AS wk FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase' GROUP BY 1, 2), c AS (SELECT uid, min(wk) AS cwk FROM a GROUP BY uid), cell AS (SELECT CAST(c.cwk AS DATE) AS cohort, CAST(date_diff('day', CAST(c.cwk AS DATE), CAST(a.wk AS DATE)) AS INT) AS "offset", count(*) AS n_active FROM a JOIN c USING (uid) GROUP BY 1, 2), w AS (SELECT cohort, "offset", n_active, max(CASE WHEN "offset" = 0 THEN n_active END) OVER (PARTITION BY cohort) AS cohort_n FROM cell) SELECT strftime(cohort, '%Y-%m-%d') AS cohort, "offset", n_active, CAST((n_active * 1000000) // cohort_n AS DOUBLE) / 10000.0 AS pct_retained FROM w""",
+    // transition-matrix replay: identical lead-over-(ts, event_id)
+    // ordering; per-src normalization over the bounded pair domain
+    "ev_transitions" ->
+      """WITH s AS (SELECT event_type AS src, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events WHERE user_id IS NOT NULL), p AS (SELECT src, dst, count(*) AS n FROM s WHERE dst IS NOT NULL GROUP BY 1, 2) SELECT src, dst, n, CAST((n * 1000000) // sum(n) OVER (PARTITION BY src) AS DOUBLE) / 1000000.0 AS prob FROM p""",
     "ev_asof" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
     "ev_asof_salted" ->

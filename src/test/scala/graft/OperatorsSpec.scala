@@ -438,4 +438,136 @@ class OperatorsSpec extends SparkSuite {
       s"trained recall $trained should not regress vs seeded $seeded")
     assert(trained > 0.3, s"trained recall $trained unexpectedly low")
   }
+
+  private def funnelFixture(rows: Seq[(Long, Long, Long, String)]) =
+    rows.toDF("user_id", "us", "event_id", "event_type")
+      .select($"user_id", timestamp_micros($"us").as("ts"),
+        $"event_id", $"event_type")
+
+  test("funnelDepth: strict-order semantics, repeats skipped, overrun safe") {
+    val stages = Seq("view", "click", "purchase")
+    val df = funnelFixture(Seq(
+      // complete, with a trailing extra view: depth must cap at 3 (the
+      // try_element_at out-of-range guard)
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "purchase"), (1L, 40L, 4L, "view"),
+      // click BEFORE the first view is not stage 2; purchase does not
+      // match the expected click -> stuck at depth 1
+      (2L, 10L, 5L, "click"), (2L, 20L, 6L, "view"),
+      (2L, 30L, 7L, "purchase"),
+      // repeated views are passed over, then click advances
+      (3L, 10L, 8L, "view"), (3L, 20L, 9L, "view"),
+      (3L, 30L, 10L, "click"),
+      // never enters
+      (4L, 10L, 11L, "purchase"),
+      // same-ts events: event_id tiebreak orders view before click
+      (5L, 10L, 12L, "view"), (5L, 10L, 13L, "click")))
+    val got = graft.operators.Funnel
+      .funnelDepth(df, "user_id", "ts", "event_id", "event_type", stages)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0, 5L -> 2))
+  }
+
+  test("funnelDepthWindowed: greedy in-window matching, stage 1 unconstrained") {
+    val stages = Seq("view", "click", "purchase")
+    val w = 100L // microsecond window for the fixture
+    val df = funnelFixture(Seq(
+      // click within window, purchase within window of the CLICK
+      (1L, 1000L, 1L, "view"), (1L, 1050L, 2L, "click"),
+      (1L, 1140L, 3L, "purchase"),
+      // click beyond window of the first view: greedy never recovers
+      // (the later in-window-of-nothing click is still out of range)
+      (2L, 1000L, 4L, "view"), (2L, 1200L, 5L, "click"),
+      (2L, 1250L, 6L, "purchase"),
+      // purchase within window of the VIEW but not the click -> depth 2
+      (3L, 1000L, 7L, "view"), (3L, 1100L, 8L, "click"),
+      (3L, 1201L, 9L, "purchase"),
+      // stage 1 has no window: a lone late view still enters
+      (4L, 999999999L, 10L, "view")))
+    val got = graft.operators.Funnel
+      .funnelDepthWindowed(df, "user_id", "ts", "event_id", "event_type",
+        stages, w)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1))
+    // window large enough -> collapses to the strict-order depths
+    val loose = graft.operators.Funnel
+      .funnelDepthWindowed(df, "user_id", "ts", "event_id", "event_type",
+        stages, 1000000000L)
+      .as[(Long, Int)].collect().toMap
+    val strict = graft.operators.Funnel
+      .funnelDepth(df, "user_id", "ts", "event_id", "event_type", stages)
+      .as[(Long, Int)].collect().toMap
+    assert(loose == strict)
+  }
+
+  test("cohortRetention: daily cohorts, offsets, and quantized shares") {
+    val us = (d: Long) => d * 86400L * 1000000L // day -> epoch micros
+    val df = funnelFixture(Seq(
+      // cohort day 0: users 1,2 — user 1 active days 0,1,2; user 2 day 0
+      (1L, us(0), 1L, "x"), (1L, us(1), 2L, "x"), (1L, us(2), 3L, "x"),
+      (1L, us(0) + 5L, 4L, "x"), // same-day repeat: one activity cell
+      (2L, us(0), 5L, "x"),
+      // cohort day 2: user 3 active days 2 and 4
+      (3L, us(2), 6L, "x"), (3L, us(4), 7L, "x"),
+      // null ids dropped
+      (-1L, us(0), 8L, "x"))).withColumn("user_id",
+        when($"user_id" < 0, lit(null)).otherwise($"user_id"))
+    val got = graft.operators.Retention
+      .cohortRetention(df, "user_id", "ts", grain = "day")
+      .select($"cohort", $"offset", $"n_active", $"pct_retained")
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("1970-01-01", 0, 2L, 100.0), ("1970-01-01", 1, 1L, 50.0),
+      ("1970-01-01", 2, 1L, 50.0),
+      ("1970-01-03", 0, 1L, 100.0), ("1970-01-03", 2, 1L, 100.0)))
+  }
+
+  test("cohortRetention: week grain divides offsets by 7") {
+    val us = (d: Long) => d * 86400L * 1000000L
+    // 1970-01-01 is a Thursday; Spark's week trunc goes to Monday
+    // (1969-12-29), so day 5 (Tue 1970-01-06) is the NEXT week
+    val df = funnelFixture(Seq(
+      (1L, us(0), 1L, "x"), (1L, us(5), 2L, "x"), (1L, us(15), 3L, "x")))
+    val got = graft.operators.Retention
+      .cohortRetention(df, "user_id", "ts", grain = "week")
+      .select($"cohort", $"offset")
+      .as[(String, Int)].collect().toSet
+    assert(got == Set(("1969-12-29", 0), ("1969-12-29", 1),
+      ("1969-12-29", 2)))
+  }
+
+  test("transitionMatrix: lead ordering, tiebreaks, per-src shares") {
+    val df = funnelFixture(Seq(
+      // user 1: a -> b -> a (two transitions)
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+      // user 2: same ts, event_id tiebreak gives a -> b
+      (2L, 10L, 4L, "a"), (2L, 10L, 5L, "b"),
+      // user 3: single event, no transition
+      (3L, 10L, 6L, "c"),
+      // user 4: a -> c makes the out-of-a shares fractional
+      (4L, 10L, 7L, "a"), (4L, 20L, 8L, "c")))
+    val got = graft.operators.Retention
+      .transitionMatrix(df, "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 2L, 0.666666), // 10^6-quantized 2/3
+      ("a", "c", 1L, 0.333333),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  test("funnelReport: per-depth rollup with cumulative reached counts") {
+    val df = funnelFixture(Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
+      (2L, 10L, 3L, "view"),
+      (3L, 10L, 4L, "error")))
+    val rows = graft.operators.Funnel
+      .funnelReport(df, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click"))
+      .orderBy($"depth")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(rows == Seq(
+      (0, 1L, 3L, 100.0),      // everyone "reached" depth >= 0
+      (1, 1L, 2L, 66.6666),    // 2 of 3 entered the funnel
+      (2, 1L, 1L, 33.3333)))   // 1 of 3 converted fully
+  }
 }
