@@ -100,7 +100,22 @@ object PlanGallery {
     "t_nbayes" -> ("Naive Bayes classification: tok-keyed likelihood " +
       "table shared with its totals branch by ReuseExchange, priors and " +
       "vocab size as broadcast 1-row aggregates, integer-quantized " +
-      "log terms so the argmax is reduction-order-free."))
+      "log terms so the argmax is reduction-order-free."),
+    "ev_funnel" -> ("Windowed conversion funnel: ONE corpus scan into " +
+      "one ragged-build shuffle (ordered collect_list), the stage " +
+      "matching as a row-local codegen'd fold carrying (depth, " +
+      "matched-ts) state, and every later aggregate/window over the " +
+      "bounded #stages-row frame — the k-self-join spelling would pay " +
+      "k corpus scans."),
+    "ev_retention" -> ("Cohort retention: min-cohort and distinct active " +
+      "periods computed in the SAME per-entity aggregate (one corpus " +
+      "shuffle, pinned single-scan), explode + second aggregate bounded " +
+      "by periods^2 cells, retained-share window over that bounded " +
+      "frame."),
+    "ev_transitions" -> ("Markov transition matrix: one window lead pass " +
+      "partitioned per entity (parallel across users), aggregate over " +
+      "the bounded #types^2 pair domain, per-src normalization windows " +
+      "over that same bounded frame."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

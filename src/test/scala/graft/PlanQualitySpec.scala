@@ -443,6 +443,22 @@ class PlanQualitySpec extends SparkSuite {
     assert(a == b, s"skipping changed the answer: $a vs $b")
   }
 
+  test("event analytics scan the corpus exactly once") {
+    // funnel / retention / transitions are single-pass by design: one
+    // per-entity build (ragged fold, min+collect_set pair, window lead)
+    // feeds bounded-frame post-aggregation. A second parquet scan
+    // appearing means a subtree diverged and the corpus pays twice.
+    for (name <- Seq("ev_funnel", "ev_retention", "ev_transitions")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans == 1,
+        s"$name reads the corpus $scans times:\n${plan.take(3000)}")
+    }
+  }
+
   test("ev_seqsim: ragged sequence build runs ONCE, shared by every branch") {
     // the r7 plan rebuilt the collect_list subtree up to 6x (projection
     // divergence defeated ReuseExchange); the r8 shape makes (uid, nsh,
