@@ -134,6 +134,68 @@ object Streaming {
       }
   }
 
+  /** Streaming funnel — the streaming face of `graft.operators.Funnel`:
+    * per-user conversion progress held in keyed state, emitting one row
+    * `(user_id, depth, ts_us)` each time a user ADVANCES to the next
+    * stage (the "user reached checkout" trigger feed funnels exist for
+    * in production). Same greedy strict-order semantics as the batch
+    * fold, including the optional conversion window between consecutive
+    * stages; state per user is two fields (depth + matched-event
+    * micros), so RocksDB holds a users-sized state comfortably at
+    * stream scale.
+    *
+    * Determinism: each micro-batch's rows are sorted by (ts, event_id)
+    * inside the group before folding, so a batch is processed exactly
+    * like the batch operator would. Across micro-batches the fold is
+    * greedy in arrival order (an event arriving after a later-ts event
+    * of the same user is folded late) — equal to the batch answer
+    * whenever per-user arrival respects event order across batches, the
+    * same contract the near-dup filter documents. Completed or idle
+    * users are cleared by event-time timeout an hour past the
+    * watermark. */
+  def streamingFunnel(events: DataFrame, stages: Seq[String],
+      windowUs: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[(Long, Int, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be non-empty and distinct: $stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nextStage = stages.zipWithIndex.map { case (s, i) => (i, s) }.toMap
+    val typed = events
+      .filter(col("user_id").isNotNull)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as[Long], col("event_id").as[Long],
+        col("event_type").as[String], col("ts").as[java.sql.Timestamp])
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Long, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long,
+            rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[(Int, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (d, mts) = state.getOption.getOrElse((0, 0L))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Int, Long)]
+            val ordered = rows.toSeq.sortBy { case (_, eid, _, ts) =>
+              (ts.getTime / 1000 * 1000000L + ts.getNanos / 1000, eid)
+            }
+            ordered.foreach { case (_, _, t, ts) =>
+              val us = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+              if (nextStage.get(d).contains(t) &&
+                  (d == 0 || windowUs.forall(w => us <= mts + w))) {
+                d += 1; mts = us
+                out += ((user, d, us))
+              }
+            }
+            state.update((d, mts))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600000L)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming NEAR-duplicate filter — the streaming face of
     * `graft.dedup`'s simhash family: each arriving document is tagged
     * against every previously-seen document in its simhash block

@@ -111,6 +111,36 @@ class ModulesSpec extends SparkSuite {
     got.foreach { case (k, n) => assert(want(k) == n, s"window $k") }
   }
 
+  test("streaming funnel advancement feed equals the batch funnel depths") {
+    implicit val s: SparkSession = spark
+    val stages = Seq("view", "click", "purchase")
+    val w = Some(6L * 3600 * 1000000)
+    val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
+    val out = graft.streaming.Streaming.runToMemory(
+      graft.streaming.Streaming.streamingFunnel(src, stages, w).toDF(
+        "user_id", "depth", "ts_us"), "t_funnel")
+    // one emission per advancement: per user the depths must be exactly
+    // 1..maxDepth with strictly increasing matched micros
+    val byUser = out.as[(Long, Int, Long)].collect().toSeq
+      .groupBy(_._1).map { case (u, rows) =>
+        val sorted = rows.sortBy(_._2)
+        assert(sorted.map(_._2) == (1 to sorted.size),
+          s"user $u advancement depths not 1..n: $sorted")
+        assert(sorted.map(_._3) == sorted.map(_._3).sorted,
+          s"user $u matched micros not monotonic")
+        u -> sorted.size
+      }
+    val batch = graft.operators.Funnel.funnelDepthWindowed(
+        graft.core.Tables.events(spark, dir), "user_id", "ts", "event_id",
+        "event_type", stages, w.get)
+      .as[(Long, Int)].collect().toMap
+    assert(batch.nonEmpty && byUser.nonEmpty)
+    batch.foreach { case (u, d) =>
+      assert(byUser.getOrElse(u, 0) == d,
+        s"user $u: streaming reached ${byUser.getOrElse(u, 0)}, batch $d")
+    }
+  }
+
   test("streaming as-of enrichment equals the batch broadcast asof join") {
     implicit val s: SparkSession = spark
     val ev = graft.core.Tables.events(spark, dir)
