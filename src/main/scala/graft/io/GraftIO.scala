@@ -228,8 +228,21 @@ object GraftIO {
     * superset guarantee, exactly like parquet's own row-group pruning
     * one level up. */
   def fromParquetSkipping(spark: SparkSession, dest: String, column: String,
-      lo: Any, hi: Any, cast: String): DataFrame = {
-    val stats = element_at(col("col_stats"), column)
+      lo: Any, hi: Any, cast: String): DataFrame =
+    fromParquetSkippingMulti(spark, dest, Seq((column, lo, hi, cast)))
+
+  /** Multi-predicate manifest skipping: keep only the files whose
+    * recorded [min, max] intersects EVERY (column, lo, hi) range — the
+    * conjunctive-filter case, where each extra predicate prunes further.
+    * This is what a Z-ordered layout ([[writeZOrdered]]) is FOR: the
+    * curve gives every z-column locality, so a 2-D range predicate
+    * skips on both dimensions at once where a single-column sort could
+    * only serve one. Per-column conservative-keep semantics are those
+    * of [[fromParquetSkipping]] (missing stats or un-castable stat
+    * strings keep the file). */
+  def fromParquetSkippingMulti(spark: SparkSession, dest: String,
+      preds: Seq[(String, Any, Any, String)]): DataFrame = {
+    require(preds.nonEmpty, "at least one (column, lo, hi, cast) predicate")
     // the conservative-keep guarantee must survive bad casts: a recorded
     // min/max string that does not cast to `cast` (mistyped caller, or a
     // stat rendered from a differently-typed footer) must KEEP the file
@@ -237,12 +250,16 @@ object GraftIO {
     // conjunction — and under ANSI mode (Spark 4 default) a plain cast
     // would not even null, it would throw mid-filter. try_cast gives the
     // tolerate-and-null semantics in both modes.
-    val mnS = stats.getField("min").try_cast(cast)
-    val mxS = stats.getField("max").try_cast(cast)
-    val keep = fromParquetManifest(spark, dest)
-      .filter(stats.isNull || stats.getField("min").isNull ||
+    val keepCond = preds.map { case (column, lo, hi, cast) =>
+      val stats = element_at(col("col_stats"), column)
+      val mnS = stats.getField("min").try_cast(cast)
+      val mxS = stats.getField("max").try_cast(cast)
+      stats.isNull || stats.getField("min").isNull ||
         mnS.isNull || mxS.isNull ||
-        (mxS >= lit(lo) && mnS <= lit(hi)))
+        (mxS >= lit(lo) && mnS <= lit(hi))
+    }.reduce(_ && _)
+    val keep = fromParquetManifest(spark, dest)
+      .filter(keepCond)
       .select(col("file")).collect().map(_.getString(0))
     if (keep.isEmpty)
       spark.read.parquet(dest).limit(0) // schema-preserving empty

@@ -109,6 +109,39 @@ object AsofJoin {
       keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame =
     asofJoin(left, right, keyCol, tsCol, payloadCols, "backward"): DataFrame
 
+  /** [[asofJoin]] with a match tolerance (the pandas `merge_asof`
+    * `tolerance=` knob): a qualifying right row further than
+    * `toleranceUs` microseconds (for timestamp ts; raw units for
+    * integral ts) from the left row is treated as NO match — its
+    * payload comes back null. Same single-shuffle plan as [[asofJoin]];
+    * the tolerance is one post-window predicate, and the time distance
+    * is compared in DECIMAL(21,0) like `nearest`'s tie-break so
+    * arbitrary long ts cannot wrap. Works for all three directions
+    * (the absolute distance is direction-agnostic). */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, payloadCols: Seq[String],
+      toleranceUs: Long, direction: String = "backward"): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0: $toleranceUs")
+    // ride the right ts through as an extra payload so the distance is
+    // computable on the joined frame, then strip it if the caller
+    // didn't ask for it
+    val withTs =
+      if (payloadCols.contains(tsCol)) payloadCols else payloadCols :+ tsCol
+    val j = asofJoin(left, right, keyCol, tsCol, withTs, direction)
+    def num(c: Column, dt: org.apache.spark.sql.types.DataType) = dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+    def d(c: Column) = c.cast("decimal(21,0)")
+    val lt = d(num(col(tsCol), left.schema(tsCol).dataType))
+    val rt = d(num(col(s"asof_$tsCol"), right.schema(tsCol).dataType))
+    val within = rt.isNotNull &&
+      abs(lt - rt) <= lit(toleranceUs).cast("decimal(21,0)")
+    j.select(left.columns.toIndexedSeq.map(col) ++
+      payloadCols.map(p =>
+        when(within, col(s"asof_$p")).as(s"asof_$p")): _*)
+  }
+
   /** Skew-safe (salted) as-of join: same output contract as [[asofJoin]],
     * but the heavy window partitions by (key, time bucket) instead of key
     * alone — the fix for the one scale hazard of the union+window form: a

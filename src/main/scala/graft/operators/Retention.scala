@@ -68,6 +68,39 @@ object Retention {
           .as("pct_retained"))
   }
 
+  /** Top-k event paths: the most frequent `steps`-long consecutive
+    * event-type sequences across all entities (the "common user
+    * journeys" report). One window pass per entity ((tsCol, tieCol)
+    * ordered leads — a lead never crosses the entity partition, so
+    * paths never span users), one aggregate over the bounded
+    * #types^steps path domain, and a top-k sort of that bounded frame
+    * with the path string as deterministic tiebreak.
+    *
+    * Returns k rows of (path, n), `path` joined with " > ".
+    */
+  def topPaths(df: DataFrame, idCol: String, tsCol: String,
+      tieCol: String, typeCol: String, steps: Int = 3, k: Int = 10)
+      : DataFrame = {
+    require(steps >= 2, s"steps must be >= 2: $steps")
+    val byUser = Window.partitionBy(col("uid"))
+      .orderBy(col(tsCol), col(tieCol))
+    val stepCols = (0 until steps).map {
+      case 0 => col("t0")
+      case i => lead(col("t0"), i).over(byUser).as(s"t$i")
+    }
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("uid"), col(tsCol), col(tieCol),
+        col(typeCol).as("t0"))
+      .select(stepCols: _*)
+      .filter((1 until steps).map(i => col(s"t$i").isNotNull)
+        .reduce(_ && _))
+      .groupBy(concat_ws(" > ",
+        (0 until steps).map(i => col(s"t$i")): _*).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** First-order Markov transition matrix over per-entity event-type
     * sequences: for each ordered (src, dst) adjacent pair, its count
     * and its probability share among transitions leaving `src`

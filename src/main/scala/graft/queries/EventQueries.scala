@@ -90,6 +90,12 @@ object EventQueries {
       graft.operators.Retention.transitionMatrix(
         Tables.events(s, dir), "user_id", "ts", "event_id", "event_type")
     },
+    // top-10 3-step user journeys: per-user ordered leads, bounded
+    // #types^3 path aggregate, path-string tiebreak top-k
+    "ev_paths" -> { (s, dir) =>
+      graft.operators.Retention.topPaths(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type")
+    },
 
     // 5-minute tumbling window aggregation (the Structured Streaming
     // groupBy(window(...)) shape, executed on a batch frame)
@@ -132,6 +138,22 @@ object EventQueries {
       graft.operators.AsofJoin.asofJoinLast(
           ev.select(col("event_id"), col("user_id"), col("ts")),
           purchases, "user_id", "ts", Seq("pval"))
+        .groupBy(col("user_id"))
+        .agg(count(when(col("asof_pval").isNotNull, 1)).as("n_matched"),
+          round(sum(col("asof_pval")), 2).as("sum_asof"))
+    },
+    // as-of with a 6-hour match tolerance (the pandas merge_asof
+    // tolerance= knob): matches further back than the tolerance null
+    // out, same single-shuffle union+window plan
+    "ev_asof_tol" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.AsofJoin.asofJoinTolerance(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, "user_id", "ts", Seq("pval"),
+          toleranceUs = 6L * 3600 * 1000000)
         .groupBy(col("user_id"))
         .agg(count(when(col("asof_pval").isNotNull, 1)).as("n_matched"),
           round(sum(col("asof_pval")), 2).as("sum_asof"))
@@ -370,12 +392,20 @@ object EventQueries {
     // round-half-up CAST
     "ev_retention" ->
       """WITH a AS (SELECT user_id AS uid, date_trunc('day', ts) AS wk FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase' GROUP BY 1, 2), c AS (SELECT uid, min(wk) AS cwk FROM a GROUP BY uid), cell AS (SELECT CAST(c.cwk AS DATE) AS cohort, CAST(date_diff('day', CAST(c.cwk AS DATE), CAST(a.wk AS DATE)) AS INT) AS "offset", count(*) AS n_active FROM a JOIN c USING (uid) GROUP BY 1, 2), w AS (SELECT cohort, "offset", n_active, max(CASE WHEN "offset" = 0 THEN n_active END) OVER (PARTITION BY cohort) AS cohort_n FROM cell) SELECT strftime(cohort, '%Y-%m-%d') AS cohort, "offset", n_active, CAST((n_active * 1000000) // cohort_n AS DOUBLE) / 10000.0 AS pct_retained FROM w""",
+    // path-mining replay: two leads in one window, path-string
+    // tiebreak makes the top-10 deterministic under count ties
+    "ev_paths" ->
+      """WITH s AS (SELECT event_type AS t0, lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2 FROM events WHERE user_id IS NOT NULL WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), p AS (SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path, count(*) AS n FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL GROUP BY 1) SELECT path, n FROM p ORDER BY n DESC, path LIMIT 10""",
     // transition-matrix replay: identical lead-over-(ts, event_id)
     // ordering; per-src normalization over the bounded pair domain
     "ev_transitions" ->
       """WITH s AS (SELECT event_type AS src, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events WHERE user_id IS NOT NULL), p AS (SELECT src, dst, count(*) AS n FROM s WHERE dst IS NOT NULL GROUP BY 1, 2) SELECT src, dst, n, CAST((n * 1000000) // sum(n) OVER (PARTITION BY src) AS DOUBLE) / 1000000.0 AS prob FROM p""",
     "ev_asof" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
+    // tolerance replay: DuckDB ASOF finds the backward match; matches
+    // beyond the tolerance null out before the aggregate
+    "ev_asof_tol" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, CASE WHEN l.ts - p.ts <= INTERVAL 6 HOUR THEN p.pval END AS pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
     "ev_asof_salted" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS pval FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), j AS (SELECT l.user_id, p.pval FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts) SELECT user_id, count(pval) AS n_matched, round(sum(pval), 2) AS sum_asof FROM j GROUP BY user_id""",
     "ev_asof_lookup" ->

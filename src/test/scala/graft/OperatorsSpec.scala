@@ -439,6 +439,39 @@ class OperatorsSpec extends SparkSuite {
     assert(trained > 0.3, s"trained recall $trained unexpectedly low")
   }
 
+  test("asofJoinTolerance: distant matches null out; infinite tolerance = plain asof") {
+    val l = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 95L, 10.0), (1L, 120L, 20.0), (2L, 1L, 30.0))
+      .toDF("k", "t", "v")
+    // tolerance 10: "a" matches t=95 (d=5); "b"'s backward match t=120
+    // is 80 away -> null; "c"'s t=1 is 49 away -> null
+    val tight = graft.operators.AsofJoin
+      .asofJoinTolerance(l, r, "k", "t", Seq("v"), toleranceUs = 10L)
+      .select($"tag", $"asof_v").collect()
+      .map(x => x.getString(0) -> Option(x.get(1))).toMap
+    assert(tight == Map("a" -> Some(10.0), "b" -> None, "c" -> None))
+    // huge tolerance reproduces the unconstrained join exactly
+    val loose = graft.operators.AsofJoin
+      .asofJoinTolerance(l, r, "k", "t", Seq("v"), toleranceUs = 1000000L)
+      .select($"tag", $"asof_v").collect()
+      .map(x => x.getString(0) -> Option(x.get(1))).toMap
+    val plain = graft.operators.AsofJoin
+      .asofJoin(l, r, "k", "t", Seq("v"))
+      .select($"tag", $"asof_v").collect()
+      .map(x => x.getString(0) -> Option(x.get(1))).toMap
+    assert(loose == plain)
+    // nearest direction: "b" prefers t=200-120=80 backward... nearest of
+    // (120 back d=80, none fwd) under tolerance 100 keeps it
+    val near = graft.operators.AsofJoin
+      .asofJoinTolerance(l, r, "k", "t", Seq("v"), toleranceUs = 100L,
+        direction = "nearest")
+      .select($"tag", $"asof_v").collect()
+      .map(x => x.getString(0) -> Option(x.get(1))).toMap
+    assert(near == Map("a" -> Some(10.0), "b" -> Some(20.0),
+      "c" -> Some(30.0)))
+  }
+
   private def funnelFixture(rows: Seq[(Long, Long, Long, String)]) =
     rows.toDF("user_id", "us", "event_id", "event_type")
       .select($"user_id", timestamp_micros($"us").as("ts"),
@@ -553,6 +586,23 @@ class OperatorsSpec extends SparkSuite {
       ("a", "b", 2L, 0.666666), // 10^6-quantized 2/3
       ("a", "c", 1L, 0.333333),
       ("b", "a", 1L, 1.0)))
+  }
+
+  test("topPaths: per-user leads never cross users; count-desc path-asc order") {
+    val df = funnelFixture(Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"),
+      (1L, 40L, 4L, "a"), (1L, 50L, 5L, "b"), (1L, 60L, 6L, "c"),
+      // user 2 ends in "c": no path may bridge into user 3's events
+      (2L, 10L, 7L, "b"), (2L, 20L, 8L, "c"), (2L, 30L, 9L, "a"),
+      (3L, 10L, 10L, "z"), (3L, 20L, 11L, "z"), (3L, 30L, 12L, "z")))
+    val got = graft.operators.Retention
+      .topPaths(df, "user_id", "ts", "event_id", "event_type",
+        steps = 3, k = 3)
+      .as[(String, Long)].collect().toSeq
+    // a>b>c twice (user 1); b>c>a, c>a>b (user 1 rolling + user 2), z>z>z
+    // once each -> ties broken by path ascending
+    assert(got == Seq(("a > b > c", 2L), ("b > c > a", 2L),
+      ("c > a > b", 1L)))
   }
 
   test("funnelReport: per-depth rollup with cumulative reached counts") {

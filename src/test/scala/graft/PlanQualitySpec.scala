@@ -443,12 +443,48 @@ class PlanQualitySpec extends SparkSuite {
     assert(a == b, s"skipping changed the answer: $a vs $b")
   }
 
+  test("Z-order + multi-predicate manifest skipping prunes on BOTH dimensions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_zskip").toString + "/li"
+    // Z-order gives l_orderkey AND l_partkey locality per file; a
+    // single-column sort could only serve one of them
+    graft.io.GraftIO.writeZOrdered(
+      graft.core.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+      tmp, Seq("l_orderkey", "l_partkey"), numFiles = 16)
+    graft.io.GraftIO.writeManifest(spark, tmp)
+    def files(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.relation.location.inputFiles.length.toLong
+      }.sum
+    val full = spark.read.parquet(tmp)
+    val one = graft.io.GraftIO.fromParquetSkippingMulti(spark, tmp,
+      Seq(("l_orderkey", 1000L, 2500L, "bigint")))
+    val two = graft.io.GraftIO.fromParquetSkippingMulti(spark, tmp,
+      Seq(("l_orderkey", 1000L, 2500L, "bigint"),
+        ("l_partkey", 1L, 60L, "bigint")))
+    assert(files(full) == 16L, s"expected 16 data files, saw ${files(full)}")
+    assert(files(one) < 16L, s"1-D pruning ineffective: ${files(one)}")
+    assert(files(two) < files(one),
+      s"second predicate pruned nothing: ${files(two)} vs ${files(one)} — " +
+        "Z-order locality is not reaching the manifest stats")
+    val pred = col("l_orderkey").between(1000L, 2500L) &&
+      col("l_partkey").between(1L, 60L)
+    val a = full.filter(pred)
+      .agg(count(lit(1)), sum(col("l_quantity"))).collect().toSeq
+    val b = two.filter(pred)
+      .agg(count(lit(1)), sum(col("l_quantity"))).collect().toSeq
+    assert(a == b, s"skipping changed the answer: $a vs $b")
+  }
+
   test("event analytics scan the corpus exactly once") {
     // funnel / retention / transitions are single-pass by design: one
     // per-entity build (ragged fold, min+collect_set pair, window lead)
     // feeds bounded-frame post-aggregation. A second parquet scan
     // appearing means a subtree diverged and the corpus pays twice.
-    for (name <- Seq("ev_funnel", "ev_retention", "ev_transitions")) {
+    for (name <- Seq("ev_funnel", "ev_retention", "ev_transitions",
+        "ev_paths")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
