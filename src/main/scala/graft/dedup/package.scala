@@ -283,6 +283,51 @@ package object dedup {
       .select(col("id1"), col("id2"), col("inter"), col("uni"))
   }
 
+  /** N-gram CONTAINMENT pairs — the asymmetric cousin of
+    * [[ngramJaccardPairs]]: containment(src in dst) = |src ∩ dst| /
+    * |src|, the decontamination / quote-detection measure (a short eval
+    * prompt fully quoted inside a long training doc scores containment
+    * ~1 while its Jaccard is tiny, so a symmetric threshold misses
+    * exactly the case that matters). Same inverted-index plan as the
+    * Jaccard face — one unordered pair aggregate over the posting
+    * self-join — with BOTH orientations derived from each surviving
+    * unordered pair by two cheap projections of the (already tiny)
+    * pair frame, then thresholded per direction.
+    *
+    * Returns oriented rows (src, dst, inter, nsrc) where
+    * inter * 100 >= nsrc * minContainPct; `dfCap` prunes stop-shingle
+    * postings exactly as in the Jaccard face.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, minContainPct: Int = 80, dfCap: Int = 0): DataFrame = {
+    val sh = graft.core.Partitions.ensureMinParallelism(
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+        .withColumn("nsh", size(col("sh"))),
+      col("id"), df.sparkSession.sessionState.conf.numShufflePartitions)
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("gs"))
+      .select(col("id"), xxhash64(col("gs")).as("g"))
+    val inv =
+      if (dfCap <= 0) inv0
+      else {
+        val rare = inv0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select(col("g"))
+        inv0.join(rare, "g")
+      }
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    val nshDf = sh.select(col("id"), col("nsh"))
+    val base = pairs
+      .join(nshDf.withColumnRenamed("nsh", "n1"), col("id1") === col("id")).drop("id")
+      .join(nshDf.withColumnRenamed("nsh", "n2"), col("id2") === col("id")).drop("id")
+    base.select(col("id1").as("src"), col("id2").as("dst"),
+        col("inter"), col("n1").cast("long").as("nsrc"))
+      .unionByName(base.select(col("id2").as("src"), col("id1").as("dst"),
+        col("inter"), col("n2").cast("long").as("nsrc")))
+      .filter(col("inter") * 100 >= col("nsrc") * minContainPct)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space with spherical k-means, then drop any
     * vector that has a higher-cosine-than-`minCosine` near-duplicate with

@@ -204,4 +204,30 @@ object Inspect {
         col(s"mx_${f.name}").as("max_repr"))): _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Plan-time scan estimate from the `_graft_metadata.json` manifest —
+    * the data-less "what would this query read" answer the reference's
+    * typetracer simulation gives: for a conjunction of (column, lo, hi,
+    * castType) range predicates, the files/rows/bytes the
+    * manifest-driven skip ([[graft.io.GraftIO.fromParquetSkippingMulti]])
+    * would leave in the scan, computed from the sidecar alone — zero
+    * data files and zero parquet footers touched. Row/byte counts are
+    * upper bounds (kept files may still row-group-prune); `totalFiles`
+    * etc give the unskipped denominators. */
+  final case class ScanEstimate(files: Long, rows: Long, bytes: Long,
+      totalFiles: Long, totalRows: Long, totalBytes: Long)
+
+  def estimateScan(spark: org.apache.spark.sql.SparkSession, dest: String,
+      preds: Seq[(String, Any, Any, String)]): ScanEstimate = {
+    import org.apache.spark.sql.functions._
+    val manifest = graft.io.GraftIO.fromParquetManifest(spark, dest)
+    val keepCond = graft.io.GraftIO.manifestKeepCond(preds)
+    val r = manifest.agg(
+      sum(when(keepCond, 1L).otherwise(0L)),
+      sum(when(keepCond, col("n_rows")).otherwise(0L)),
+      sum(when(keepCond, col("n_bytes")).otherwise(0L)),
+      count(lit(1)), sum(col("n_rows")), sum(col("n_bytes"))).head()
+    ScanEstimate(r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))
+  }
 }

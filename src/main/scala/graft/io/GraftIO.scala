@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -243,23 +243,8 @@ object GraftIO {
   def fromParquetSkippingMulti(spark: SparkSession, dest: String,
       preds: Seq[(String, Any, Any, String)]): DataFrame = {
     require(preds.nonEmpty, "at least one (column, lo, hi, cast) predicate")
-    // the conservative-keep guarantee must survive bad casts: a recorded
-    // min/max string that does not cast to `cast` (mistyped caller, or a
-    // stat rendered from a differently-typed footer) must KEEP the file
-    // (fall back to a full scan), not drop it through a NULL range
-    // conjunction — and under ANSI mode (Spark 4 default) a plain cast
-    // would not even null, it would throw mid-filter. try_cast gives the
-    // tolerate-and-null semantics in both modes.
-    val keepCond = preds.map { case (column, lo, hi, cast) =>
-      val stats = element_at(col("col_stats"), column)
-      val mnS = stats.getField("min").try_cast(cast)
-      val mxS = stats.getField("max").try_cast(cast)
-      stats.isNull || stats.getField("min").isNull ||
-        mnS.isNull || mxS.isNull ||
-        (mxS >= lit(lo) && mnS <= lit(hi))
-    }.reduce(_ && _)
     val keep = fromParquetManifest(spark, dest)
-      .filter(keepCond)
+      .filter(manifestKeepCond(preds))
       .select(col("file")).collect().map(_.getString(0))
     if (keep.isEmpty)
       spark.read.parquet(dest).limit(0) // schema-preserving empty
@@ -269,6 +254,27 @@ object GraftIO {
       spark.read.option("basePath", dest)
         .parquet(keep.map(f => s"$dest/$f").toSeq: _*)
   }
+
+  /** The manifest-row keep condition for a conjunction of (column, lo,
+    * hi, castType) ranges — shared by [[fromParquetSkippingMulti]] and
+    * `Inspect.estimateScan`. The conservative-keep guarantee must
+    * survive bad casts: a recorded min/max string that does not cast to
+    * `cast` (mistyped caller, or a stat rendered from a
+    * differently-typed footer) must KEEP the file (fall back to a full
+    * scan), not drop it through a NULL range conjunction — and under
+    * ANSI mode (Spark 4 default) a plain cast would not even null, it
+    * would throw mid-filter. try_cast gives the tolerate-and-null
+    * semantics in both modes. */
+  def manifestKeepCond(preds: Seq[(String, Any, Any, String)]): Column =
+    if (preds.isEmpty) lit(true)
+    else preds.map { case (column, lo, hi, cast) =>
+      val stats = element_at(col("col_stats"), column)
+      val mnS = stats.getField("min").try_cast(cast)
+      val mxS = stats.getField("max").try_cast(cast)
+      stats.isNull || stats.getField("min").isNull ||
+        mnS.isNull || mxS.isNull ||
+        (mxS >= lit(lo) && mnS <= lit(hi))
+    }.reduce(_ && _)
 
   /** Read the `_graft_metadata.json` sidecar back as a DataFrame —
     * (file, n_rows, n_bytes, col_stats). */

@@ -32,6 +32,13 @@ object DedupQueries {
       ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 2, minJaccardPct = 50)
     },
+    // asymmetric containment pairs (dedup.ngramContainmentPairs):
+    // |src ∩ dst| / |src| >= 80% — catches a short doc quoted inside a
+    // long one, which the symmetric Jaccard threshold misses
+    "d_containment" -> { (s, dir) =>
+      ngramContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, minContainPct = 80)
+    },
 
     // edit-distance near-dups (dedup.levenshteinPairs): 40-char prefixes,
     // distance <= 12. Blocking on (lang, first 2 chars) is the recall/cost
@@ -278,6 +285,10 @@ object DedupQueries {
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text FROM documents) t GROUP BY 1""",
     "d_ngram" ->
       s"""WITH sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh) SELECT a.id AS id1, b.id AS id2, count(*) AS inter, a.nsh + b.nsh - count(*) AS uni FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50""",
+    // containment replay: the unordered pair aggregate plus both
+    // oriented projections, each thresholded on its own |src|
+    "d_containment" ->
+      s"""WITH sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh), p AS (SELECT a.id AS id1, b.id AS id2, count(*) AS inter, a.nsh AS n1, b.nsh AS n2 FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh), o AS (SELECT id1 AS src, id2 AS dst, inter, n1 AS nsrc FROM p UNION ALL SELECT id2, id1, inter, n2 FROM p) SELECT src, dst, inter, nsrc FROM o WHERE inter * 100 >= nsrc * 80""",
     "d_lev" ->
       """WITH d AS (SELECT doc_id, lang || '|' || substr(text, 1, 2) AS blk, substr(text, 1, 40) AS p FROM documents) SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(levenshtein(a.p, b.p) AS INT) AS dist FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id AND levenshtein(a.p, b.p) <= 12""",
     "d_contam" ->

@@ -713,4 +713,54 @@ class DedupSimilaritySpec extends SparkSuite {
       assert(rows.map(_._2._1).distinct.size == 4, "duplicate pick")
     }
   }
+
+  test("ngramContainmentPairs: asymmetric — quote detected, Jaccard blind") {
+    // doc 2 is wholly quoted inside the much longer doc 1: containment
+    // (2 in 1) = 100% while Jaccard is far below 50%
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (2L, "gamma delta epsilon zeta"),
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val cont = graft.dedup.ngramContainmentPairs(
+        docs, "doc_id", "text", n = 2, minContainPct = 80)
+      .select($"src", $"dst").as[(Long, Long)].collect().toSet
+    assert(cont == Set((2L, 1L)), s"expected only 2-contained-in-1: $cont")
+    val jac = graft.dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 2, minJaccardPct = 50)
+      .count()
+    assert(jac == 0L, "the symmetric threshold should miss the quote")
+    // orientation sanity on equal-size near-identical docs: both survive
+    val twins = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five seven")).toDF("doc_id", "text")
+    val both = graft.dedup.ngramContainmentPairs(
+        twins, "doc_id", "text", n = 2, minContainPct = 60)
+      .select($"src", $"dst").as[(Long, Long)].collect().toSet
+    assert(both == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("estimateScan: manifest-only file/row bounds agree with the real skip") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_est").toString + "/li"
+    graft.io.GraftIO.toParquetWithMetadata(
+      graft.core.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey")),
+      tmp)
+    val preds = Seq(("l_orderkey", 1000L, 1500L, "bigint"): (String, Any, Any, String))
+    val est = graft.inspect.Inspect.estimateScan(spark, tmp, preds)
+    assert(est.totalFiles == 8L && est.files > 0L && est.files < 8L)
+    // the estimate must equal what the skipping read actually scans, and
+    // upper-bound the true matching rows
+    val skipped = graft.io.GraftIO
+      .fromParquetSkippingMulti(spark, tmp, preds)
+    assert(skipped.count() == est.rows,
+      "estimate rows != rows in kept files")
+    val matching = skipped
+      .filter(col("l_orderkey").between(1000L, 1500L)).count()
+    assert(matching <= est.rows && est.rows < est.totalRows)
+    assert(est.bytes > 0L && est.bytes < est.totalBytes)
+  }
 }
