@@ -518,6 +518,59 @@ package object similarity {
       .select(col("uid").as(idCol), col("rank"), col("nid"), col("jac"))
   }
 
+  /** Cheap posting-density probe for the seqsim plan pick: the expected
+    * average document frequency of an n-gram under a uniform-gram
+    * model. Per-entity distinct grams g ≈ min(events-per-entity,
+    * distinctTokens^n) (the inverted index distinct()s grams per
+    * entity); total postings P = entities * g; vocabulary
+    * V = min(distinctTokens^n, P); avgDf = P / V. The exact face's
+    * pair-join cost is sum(df^2) ≈ avgDf * P, so avgDf IS the
+    * multiplier separating the sparse-token regime (near 1, exact face
+    * cheap and lossless) from the dense regime where only banding
+    * survives. ONE scan (count + two approx_count_distinct sketches in
+    * one aggregate), no ragged build — priced far below either pair
+    * plan. On the measured corpora the model reads ~4 at sf0.01, ~39
+    * at sf0.1 (exact face fine at 4 s) and ~390 on the clone-rich sf1
+    * corpus where the exact face took 21.5 s and banding 1.7 s —
+    * consistent with the default threshold 64. */
+  def sequenceGramDensity(df: DataFrame, idCol: String, tokCol: String,
+      n: Int): Double = {
+    val r = df.filter(col(idCol).isNotNull)
+      .agg(count(lit(1)), approx_count_distinct(col(idCol)),
+        approx_count_distinct(col(tokCol))).head()
+    val e = r.getLong(0).toDouble
+    val u = r.getLong(1).toDouble
+    val d = r.getLong(2).toDouble
+    if (e <= 0 || u <= 0 || d <= 0) return 0.0
+    val vocabCap = math.pow(d, n.toDouble)
+    val g = math.min(e / u, vocabCap)
+    val p = u * g
+    val v = math.max(1.0, math.min(vocabCap, p))
+    p / v
+  }
+
+  /** Operational entry point for behavior-sequence similarity: one cheap
+    * density probe ([[sequenceGramDensity]]) picks the exact
+    * inverted-index face below `densityThreshold` and the MinHash-banded
+    * face at or above it. UNLIKE `simhashPairsAdaptive`, the two faces
+    * do NOT produce identical output — the banded face drops the
+    * low-similarity tail by design (LSH S-curve recall; surviving pairs
+    * carry exact scores) — so this is the production dispatch, not an
+    * oracle-stable query; grade the faces individually. The default
+    * threshold ~64 corresponds to the measured sf1 crossover where the
+    * exact pair term (21.5 s) lost to banding (1.7 s) on the clone-rich
+    * corpus (docs/SCALE_SOAK.md round 8). */
+  def sequenceJaccardTopKAdaptive(df: DataFrame, idCol: String,
+      tsCol: String, tokCol: String, tieCol: String, n: Int = 3,
+      k: Int = 5, dfCap: Int = 1000, numHashes: Int = 32, bands: Int = 8,
+      densityThreshold: Double = 64.0): DataFrame = {
+    if (sequenceGramDensity(df, idCol, tokCol, n) < densityThreshold)
+      sequenceJaccardTopK(df, idCol, tsCol, tokCol, tieCol, n, k, dfCap)
+    else
+      sequenceJaccardTopKBanded(df, idCol, tsCol, tokCol, tieCol, n, k,
+        numHashes, bands)
+  }
+
   /** All pairs with cosine >= threshold within a blocking key — embedding
     * near-dup detection. Blocking bounds the quadratic term. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -714,6 +714,46 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("seqsim adaptive: density probe separates regimes and picks the face") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    // sparse regime: 40 users, rich token alphabet (every event distinct
+    // per user) -> avgDf ~ 1, exact face
+    val sparse = (0 until 40).flatMap { u =>
+      (0 until 20).map(i => (u.toLong, i.toLong * 1000, (u * 20 + i).toLong,
+        s"tok_${u}_$i"))
+    }.toDF("uid", "us", "eid", "tok")
+      .select(col("uid"), timestamp_micros(col("us")).as("ts"),
+        col("eid"), col("tok"))
+    val dSparse = graft.similarity
+      .sequenceGramDensity(sparse, "uid", "tok", 2)
+    assert(dSparse < 8.0, s"sparse corpus misread as dense: $dSparse")
+    // dense regime: 400 users over a 3-token alphabet -> every gram is
+    // shared by ~everyone
+    val dense = (0 until 400).flatMap { u =>
+      (0 until 20).map(i => (u.toLong, i.toLong * 1000, (u * 20 + i).toLong,
+        s"t${i % 3}"))
+    }.toDF("uid", "us", "eid", "tok")
+      .select(col("uid"), timestamp_micros(col("us")).as("ts"),
+        col("eid"), col("tok"))
+    val dDense = graft.similarity
+      .sequenceGramDensity(dense, "uid", "tok", 2)
+    assert(dDense > 64.0, s"dense corpus misread as sparse: $dDense")
+    // dispatch: sparse -> exact output; dense -> banded output
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select(col("uid"), col("rank"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val sparseAdaptive = run(graft.similarity.sequenceJaccardTopKAdaptive(
+      sparse, "uid", "ts", "tok", "eid", n = 2, k = 3))
+    val sparseExact = run(graft.similarity.sequenceJaccardTopK(
+      sparse, "uid", "ts", "tok", "eid", n = 2, k = 3))
+    assert(sparseAdaptive == sparseExact)
+    val denseAdaptive = run(graft.similarity.sequenceJaccardTopKAdaptive(
+      dense, "uid", "ts", "tok", "eid", n = 2, k = 3))
+    val denseBanded = run(graft.similarity.sequenceJaccardTopKBanded(
+      dense, "uid", "ts", "tok", "eid", n = 2, k = 3))
+    assert(denseAdaptive == denseBanded)
+  }
+
   test("ngramContainmentPairs: asymmetric — quote detected, Jaccard blind") {
     // doc 2 is wholly quoted inside the much longer doc 1: containment
     // (2 in 1) = 100% while Jaccard is far below 50%
