@@ -255,6 +255,18 @@ object GraftIO {
         .parquet(keep.map(f => s"$dest/$f").toSeq: _*)
   }
 
+  /** Schema-evolution read: a directory whose parquet files were
+    * written over time with DRIFTING schemas (columns added by newer
+    * writers) reads as the union schema, older files null-filling the
+    * columns they predate — `mergeSchema` makes Spark merge every
+    * footer instead of trusting the first file. The 100 TB reality this
+    * serves: a long-lived ingest directory is never rewritten when the
+    * pipeline gains a field. Costs one footer read per file at plan
+    * time (that is why it is not the default); column pushdown and
+    * row-group pruning are unaffected. */
+  def fromParquetEvolving(spark: SparkSession, dest: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dest)
+
   /** The manifest-row keep condition for a conjunction of (column, lo,
     * hi, castType) ranges — shared by [[fromParquetSkippingMulti]] and
     * `Inspect.estimateScan`. The conservative-keep guarantee must

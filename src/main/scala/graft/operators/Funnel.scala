@@ -82,6 +82,52 @@ object Funnel {
           s => s.getField("d")).as("depth"))
   }
 
+  /** Skew-safe funnel build: identical output to [[funnelDepth]] /
+    * [[funnelDepthWindowed]], but the ragged build runs through
+    * `Skew.saltedCollectSortedList` — phase 1 packs each entity's
+    * events into per-(entity, salt) segments in parallel, phase 2's
+    * shuffle carries `salts` packed arrays per entity instead of one
+    * row per event. The fix for the one scale hazard of the plain
+    * build: a pathological hot entity (a bot with 10^8 events)
+    * otherwise serializes its whole collect_list into one task. The
+    * fold itself is unchanged — it runs on the reassembled, fully
+    * sorted sequence. Reach for this when entity activity is heavy-
+    * tailed; the plain build is one shuffle stage cheaper otherwise. */
+  def funnelDepthSalted(df: DataFrame, idCol: String, tsCol: String,
+      tieCol: String, typeCol: String, stages: Seq[String],
+      salts: Int = 32, windowUs: Option[Long] = None): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be non-empty and distinct: $stages")
+    val stagesArr: Column = array(stages.map(lit): _*)
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("uid"),
+        unix_micros(col(tsCol)).as("__ts"), col(tieCol).as("__tie"),
+        col(typeCol).as("__t"))
+    val built = graft.core.Skew.saltedCollectSortedList(base, "uid",
+      struct(col("__ts").as("ts"), col("__tie").as("tie"),
+        col("__t").as("t")),
+      "evs", salts, Seq(col("__ts"), col("__tie")))
+    windowUs match {
+      case Some(w) =>
+        built.select(col("uid").as(idCol),
+          aggregate(col("evs"),
+            struct(lit(0).as("d"), lit(0L).as("mts")),
+            (s, e) => {
+              val d = s.getField("d"); val mts = s.getField("mts")
+              when(try_element_at(stagesArr, d + 1) === e.getField("t") &&
+                  (d === 0 || e.getField("ts") <= mts + w),
+                struct((d + 1).as("d"), e.getField("ts").as("mts")))
+                .otherwise(s)
+            },
+            s => s.getField("d")).as("depth"))
+      case None =>
+        built.select(col("uid").as(idCol),
+          aggregate(transform(col("evs"), x => x.getField("t")), lit(0),
+            (d, t) => when(try_element_at(stagesArr, d + 1) === t, d + 1)
+              .otherwise(d)).as("depth"))
+    }
+  }
+
   /** The funnel report: per-depth entity counts plus the cumulative
     * "reached at least this stage" counts and conversion shares that
     * analytics UIs chart. One extra #stages-row aggregate over the

@@ -112,6 +112,28 @@ object GetitemIoQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
     },
 
+    // schema-evolution read (GraftIO.fromParquetEvolving): generation 0
+    // wrote (doc_id, lang, text); generation 1 appended files that also
+    // carry (source, n_chars). mergeSchema unions the footers and
+    // null-fills the old files' missing columns — the aggregate proves
+    // both the union schema and the null-fill are exact
+    "io_evolve" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_evolve").toString + "/docs"
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").parquet(tmp)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("text"), col("source"),
+          col("n_chars"))
+        .write.mode("append").parquet(tmp)
+      graft.io.GraftIO.fromParquetEvolving(s, tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), count(col("source")).as("n_src"),
+          sum(col("n_chars")).as("sum_chars"))
+    },
+
     // the to_parquet(write_metadata_file=True) analog
     // (GraftIO.toParquetWithMetadata): write + distributed footer scan ->
     // one-row-per-file manifest sidecar. The graded output aggregates the
@@ -408,6 +430,10 @@ object GetitemIoQueries {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem WHERE l_quantity >= 40 GROUP BY 1""",
     "io_csv" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem WHERE l_quantity >= 40 GROUP BY 1""",
+    // evolution replay: even docs came from the column-poor generation,
+    // so their source/n_chars must read back as nulls
+    "io_evolve" ->
+      """SELECT lang, count(*) AS n, count(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_src, CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars FROM documents GROUP BY lang""",
     // the manifest aggregates must equal the data-derived truth
     "io_manifest" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_rows, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, CAST(count(*) - count(l_quantity) AS BIGINT) AS null_qty FROM lineitem""",

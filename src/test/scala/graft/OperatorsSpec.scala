@@ -533,6 +533,31 @@ class OperatorsSpec extends SparkSuite {
     assert(loose == strict)
   }
 
+  test("funnelDepthSalted equals the plain build under a 90%-one-user skew") {
+    val stages = Seq("view", "click", "purchase")
+    // hot user 1 carries 900 events cycling the alphabet; 30 normal users
+    val hot = (0 until 900).map(i => (1L, 1000L + i * 10, i.toLong,
+      Seq("view", "click", "purchase", "error")(i % 4)))
+    val cold = (2 to 31).flatMap(u => Seq(
+      (u.toLong, 1000L, 10000L + u * 3, "view"),
+      (u.toLong, 1050L, 10001L + u * 3, "click"),
+      (u.toLong, 5000L, 10002L + u * 3, "purchase")))
+    val df = funnelFixture(hot ++ cold)
+    for (w <- Seq(None, Some(100L))) {
+      val plain = (w match {
+        case Some(x) => graft.operators.Funnel.funnelDepthWindowed(
+          df, "user_id", "ts", "event_id", "event_type", stages, x)
+        case None => graft.operators.Funnel.funnelDepth(
+          df, "user_id", "ts", "event_id", "event_type", stages)
+      }).as[(Long, Int)].collect().toMap
+      val salted = graft.operators.Funnel.funnelDepthSalted(
+          df, "user_id", "ts", "event_id", "event_type", stages,
+          salts = 8, windowUs = w)
+        .as[(Long, Int)].collect().toMap
+      assert(salted == plain, s"windowUs=$w")
+    }
+  }
+
   test("cohortRetention: daily cohorts, offsets, and quantized shares") {
     val us = (d: Long) => d * 86400L * 1000000L // day -> epoch micros
     val df = funnelFixture(Seq(
