@@ -68,6 +68,34 @@ object Retention {
           .as("pct_retained"))
   }
 
+  /** Gap-based sessionization as a composable PRIMITIVE: returns the
+    * input rows (null-id rows dropped) with a `session_id` column —
+    * 1-based per entity, incrementing wherever the gap to the previous
+    * event exceeds `gapUs` — so downstream ops can group, path-mine, or
+    * funnel WITHIN sessions. (The aggregate-only face of this is the
+    * `session_window` plan graded as `st_sessions`; this one keeps the
+    * event->session assignment.) One window pass partitioned per entity
+    * ((tsCol, tieCol) ordered lag + running sum — parallel across
+    * entities, the transitionMatrix posture). */
+  def sessionize(df: DataFrame, idCol: String, tsCol: String,
+      tieCol: String, gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive: $gapUs")
+    Seq("session_id", "__prev", "__gap").foreach { c =>
+      require(!df.columns.contains(c),
+        s"sessionize: input already has a column named '$c' (reserved)")
+    }
+    val w = Window.partitionBy(col(idCol)).orderBy(col(tsCol), col(tieCol))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("__gap",
+        when(col("__prev").isNull ||
+          unix_micros(col(tsCol)) - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__gap"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__gap")
+  }
+
   /** Top-k event paths: the most frequent `steps`-long consecutive
     * event-type sequences across all entities (the "common user
     * journeys" report). One window pass per entity ((tsCol, tieCol)

@@ -96,6 +96,18 @@ object EventQueries {
       graft.operators.Retention.topPaths(
         Tables.events(s, dir), "user_id", "ts", "event_id", "event_type")
     },
+    // gap-based sessionization primitive (30-minute gap): the graded
+    // output is session-level — per (user, session) event count and
+    // whole-second duration — proving the per-event assignment exactly
+    "ev_sessionize" -> { (s, dir) =>
+      graft.operators.Retention.sessionize(
+          Tables.events(s, dir), "user_id", "ts", "event_id",
+          gapUs = 30L * 60 * 1000000)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("(unix_micros(max(ts)) - unix_micros(min(ts))) DIV 1000000")
+            .as("dur_sec"))
+    },
 
     // 5-minute tumbling window aggregation (the Structured Streaming
     // groupBy(window(...)) shape, executed on a batch frame)
@@ -392,6 +404,11 @@ object EventQueries {
     // round-half-up CAST
     "ev_retention" ->
       """WITH a AS (SELECT user_id AS uid, date_trunc('day', ts) AS wk FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase' GROUP BY 1, 2), c AS (SELECT uid, min(wk) AS cwk FROM a GROUP BY uid), cell AS (SELECT CAST(c.cwk AS DATE) AS cohort, CAST(date_diff('day', CAST(c.cwk AS DATE), CAST(a.wk AS DATE)) AS INT) AS "offset", count(*) AS n_active FROM a JOIN c USING (uid) GROUP BY 1, 2), w AS (SELECT cohort, "offset", n_active, max(CASE WHEN "offset" = 0 THEN n_active END) OVER (PARTITION BY cohort) AS cohort_n FROM cell) SELECT strftime(cohort, '%Y-%m-%d') AS cohort, "offset", n_active, CAST((n_active * 1000000) // cohort_n AS DOUBLE) / 10000.0 AS pct_retained FROM w""",
+    // sessionize replay: lag-gap flag + running sum assigns the same
+    // 1-based ids; epoch-micros integer division floors durations
+    // identically
+    "ev_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us FROM events WHERE user_id IS NOT NULL), f AS (SELECT user_id, ts, event_id, us, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS flag FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT user_id, us, sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM f) SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, (max(us) - min(us)) // 1000000 AS dur_sec FROM s GROUP BY user_id, session_id""",
     // path-mining replay: two leads in one window, path-string
     // tiebreak makes the top-10 deterministic under count ties
     "ev_paths" ->

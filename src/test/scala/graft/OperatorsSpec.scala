@@ -594,6 +594,45 @@ class OperatorsSpec extends SparkSuite {
       ("1969-12-29", 2)))
   }
 
+  test("sessionize: 1-based ids, gap splits, tiebreak order, nulls dropped") {
+    val df = funnelFixture(Seq(
+      // user 1: two sessions (gap 1000 > 100 between eid 2 and 3)
+      (1L, 10L, 1L, "a"), (1L, 50L, 2L, "b"), (1L, 2000L, 3L, "c"),
+      // user 2: same-ts events ordered by event_id stay one session
+      (2L, 10L, 4L, "a"), (2L, 10L, 5L, "b"),
+      (-1L, 10L, 6L, "x"))).withColumn("user_id",
+        when($"user_id" < 0, lit(null)).otherwise($"user_id"))
+    val got = graft.operators.Retention
+      .sessionize(df, "user_id", "ts", "event_id", gapUs = 100L)
+      .select($"user_id", $"event_id", $"session_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L),
+      (2L, 4L, 1L), (2L, 5L, 1L)))
+  }
+
+  test("sessionize composes: per-session funnel via a composite entity id") {
+    // user 1 completes the funnel only ACROSS a session boundary: the
+    // whole-user funnel reaches depth 3, the within-session one depth 2
+    val df = funnelFixture(Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
+      (1L, 5000L, 3L, "purchase")))
+    val sess = graft.operators.Retention
+      .sessionize(df, "user_id", "ts", "event_id", gapUs = 100L)
+      .withColumn("uid_session",
+        $"user_id" * 1000000L + $"session_id")
+    val within = graft.operators.Funnel
+      .funnelDepth(sess, "uid_session", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    // session 2 holds only the purchase, which is not stage 1 -> depth 0
+    assert(within == Map(1000001L -> 2, 1000002L -> 0))
+    val whole = graft.operators.Funnel
+      .funnelDepth(df, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(whole == Map(1L -> 3))
+  }
+
   test("transitionMatrix: lead ordering, tiebreaks, per-src shares") {
     val df = funnelFixture(Seq(
       // user 1: a -> b -> a (two transitions)
