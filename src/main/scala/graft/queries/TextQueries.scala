@@ -96,6 +96,16 @@ object TextQueries {
           round(col("dup_frac"), 4).as("dup_frac"))
     },
 
+    // the full Gopher quality rule set (graft.text.gopherQualityFlags):
+    // per-doc boolean flags for the 7 published thresholds + keep, every
+    // rule an integer cross-multiplication — no float drift possible
+    "t_gopher" -> { (s, dir) =>
+      // the module's corpus-appropriate stop list (the synthetic docs
+      // are a SQL-word soup; the paper's English list is the default)
+      gopherQualityFlags(Tables.documents(s, dir), "doc_id", "text",
+        stopList = defaultStopwords)
+    },
+
     // deterministic per-language document cap (GroupTopK.capPerGroup):
     // keep the 50 smallest-content-hash docs per lang — the domain-quota
     // op, exact oracle via the shared polyhash + a window in DuckDB
@@ -428,6 +438,10 @@ ${(1 to 12).map(bpeRoundSql).mkString(",\n")}"""
       """SELECT tok AS item, count(*) AS tf FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents) t GROUP BY tok ORDER BY tf DESC, item LIMIT 25""",
     "t_rep" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok FROM documents), g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)), i -> tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)])) AS g FROM t), c2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2), s2 AS (SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_frac FROM c2 GROUP BY 1), g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(tok) - 1), i -> tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)] || ' ' || tok[CAST(i+2 AS INT)])) AS g FROM t), s3 AS (SELECT doc_id, round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 4) AS dup_frac FROM g3 GROUP BY 1) SELECT d.doc_id, s2.top_frac, s3.dup_frac FROM documents d LEFT JOIN s2 ON d.doc_id = s2.doc_id LEFT JOIN s3 ON d.doc_id = s3.doc_id""",
+    // every flag replays as the same integer predicates; DuckDB's plain
+    // replace() counts '...' occurrences identically to the regexp form
+    "t_gopher" ->
+      """WITH b AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks, string_split(text, chr(10)) AS lines FROM documents), m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nw, CAST(len(lines) AS BIGINT) AS nl, CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sum_len, CAST(len(text) - len(replace(text, '#', '')) + (len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS nsym, CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS nbul, CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$'))) AS BIGINT) AS nell, CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS nalpha, CAST(len(list_filter(['the','a','of','and','to','in'], s -> list_contains(list_transform(toks, x -> lower(x)), s))) AS BIGINT) AS nstop FROM b) SELECT doc_id, nw AS n_words, nw >= 50 AND nw <= 100000 AS r_wc, sum_len >= nw * 3 AND sum_len <= nw * 10 AS r_mwl, nsym * 10 < nw AS r_sym, nbul * 10 <= nl AS r_bullet, nell * 10 <= nl * 3 AS r_ellip, nalpha * 5 >= nw * 4 AS r_alpha, nstop >= 2 AS r_stop, (nw >= 50 AND nw <= 100000) AND (sum_len >= nw * 3 AND sum_len <= nw * 10) AND (nsym * 10 < nw) AND (nbul * 10 <= nl) AND (nell * 10 <= nl * 3) AND (nalpha * 5 >= nw * 4) AND (nstop >= 2) AS keep FROM m""",
     "t_cap" ->
       """WITH h AS (SELECT lang, doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(CAST(doc_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS ph FROM documents), r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY ph, doc_id) AS rn FROM h) SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM r WHERE rn <= 50 GROUP BY lang""",
     "t_split" ->

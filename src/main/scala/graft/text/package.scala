@@ -116,6 +116,59 @@ package object text {
     when(len === 0, lit(0.3)).otherwise(q.cast("double") / lit(10000.0))
   }
 
+  /** The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    * Language Models", Appendix A) as per-document boolean flags plus
+    * the conjunctive keep — the published web-corpus filter most
+    * pretraining pipelines start from. Every rule is evaluated as an
+    * INTEGER cross-multiplication (e.g. mean word length in [3, 10] as
+    * `3 * n <= sum_len <= 10 * n`), so there is no float threshold to
+    * drift between engines — the flags replay bit-for-bit in SQL.
+    * Rules (thresholds per the paper):
+    *  - r_wc:     50 <= word count <= 100,000
+    *  - r_mwl:    mean word length in [3, 10] characters
+    *  - r_sym:    symbol-to-word ratio ('#' or '...') < 0.1
+    *  - r_bullet: <= 10% of lines start with a bullet ('-', '*', '•')
+    *  - r_ellip:  <= 30% of lines end with '...'
+    *  - r_alpha:  >= 80% of words contain an alphabetic character
+    *  - r_stop:   >= 2 distinct of the stop list present (default: the
+    *              paper's 8 English words; pass a corpus-appropriate
+    *              list for other languages/domains)
+    * All map-side over one scan; returns (idCol, n_words, the 7 flags,
+    * keep). */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+      stopList: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")): DataFrame = {
+    require(stopList.nonEmpty, "stopList must be non-empty")
+    val t = col(textCol)
+    val toks = wsTokens(t)
+    val lines = split(t, "\n")
+    val nW = size(toks).cast("long")
+    val nL = size(lines).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+    val nSym = (length(t) - length(regexp_replace(t, "#", ""))).cast("long") +
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    val nBullet = size(filter(lines,
+      l => ltrim(l).rlike("^[-*•]"))).cast("long")
+    val nEllip = size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("long")
+    val nAlpha = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+    val lowerToks = transform(toks, x => lower(x))
+    val nStop = size(filter(
+      array(stopList.map(lit): _*),
+      s => array_contains(lowerToks, s))).cast("long")
+    val flags = Seq(
+      (nW >= 50L && nW <= 100000L).as("r_wc"),
+      (sumLen >= nW * 3L && sumLen <= nW * 10L).as("r_mwl"),
+      (nSym * 10L < nW).as("r_sym"),
+      (nBullet * 10L <= nL).as("r_bullet"),
+      (nEllip * 10L <= nL * 3L).as("r_ellip"),
+      (nAlpha * 5L >= nW * 4L).as("r_alpha"),
+      (nStop >= 2L).as("r_stop"))
+    df.select(col(idCol) +: nW.as("n_words") +: flags: _*)
+      .withColumn("keep",
+        Seq("r_wc", "r_mwl", "r_sym", "r_bullet", "r_ellip", "r_alpha",
+          "r_stop").map(col).reduce(_ && _))
+  }
+
   /** Language markers for the n-gram/stopword language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq(" der ", " und ", " die "),

@@ -35,6 +35,38 @@ class ModulesSpec extends SparkSuite {
     assert(orphans.isEmpty, s"oracles with no query: $orphans")
   }
 
+  test("gopherQualityFlags: each rule trips on its crafted offender") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, fifty),                               // clean: everything passes
+      (2L, "too short"),                         // r_wc
+      (3L, (1 to 50).map(_ => "a").mkString(" ")), // r_mwl (mean len 1)
+      (4L, (1 to 50).map(_ => "word#").mkString(" ")), // r_sym (50 '#'s)
+      (5L, (1 to 50).map(i => s"w$i" * 3).mkString(" ") // r_bullet: every
+        .split(" ").map(w => s"- $w").mkString("\n")), //  line starts '- '
+      (6L, (1 to 50).map(i => s"line$i...").mkString("\n")), // r_ellip
+      (7L, (1 to 50).map(_ => "123456").mkString(" ")), // r_alpha (digits)
+      (8L, fifty)).toDF("doc_id", "text")        // r_stop (no stopwords)
+    val flags = graft.text.gopherQualityFlags(docs, "doc_id", "text",
+        stopList = Seq("word1", "word2", "word3"))
+      .collect().map(r => r.getLong(0) ->
+        Seq("r_wc", "r_mwl", "r_sym", "r_bullet", "r_ellip", "r_alpha",
+          "r_stop").map(c => r.getAs[Boolean](c))).toMap
+    def failedOnly(id: Long, idx: Int) = {
+      val f = flags(id)
+      assert(!f(idx), s"doc $id: rule $idx should fail: $f")
+    }
+    // doc 1 passes every rule (stop list hits word1/word2/word3)
+    assert(flags(1L).forall(identity), s"clean doc flagged: ${flags(1L)}")
+    failedOnly(2L, 0); failedOnly(3L, 1); failedOnly(4L, 2)
+    failedOnly(5L, 3); failedOnly(6L, 4); failedOnly(7L, 5)
+    // doc 8 has the words but the run uses a stop list it lacks
+    val f8 = graft.text.gopherQualityFlags(
+        docs.filter($"doc_id" === 8L), "doc_id", "text")
+      .select($"r_stop", $"keep").as[(Boolean, Boolean)].head()
+    assert(f8 == ((false, false)))
+  }
+
   test("qualityScore: exact on multi-million-char docs (no Long overflow)") {
     // advisor finding: the pre-r7 form computed num*10^4 with num up to
     // 2000*len*nt — silent Long wrap (Spark non-ANSI) near len ~ 10^6
