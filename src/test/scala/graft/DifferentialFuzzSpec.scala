@@ -670,4 +670,62 @@ class DifferentialFuzzSpec extends SparkSuite {
       assert(got == want.toSeq, s"trial $trial: got $got, want $want")
     }
   }
+
+  test("funnel and sessionize agree with driver-side reference models") {
+    // random event streams: few users, tiny alphabet, clustered
+    // timestamps with deliberate ties — the regime where ordering and
+    // window edge cases live
+    val eventGen = Gen.listOfN(60, for {
+      u <- Gen.choose(1, 5)
+      t <- Gen.choose(0, 50)
+      ty <- Gen.oneOf("view", "click", "purchase", "error")
+    } yield (u.toLong, t.toLong * 1000L, ty))
+    val stages = Seq("view", "click", "purchase")
+    val windowUs = 8000L
+    val gapUs = 5000L
+    var s = org.scalacheck.rng.Seed(2024L)
+    for (trial <- 0 until 10) {
+      val evs0 = eventGen.apply(Gen.Parameters.default, s).get
+      s = s.next
+      // unique tiebreak ids; ties only in ts
+      val evs = evs0.zipWithIndex.map { case ((u, t, ty), i) =>
+        (u, t, i.toLong, ty)
+      }
+      val df = evs.toDF("user_id", "us", "event_id", "event_type")
+        .select($"user_id", timestamp_micros($"us").as("ts"),
+          $"event_id", $"event_type")
+      val byUser = evs.groupBy(_._1).map { case (u, rows) =>
+        u -> rows.sortBy(r => (r._2, r._3))
+      }
+      // reference greedy windowed fold
+      val wantDepth = byUser.map { case (u, rows) =>
+        var d = 0; var mts = 0L
+        rows.foreach { case (_, ts, _, ty) =>
+          if (d < stages.size && stages(d) == ty &&
+              (d == 0 || ts <= mts + windowUs)) { d += 1; mts = ts }
+        }
+        u -> d
+      }
+      val gotDepth = graft.operators.Funnel.funnelDepthWindowed(
+          df, "user_id", "ts", "event_id", "event_type", stages, windowUs)
+        .as[(Long, Int)].collect().toMap
+      assert(gotDepth == wantDepth, s"trial $trial funnel: " +
+        s"got $gotDepth want $wantDepth")
+      // reference sessionizer
+      val wantSess = byUser.flatMap { case (u, rows) =>
+        var sid = 0L; var prev = Long.MinValue
+        rows.map { case (_, ts, eid, _) =>
+          if (prev == Long.MinValue || ts - prev > gapUs) sid += 1
+          prev = ts
+          (u, eid) -> sid
+        }
+      }.toMap
+      val gotSess = graft.operators.Retention.sessionize(
+          df, "user_id", "ts", "event_id", gapUs)
+        .select($"user_id", $"event_id", $"session_id")
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(gotSess == wantSess, s"trial $trial sessionize")
+    }
+  }
 }
