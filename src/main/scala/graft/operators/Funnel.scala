@@ -91,8 +91,12 @@ object Funnel {
     * build: a pathological hot entity (a bot with 10^8 events)
     * otherwise serializes its whole collect_list into one task. The
     * fold itself is unchanged — it runs on the reassembled, fully
-    * sorted sequence. Reach for this when entity activity is heavy-
-    * tailed; the plain build is one shuffle stage cheaper otherwise. */
+    * sorted sequence, and being per-entity sequential it is the floor
+    * neither form can parallelize (measured: 1.34x at 16M events with
+    * 99% on one entity, a tie at 90%/4M — tools/FunnelSkewProbe,
+    * docs/SCALE_SOAK.md). Reach for this when the hot entity's SORT
+    * dominates (very wide rows, spilling); the plain build is one
+    * shuffle stage cheaper otherwise. */
   def funnelDepthSalted(df: DataFrame, idCol: String, tsCol: String,
       tieCol: String, typeCol: String, stages: Seq[String],
       salts: Int = 32, windowUs: Option[Long] = None): DataFrame = {
