@@ -151,10 +151,19 @@ object Streaming {
     * of the same user is folded late) — equal to the batch answer
     * whenever per-user arrival respects event order across batches, the
     * same contract the near-dup filter documents. Completed or idle
-    * users are cleared by event-time timeout an hour past the
-    * watermark. */
+    * users are cleared by event-time timeout `idleTimeoutMs` past the
+    * entity's LAST EVENT (floored at watermark + horizon; default 24 h
+    * — size it to how long a conversion may stall in YOUR event time,
+    * since a cleaned entity that returns restarts at depth 0). The
+    * timeout deliberately does not anchor on the watermark alone: in
+    * the first micro-batch the pre-batch watermark is still 0/epoch,
+    * so a watermark-anchored timeout lands in 1970 and the very next
+    * (even empty) micro-batch would wipe every entity's state — a
+    * restart after that point silently restarts every funnel at
+    * depth 0 (caught by the ModulesSpec restart test). */
   def streamingFunnel(events: DataFrame, stages: Seq[String],
-      windowUs: Option[Long] = None)
+      windowUs: Option[Long] = None,
+      idleTimeoutMs: Long = 24L * 3600 * 1000)
       : org.apache.spark.sql.Dataset[(Long, Int, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(stages.nonEmpty && stages.distinct.size == stages.size,
@@ -181,8 +190,10 @@ object Streaming {
             val ordered = rows.toSeq.sortBy { case (_, eid, _, ts) =>
               (ts.getTime / 1000 * 1000000L + ts.getNanos / 1000, eid)
             }
+            var lastMs = 0L
             ordered.foreach { case (_, _, t, ts) =>
               val us = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+              lastMs = math.max(lastMs, us / 1000)
               if (nextStage.get(d).contains(t) &&
                   (d == 0 || windowUs.forall(w => us <= mts + w))) {
                 d += 1; mts = us
@@ -190,7 +201,8 @@ object Streaming {
               }
             }
             state.update((d, mts))
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600000L)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), lastMs) + idleTimeoutMs)
             out.iterator
           }
       }

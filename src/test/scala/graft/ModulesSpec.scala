@@ -1157,6 +1157,65 @@ class ModulesSpec extends SparkSuite {
     }
   }
 
+  test("streaming funnel state survives restart — depth continues, never resets") {
+    // the funnel-specific recovery claim: a user whose depth advanced
+    // BEFORE the kill must CONTINUE from that depth when later stages
+    // arrive AFTER the restart — i.e. the flatMapGroupsWithState store
+    // reloads, not just source offsets. Events are landed in two
+    // time-ordered halves so cross-batch arrival respects event order
+    // and the streamed result must equal the batch fold exactly. A lost
+    // state would re-emit depth 1 after the restart (duplicate depths
+    // per user); a reset would break the 1..maxDepth contiguity.
+    implicit val s: SparkSession = spark
+    // 5 strict stages and an early cut so advancement genuinely spans
+    // the restart (a 3-stage funnel completes inside the first half)
+    val stages = Seq("view", "click", "purchase", "signup", "error")
+    val base = java.nio.file.Files.createTempDirectory("graft_fnrec").toString
+    try {
+      val ev = graft.core.Tables.events(spark, dir)
+      val cut = ev.agg(expr("percentile(unix_micros(ts), 0.25)")).head().getDouble(0)
+      val (src, out, chk) = (s"$base/src", s"$base/out", s"$base/chk")
+      new java.io.File(src).mkdirs()
+      def land(second: Boolean): Unit = ev.filter(
+          if (second) unix_micros($"ts") > cut else unix_micros($"ts") <= cut)
+        .coalesce(1).write.mode("append").parquet(src)
+      def runOnce(): Unit = {
+        val q = graft.streaming.Streaming.streamingFunnel(
+            spark.readStream.schema(graft.streaming.Streaming.eventsSchema)
+              .parquet(src), stages,
+            // idle horizon past the whole corpus: this test is about
+            // RESTART recovery, not idle eviction (the 1h-horizon
+            // variant is what the pre-fix epoch-anchored timeout broke)
+            idleTimeoutMs = 90L * 24 * 3600 * 1000)
+          .toDF("user_id", "depth", "ts_us")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", chk).start()
+        q.processAllAvailable(); q.stop()
+      }
+      land(second = false); runOnce() // advance some depths, then "kill"
+      val afterFirst = spark.read.parquet(out).count()
+      land(second = true); runOnce()  // restart from the checkpoint
+      val byUser = spark.read.parquet(out)
+        .as[(Long, Int, Long)].collect().toSeq.groupBy(_._1)
+      val batch = graft.operators.Funnel.funnelDepth(
+          ev, "user_id", "ts", "event_id", "event_type", stages)
+        .as[(Long, Int)].collect().toMap
+      assert(afterFirst > 0 && afterFirst < byUser.values.map(_.size).sum,
+        "both runs must contribute advancements")
+      byUser.foreach { case (u, rows) =>
+        val depths = rows.map(_._2).sorted
+        assert(depths == (1 to depths.size),
+          s"user $u advancement depths not contiguous (state lost?): $depths")
+      }
+      batch.foreach { case (u, d) =>
+        assert(byUser.get(u).map(_.size).getOrElse(0) == d,
+          s"user $u: streamed ${byUser.get(u).map(_.size).getOrElse(0)}, batch $d")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("streaming: RocksDB stateful sessions survive kill-and-restart exactly-once") {
     // recovery is the streaming claim a production operator actually
     // relies on: the stateful (session-window) query is KILLED between
