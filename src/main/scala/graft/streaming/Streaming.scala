@@ -121,14 +121,21 @@ object Streaming {
           else {
             var (n, total) = state.getOption.getOrElse((0L, 0.0))
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-            rows.foreach { case (_, v, _) =>
+            var lastMs = 0L
+            rows.foreach { case (_, v, ts) =>
               val before = (total / step).toLong
               n += 1; total += v
+              lastMs = math.max(lastMs, ts.getTime)
               val after = (total / step).toLong
               if (after > before) out += ((user, n, total))
             }
             state.update((n, total))
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600000L)
+            // anchor on the entity's last event, floored at the
+            // watermark: a watermark-only anchor is 0/epoch in the first
+            // micro-batch, and the next batch would wipe every entity
+            // (the streamingFunnel restart bug, fixed in both places)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), lastMs) + 3600000L)
             out.iterator
           }
       }
