@@ -115,7 +115,19 @@ object PlanGallery {
     "ev_transitions" -> ("Markov transition matrix: one window lead pass " +
       "partitioned per entity (parallel across users), aggregate over " +
       "the bounded #types^2 pair domain, per-src normalization windows " +
-      "over that same bounded frame."))
+      "over that same bounded frame."),
+    "ev_sessionize" -> ("Gap sessionization as a per-event primitive: " +
+      "lag + running cumsum in ONE per-entity window pass (both run in " +
+      "the same sort, no second exchange), session-level aggregate on " +
+      "the already-clustered frame."),
+    "t_gopher" -> ("The full Gopher Appendix-A quality filter: all " +
+      "seven rules evaluate as integer cross-multiplications inside " +
+      "one map-only projection over the scan — zero exchanges, " +
+      "corpus-wide filtering at scan speed."),
+    "d_containment" -> ("Asymmetric containment pairs: the d_ngram " +
+      "inverted-index join produces UNORDERED pairs once; both " +
+      "orientations and their per-direction thresholds derive from the " +
+      "tiny surviving pair frame — the corpus never pays twice."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
