@@ -96,6 +96,18 @@ object EventQueries {
       graft.operators.Retention.topPaths(
         Tables.events(s, dir), "user_id", "ts", "event_id", "event_type")
     },
+    // the composition the sessionize PRIMITIVE exists for: the same
+    // funnel report, evaluated per (user, 6h-gap session) via a
+    // composite entity id — no new operator code, just sessionize |>
+    // funnelReport
+    "ev_funnel_sessions" -> { (s, dir) =>
+      val sess = graft.operators.Retention.sessionize(
+          Tables.events(s, dir), "user_id", "ts", "event_id",
+          gapUs = 6L * 3600 * 1000000)
+        .withColumn("sid", col("user_id") * 1000000L + col("session_id"))
+      graft.operators.Funnel.funnelReport(sess, "sid", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"))
+    },
     // gap-based sessionization primitive (30-minute gap): the graded
     // output is session-level — per (user, session) event count and
     // whole-second duration — proving the per-event assignment exactly
@@ -404,6 +416,10 @@ object EventQueries {
     // round-half-up CAST
     "ev_retention" ->
       """WITH a AS (SELECT user_id AS uid, date_trunc('day', ts) AS wk FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase' GROUP BY 1, 2), c AS (SELECT uid, min(wk) AS cwk FROM a GROUP BY uid), cell AS (SELECT CAST(c.cwk AS DATE) AS cohort, CAST(date_diff('day', CAST(c.cwk AS DATE), CAST(a.wk AS DATE)) AS INT) AS "offset", count(*) AS n_active FROM a JOIN c USING (uid) GROUP BY 1, 2), w AS (SELECT cohort, "offset", n_active, max(CASE WHEN "offset" = 0 THEN n_active END) OVER (PARTITION BY cohort) AS cohort_n FROM cell) SELECT strftime(cohort, '%Y-%m-%d') AS cohort, "offset", n_active, CAST((n_active * 1000000) // cohort_n AS DOUBLE) / 10000.0 AS pct_retained FROM w""",
+    // the composed replay: sessionize CTEs feed the same min-tuple
+    // chain as ev_funnel, keyed by the composite (uid, session) id
+    "ev_funnel_sessions" ->
+      """WITH e0 AS (SELECT user_id AS uid, ts, event_id AS tie, event_type AS t, epoch_us(ts) AS us FROM events WHERE user_id IS NOT NULL), f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0 END AS flag FROM e0 WINDOW w AS (PARTITION BY uid ORDER BY ts, tie)), e AS (SELECT uid * 1000000 + CAST(sum(flag) OVER (PARTITION BY uid ORDER BY ts, tie ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid, ts, tie, t FROM f), u AS (SELECT DISTINCT sid FROM e), s1 AS (SELECT sid, min({'ts': ts, 'tie': tie}) AS m FROM e WHERE t = 'view' GROUP BY sid), s2 AS (SELECT e.sid, min({'ts': e.ts, 'tie': e.tie}) AS m FROM e JOIN s1 ON e.sid = s1.sid AND {'ts': e.ts, 'tie': e.tie} > s1.m WHERE e.t = 'click' GROUP BY e.sid), s3 AS (SELECT e.sid, min({'ts': e.ts, 'tie': e.tie}) AS m FROM e JOIN s2 ON e.sid = s2.sid AND {'ts': e.ts, 'tie': e.tie} > s2.m WHERE e.t = 'purchase' GROUP BY e.sid), d AS (SELECT u.sid, CASE WHEN s3.sid IS NOT NULL THEN 3 WHEN s2.sid IS NOT NULL THEN 2 WHEN s1.sid IS NOT NULL THEN 1 ELSE 0 END AS depth FROM u LEFT JOIN s1 ON u.sid = s1.sid LEFT JOIN s2 ON u.sid = s2.sid LEFT JOIN s3 ON u.sid = s3.sid), g AS (SELECT depth, count(*) AS n FROM d GROUP BY depth), c AS (SELECT depth, n, CAST(sum(n) OVER (ORDER BY depth DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_reached, CAST(sum(n) OVER () AS BIGINT) AS total FROM g) SELECT depth, n, n_reached, CAST((n_reached * 1000000) // total AS DOUBLE) / 10000.0 AS pct_of_entered FROM c""",
     // sessionize replay: lag-gap flag + running sum assigns the same
     // 1-based ids; epoch-micros integer division floors durations
     // identically
