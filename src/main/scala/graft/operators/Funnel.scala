@@ -82,6 +82,48 @@ object Funnel {
           s => s.getField("d")).as("depth"))
   }
 
+  /** Per-entity matched-stage timestamps — the raw material for
+    * time-to-convert analytics: for each entity, the epoch-micros of
+    * the event that matched stage i (null from the first unreached
+    * stage on). Same single ragged build and greedy fold as
+    * [[funnelDepthWindowed]], with the fold state carrying the
+    * bounded #stages-length array of matched times instead of just the
+    * depth. Returns (idCol, s1_us .. sK_us). */
+  def funnelStageTimes(df: DataFrame, idCol: String, tsCol: String,
+      tieCol: String, typeCol: String, stages: Seq[String],
+      windowUs: Option[Long] = None): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be non-empty and distinct: $stages")
+    val stagesArr: Column = array(stages.map(lit): _*)
+    val k = stages.size
+    df.filter(col(idCol).isNotNull)
+      .groupBy(col(idCol).cast("long").as("uid"))
+      .agg(transform(sort_array(collect_list(struct(
+          unix_micros(col(tsCol)).as("ts"), col(tieCol).as("tie"),
+          col(typeCol).as("t")))),
+        x => struct(x.getField("ts").as("ts"), x.getField("t").as("t")))
+        .as("evs"))
+      .select(col("uid").as(idCol),
+        aggregate(col("evs"),
+          // state: matched micros per reached stage, growing array
+          array().cast("array<long>").as("m"),
+          (m, e) => {
+            val d = size(m)
+            val inWindow = windowUs match {
+              case Some(w) => d === 0 ||
+                e.getField("ts") <= try_element_at(m, lit(-1)) + w
+              case None => lit(true)
+            }
+            when(d < k &&
+                try_element_at(stagesArr, d + 1) === e.getField("t") &&
+                inWindow,
+              concat(m, array(e.getField("ts")))).otherwise(m)
+          })
+          .as("m"))
+      .select(col(idCol) +: (1 to k).map(i =>
+        try_element_at(col("m"), lit(i)).as(s"s${i}_us")): _*)
+  }
+
   /** Skew-safe funnel build: identical output to [[funnelDepth]] /
     * [[funnelDepthWindowed]], but the ragged build runs through
     * `Skew.saltedCollectSortedList` — phase 1 packs each entity's

@@ -96,6 +96,27 @@ object EventQueries {
       graft.operators.Retention.topPaths(
         Tables.events(s, dir), "user_id", "ts", "event_id", "event_type")
     },
+    // time-to-convert report (Funnel.funnelStageTimes): per stage
+    // transition, how many entities converted and the integer-quantized
+    // avg/min/max seconds between the matched events — the other half
+    // of a funnel UI. Same windowed fold, state = matched-times array
+    "ev_funnel_times" -> { (s, dir) =>
+      val times = graft.operators.Funnel.funnelStageTimes(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"),
+        windowUs = Some(6L * 3600 * 1000000))
+      val pairs = Seq(("view>click", "s1_us", "s2_us"),
+        ("click>purchase", "s2_us", "s3_us"))
+      pairs.map { case (tag, a, b) =>
+        times.filter(col(b).isNotNull)
+          .select(lit(tag).as("step"), (col(b) - col(a)).as("gap"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("step"))
+        .agg(count(lit(1)).as("n_conv"),
+          expr("sum(gap) DIV (count(1) * 1000000)").as("avg_gap_sec"),
+          expr("min(gap) DIV 1000000").as("min_gap_sec"),
+          expr("max(gap) DIV 1000000").as("max_gap_sec"))
+    },
     // the composition the sessionize PRIMITIVE exists for: the same
     // funnel report, evaluated per (user, 6h-gap session) via a
     // composite entity id — no new operator code, just sessionize |>
@@ -416,6 +437,10 @@ object EventQueries {
     // round-half-up CAST
     "ev_retention" ->
       """WITH a AS (SELECT user_id AS uid, date_trunc('day', ts) AS wk FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase' GROUP BY 1, 2), c AS (SELECT uid, min(wk) AS cwk FROM a GROUP BY uid), cell AS (SELECT CAST(c.cwk AS DATE) AS cohort, CAST(date_diff('day', CAST(c.cwk AS DATE), CAST(a.wk AS DATE)) AS INT) AS "offset", count(*) AS n_active FROM a JOIN c USING (uid) GROUP BY 1, 2), w AS (SELECT cohort, "offset", n_active, max(CASE WHEN "offset" = 0 THEN n_active END) OVER (PARTITION BY cohort) AS cohort_n FROM cell) SELECT strftime(cohort, '%Y-%m-%d') AS cohort, "offset", n_active, CAST((n_active * 1000000) // cohort_n AS DOUBLE) / 10000.0 AS pct_retained FROM w""",
+    // time-to-convert replay: the same windowed min-tuple chain gives
+    // the matched tuples; gaps quantize via integer DIV on micros
+    "ev_funnel_times" ->
+      """WITH e AS (SELECT user_id AS uid, event_type AS t, ts, event_id AS tie FROM events WHERE user_id IS NOT NULL), s1 AS (SELECT uid, min({'ts': ts, 'tie': tie}) AS m FROM e WHERE t = 'view' GROUP BY uid), s2 AS (SELECT e.uid, min({'ts': e.ts, 'tie': e.tie}) AS m FROM e JOIN s1 ON e.uid = s1.uid AND {'ts': e.ts, 'tie': e.tie} > s1.m AND e.ts <= s1.m.ts + INTERVAL 6 HOUR WHERE e.t = 'click' GROUP BY e.uid), s3 AS (SELECT e.uid, min({'ts': e.ts, 'tie': e.tie}) AS m FROM e JOIN s2 ON e.uid = s2.uid AND {'ts': e.ts, 'tie': e.tie} > s2.m AND e.ts <= s2.m.ts + INTERVAL 6 HOUR WHERE e.t = 'purchase' GROUP BY e.uid), g AS (SELECT 'view>click' AS step, epoch_us(s2.m.ts) - epoch_us(s1.m.ts) AS gap FROM s1 JOIN s2 ON s1.uid = s2.uid UNION ALL SELECT 'click>purchase', epoch_us(s3.m.ts) - epoch_us(s2.m.ts) FROM s2 JOIN s3 ON s2.uid = s3.uid) SELECT step, count(*) AS n_conv, CAST(sum(gap) // (count(*) * 1000000) AS BIGINT) AS avg_gap_sec, CAST(min(gap) // 1000000 AS BIGINT) AS min_gap_sec, CAST(max(gap) // 1000000 AS BIGINT) AS max_gap_sec FROM g GROUP BY step""",
     // the composed replay: sessionize CTEs feed the same min-tuple
     // chain as ev_funnel, keyed by the composite (uid, session) id
     "ev_funnel_sessions" ->

@@ -533,6 +533,36 @@ class OperatorsSpec extends SparkSuite {
     assert(loose == strict)
   }
 
+  test("funnelStageTimes: matched micros per stage, consistent with depths") {
+    val stages = Seq("view", "click", "purchase")
+    val df = funnelFixture(Seq(
+      (1L, 1000L, 1L, "view"), (1L, 1050L, 2L, "click"),
+      (1L, 1140L, 3L, "purchase"),
+      (2L, 1000L, 4L, "view"), (2L, 1200L, 5L, "click"), // out of window
+      (3L, 500L, 6L, "error")))
+    val got = graft.operators.Funnel.funnelStageTimes(
+        df, "user_id", "ts", "event_id", "event_type", stages,
+        windowUs = Some(100L))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map { case (u, a, b, c) => u -> ((a, b, c)) }.toMap
+    assert(got(1L) == ((Some(1000L), Some(1050L), Some(1140L))))
+    assert(got(2L) == ((Some(1000L), None, None)))
+    assert(got(3L) == ((None, None, None)))
+    // non-null count must equal the windowed depth on the real corpus
+    val ev = graft.core.Tables.events(spark, dir)
+    val w = Some(3600L * 1000000)
+    val times = graft.operators.Funnel.funnelStageTimes(
+        ev, "user_id", "ts", "event_id", "event_type", stages, w)
+      .select($"user_id",
+        ($"s1_us".isNotNull.cast("int") + $"s2_us".isNotNull.cast("int") +
+          $"s3_us".isNotNull.cast("int")).as("d"))
+      .as[(Long, Int)].collect().toMap
+    val depths = graft.operators.Funnel.funnelDepthWindowed(
+        ev, "user_id", "ts", "event_id", "event_type", stages, w.get)
+      .as[(Long, Int)].collect().toMap
+    assert(times == depths)
+  }
+
   test("funnelDepthSalted equals the plain build under a 90%-one-user skew") {
     val stages = Seq("view", "click", "purchase")
     // hot user 1 carries 900 events cycling the alphabet; 30 normal users

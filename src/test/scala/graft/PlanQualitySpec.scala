@@ -484,7 +484,8 @@ class PlanQualitySpec extends SparkSuite {
     // feeds bounded-frame post-aggregation. A second parquet scan
     // appearing means a subtree diverged and the corpus pays twice.
     for (name <- Seq("ev_funnel", "ev_retention", "ev_transitions",
-        "ev_paths", "ev_sessionize", "ev_funnel_sessions")) {
+        "ev_paths", "ev_sessionize", "ev_funnel_sessions",
+        "ev_funnel_times")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
