@@ -222,11 +222,15 @@ object Inspect {
     import org.apache.spark.sql.functions._
     val manifest = graft.io.GraftIO.fromParquetManifest(spark, dest)
     val keepCond = graft.io.GraftIO.manifestKeepCond(preds)
+    // coalesce: an empty manifest (a directory with no data files yet)
+    // must estimate zeros, not NPE on null sums
     val r = manifest.agg(
-      sum(when(keepCond, 1L).otherwise(0L)),
-      sum(when(keepCond, col("n_rows")).otherwise(0L)),
-      sum(when(keepCond, col("n_bytes")).otherwise(0L)),
-      count(lit(1)), sum(col("n_rows")), sum(col("n_bytes"))).head()
+      coalesce(sum(when(keepCond, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(keepCond, col("n_rows")).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(keepCond, col("n_bytes")).otherwise(0L)), lit(0L)),
+      count(lit(1)),
+      coalesce(sum(col("n_rows")), lit(0L)),
+      coalesce(sum(col("n_bytes")), lit(0L))).head()
     ScanEstimate(r.getLong(0), r.getLong(1), r.getLong(2),
       r.getLong(3), r.getLong(4), r.getLong(5))
   }

@@ -94,6 +94,7 @@ object Funnel {
       windowUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty && stages.distinct.size == stages.size,
       s"stages must be non-empty and distinct: $stages")
+    windowUs.foreach(w => require(w > 0, s"windowUs must be positive: $w"))
     val stagesArr: Column = array(stages.map(lit): _*)
     val k = stages.size
     df.filter(col(idCol).isNotNull)
