@@ -255,6 +255,140 @@ object GraftIO {
         .parquet(keep.map(f => s"$dest/$f").toSeq: _*)
   }
 
+  /** Per-file Bloom-filter sidecar (`_graft_blooms.json`) — the point-
+    * equality complement of the min/max manifest: on a HASH-distributed
+    * (unsorted) layout, every file's [min, max] spans the full domain and
+    * range skipping prunes nothing, but a per-file Bloom over the column
+    * answers "could this value be in this file" in one sidecar read.
+    * This is the manifest analog of parquet's own column bloom filters,
+    * lifted to FILE granularity so planning never opens a footer.
+    *
+    * Build cost is one scan of the data at write time (same cost class
+    * as [[writeZOrdered]]); the scan is one distributed pass — per
+    * (file, column), k=`k` positions per value are deduped and packed
+    * into a `bits`-wide bitset. Driver materialization is bounded by
+    * contract: one row per (file, column) with at most `bits` set
+    * positions (8 KiB per row at the default 65536 bits).
+    *
+    * Hash contract: positions are `pmod(xxhash64(seed, value), bits)`
+    * computed by the ENGINE's own xxhash64 expression — the probe side
+    * ([[fromParquetSkippingEq]]) evaluates the same expression on a
+    * literal, so build and probe can never disagree on typing or hash
+    * variant. */
+  def writeBloomSidecar(spark: SparkSession, dest: String, cols: Seq[String],
+      bits: Int = 65536, k: Int = 4): Unit = {
+    require(cols.nonEmpty, "at least one column")
+    require(bits > 0 && (bits & (bits - 1)) == 0, "bits must be a power of two")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dest)
+    val fs = p.getFileSystem(hconf)
+    val baseUri = fs.makeQualified(p).toUri
+    def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(d).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.startsWith("part-")) Seq(s.getPath)
+        else Nil
+      }
+    // URI path-part -> dest-relative name (same relative convention as
+    // writeManifest; input_file_name() URIs normalize through Path)
+    val relByPath = walk(p).map { f =>
+      val q = fs.makeQualified(f)
+      q.toUri.getPath -> baseUri.relativize(q.toUri).getPath
+    }.toMap
+    val df = spark.read.parquet(dest)
+    val perCol = cols.map { c =>
+      df.filter(col(c).isNotNull)
+        .select(input_file_name().as("f"), lit(c).as("c"),
+          explode(array((0 until k).map(s =>
+            pmod(xxhash64(lit(s), col(c)), lit(bits.toLong))): _*)).as("pos"))
+    }
+    val rows = perCol.reduce(_ unionAll _).distinct()
+      .groupBy(col("f"), col("c")).agg(collect_list(col("pos")).as("ps"))
+      .collect() // bounded: one row per (file, column), <= bits positions
+    val enc = java.util.Base64.getEncoder
+    val json = rows.map { r =>
+      val rel = relByPath.getOrElse(
+        new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath,
+        sys.error(s"bloom scan saw unknown file ${r.getString(0)}"))
+      val bs = new java.util.BitSet(bits)
+      r.getSeq[Long](2).foreach(pos => bs.set(pos.toInt))
+      s"""{"file":"$rel","col":"${r.getString(1)}","bits":$bits,"k":$k,""" +
+        s""""b64":"${enc.encodeToString(bs.toByteArray)}"}"""
+    }.mkString("\n")
+    val out = new org.apache.hadoop.fs.Path(p, "_graft_blooms.json")
+    val os = fs.create(out, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Bloom-sidecar point-equality file skipping: read only the files
+    * whose Bloom for EVERY (column, value) predicate reports "maybe
+    * present". Conservative-keep semantics mirror range skipping: a file
+    * with no recorded bloom row for a column (e.g. all-null chunk, or a
+    * column the sidecar was not built over) is kept. False positives
+    * cost only an extra file read — the caller still applies the
+    * row-level filter, so results are exact regardless.
+    *
+    * Caller contract: each `value`'s literal Spark type must equal the
+    * column's type (Long for bigint, Int for int, String for string) —
+    * the probe hashes `lit(value)` through the same xxhash64 expression
+    * the build used on the column. */
+  def fromParquetSkippingEq(spark: SparkSession, dest: String,
+      eqs: Seq[(String, Any)]): DataFrame = {
+    require(eqs.nonEmpty, "at least one (column, value) predicate")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dest)
+    val fs = p.getFileSystem(hconf)
+    def walk(d: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(d).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.startsWith("part-")) Seq(
+          fs.makeQualified(p).toUri
+            .relativize(fs.makeQualified(s.getPath).toUri).getPath)
+        else Nil
+      }
+    val allFiles = walk(p)
+    // sidecar rows for the probed columns: (file, col) -> (bits, k, bitset)
+    val sidecar = new org.apache.hadoop.fs.Path(p, "_graft_blooms.json")
+    val dec = java.util.Base64.getDecoder
+    val blooms: Map[(String, String), (Int, Int, java.util.BitSet)] =
+      if (!fs.exists(sidecar)) Map.empty
+      else {
+        val in = fs.open(sidecar)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        txt.split("\n").iterator.filter(_.trim.nonEmpty).map { line =>
+          val n = mapper.readTree(line)
+          (n.get("file").asText, n.get("col").asText) ->
+            ((n.get("bits").asInt, n.get("k").asInt,
+              java.util.BitSet.valueOf(dec.decode(n.get("b64").asText))))
+        }.toMap
+      }
+    // probe positions via the engine's own hash on a 1-row frame (plan-
+    // time, bounded): grouped by (bits, k) geometry actually recorded
+    val geoms = blooms.values.map(v => (v._1, v._2)).toSet
+    val posFor: Map[(String, Any, Int, Int), Seq[Int]] =
+      (for { (c, v) <- eqs; (bits, kk) <- geoms } yield {
+        val row = spark.range(1).select(
+          array((0 until kk).map(s =>
+            pmod(xxhash64(lit(s), lit(v)), lit(bits.toLong))): _*).as("ps"))
+          .head()
+        (c, v, bits, kk) -> row.getSeq[Long](0).map(_.toInt).toSeq
+      }).toMap
+    val keep = allFiles.filter { f =>
+      eqs.forall { case (c, v) =>
+        blooms.get((f, c)) match {
+          case None => true // conservative keep
+          case Some((bits, kk, bs)) =>
+            posFor((c, v, bits, kk)).forall(bs.get)
+        }
+      }
+    }
+    if (keep.isEmpty) spark.read.parquet(dest).limit(0)
+    else spark.read.option("basePath", dest)
+      .parquet(keep.map(f => s"$dest/$f"): _*)
+  }
+
   /** Schema-evolution read: a directory whose parquet files were
     * written over time with DRIFTING schemas (columns added by newer
     * writers) reads as the union schema, older files null-filling the

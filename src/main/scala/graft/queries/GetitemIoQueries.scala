@@ -186,6 +186,29 @@ object GetitemIoQueries {
           round(sum(col("l_quantity")), 2).as("sum_qty"))
     },
 
+    // Bloom-sidecar point-equality skipping graded END TO END: a HASH-
+    // distributed 8-file layout (every file's [min,max] spans the whole
+    // suppkey domain — range skipping would prune NOTHING) + per-file
+    // Bloom sidecar; a one-supplier point query reads only the files
+    // whose bloom admits the key (ModulesSpec pins the file-count
+    // reduction; DuckDB pins that pruning never changes the answer)
+    "io_bloomskip" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bloom").toString + "/li"
+      graft.io.GraftIO.toParquet(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_returnflag"))
+          .repartition(8, col("l_suppkey")),
+        tmp)
+      graft.io.GraftIO.writeBloomSidecar(s, tmp, Seq("l_suppkey"))
+      graft.io.GraftIO.fromParquetSkippingEq(s, tmp, Seq(("l_suppkey", 17L)))
+        .filter(col("l_suppkey") === 17L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+
     // CSV round-trip (schema carried explicitly — CSV stores none): same
     // aggregate as the parquet roundtrip, proving the format path and the
     // text-codec edge cases (quoting, nulls) preserve values exactly
@@ -439,6 +462,8 @@ object GetitemIoQueries {
       """SELECT CAST(count(*) AS BIGINT) AS total_rows, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, CAST(count(*) - count(l_quantity) AS BIGINT) AS null_qty FROM lineitem""",
     "io_skipping" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000 GROUP BY 1""",
+    "io_bloomskip" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty FROM lineitem WHERE l_suppkey = 17 GROUP BY 1""",
     "io_profile" -> Seq(
         ("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
         ("source", "string"), ("n_chars", "bigint"))

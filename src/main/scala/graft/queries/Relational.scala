@@ -260,7 +260,33 @@ object Relational {
           Sketches.hllEstimate(col("l_suppkey")).as("approx_supp"),
           Sketches.quantileApprox(col("l_quantity"), lit(0.5)).as("median_qty"),
           count(lit(1)).as("n"))
+    },
+
+    // PageRank over the part co-purchase graph (parts sharing an order,
+    // graft.operators.PageRank): 6 power iterations as ONE lazy plan —
+    // the edges subtree is byte-identical in every round, so its
+    // Exchange is planned once and ReuseExchange serves rounds 2..6
+    // from the first shuffle's files. Fixed-point int64 arithmetic
+    // makes the result bit-identical across engines and partitionings
+    // (the oracle replays all 6 rounds in DuckDB with // division).
+    "q_pagerank" -> { (s, dir) =>
+      import graft.operators.PageRank
+      val edges = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      PageRank.pageRank(edges, iterations = 6)
     })
+
+  private def pagerankOracle(iters: Int): String = {
+    val base =
+      """e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey GROUP BY 1, 2), nodes AS MATERIALIZED (SELECT src AS node FROM e0 UNION SELECT dst FROM e0), outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e0 GROUP BY 1), nn AS (SELECT count(*) AS n FROM nodes), r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes)"""
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"c$i AS (SELECT e.dst, CAST(sum((r.pr // o.out_w) * e.w) AS BIGINT) AS c FROM e0 e JOIN outw o ON e.src = o.src JOIN r$p r ON r.node = e.src GROUP BY 1), " +
+        s"d$i AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dsum FROM r$p r WHERE NOT EXISTS (SELECT 1 FROM outw o WHERE o.src = r.node)), " +
+        s"r$i AS (SELECT n.node, 150000000 + 85 * (coalesce(c.c, 0) + (SELECT dsum FROM d$i) // (SELECT n FROM nn)) // 100 AS pr FROM nodes n LEFT JOIN c$i c ON c.dst = n.node)"
+    }.mkString(", ")
+    s"WITH $base, $rounds SELECT node, CAST(pr AS BIGINT) AS pr FROM r$iters"
+  }
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -300,5 +326,8 @@ object Relational {
     "q_except" ->
       """SELECT count(*) AS n_supp, CAST(sum(l_suppkey) AS BIGINT) AS sum_supp FROM (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 5 EXCEPT SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45) t""",
     "q_skew_build" ->
-      """WITH r AS (SELECT l_returnflag, row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT)) AS rn, CAST(l_quantity AS BIGINT) AS qty FROM lineitem) SELECT l_returnflag, count(*) AS n, CAST(sum(rn * qty) AS BIGINT) AS ord_chk, CAST(sum(qty) AS BIGINT) AS sum_qty FROM r GROUP BY l_returnflag""")
+      """WITH r AS (SELECT l_returnflag, row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT)) AS rn, CAST(l_quantity AS BIGINT) AS qty FROM lineitem) SELECT l_returnflag, count(*) AS n, CAST(sum(rn * qty) AS BIGINT) AS ord_chk, CAST(sum(qty) AS BIGINT) AS sum_qty FROM r GROUP BY l_returnflag""",
+    // full 6-round fixed-point power-iteration replay; // is integer
+    // division on BIGINT, matching Spark's DIV (all quantities positive)
+    "q_pagerank" -> pagerankOracle(6))
 }

@@ -104,6 +104,24 @@ object SimilarityQueries {
         nCand = 8, kOut = 4, lambda = 0.7)
         .select(col("qid"), col("rank"), col("nid"),
           round(col("rel"), 4).as("rel"), round(col("mmr"), 4).as("mmr"))
+    },
+
+    // hybrid retrieval: dense cosine top-20 + lexical token-set Jaccard
+    // top-20 for the same 10 query ids (documents/embeddings share the id
+    // space), fused by reciprocal-rank fusion (graft.similarity.rrfFuse).
+    // Both legs' ranks and the fused score are integer-exact, so the
+    // whole two-system pipeline replays in DuckDB
+    "sim_rrf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val dense = bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 20)
+        .select(col("qid"), col("nid"), col("rank"))
+      val lex = lexicalJaccardTopK(Tables.documents(s, dir), "doc_id",
+        "text", id => id < 10, k = 20)
+        .select(col("qid"), col("nid"), col("rank"))
+      rrfFuse(Seq(dense, lex), k = 10)
+        .select(col("qid"), col("rank"), col("nid"),
+          col("rrf").cast("bigint").as("rrf"))
     })
 
   private[queries] val COS =
@@ -213,6 +231,12 @@ SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE r
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings) SELECT vec_id, round(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS l2, round(CASE WHEN sqrt(list_sum(list_transform(e, x -> x * x))) > 0 THEN sqrt(list_sum(list_transform(list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))), x -> x * x))) END, 4) AS unit_l2, round(sqrt(list_sum(list_transform(range(1, len(e) + 1), i -> (e[CAST(i AS INT)] - e[CAST(len(e) - i + 1 AS INT)]) * (e[CAST(i AS INT)] - e[CAST(len(e) - i + 1 AS INT)])))), 4) AS eucl_rev FROM v""",
     "sim_topk" ->
       s"""WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS ea, c.embedding AS eb FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), d AS (SELECT qid, nid, $COS AS cos FROM p, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d) SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
+    // hybrid RRF replay: the dense leg is the sim_topk replay at k=20;
+    // the lexical leg is distinct-token Jaccard (integer-quantized) at
+    // k=20; fusion sums 1000000 // (60 + rank) — all-integer, so the
+    // fused ordering is engine-exact
+    "sim_rrf" ->
+      s"""WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS ea, c.embedding AS eb FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), d AS (SELECT qid, nid, $COS AS cos FROM p, range(1, 65) r(i) GROUP BY qid, nid), dr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL), tk AS (SELECT id, tok FROM (SELECT doc_id AS id, unnest(list_distinct(string_split_regex(trim(lower(text)), '${"""\s+"""}'))) AS tok FROM documents) t WHERE length(tok) >= 4), sz AS (SELECT id, count(*) AS nt FROM tk GROUP BY 1), it AS (SELECT a.id AS qid, b.id AS nid, count(*) AS inter FROM tk a JOIN tk b USING (tok) WHERE a.id < 10 AND a.id <> b.id GROUP BY 1, 2), lj AS (SELECT it.qid, it.nid, (inter * 1000000) // (sa.nt + sb.nt - inter) AS jq FROM it JOIN sz sa ON sa.id = it.qid JOIN sz sb ON sb.id = it.nid), lr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY jq DESC, nid) AS rank FROM lj), u AS (SELECT qid, nid, 1000000 // (60 + rank) AS s FROM dr WHERE rank <= 20 UNION ALL SELECT qid, nid, 1000000 // (60 + rank) FROM lr WHERE rank <= 20), f AS (SELECT qid, nid, CAST(sum(s) AS BIGINT) AS rrf FROM u GROUP BY 1, 2), rk AS (SELECT qid, nid, rrf, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rank FROM f) SELECT qid, CAST(rank AS INT) AS rank, nid, rrf FROM rk WHERE rank <= 10""",
     // SQ8 full replay: per-dimension ranges, half-up 8-bit codes,
     // dequantize, asymmetric cosine, rank — same arithmetic order as the
     // Spark plan (mn + code * (mx - mn) / 255; floor(x + 0.5))

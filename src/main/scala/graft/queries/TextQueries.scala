@@ -74,6 +74,18 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // stratified EXACT-quota sampling (graft.text.stratifiedSampleExact):
+    // exactly 10% of each language, deterministic hash-order selection —
+    // the balanced-subset primitive where hash-threshold mixing is only
+    // exact in expectation. The id checksum pins WHICH rows were picked
+    "t_strat" -> { (s, dir) =>
+      stratifiedSampleExact(Tables.documents(s, dir), "lang", col("text"),
+        "doc_id", 10, 100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("doc_id")).cast("bigint").as("sum_id"))
+    },
+
     // deterministic weighted mixture sampling (graft.text.mixtureKeep):
     // down-weight 'en' to 0.5 and 'es' to 0.25, keep the rest — the
     // data-mixing filter, map-side and reproducible
@@ -448,6 +460,9 @@ ${(1 to 12).map(bpeRoundSql).mkString(",\n")}"""
       """WITH h AS (SELECT lang, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 100 AS b FROM documents) SELECT lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split, count(*) AS n FROM h GROUP BY 1, 2""",
     "t_mix" ->
       """WITH h AS (SELECT lang, (list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 10000) / 10000.0 AS b FROM documents) SELECT lang, count(*) FILTER (WHERE b < CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'es' THEN 0.25 ELSE 1.0 END) AS n_kept, count(*) AS n_total FROM h GROUP BY lang""",
+    // same rolling hash, ranked per stratum; quota = (n*10) // 100 exact
+    "t_strat" ->
+      """WITH h AS (SELECT lang, doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS hv FROM documents), sz AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), r AS (SELECT h.lang, doc_id, row_number() OVER (PARTITION BY h.lang ORDER BY hv, doc_id) AS rn, sz.n FROM h JOIN sz ON sz.lang = h.lang) SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM r WHERE rn <= (n * 10) // 100 GROUP BY 1""",
     "t_winnow" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok FROM documents), h AS (SELECT doc_id, list_transform(range(1, len(tok)), i -> list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)], ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)) AS hs FROM t), f AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE list_distinct(list_transform(range(1, greatest(1, len(hs) - 3) + 1), i -> list_min(hs[CAST(i AS INT):CAST(least(i + 3, len(hs)) AS INT)]))) END AS fps FROM h) SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum FROM f""",
     "t_tfidf" ->

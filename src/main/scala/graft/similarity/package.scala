@@ -571,6 +571,58 @@ package object similarity {
         numHashes, bands)
   }
 
+  /** Reciprocal-rank fusion of several per-query rankings — the standard
+    * hybrid-retrieval combiner (sparse BM25/lexical + dense embedding
+    * search feeding one result list; Cormack et al.'s RRF). Each input
+    * frame must carry (qid, nid, rank); a document absent from a system
+    * contributes 0 from that system. Scores are fixed-point integers
+    * (`scale DIV (rrfK + rank)`) so the fused ordering is bit-identical
+    * across engines — no float summation anywhere.
+    *
+    * Scale posture: inputs are already top-k bounded (#queries x k rows
+    * per system), so the union + fuse aggregate moves only candidate
+    * rows; the heavy lifting lives in the underlying searches. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60,
+      scale: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    val scored = rankings.map(_.select(col("qid"), col("nid"),
+        expr(s"$scale DIV ($rrfK + rank)").as("s")))
+      .reduce(_ unionAll _)
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("s")).as("rrf"))
+    topKPerKey(scored, "qid", "rrf", "nid", k)
+  }
+
+  /** Exact token-set Jaccard top-k for a query subset — the sparse
+    * (lexical) leg of hybrid retrieval. Inverted-index join: the
+    * query-side postings (dimension-sized by contract — `queryFilter`
+    * selects the query docs) broadcast against the corpus postings, so
+    * the corpus is never all-paired. Similarity is integer-quantized
+    * (`inter * 1000000 DIV union`) — rank order replays exactly in SQL.
+    * For corpora with boilerplate-dominated postings, the df-capped
+    * candidate generation of [[graft.dedup]]'s ngram machinery is the
+    * scale escape hatch (same join shape, capped postings). */
+  def lexicalJaccardTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryFilter: Column => Column, k: Int, minTokLen: Int = 4): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(graft.text.wsTokens(lower(col(textCol))))).as("tok"))
+      .filter(length(col("tok")) >= minTokLen)
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("nt"))
+    val q = toks.filter(queryFilter(col("id")))
+      .select(col("id").as("qid"), col("tok"))
+    val inter = toks.select(col("id").as("nid"), col("tok"))
+      .join(broadcast(q), "tok")
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid")).agg(count(lit(1)).as("inter"))
+    val jq = inter
+      .join(broadcast(sizes.filter(queryFilter(col("id")))
+        .select(col("id").as("qid"), col("nt").as("na"))), "qid")
+      .join(sizes.select(col("id").as("nid"), col("nt").as("nb")), "nid")
+      .select(col("qid"), col("nid"),
+        expr("(inter * 1000000) DIV (na + nb - inter)").as("jq"))
+    topKPerKey(jq, "qid", "jq", "nid", k)
+  }
+
   /** All pairs with cosine >= threshold within a blocking key — embedding
     * near-dup detection. Blocking bounds the quadratic term. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

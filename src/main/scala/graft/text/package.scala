@@ -211,6 +211,35 @@ package object text {
   def rollingHash(c: Column): Column =
     graft.functions.HashExprs.polyHashFast(c)
 
+  /** Stratified EXACT-quota sampling: from each stratum, keep exactly
+    * `(n_stratum * num) DIV den` rows — the balanced-subset primitive
+    * (per-language/per-source corpus balancing) where [[mixtureKeep]]'s
+    * threshold form is only exact in expectation. Selection is
+    * deterministic and seedless: rows rank within their stratum by
+    * (rollingHash(key), id) — a reproducible pseudo-random order that is
+    * stable under re-partitioning and replays in SQL — and the first
+    * `quota` win. Adding rows to a stratum reshuffles ranks but never
+    * depends on physical layout.
+    *
+    * Scale: one count-per-stratum aggregate (broadcast back — stratum
+    * count is bounded by contract) and one per-stratum sort for
+    * row_number. For small fixed quotas, a bounded-heap
+    * [[graft.operators.GroupTopK]] pass is the cheaper shape; the
+    * proportional-quota form here genuinely needs the rank. */
+  def stratifiedSampleExact(df: DataFrame, stratumCol: String, key: Column,
+      idCol: String, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"bad fraction $num/$den")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(rollingHash(key), col(idCol))
+    val sizes = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("_strat_n"))
+    df.join(broadcast(sizes), stratumCol)
+      .withColumn("_strat_rn", row_number().over(w))
+      .filter(expr(s"_strat_rn <= (_strat_n * $num) DIV $den"))
+      .drop("_strat_rn", "_strat_n")
+  }
+
   /** Repetition quality metrics (the Gopher-rule family): per document,
     * the fraction of all n-grams taken by the single most frequent one
     * (`top_frac`, word-soup/keyword-stuffing detector) and the fraction of

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+
+/** PageRank: hand-computed fixed-point values, dangling-mass handling,
+  * staged-vs-unstaged determinism, and ranking sanity on a star graph. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pageRank matches hand-computed fixed-point values incl. dangling mass") {
+    // nodes {1,2}, single edge 1->2, scale=100, d=85/100:
+    //   r0 = (100, 100); dangling = {2}
+    //   iter1: contrib(2) = (100 DIV 1)*1 = 100; dsum = 100; share = 50
+    //     r1(1) = 15 + 85*(0 + 50) DIV 100   = 15 + 42  = 57
+    //     r1(2) = 15 + 85*(100 + 50) DIV 100 = 15 + 127 = 142
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val r1 = collectMap[Long, Long](PageRank.pageRank(edges, 1, scale = 100L))
+    assert(r1 == Map(1L -> 57L, 2L -> 142L))
+    //   iter2: contrib(2) = 57; dsum = 142; share = 71
+    //     r2(1) = 15 + 85*71 DIV 100        = 15 + 60  = 75
+    //     r2(2) = 15 + 85*(57+71) DIV 100   = 15 + 108 = 123
+    val r2 = collectMap[Long, Long](PageRank.pageRank(edges, 2, scale = 100L))
+    assert(r2 == Map(1L -> 75L, 2L -> 123L))
+  }
+
+  test("coOccurrenceEdges is symmetric (no dangling nodes) and weight-correct") {
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 2L), (11L, 3L))
+      .toDF("g", "item")
+    val e = PageRank.coOccurrenceEdges(df, "g", "item")
+      .as[(Long, Long, Long)].collect().toSet
+    // item 2 appears twice in group 10 => weight 2 each direction; the
+    // lone item 3 in group 11 forms no pairs
+    assert(e == Set((1L, 2L, 2L), (2L, 1L, 2L)))
+    val srcs = e.map(_._1); val dsts = e.map(_._2)
+    assert(srcs == dsts, "symmetric construction: every dst also a src")
+  }
+
+  test("pageRank staged iterations produce bit-identical ranks") {
+    val edges = PageRank.coOccurrenceEdges(
+      graft.core.Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+    val plain = collectMap[Long, Long](PageRank.pageRank(edges, 4))
+    val staged = collectMap[Long, Long](
+      PageRank.pageRank(edges, 4, stageEvery = 2))
+    assert(plain.nonEmpty && plain == staged)
+  }
+
+  test("pageRank ranks the hub of a star graph highest") {
+    // spokes 1..6 all point at hub 0 and back (so nothing dangles)
+    val edges = (1L to 6L).flatMap(i => Seq((i, 0L, 1L), (0L, i, 1L)))
+      .toDF("src", "dst", "w")
+    val r = collectMap[Long, Long](PageRank.pageRank(edges, 8))
+    assert(r(0L) > r(1L) * 3, s"hub should dominate spokes: $r")
+    assert((1L to 6L).map(r).toSet.size == 1, "spokes are symmetric")
+  }
+}

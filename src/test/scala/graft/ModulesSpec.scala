@@ -659,6 +659,37 @@ class ModulesSpec extends SparkSuite {
     assert(pread.count() == 11L)
   }
 
+  test("fromParquetSkippingEq: bloom sidecar skips files on a hash layout") {
+    val d = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    // HASH-distributed on k => every file's [min,max] spans the whole
+    // domain (range skipping would keep all 8); the bloom still prunes
+    val df = (1 to 4000).map(i => (i.toLong % 97, i.toLong)).toDF("k", "id")
+      .repartition(8, $"k")
+    graft.io.GraftIO.toParquet(df, d)
+    graft.io.GraftIO.writeBloomSidecar(spark, d, Seq("k"), bits = 4096)
+    val full = df.filter($"k" === 13L).as[(Long, Long)].collect().toSet
+    val skd = graft.io.GraftIO.fromParquetSkippingEq(spark, d, Seq(("k", 13L)))
+    assert(skd.filter($"k" === 13L).as[(Long, Long)].collect().toSet == full)
+    val nScanned = skd.select(input_file_name()).distinct().count()
+    assert(nScanned < 8, s"expected bloom skipping, scanned $nScanned of 8")
+    // a value absent from the data: whatever files survive (false
+    // positives allowed), the filtered result is exactly empty
+    val absent = graft.io.GraftIO
+      .fromParquetSkippingEq(spark, d, Seq(("k", 98765L)))
+      .filter($"k" === 98765L)
+    assert(absent.count() == 0L)
+    // conjunction: both columns' blooms must admit the file
+    graft.io.GraftIO.writeBloomSidecar(spark, d, Seq("k", "id"), bits = 4096)
+    val both = graft.io.GraftIO
+      .fromParquetSkippingEq(spark, d, Seq(("k", 13L), ("id", 110L)))
+      .filter($"k" === 13L && $"id" === 110L)
+    assert(both.as[(Long, Long)].collect().toSeq == Seq((13L, 110L)))
+    // no sidecar for a column => conservative keep-all, results exact
+    val noSide = graft.io.GraftIO
+      .fromParquetSkippingEq(spark, d, Seq(("missing_col_bloom", 1L)))
+    assert(noSide.count() == 4000L)
+  }
+
   test("round-7 operators are total on empty and degenerate corpora") {
     // empty-corpus robustness: every operator must return an empty (or
     // rule-free) frame, not throw — the behavior a pipeline stage needs

@@ -43,9 +43,14 @@ class PlanQualitySpec extends SparkSuite {
       // aggregates ride the plan as broadcast crosses since round 8 —
       // previously driver actions, now the oracle's scalar subqueries in
       // plan form)
+      // (q_pagerank: the 1-ROW dangling-mass and node-count aggregates
+      // ride every iteration as broadcast crosses — scalar subqueries in
+      // plan form, the t_bm25 shape)
+      // (sim_rrf: the dense leg IS bruteForceTopK — the sim_topk tiny
+      // broadcast-query-set cross)
       val crossByDesign = Set("sim_ivf", "sim_kmeans", "sim_topk", "sim_pq",
         "d_semdedup", "t_bm25", "sim_mmr", "sim_sq8", "t_ppl", "t_tfidf",
-        "t_bigram", "t_nbayes")
+        "t_bigram", "t_nbayes", "q_pagerank", "sim_rrf")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
