@@ -109,7 +109,38 @@ object GraftIO {
     * parquet directory. Distributed footer read; driver only sees the
     * per-file summary rows. */
   def writeManifest(spark: SparkSession, dest: String): DataFrame = {
+    val (fs, p, files) = walkDataFiles(spark, dest)
+    val manifest = scanManifestRows(spark, files)
+    writeSidecarJson(fs, p, manifest)
+    manifest
+  }
+
+  /** Incremental manifest maintenance — the append-only ingest case: a
+    * directory that gains files daily must not re-read every old footer
+    * to refresh its sidecar. Scans footers ONLY for files absent from
+    * the existing manifest, drops manifest rows whose files vanished
+    * (compaction), and rewrites the sidecar. Cost is proportional to
+    * the DELTA, not the directory. Differential-pinned in ModulesSpec:
+    * incremental == a from-scratch [[writeManifest]], byte-equal rows. */
+  def writeManifestIncremental(spark: SparkSession, dest: String): DataFrame = {
     import spark.implicits._
+    val (fs, p, files) = walkDataFiles(spark, dest)
+    val sidecar = new org.apache.hadoop.fs.Path(p, "_graft_metadata.json")
+    if (!fs.exists(sidecar)) return writeManifest(spark, dest)
+    val existing = fromParquetManifest(spark, dest)
+    val known = existing.select(col("file")).collect()
+      .map(_.getString(0)).toSet // bounded: one row per data file
+    val fresh = files.filterNot(f => known(f._2))
+    val kept = existing.join(
+      broadcast(files.map(_._2).toDF("file")), "file")
+    val merged = kept.unionByName(scanManifestRows(spark, fresh))
+    writeSidecarJson(fs, p, merged)
+    merged
+  }
+
+  private def walkDataFiles(spark: SparkSession, dest: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path,
+         Seq[(String, String, Long)]) = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dest)
     val fs = p.getFileSystem(hconf)
@@ -127,6 +158,23 @@ object GraftIO {
       val rel = baseUri.relativize(fs.makeQualified(s.getPath).toUri).getPath
       (fs.makeQualified(s.getPath).toString, rel, s.getLen)
     }
+    (fs, p, files)
+  }
+
+  private def writeSidecarJson(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, manifest: DataFrame): Unit = {
+    // NDJSON: one manifest row per line — a single sidecar file that
+    // symmetric line-based readers (including spark.read.json) parse
+    val json = manifest.toJSON.collect().mkString("\n")
+    val out = new org.apache.hadoop.fs.Path(p, "_graft_metadata.json")
+    val os = fs.create(out, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+  }
+
+  private def scanManifestRows(spark: SparkSession,
+      files: Seq[(String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
     // ship the DRIVER's hadoop configuration to the executor tasks: a
     // fresh Configuration() there would carry default resources only,
     // dropping every spark.hadoop.* setting (object-store credentials,
@@ -203,18 +251,11 @@ object GraftIO {
         } finally r.close()
       }
       .collect() // bounded by contract: one row per data file
-    val manifest = rows.toSeq
+    rows.toSeq
       .toDF("file", "n_rows", "n_bytes", "col_stats")
       .select(col("file"), col("n_rows"), col("n_bytes"),
         col("col_stats").cast(
           "map<string,struct<nulls:bigint,min:string,max:string>>"))
-    // NDJSON: one manifest row per line — a single sidecar file that
-    // symmetric line-based readers (including spark.read.json) parse
-    val json = manifest.toJSON.collect().mkString("\n")
-    val out = new org.apache.hadoop.fs.Path(p, "_graft_metadata.json")
-    val os = fs.create(out, true)
-    try os.write(json.getBytes("UTF-8")) finally os.close()
-    manifest
   }
 
   /** Manifest-driven file skipping: read only the data files whose
@@ -302,8 +343,11 @@ object GraftIO {
           explode(array((0 until k).map(s =>
             pmod(xxhash64(lit(s), col(c)), lit(bits.toLong))): _*)).as("pos"))
     }
-    val rows = perCol.reduce(_ unionAll _).distinct()
-      .groupBy(col("f"), col("c")).agg(collect_list(col("pos")).as("ps"))
+    // ONE shuffle: collect_set dedupes map-side (partial sets are bounded
+    // by `bits` entries), vs a distinct() pre-pass which would shuffle
+    // every (file, col, pos) row once more
+    val rows = perCol.reduce(_ unionAll _)
+      .groupBy(col("f"), col("c")).agg(collect_set(col("pos")).as("ps"))
       .collect() // bounded: one row per (file, column), <= bits positions
     val enc = java.util.Base64.getEncoder
     val json = rows.map { r =>

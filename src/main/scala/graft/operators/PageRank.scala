@@ -62,9 +62,25 @@ object PageRank {
     *
     * Input `edges` must have columns (src, dst, w); returns (node, pr)
     * with pr in `scale` fixed-point units.
-    */
+    *
+    * PLAN-GROWTH contract (the part that decides whether deep iteration
+    * is viable): with `handleDangling = false` each round references the
+    * previous rank frame exactly ONCE, so the lazy plan grows LINEARLY
+    * in `iterations` and the whole run is one job whose repeated edges
+    * subtree is served by ReuseExchange. With dangling handling the
+    * rank frame is consumed twice per round (contribution join + the
+    * dangling-mass aggregate), which doubles the lineage every round —
+    * 2^iterations tree growth — so for deep dangling-aware runs set
+    * `stageEvery` (2-3) to rebase the lineage through
+    * [[graft.io.GraftIO.stageParquet]], the connected-components
+    * flat-cost-per-round discipline. Graphs from [[coOccurrenceEdges]]
+    * are symmetric and have NO dangling nodes by construction — pass
+    * `handleDangling = false` there (a dangling-free graph computes
+    * identical ranks on both paths; the flag only skips work, never
+    * changes the fixpoint). */
   def pageRank(edges: DataFrame, iterations: Int, scale: Long = 1000000000L,
-      dampNum: Int = 85, dampDen: Int = 100, stageEvery: Int = 0): DataFrame = {
+      dampNum: Int = 85, dampDen: Int = 100, handleDangling: Boolean = true,
+      stageEvery: Int = 0): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
@@ -73,25 +89,32 @@ object PageRank {
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     // static over iterations: nodes with no out-edge (dangling), and the
     // node count — both joined back as 1-row broadcasts per round
-    val dangNodes = nodes.join(outw, nodes("node") === outw("src"), "left_anti")
-    val nN = nodes.agg(count(lit(1)).as("n_nodes"))
+    lazy val dangNodes = nodes.join(outw, nodes("node") === outw("src"), "left_anti")
+    lazy val nN = nodes.agg(count(lit(1)).as("n_nodes"))
     // edge-side join subtree shared verbatim by every iteration: keep the
     // projection byte-identical so ReuseExchange can serve all rounds
     val eo = e.join(outw, "src")
+    val teleport = (dampDen - dampNum).toLong * scale / dampDen
 
     var ranks = nodes.select(col("node"), lit(scale).as("pr"))
     for (i <- 1 to iterations) {
       val contrib = eo.join(ranks, eo("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("(pr DIV out_w) * w")).as("c"))
-      val dang = ranks.join(dangNodes, "node", "left_semi")
-        .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
-      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .crossJoin(broadcast(dang)).crossJoin(broadcast(nN))
-        .select(col("node"),
-          (lit((dampDen - dampNum).toLong * scale / dampDen) +
-            expr(s"$dampNum * (coalesce(c, 0) + dsum DIV n_nodes) DIV $dampDen"))
-            .as("pr"))
+      val base = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      ranks =
+        if (handleDangling) {
+          val dang = ranks.join(dangNodes, "node", "left_semi")
+            .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
+          base.crossJoin(broadcast(dang)).crossJoin(broadcast(nN))
+            .select(col("node"),
+              (lit(teleport) +
+                expr(s"$dampNum * (coalesce(c, 0) + dsum DIV n_nodes) DIV $dampDen"))
+                .as("pr"))
+        } else
+          base.select(col("node"),
+            (lit(teleport) +
+              expr(s"$dampNum * coalesce(c, 0) DIV $dampDen")).as("pr"))
       if (stageEvery > 0 && i % stageEvery == 0 && i < iterations)
         ranks = graft.io.GraftIO.stageParquet(ranks, s"pagerank-r$i")
     }

@@ -273,7 +273,10 @@ object Relational {
       import graft.operators.PageRank
       val edges = PageRank.coOccurrenceEdges(
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
-      PageRank.pageRank(edges, iterations = 6)
+      // co-occurrence graphs are symmetric => dangling-free; the false
+      // flag keeps the 6-round lineage LINEAR (one rank reference per
+      // round) — same fixpoint, and the oracle's dsum term is 0
+      PageRank.pageRank(edges, iterations = 6, handleDangling = false)
     })
 
   private def pagerankOracle(iters: Int): String = {

@@ -106,6 +106,28 @@ object SimilarityQueries {
           round(col("rel"), 4).as("rel"), round(col("mmr"), 4).as("mmr"))
     },
 
+    // graded ANN quality measurement: recall@3 of the IVF search vs the
+    // exact brute-force ground truth on the 10-query sample — both legs
+    // are themselves graded queries (sim_ivf / sim_topk), so this pins
+    // the recall NUMBER, not just a ScalaTest bound. n_hit counts the
+    // true top-3 neighbors the IVF probe set recovered
+    "sim_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val brute = bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("nid"))
+      val ivf = ivfTopK(emb, "vec_id", "embedding",
+        nCells = 0, nprobe = 4, k = 3)
+        .filter(col("qid") < 10)
+        .select(col("qid").as("iqid"), col("nid").as("inid"))
+      brute.join(ivf,
+          col("qid") === col("iqid") && col("nid") === col("inid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("inid")).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          expr("(n_hit * 10000) DIV 3").as("recall_bp"))
+    },
+
     // hybrid retrieval: dense cosine top-20 + lexical token-set Jaccard
     // top-20 for the same 10 query ids (documents/embeddings share the id
     // space), fused by reciprocal-rank fusion (graft.similarity.rrfFuse).
@@ -126,6 +148,12 @@ object SimilarityQueries {
 
   private[queries] val COS =
     """sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE)) / (sqrt(sum(CAST(ea[CAST(i AS INT)] AS DOUBLE) * CAST(ea[CAST(i AS INT)] AS DOUBLE))) * sqrt(sum(CAST(eb[CAST(i AS INT)] AS DOUBLE) * CAST(eb[CAST(i AS INT)] AS DOUBLE))))"""
+
+  /** The sim_ivf search replay (seed centroids, cell assignment, 4-probe
+    * candidate set, exact re-rank) — shared verbatim by sim_ivf and
+    * sim_recall so the two oracles can never drift apart. */
+  private[queries] val IVF_CTES =
+    s"""nc AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings), cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT (SELECT k FROM nc)), ap AS (SELECT e.vec_id AS vid, c.cid, e.embedding AS ea, c.cvec AS eb FROM embeddings e, cent c), ac AS (SELECT vid, cid, $COS AS sim FROM ap, range(1, 65) r(i) GROUP BY vid, cid), ranked AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS rn FROM ac WHERE sim IS NOT NULL), cells AS (SELECT vid AS id, cid FROM ranked WHERE rn = 1), probes AS (SELECT vid AS qid, cid FROM ranked WHERE rn <= 4), cand AS (SELECT p.qid, ce.id AS nid, eq.embedding AS ea, en.embedding AS eb FROM probes p JOIN cells ce ON p.cid = ce.cid AND p.qid <> ce.id JOIN embeddings eq ON eq.vec_id = p.qid JOIN embeddings en ON en.vec_id = ce.id), d AS (SELECT qid, nid, $COS AS cos FROM cand, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL)"""
 
   /** The SQL mirror of kmeansCentroids' training-sample gate
     * (`trainSampleMax = 65536`): rounds train on the first 65536 vectors
@@ -247,7 +275,14 @@ SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE r
     // whole IVF search replays in SQL: same auto cell count, same
     // assignment ranking, same probe set, same final top-k.
     "sim_ivf" ->
-      s"""WITH nc AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings), cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT (SELECT k FROM nc)), ap AS (SELECT e.vec_id AS vid, c.cid, e.embedding AS ea, c.cvec AS eb FROM embeddings e, cent c), ac AS (SELECT vid, cid, $COS AS sim FROM ap, range(1, 65) r(i) GROUP BY vid, cid), ranked AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS rn FROM ac WHERE sim IS NOT NULL), cells AS (SELECT vid AS id, cid FROM ranked WHERE rn = 1), probes AS (SELECT vid AS qid, cid FROM ranked WHERE rn <= 4), cand AS (SELECT p.qid, ce.id AS nid, eq.embedding AS ea, en.embedding AS eb FROM probes p JOIN cells ce ON p.cid = ce.cid AND p.qid <> ce.id JOIN embeddings eq ON eq.vec_id = p.qid JOIN embeddings en ON en.vec_id = ce.id), d AS (SELECT qid, nid, $COS AS cos FROM cand, range(1, 65) r(i) GROUP BY qid, nid), rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL) SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
+      s"""WITH $IVF_CTES SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
+    // recall@3 of the IVF search against exact brute-force ground truth
+    // for the 10-query sample: both legs replay exactly (the IVF CTEs
+    // are sim_ivf's own; the brute leg is sim_topk's), so the recall
+    // NUMBERS — not just bounds — are graded. recall_bp is integer
+    // basis points (n_hit * 10000 // 3)
+    "sim_recall" ->
+      s"""WITH $IVF_CTES, bp AS (SELECT q.vec_id AS bqid, c.vec_id AS bnid, q.embedding AS ea, c.embedding AS eb FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), bd AS (SELECT bqid, bnid, $COS AS cos FROM bp, range(1, 65) r(i) GROUP BY bqid, bnid), br AS (SELECT bqid, bnid, row_number() OVER (PARTITION BY bqid ORDER BY cos DESC, bnid) AS brank FROM bd WHERE cos IS NOT NULL), bt AS (SELECT bqid, bnid FROM br WHERE brank <= 3), iv AS (SELECT qid, nid FROM rk WHERE rank <= 3 AND qid < 10), h AS (SELECT bt.bqid AS qid, count(iv.nid) AS n_hit FROM bt LEFT JOIN iv ON iv.qid = bt.bqid AND iv.nid = bt.bnid GROUP BY 1) SELECT qid, CAST(n_hit AS BIGINT) AS n_hit, CAST((n_hit * 10000) // 3 AS BIGINT) AS recall_bp FROM h""",
     // sim_lsh replays the hyperplane signatures in SQL: the LCG plane
     // components are pure integer arithmetic ((1103515245*(j*4099+i)+12345)
     // mod 2^31, mapped to [-0.5, 0.5)), the dot accumulates ascending in i

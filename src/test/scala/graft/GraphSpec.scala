@@ -41,17 +41,31 @@ class GraphSpec extends SparkSuite {
   test("pageRank staged iterations produce bit-identical ranks") {
     val edges = PageRank.coOccurrenceEdges(
       graft.core.Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
-    val plain = collectMap[Long, Long](PageRank.pageRank(edges, 4))
+    val plain = collectMap[Long, Long](
+      PageRank.pageRank(edges, 4, handleDangling = false))
     val staged = collectMap[Long, Long](
-      PageRank.pageRank(edges, 4, stageEvery = 2))
+      PageRank.pageRank(edges, 4, handleDangling = false, stageEvery = 2))
     assert(plain.nonEmpty && plain == staged)
+  }
+
+  test("dangling-free graph: both dangling paths compute identical ranks") {
+    // symmetric co-occurrence edges => no dangling nodes => the skip-
+    // dangling fast path (linear lineage) must equal the full path
+    val edges = PageRank.coOccurrenceEdges(
+      Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 11L), (3L, 12L))
+        .toDF("g", "item"), "g", "item")
+    val full = collectMap[Long, Long](PageRank.pageRank(edges, 3))
+    val fast = collectMap[Long, Long](
+      PageRank.pageRank(edges, 3, handleDangling = false))
+    assert(full.nonEmpty && full == fast)
   }
 
   test("pageRank ranks the hub of a star graph highest") {
     // spokes 1..6 all point at hub 0 and back (so nothing dangles)
     val edges = (1L to 6L).flatMap(i => Seq((i, 0L, 1L), (0L, i, 1L)))
       .toDF("src", "dst", "w")
-    val r = collectMap[Long, Long](PageRank.pageRank(edges, 8))
+    val r = collectMap[Long, Long](
+      PageRank.pageRank(edges, 8, handleDangling = false))
     assert(r(0L) > r(1L) * 3, s"hub should dominate spokes: $r")
     assert((1L to 6L).map(r).toSet.size == 1, "spokes are symmetric")
   }

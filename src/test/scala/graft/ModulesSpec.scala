@@ -659,6 +659,36 @@ class ModulesSpec extends SparkSuite {
     assert(pread.count() == 11L)
   }
 
+  test("writeManifestIncremental: delta scan equals a full rebuild") {
+    val d = java.nio.file.Files.createTempDirectory("graft_incman").toString
+    val df1 = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .repartition(2)
+    graft.io.GraftIO.toParquetWithMetadata(df1, d)
+    // append a second generation of files (mode append => new part- names)
+    (101 to 160).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .repartition(2).write.mode("append").parquet(d)
+    val inc = graft.io.GraftIO.writeManifestIncremental(spark, d)
+      .orderBy($"file").collect().toSeq
+    val full = graft.io.GraftIO.writeManifest(spark, d)
+      .orderBy($"file").collect().toSeq
+    assert(inc == full, "incremental manifest must equal a from-scratch scan")
+    assert(inc.size == 4)
+    // sidecar totals reflect both generations
+    assert(graft.io.GraftIO.fromParquetManifest(spark, d)
+      .agg(sum($"n_rows")).as[Long].head() == 160L)
+    // vanished files (compaction) leave the manifest: delete generation-2
+    // files, incremental again, rows drop back to generation 1
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = inc.size
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getPath)
+    files.take(2).foreach(f => fs.delete(f, false))
+    val after = graft.io.GraftIO.writeManifestIncremental(spark, d)
+    assert(after.count() == before - 2,
+      "deleted files must leave the manifest")
+  }
+
   test("fromParquetSkippingEq: bloom sidecar skips files on a hash layout") {
     val d = java.nio.file.Files.createTempDirectory("graft_bloom").toString
     // HASH-distributed on k => every file's [min,max] spans the whole
