@@ -296,6 +296,62 @@ object GraftIO {
         .parquet(keep.map(f => s"$dest/$f").toSeq: _*)
   }
 
+  /** Keyed upsert (MERGE) into a plain-parquet directory with FILE-SCOPED
+    * rewrite — the lakehouse merge primitive without a table format:
+    * rows in `updates` replace same-key rows, new keys append. The
+    * manifest sidecar turns the merge from a full rewrite into a
+    * delta-proportional one: only files whose recorded [min, max] key
+    * range can contain an update key are read and rewritten; every
+    * other file — at 100 TB, almost all of them — is untouched on disk.
+    * Files with no usable key stats are conservatively rewritten.
+    * Without a sidecar every file counts as affected (correct, full
+    * rewrite). The sidecar is incrementally refreshed afterwards
+    * ([[writeManifestIncremental]] — footer scans only for the new
+    * files).
+    *
+    * Contracts: `updates` must be key-unique; FLAT layouts only (a
+    * partitionBy tree would need the rewrite routed through partitionBy
+    * again); single-writer (plain parquet has no transaction log — new
+    * files land before old ones are deleted, so a concurrent reader can
+    * transiently see both versions of an updated key; a table format is
+    * the multi-writer answer and out of scope). Returns
+    * (rewrittenFiles, totalFiles). */
+  def upsertParquet(spark: SparkSession, dest: String, updates: DataFrame,
+      keyCol: String, keyCast: String = "bigint"): (Int, Int) = {
+    val (fs, p, files) = walkDataFiles(spark, dest)
+    val sidecar = new org.apache.hadoop.fs.Path(p, "_graft_metadata.json")
+    val hasManifest = fs.exists(sidecar)
+    val affected: Seq[String] =
+      if (!hasManifest) files.map(_._2)
+      else {
+        val stats = element_at(col("col_stats"), keyCol)
+        val ranges = fromParquetManifest(spark, dest).select(col("file"),
+          stats.getField("min").try_cast(keyCast).as("mn"),
+          stats.getField("max").try_cast(keyCast).as("mx"))
+        val keys = updates.select(col(keyCol).cast(keyCast).as("k")).distinct()
+        ranges.join(keys,
+            col("mn").isNull || col("mx").isNull ||
+              col("k").between(col("mn"), col("mx")), "left_semi")
+          .select(col("file")).collect().map(_.getString(0)).toSeq
+          // bounded: one row per data file
+      }
+    val survivors =
+      if (affected.isEmpty) updates.limit(0)
+      else {
+        val old = spark.read.option("basePath", dest)
+          .parquet(affected.map(f => s"$dest/$f"): _*)
+        old.join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
+          "left_anti")
+      }
+    // new files first, then drop the rewritten ones (transient-duplicate
+    // window documented above); append never reuses part- names
+    survivors.unionByName(updates).write.mode("append").parquet(dest)
+    affected.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, f), false))
+    if (hasManifest) writeManifestIncremental(spark, dest): Unit
+    (affected.size, files.size)
+  }
+
   /** Per-file Bloom-filter sidecar (`_graft_blooms.json`) — the point-
     * equality complement of the min/max manifest: on a HASH-distributed
     * (unsorted) layout, every file's [min, max] spans the full domain and

@@ -79,6 +79,31 @@ object DedupQueries {
         .select(col("id1"), col("id2"))
     },
 
+    // graded quality measurement of the PRODUCTION xxh64 LSH pipeline:
+    // precision/recall of the banded+verified pair set against the EXACT
+    // bigram-Jaccard >= 0.5 ground truth (d_ngram's operator). Both legs
+    // replay in DuckDB — the truth exactly, the LSH leg structurally over
+    // the dumped signatures — so the quality NUMBERS are hash-graded,
+    // complementing the ScalaTest recall bounds
+    "d_lsh_quality" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val truth = ngramJaccardPairs(docs, "doc_id", "text",
+        n = 2, minJaccardPct = 50).select(col("id1"), col("id2"))
+      val pred = minhashLshPairs(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id1").as("p1"), col("id2").as("p2"))
+      val tp = pred.join(truth,
+        col("p1") === col("id1") && col("p2") === col("id2"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+        .select(col("n_truth"), col("n_pred"), col("n_tp"),
+          expr("CASE WHEN n_pred = 0 THEN 0 ELSE (n_tp * 10000) DIV n_pred END")
+            .as("precision_bp"),
+          expr("CASE WHEN n_truth = 0 THEN 0 ELSE (n_tp * 10000) DIV n_truth END")
+            .as("recall_bp"))
+    },
+
     // incremental ingest face (graft.dedup.minhashLshPairsIncremental):
     // odd-id docs arrive as the NEW batch, even-id docs are the existing
     // corpus with PERSISTED signatures — the delta probes the store's
@@ -261,8 +286,11 @@ object DedupQueries {
     * id1 < id2, distinct, exact lane-match verification (est >= 0.5 as
     * the integer predicate 2*matches >= 32). `extraPred` appends to the
     * final WHERE (the incremental face filters seen-seen pairs). */
+  private val LSH_CTES: String =
+    s"""sigs AS (SELECT * FROM '__OUTDIR__/aux_minhash_sigs/*.parquet'), bk AS (SELECT id, CAST(j AS INT) AS band, CASE CAST(j AS INT) ${(0 until 8).map(b => s"WHEN $b THEN (((m${b * 4} * 131 + m${b * 4 + 1}) * 131 + m${b * 4 + 2}) * 131 + m${b * 4 + 3}) % 1000000007").mkString(" ")} END AS key FROM sigs, range(0, 8) r(j)), cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id), m AS (SELECT c.id1, c.id2, ${(0 until 32).map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")} AS nm FROM cand c JOIN sigs sa ON c.id1 = sa.id JOIN sigs sb ON c.id2 = sb.id)"""
+
   private def minhashLshReplaySql(extraPred: String): String =
-    s"""WITH sigs AS (SELECT * FROM '__OUTDIR__/aux_minhash_sigs/*.parquet'), bk AS (SELECT id, CAST(j AS INT) AS band, CASE CAST(j AS INT) ${(0 until 8).map(b => s"WHEN $b THEN (((m${b * 4} * 131 + m${b * 4 + 1}) * 131 + m${b * 4 + 2}) * 131 + m${b * 4 + 3}) % 1000000007").mkString(" ")} END AS key FROM sigs, range(0, 8) r(j)), cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id), m AS (SELECT c.id1, c.id2, ${(0 until 32).map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")} AS nm FROM cand c JOIN sigs sa ON c.id1 = sa.id JOIN sigs sb ON c.id2 = sb.id) SELECT id1, id2 FROM m WHERE nm * 2 >= 32$extraPred"""
+    s"""WITH $LSH_CTES SELECT id1, id2 FROM m WHERE nm * 2 >= 32$extraPred"""
 
   val oracle: Map[String, String] = Map(
     "d_minhash" ->
@@ -276,6 +304,10 @@ object DedupQueries {
     // then the exact lane-match verification (est >= 0.5 as the integer
     // predicate 2*matches >= 32)
     "d_minhash_lsh" -> minhashLshReplaySql(""),
+    // truth = the d_ngram replay; pred = the LSH structural replay over
+    // the dumped signatures; counts and integer basis points from both
+    "d_lsh_quality" ->
+      s"""WITH $LSH_CTES, v AS (SELECT id1, id2 FROM m WHERE nm * 2 >= 32), sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh), tr AS (SELECT a.id AS id1, b.id AS id2 FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50), c AS (SELECT (SELECT count(*) FROM tr) AS n_truth, (SELECT count(*) FROM v) AS n_pred, (SELECT count(*) FROM v JOIN tr USING (id1, id2)) AS n_tp) SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_pred AS BIGINT) AS n_pred, CAST(n_tp AS BIGINT) AS n_tp, CAST(CASE WHEN n_pred = 0 THEN 0 ELSE (n_tp * 10000) // n_pred END AS BIGINT) AS precision_bp, CAST(CASE WHEN n_truth = 0 THEN 0 ELSE (n_tp * 10000) // n_truth END AS BIGINT) AS recall_bp FROM c""",
     // the incremental face replays the SAME pipeline and drops the
     // seen-seen (both-even) pairs — exactly what the delta-probing
     // candidate join never generates

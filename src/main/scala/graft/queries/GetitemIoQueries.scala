@@ -186,6 +186,58 @@ object GetitemIoQueries {
           round(sum(col("l_quantity")), 2).as("sum_qty"))
     },
 
+    // keyed parquet MERGE graded END TO END (graft.io.GraftIO
+    // .upsertParquet): a range-partitioned 8-file orders copy + manifest;
+    // 5% of orders get a price bump, plus a batch of brand-new keys —
+    // the manifest ranges route the rewrite to the files that can hold
+    // the updated keys (ModulesSpec pins untouched files survive
+    // byte-identical); the post-merge aggregate must equal the oracle's
+    // simulated merge over the raw table
+    "io_upsert" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_upsert").toString + "/ord"
+      val ord = Tables.orders(s, dir)
+      graft.io.GraftIO.toParquetWithMetadata(
+        ord.repartitionByRange(8, col("o_orderkey")), tmp)
+      val bumped = ord.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val fresh = ord.filter(col("o_orderkey") % 20 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      graft.io.GraftIO.upsertParquet(s, tmp,
+        bumped.unionByName(fresh), "o_orderkey")
+      s.read.parquet(tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          sum(col("o_orderkey")).as("sum_key"))
+    },
+
+    // incremental aggregate maintenance graded END TO END
+    // (graft.operators.IncrementalAgg): history's partial-aggregate
+    // state lands in parquet, the delta batch aggregates ALONE, and the
+    // merge of stored state + delta state must equal the full one-pass
+    // aggregate (the DuckDB oracle) — the materialized-view refresh
+    // path whose cost is |delta|, not |corpus|
+    "io_incragg" -> { (s, dir) =>
+      import graft.operators.IncrementalAgg
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_incragg").toString + "/state"
+      val li = Tables.lineitem(s, dir)
+      val groups = Seq("l_returnflag", "l_linestatus")
+      IncrementalAgg.buildState(li.filter(col("l_orderkey") % 10 =!= 0),
+        groups, Seq("l_quantity")).write.parquet(tmp)
+      val delta = IncrementalAgg.buildState(
+        li.filter(col("l_orderkey") % 10 === 0), groups, Seq("l_quantity"))
+      IncrementalAgg.mergeState(Seq(s.read.parquet(tmp), delta),
+          groups, Seq("l_quantity"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("_n").as("n"),
+          round(col("_sum_l_quantity"), 2).as("sum_qty"),
+          col("_min_l_quantity").as("min_qty"),
+          col("_max_l_quantity").as("max_qty"),
+          round(col("_sum_l_quantity") / col("_n"), 4).as("avg_qty"))
+    },
+
     // Bloom-sidecar point-equality skipping graded END TO END: a HASH-
     // distributed 8-file layout (every file's [min,max] spans the whole
     // suppkey domain — range skipping would prune NOTHING) + per-file
@@ -464,6 +516,12 @@ object GetitemIoQueries {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000 GROUP BY 1""",
     "io_bloomskip" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty FROM lineitem WHERE l_suppkey = 17 GROUP BY 1""",
+    // simulated merge: bumped rows replace their keys, fresh keys append
+    "io_upsert" ->
+      """WITH merged AS (SELECT o_orderkey, o_orderstatus, CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice FROM orders UNION ALL SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 20 = 1) SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price, CAST(sum(o_orderkey) AS BIGINT) AS sum_key FROM merged GROUP BY 1""",
+    // the merged state must equal the one-pass aggregate over everything
+    "io_incragg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, round(sum(l_quantity) / count(*), 4) AS avg_qty FROM lineitem GROUP BY 1, 2""",
     "io_profile" -> Seq(
         ("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
         ("source", "string"), ("n_chars", "bigint"))

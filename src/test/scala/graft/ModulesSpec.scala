@@ -659,6 +659,62 @@ class ModulesSpec extends SparkSuite {
     assert(pread.count() == 11L)
   }
 
+  test("upsertParquet: manifest routes the rewrite to affected files only") {
+    val d = java.nio.file.Files.createTempDirectory("graft_upsert_t")
+      .toString + "/t"
+    val df = (1 to 400).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .repartitionByRange(4, $"id")
+    graft.io.GraftIO.toParquetWithMetadata(df, d)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(s => s.getPath.getName -> s.getLen).toMap
+    val before = listFiles()
+    // one key update landing in ONE range file + one brand-new key
+    // beyond every file's max
+    val updates = Seq((10L, -1.0), (420L, -2.0)).toDF("id", "v")
+    val (aff, tot) = graft.io.GraftIO.upsertParquet(spark, d, updates, "id")
+    assert(tot == 4 && aff == 1, s"expected 1 of 4 files rewritten, got $aff/$tot")
+    val after = listFiles()
+    // the three unaffected files survive byte-identical (same name+len)
+    val untouched = before.filter { case (n, len) => after.get(n).contains(len) }
+    assert(untouched.size == 3, s"3 files must be untouched: $before -> $after")
+    // merge semantics: update replaced, new key appended, row count +1
+    val rt = spark.read.parquet(d)
+    assert(rt.count() == 401L)
+    assert(rt.filter($"id" === 10L).select($"v").as[Double].head() == -1.0)
+    assert(rt.filter($"id" === 420L).count() == 1L)
+    // sidecar was refreshed incrementally and reflects the merge
+    assert(graft.io.GraftIO.fromParquetManifest(spark, d)
+      .agg(sum($"n_rows")).as[Long].head() == 401L)
+  }
+
+  test("IncrementalAgg: merged batch states equal the one-pass aggregate") {
+    import graft.operators.IncrementalAgg
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val groups = Seq("l_returnflag")
+    val ms = Seq("l_quantity", "l_extendedprice")
+    // three batches in arbitrary order vs one pass over everything
+    val batches = Seq(0, 1, 2).map(r =>
+      IncrementalAgg.buildState(li.filter($"l_orderkey" % 3 === r), groups, ms))
+    val full = IncrementalAgg.buildState(li, groups, ms)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"l_returnflag", $"_n", round($"_sum_l_quantity", 4),
+        $"_min_l_quantity", $"_max_l_quantity",
+        round($"_sum_l_extendedprice", 2), $"_min_l_extendedprice",
+        $"_max_l_extendedprice")
+      .orderBy($"l_returnflag").collect().toSeq
+    assert(norm(IncrementalAgg.mergeState(batches, groups, ms)) == norm(full))
+    assert(norm(IncrementalAgg.mergeState(batches.reverse, groups, ms)) ==
+      norm(full), "merge must be order-independent")
+    // a state is itself mergeable state: re-merging a merged state with
+    // an empty-group-disjoint state keeps both groups intact
+    val merged = IncrementalAgg.mergeState(batches, groups, ms)
+    assert(IncrementalAgg.mergeState(Seq(merged), groups, ms).count() ==
+      full.count())
+  }
+
   test("writeManifestIncremental: delta scan equals a full rebuild") {
     val d = java.nio.file.Files.createTempDirectory("graft_incman").toString
     val df1 = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")

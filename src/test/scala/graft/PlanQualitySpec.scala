@@ -48,9 +48,12 @@ class PlanQualitySpec extends SparkSuite {
       // plan form, the t_bm25 shape)
       // (sim_rrf: the dense leg IS bruteForceTopK — the sim_topk tiny
       // broadcast-query-set cross)
+      // (d_lsh_quality / sim_recall: 1-ROW count aggregates cross-joined
+      // into the report row — scalar subqueries in plan form)
       val crossByDesign = Set("sim_ivf", "sim_kmeans", "sim_topk", "sim_pq",
         "d_semdedup", "t_bm25", "sim_mmr", "sim_sq8", "t_ppl", "t_tfidf",
-        "t_bigram", "t_nbayes", "q_pagerank", "sim_rrf")
+        "t_bigram", "t_nbayes", "q_pagerank", "sim_rrf", "sim_recall",
+        "d_lsh_quality")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
