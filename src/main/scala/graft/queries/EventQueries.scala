@@ -129,6 +129,18 @@ object EventQueries {
       graft.operators.Funnel.funnelReport(sess, "sid", "ts", "event_id",
         "event_type", Seq("view", "click", "purchase"))
     },
+    // experiment analysis (graft.operators.Experiment.abTestMetrics):
+    // three conversion metrics (any purchase / any click / any
+    // high-value event) z-tested across a deterministic user_id%2 arm
+    // split in ONE corpus scan — per-entity flags fold map-side, the
+    // arm rollup is 1 row, the unpivot emits one report row per metric
+    "ev_abtest" -> { (s, dir) =>
+      graft.operators.Experiment.abTestMetrics(Tables.events(s, dir),
+        "user_id", col("user_id"),
+        Seq("purchase" -> (col("event_type") === "purchase"),
+          "click" -> (col("event_type") === "click"),
+          "highval" -> (col("value") > 90)))
+    },
     // gap-based sessionization primitive (30-minute gap): the graded
     // output is session-level — per (user, session) event count and
     // whole-second duration — proving the per-event assignment exactly
@@ -445,6 +457,12 @@ object EventQueries {
     // chain as ev_funnel, keyed by the composite (uid, session) id
     "ev_funnel_sessions" ->
       """WITH e0 AS (SELECT user_id AS uid, ts, event_id AS tie, event_type AS t, epoch_us(ts) AS us FROM events WHERE user_id IS NOT NULL), f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0 END AS flag FROM e0 WINDOW w AS (PARTITION BY uid ORDER BY ts, tie)), e AS (SELECT uid * 1000000 + CAST(sum(flag) OVER (PARTITION BY uid ORDER BY ts, tie ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid, ts, tie, t FROM f), u AS (SELECT DISTINCT sid FROM e), s1 AS (SELECT sid, min({'ts': ts, 'tie': tie}) AS m FROM e WHERE t = 'view' GROUP BY sid), s2 AS (SELECT e.sid, min({'ts': e.ts, 'tie': e.tie}) AS m FROM e JOIN s1 ON e.sid = s1.sid AND {'ts': e.ts, 'tie': e.tie} > s1.m WHERE e.t = 'click' GROUP BY e.sid), s3 AS (SELECT e.sid, min({'ts': e.ts, 'tie': e.tie}) AS m FROM e JOIN s2 ON e.sid = s2.sid AND {'ts': e.ts, 'tie': e.tie} > s2.m WHERE e.t = 'purchase' GROUP BY e.sid), d AS (SELECT u.sid, CASE WHEN s3.sid IS NOT NULL THEN 3 WHEN s2.sid IS NOT NULL THEN 2 WHEN s1.sid IS NOT NULL THEN 1 ELSE 0 END AS depth FROM u LEFT JOIN s1 ON u.sid = s1.sid LEFT JOIN s2 ON u.sid = s2.sid LEFT JOIN s3 ON u.sid = s3.sid), g AS (SELECT depth, count(*) AS n FROM d GROUP BY depth), c AS (SELECT depth, n, CAST(sum(n) OVER (ORDER BY depth DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_reached, CAST(sum(n) OVER () AS BIGINT) AS total FROM g) SELECT depth, n, n_reached, CAST((n_reached * 1000000) // total AS DOUBLE) / 10000.0 AS pct_of_entered FROM c""",
+    // A/B replay: per-entity max-flag per metric, one-row arm rollup,
+    // UNION ALL unpivot, then the identical double-typed z pipeline
+    // (every literal cast to DOUBLE — DuckDB's 1.0 is DECIMAL and its
+    // decimal division would diverge from Spark's IEEE doubles)
+    "ev_abtest" ->
+      """WITH pe AS (SELECT user_id AS ent, user_id % 2 AS arm, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_purchase, max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click, max(coalesce(CAST(value > 90 AS INT), 0)) AS c_highval FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2), w AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, CAST(sum(CASE WHEN arm = 0 THEN c_purchase ELSE 0 END) AS BIGINT) AS ca_purchase, CAST(sum(CASE WHEN arm = 1 THEN c_purchase ELSE 0 END) AS BIGINT) AS cb_purchase, CAST(sum(CASE WHEN arm = 0 THEN c_click ELSE 0 END) AS BIGINT) AS ca_click, CAST(sum(CASE WHEN arm = 1 THEN c_click ELSE 0 END) AS BIGINT) AS cb_click, CAST(sum(CASE WHEN arm = 0 THEN c_highval ELSE 0 END) AS BIGINT) AS ca_highval, CAST(sum(CASE WHEN arm = 1 THEN c_highval ELSE 0 END) AS BIGINT) AS cb_highval FROM pe), s AS (SELECT 'purchase' AS metric, n_a, ca_purchase AS conv_a, n_b, cb_purchase AS conv_b FROM w UNION ALL SELECT 'click', n_a, ca_click, n_b, cb_click FROM w UNION ALL SELECT 'highval', n_a, ca_highval, n_b, cb_highval FROM w), z AS (SELECT *, CASE WHEN n_a = 0 THEN NULL ELSE CAST(conv_a AS DOUBLE) / n_a END AS pa, CASE WHEN n_b = 0 THEN NULL ELSE CAST(conv_b AS DOUBLE) / n_b END AS pb, CASE WHEN n_a + n_b = 0 THEN NULL ELSE CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) END AS pp FROM s), z2 AS (SELECT *, pp * (1 - pp) * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b) AS pv FROM z) SELECT metric, n_a, conv_a, n_b, conv_b, CASE WHEN n_a = 0 THEN NULL ELSE CAST((conv_a * 10000) // n_a AS BIGINT) END AS rate_a_bp, CASE WHEN n_b = 0 THEN NULL ELSE CAST((conv_b * 10000) // n_b AS BIGINT) END AS rate_b_bp, CASE WHEN pv IS NULL OR pv <= 0 THEN NULL ELSE CAST(floor((pa - pb) / sqrt(pv) * 1000000) AS BIGINT) END AS z_micro FROM z2""",
     // sessionize replay: lag-gap flag + running sum assigns the same
     // 1-based ids; epoch-micros integer division floors durations
     // identically

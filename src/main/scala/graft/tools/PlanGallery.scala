@@ -127,7 +127,22 @@ object PlanGallery {
     "d_containment" -> ("Asymmetric containment pairs: the d_ngram " +
       "inverted-index join produces UNORDERED pairs once; both " +
       "orientations and their per-direction thresholds derive from the " +
-      "tiny surviving pair frame — the corpus never pays twice."))
+      "tiny surviving pair frame — the corpus never pays twice."),
+    "q_pagerank" -> ("Six PageRank power iterations as ONE lazy plan: " +
+      "the dangling-free path references the previous rank frame once " +
+      "per round (linear lineage — the dangling-aware form doubles it " +
+      "per round), and the byte-identical edges join subtree is planned " +
+      "once with ReusedExchange serving rounds 2-6; integer fixed-point " +
+      "ranks make the result partitioning-independent."),
+    "sim_rrf" -> ("Hybrid retrieval fusion: the dense leg broadcast-" +
+      "crosses the 10-query set (bruteForceTopK's bounded-heap top-k), " +
+      "the lexical leg probes the corpus postings with broadcast query " +
+      "postings; fusion unions two #queries x k frames and aggregates — " +
+      "the heavy work never leaves the legs."),
+    "io_incragg" -> ("Materialized-view refresh: history state comes " +
+      "from a parquet scan of stored partial aggregates, only the " +
+      "delta batch is re-aggregated, and the merge shuffles state rows " +
+      "(group-cardinality), not the corpus."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -699,6 +699,42 @@ class OperatorsSpec extends SparkSuite {
       ("c > a > b", 1L)))
   }
 
+  test("abTest: exact counts, basis-point rates, hand-computed z") {
+    // users 1..6: arm = id % 2; odd users (1,3,5) -> arm 1, even -> arm 0.
+    // conversions (any 'buy' event): user 2 and 4 (arm 0), user 1 (arm 1)
+    val df = funnelFixture(Seq(
+      (1L, 10L, 1L, "buy"), (1L, 20L, 2L, "view"),
+      (2L, 10L, 3L, "buy"), (3L, 10L, 4L, "view"),
+      (4L, 10L, 5L, "buy"), (4L, 20L, 6L, "buy"), // double event, one entity
+      (5L, 10L, 7L, "view"), (6L, 10L, 8L, "view")))
+    val r = graft.operators.Experiment
+      .abTest(df, "user_id", $"user_id", $"event_type" === "buy")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val (na, ca, nb, cb) = (3L, 2L, 3L, 1L)
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pp = (ca + cb).toDouble / (na + nb)
+    val pv = pp * (1 - pp) * (1.0 / na + 1.0 / nb)
+    val z = math.floor((pa - pb) / math.sqrt(pv) * 1000000).toLong
+    assert(r == Seq((na, ca, nb, cb, 6666L, 3333L, z)))
+  }
+
+  test("abTestMetrics: one row per metric, null conversions count as 0") {
+    val df = funnelFixture(Seq(
+      (1L, 10L, 1L, "buy"), (2L, 10L, 2L, "view"),
+      (3L, 10L, 3L, "buy"), (4L, 10L, 4L, "view")))
+      .withColumn("value",
+        when($"user_id" === 1L, lit(null).cast("double")).otherwise(lit(95.0)))
+    val r = graft.operators.Experiment
+      .abTestMetrics(df, "user_id", $"user_id", Seq(
+        "buy" -> ($"event_type" === "buy"),
+        "hv" -> ($"value" > 90)))
+      .orderBy($"metric")
+      .select($"metric", $"n_a", $"conv_a", $"n_b", $"conv_b")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // user 1 (arm 1) has a null value -> hv flag coalesces to 0
+    assert(r == Seq(("buy", 2L, 0L, 2L, 2L), ("hv", 2L, 2L, 2L, 1L)))
+  }
+
   test("funnelReport: per-depth rollup with cumulative reached counts") {
     val df = funnelFixture(Seq(
       (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
