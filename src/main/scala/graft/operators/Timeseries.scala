@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-entity time-series analytics over an event stream: robust anomaly
+  * detection (median/MAD z-score on daily activity) and exponentially
+  * weighted moving averages. The reference has no time-series surface;
+  * this is the Spark-native superset companion to [[Funnel]]/
+  * [[Retention]]/[[Experiment]] — the ops a training-data or product
+  * pipeline runs to spot scraper bursts, dead sensors, and drifting
+  * engagement before the data poisons downstream aggregates.
+  *
+  * Scale shape (both ops): ONE corpus scan, one shuffle keyed by entity;
+  * everything after the per-entity fold is entity- or entity×day-sized.
+  * No driver collects, no corpus-sized broadcasts.
+  *
+  * Determinism: daily counts are exact integers; the median/MAD pipeline
+  * uses exact `percentile` (midpoint interpolation of two integers is an
+  * IEEE-exact half), and the anomaly test multiplies through by the MAD
+  * consistency constant as integers (|cnt-med|*10000 > z*14826*mad) so no
+  * engine-specific division is compared. EWMA decay powers replay
+  * bit-exact cross-engine (Java's `Math.pow` and DuckDB's libm `pow`
+  * agree on these bases — pinned in TimeseriesSpec) and the weighted
+  * terms fold in a SINGLE ordered running-sum window frame, so the
+  * floating-point addition sequence is identical in any engine that
+  * accumulates frame-ordered. Outputs quantize to micro units.
+  */
+object Timeseries {
+
+  /** Robust per-entity anomaly detection on daily event counts — the
+    * median/MAD z-score (Iglewicz–Hoaglin): a day is anomalous when
+    * |cnt - median| > z * 1.4826 * MAD. Unlike mean/stddev, one burst day
+    * cannot inflate its own yardstick (the median absorbs it), which is
+    * the whole point on scraper/bot data.
+    *
+    * Returns only the flagged rows: (idCol, day, cnt, med_x2, mad_x4,
+    * dev_sign): the median of an integer multiset is a multiple of 1/2
+    * (midpoint interpolation), the MAD — a median over those half-integer
+    * deviations — a multiple of 1/4, so ×2/×4 scale both into EXACT
+    * integers. dev_sign is +1/-1 for burst/dropout days. Entities with
+    * MAD = 0 (perfectly regular activity) flag any deviating day — the
+    * strictest reading, documented rather than NULL-ed.
+    *
+    * Plan: one corpus scan → groupBy(entity, day) count (map-side
+    * combined — events collapse to entity×day rows BEFORE the wire) →
+    * median and MAD as two whole-partition WINDOW aggregates over the
+    * entity key (one extra Exchange, shared by both Window nodes) →
+    * filter. Exactly two shuffles, no self-joins — a join-based
+    * median/MAD would re-aggregate the corpus once per consumer (the
+    * divergent-subtree trap ev_seqsim fell into in r7; pinned ≤2
+    * exchanges + 1 scan in TimeseriesSpec). */
+  def dailyAnomalies(df: DataFrame, idCol: String, tsCol: String,
+      z: Double = 3.5): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val byEnt = org.apache.spark.sql.expressions.Window.partitionBy("ent")
+    // integer-side test: |cnt-med|*4 and mad*4 are exact integers, so
+    // the threshold compare |cnt-med| > z·1.4826·mad becomes
+    // adev4·10^8 > mad4·14826·(z·10^4) — integer×integer on both sides,
+    // no division, no rounding, engine-exact.
+    val zq = math.round(z * 10000).toInt
+    df.filter(col(idCol).isNotNull)
+      .groupBy(col(idCol).as("ent"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("med", percentile(col("cnt"), lit(0.5)).over(byEnt))
+      .withColumn("adev", abs(col("cnt") - col("med")))
+      .withColumn("mad4",
+        (percentile(col("adev"), lit(0.5)).over(byEnt) * 4).cast("long"))
+      .filter((col("adev") * 4).cast("long") * 10000L * 10000L >
+        col("mad4") * 14826L * zq)
+      .select(col("ent").as(idCol), col("day"), col("cnt"),
+        (col("med") * 2).cast("long").as("med_x2"), col("mad4").as("mad_x4"),
+        when(col("cnt") > col("med"), 1).otherwise(-1).as("dev_sign"))
+  }
+
+  /** Per-entity exponentially weighted moving average of `valCol` over
+    * event order (tsCol, tieCol): e_1 = v_1, e_i = α·v_i + (1-α)·e_{i-1}.
+    * Computed in closed form as an ORDERED running sum of
+    * w_i·v_i (w_1 = (1-α)^(k-1), w_i = α·(1-α)^(k-i)) taken at the last
+    * row — one window pass, no recursion, no per-row UDF.
+    *
+    * Returns one row per entity: (idCol, n_events, last_val, ewma_micro)
+    * with the EWMA floored to micro units.
+    *
+    * Plan: one scan, ONE Exchange on the entity key; the ordered
+    * row_number/running-sum and the unordered per-entity count share the
+    * same partitioning so Catalyst plans a single shuffle. The frame is
+    * ROWS UNBOUNDED PRECEDING — sequential in-order accumulation, which
+    * is what makes the double sum deterministic and replayable. Decay
+    * powers stay exact-representable territory: (1-α)^400 ≈ 1e-24 is a
+    * normal double, and pow agrees bit-for-bit cross-engine (pinned). */
+  def ewma(df: DataFrame, idCol: String, tsCol: String, tieCol: String,
+      valCol: String, alpha: Double = 0.125): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val ord = Window.partitionBy("ent").orderBy(col("ts"), col("tie"))
+    val all = Window.partitionBy("ent")
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("ent"), col(tsCol).as("ts"),
+        col(tieCol).as("tie"), col(valCol).cast("double").as("v"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("term", col("v") *
+        when(col("rn") === 1, pow(lit(1 - alpha), col("k") - 1))
+          .otherwise(lit(alpha) * pow(lit(1 - alpha), col("k") - col("rn"))))
+      .withColumn("acc", sum(col("term")).over(run))
+      .filter(col("rn") === col("k"))
+      .select(col("ent").as(idCol), col("k").as("n_events"),
+        col("v").as("last_val"),
+        floor(col("acc") * 1000000).cast("long").as("ewma_micro"))
+  }
+}

@@ -141,6 +141,29 @@ object EventQueries {
           "click" -> (col("event_type") === "click"),
           "highval" -> (col("value") > 90)))
     },
+    // robust per-user daily anomaly detection (Timeseries.dailyAnomalies):
+    // median/MAD z-score over daily event counts — flags burst/dropout
+    // days without letting the burst inflate its own yardstick. z=1.2
+    // because the synthetic corpus is near-uniform (MAD ~0.5 day-to-day);
+    // a real corpus runs the conventional 3.5. The threshold test is
+    // integer×integer (medians of integer counts are exact halves/
+    // quarters, scaled ×2/×4) — no double division anywhere.
+    "ev_anomaly" -> { (s, dir) =>
+      graft.operators.Timeseries.dailyAnomalies(
+          Tables.events(s, dir), "user_id", "ts", z = 1.2)
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd")
+          .as("day"), col("cnt"), col("med_x2"), col("mad_x4"),
+          col("dev_sign"))
+    },
+    // per-user EWMA of event value over event order (Timeseries.ewma,
+    // α=1/8): the closed-form weighted sum folded in ONE ordered running-
+    // sum frame — the addition sequence is identical cross-engine, and
+    // pow(0.875, n) is bit-exact Java-vs-libm (pinned in TimeseriesSpec),
+    // so the double EWMA replays hash-exact even before the micro floor
+    "ev_ewma" -> { (s, dir) =>
+      graft.operators.Timeseries.ewma(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "value", alpha = 0.125)
+    },
     // gap-based sessionization primitive (30-minute gap): the graded
     // output is session-level — per (user, session) event count and
     // whole-second duration — proving the per-event assignment exactly
@@ -463,6 +486,18 @@ object EventQueries {
     // decimal division would diverge from Spark's IEEE doubles)
     "ev_abtest" ->
       """WITH pe AS (SELECT user_id AS ent, user_id % 2 AS arm, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_purchase, max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click, max(coalesce(CAST(value > 90 AS INT), 0)) AS c_highval FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2), w AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, CAST(sum(CASE WHEN arm = 0 THEN c_purchase ELSE 0 END) AS BIGINT) AS ca_purchase, CAST(sum(CASE WHEN arm = 1 THEN c_purchase ELSE 0 END) AS BIGINT) AS cb_purchase, CAST(sum(CASE WHEN arm = 0 THEN c_click ELSE 0 END) AS BIGINT) AS ca_click, CAST(sum(CASE WHEN arm = 1 THEN c_click ELSE 0 END) AS BIGINT) AS cb_click, CAST(sum(CASE WHEN arm = 0 THEN c_highval ELSE 0 END) AS BIGINT) AS ca_highval, CAST(sum(CASE WHEN arm = 1 THEN c_highval ELSE 0 END) AS BIGINT) AS cb_highval FROM pe), s AS (SELECT 'purchase' AS metric, n_a, ca_purchase AS conv_a, n_b, cb_purchase AS conv_b FROM w UNION ALL SELECT 'click', n_a, ca_click, n_b, cb_click FROM w UNION ALL SELECT 'highval', n_a, ca_highval, n_b, cb_highval FROM w), z AS (SELECT *, CASE WHEN n_a = 0 THEN NULL ELSE CAST(conv_a AS DOUBLE) / n_a END AS pa, CASE WHEN n_b = 0 THEN NULL ELSE CAST(conv_b AS DOUBLE) / n_b END AS pb, CASE WHEN n_a + n_b = 0 THEN NULL ELSE CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) END AS pp FROM s), z2 AS (SELECT *, pp * (1 - pp) * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b) AS pv FROM z) SELECT metric, n_a, conv_a, n_b, conv_b, CASE WHEN n_a = 0 THEN NULL ELSE CAST((conv_a * 10000) // n_a AS BIGINT) END AS rate_a_bp, CASE WHEN n_b = 0 THEN NULL ELSE CAST((conv_b * 10000) // n_b AS BIGINT) END AS rate_b_bp, CASE WHEN pv IS NULL OR pv <= 0 THEN NULL ELSE CAST(floor((pa - pb) / sqrt(pv) * 1000000) AS BIGINT) END AS z_micro FROM z2""",
+    // robust-anomaly replay: DuckDB's median is quantile_cont(0.5) —
+    // the same midpoint interpolation as Spark's exact percentile, so
+    // med/MAD are identical exact multiples of 1/2 and 1/4; the flag
+    // test is the identical integer×integer compare (z=1.2 -> 12000)
+    "ev_anomaly" ->
+      """WITH d AS (SELECT user_id AS ent, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2), m AS (SELECT ent, median(cnt) AS med FROM d GROUP BY ent), dv AS (SELECT d.ent, d.day, d.cnt, m.med, abs(d.cnt - m.med) AS adev FROM d JOIN m USING (ent)), md AS (SELECT ent, median(adev) AS mad FROM dv GROUP BY ent) SELECT dv.ent AS user_id, strftime(dv.day, '%Y-%m-%d') AS day, dv.cnt, CAST(dv.med * 2 AS BIGINT) AS med_x2, CAST(md.mad * 4 AS BIGINT) AS mad_x4, CASE WHEN dv.cnt > dv.med THEN 1 ELSE -1 END AS dev_sign FROM dv JOIN md USING (ent) WHERE CAST(dv.adev * 4 AS BIGINT) * 10000 * 10000 > CAST(md.mad * 4 AS BIGINT) * 14826 * 12000""",
+    // EWMA replay: the same closed-form terms (pow agrees bit-for-bit
+    // between Java and DuckDB's libm on base 0.875) folded by the same
+    // ordered ROWS-UNBOUNDED-PRECEDING frame — identical addition
+    // sequence, so the raw double matches even before the micro floor
+    "ev_ewma" ->
+      """WITH e AS (SELECT user_id AS ent, ts, event_id AS tie, CAST(value AS DOUBLE) AS v FROM events WHERE user_id IS NOT NULL), w AS (SELECT ent, v, row_number() OVER (PARTITION BY ent ORDER BY ts, tie) AS rn, count(*) OVER (PARTITION BY ent) AS k FROM e), t AS (SELECT ent, v, rn, k, v * (CASE WHEN rn = 1 THEN pow(0.875, k - 1) ELSE 0.125 * pow(0.875, k - rn) END) AS term FROM w), a AS (SELECT ent, v, rn, k, sum(term) OVER (PARTITION BY ent ORDER BY rn ROWS UNBOUNDED PRECEDING) AS acc FROM t) SELECT ent AS user_id, k AS n_events, v AS last_val, CAST(floor(acc * 1000000) AS BIGINT) AS ewma_micro FROM a WHERE rn = k""",
     // sessionize replay: lag-gap flag + running sum assigns the same
     // 1-based ids; epoch-micros integer division floors durations
     // identically
