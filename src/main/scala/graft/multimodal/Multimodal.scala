@@ -258,6 +258,33 @@ object Multimodal {
         s"no ImageIO writer for $fmt")
       bos.toByteArray
     }
+
+    /** JDK-encoded textured gray image for the perceptual-hash fixtures:
+      * luma(x, y) = (ax·x² + by·y² + x·y + seed) mod 251 — non-monotonic
+      * in both axes (a pure linear gradient would make every dHash bit 0),
+      * and an integer closed form the mm_phash oracle recomputes
+      * pixel-for-pixel. Lossless formats only (png/bmp) so the decode
+      * returns the exact encoded values. */
+    def encodeTexturedImage(w: Int, h: Int, ax: Int, by: Int, seed: Int,
+        fmt: String): Array[Byte] = {
+      require(fmt == "png" || fmt == "bmp", s"lossless formats only: $fmt")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (ax * x * x + by * y * y + x * y + seed) % 251
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, bos),
+        s"no ImageIO writer for $fmt")
+      bos.toByteArray
+    }
   }
 
   /** The decode stage: one pass per partition, explicit Encoder. */
@@ -367,6 +394,114 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Perceptual difference-hash output: the 64-bit dHash carried as four
+    * 16-bit bands (b0..b3 — already the LSH keys the near-dup join
+    * buckets on, and kept scalar so every harness can sort/hash it). */
+  case class DHash(id: Long, width: Int, height: Int, isReal: Boolean,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Perceptual image hash (dHash): decode REAL pixels, area-average the
+    * Rec.601 integer luma onto a 9×8 grid, emit one bit per horizontally
+    * adjacent cell pair (left strictly brighter than right) — 64 bits
+    * robust to resizing and uniform brightness shifts, the standard
+    * first-pass signature for image near-dedup at corpus scale.
+    *
+    * Exactness: cell averages are compared as EXACT cross-multiplied
+    * integer sums (sumL·nR > sumR·nL — no double division), and the grid
+    * boundaries are floor(j·w/9)/floor(i·h/8), so the whole hash replays
+    * closed-form in SQL from the pixel function (the mm_phash oracle
+    * does; only a correct pixel decode + downsample matches it).
+    *
+    * Images narrower than the grid (w<9 or h<8) and non-image payloads
+    * fall back to polyHash-derived bands with `isReal = false` — same
+    * fallback contract as [[imageFeatures]].
+    *
+    * Scale: map-only, zero shuffles; O(pixels) per row. */
+  def imageDHash(ds: Dataset[MediaRow])(implicit s: SparkSession): Dataset[DHash] = {
+    import s.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        Codecs.decodePixels(r.payload) match {
+          case Some(img) if img.getWidth >= 9 && img.getHeight >= 8 =>
+            val w = img.getWidth; val h = img.getHeight
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            val xb = Array.tabulate(10)(j => j * w / 9)
+            val yb = Array.tabulate(9)(i => i * h / 8)
+            val sums = Array.ofDim[Long](8, 9)
+            val cnts = Array.ofDim[Long](8, 9)
+            var i = 0
+            while (i < 8) {
+              var j = 0
+              while (j < 9) {
+                var ss = 0L
+                var y = yb(i)
+                while (y < yb(i + 1)) {
+                  var x = xb(j)
+                  while (x < xb(j + 1)) {
+                    val p = px(y * w + x)
+                    ss += (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+                      (p & 0xff) * 114) / 1000
+                    x += 1
+                  }
+                  y += 1
+                }
+                sums(i)(j) = ss
+                cnts(i)(j) = (xb(j + 1) - xb(j)).toLong * (yb(i + 1) - yb(i))
+                j += 1
+              }
+              i += 1
+            }
+            val bands = new Array[Int](4)
+            i = 0
+            while (i < 8) {
+              var j = 0
+              while (j < 8) {
+                val bit =
+                  if (sums(i)(j) * cnts(i)(j + 1) > sums(i)(j + 1) * cnts(i)(j)) 1
+                  else 0
+                bands(i / 2) = (bands(i / 2) << 1) | bit
+                j += 1
+              }
+              i += 1
+            }
+            DHash(r.id, w, h, isReal = true,
+              bands(0), bands(1), bands(2), bands(3))
+          case _ =>
+            val hh = graft.functions.HashExprs.polyHash(
+              new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+            DHash(r.id, -1, -1, isReal = false,
+              (hh & 0xffff).toInt, ((hh >> 16) & 0xffff).toInt,
+              ((hh >> 32) & 0xffff).toInt, ((hh >> 48) & 0xffff).toInt)
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs from [[imageDHash]] output: candidates
+    * come from FOUR 16-bit-band equi-joins (the Hamming pigeonhole — a
+    * pair within distance 3 must agree on at least one band, so ≤3 is
+    * exact recall; above it the band bucket is the standard approximate
+    * LSH trade), verified by the exact Hamming distance over the four
+    * band XORs. Returns oriented (id1 < id2) pairs with `dist`.
+    *
+    * Scale: band-keyed equi-joins — never all-pairs; the same candidate
+    * discipline as simhashBandPairs. Real corpora salt a hot bucket
+    * (all-black thumbnails) by prefixing the band key with a width
+    * bucket; not needed here and not done. */
+  def dhashNearDup(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val cols = Seq("id", "b0", "b1", "b2", "b3")
+    val base = hashes.select(cols.map(col): _*)
+    val cands = (0 until 4).map { b =>
+      base.as("x").join(base.as("y"),
+          col(s"x.b$b") === col(s"y.b$b") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id1"), col("y.id").as("id2"),
+          expr("bit_count(x.b0 ^ y.b0) + bit_count(x.b1 ^ y.b1) + " +
+            "bit_count(x.b2 ^ y.b2) + bit_count(x.b3 ^ y.b3)").as("dist"))
+    }.reduce(_ unionByName _)
+    cands.filter(col("dist") <= maxDist).distinct()
   }
 
   /** STUB feature extraction: a deterministic fake embedding over the

@@ -449,6 +449,56 @@ object GetitemIoQueries {
           round(aggregate(col("features"), lit(0.0), _ + _), 4).as("f_mass"))
     },
 
+    // perceptual image hash end-to-end: executors encode doc_id-derived
+    // TEXTURED png/bmp (a quadratic luma field — a linear gradient would
+    // hash to all-zero bits), Multimodal.imageDHash decodes the REAL
+    // pixels back and area-averages them onto the 9x8 dHash grid with
+    // exact cross-multiplied integer compares. The oracle recomputes the
+    // pixel field closed-form and replays the grid/bit/band arithmetic —
+    // only a correct decode + downsample matches all 64 bits.
+    "mm_phash" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          Multimodal.MediaRow(id, Multimodal.Codecs.encodeTexturedImage(
+            w = (9 + (id % 7) * 5).toInt, h = (8 + ((id * 3) % 5) * 8).toInt,
+            ax = (1 + id % 2).toInt, by = (1 + (id / 2) % 2).toInt,
+            seed = ((id % 8) * 29).toInt, fmt), s"image/$fmt")
+        })
+      Multimodal.imageDHash(media)
+        .toDF("doc_id", "width", "height", "is_real", "b0", "b1", "b2", "b3")
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+    },
+
+    // perceptual near-dup pairs over the same textured corpus
+    // (Multimodal.dhashNearDup): candidates from four 16-bit-band
+    // equi-joins, exact Hamming verify. maxDist=3 is within the
+    // pigeonhole guarantee (4 bands, 3 flips -> one band untouched), so
+    // the oracle can be the PLAIN all-pairs Hamming filter — a banded
+    // candidate miss would show up as a missing row.
+    "mm_neardup" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          Multimodal.MediaRow(id, Multimodal.Codecs.encodeTexturedImage(
+            w = (9 + (id % 7) * 5).toInt, h = (8 + ((id * 3) % 5) * 8).toInt,
+            ax = (1 + id % 2).toInt, by = (1 + (id / 2) % 2).toInt,
+            seed = ((id % 8) * 29).toInt, fmt), s"image/$fmt")
+        })
+      val hashes = Multimodal.imageDHash(media)
+        .toDF("id", "width", "height", "is_real", "b0", "b1", "b2", "b3")
+      Multimodal.dhashNearDup(hashes, maxDist = 3)
+        .select(col("id1"), col("id2"), col("dist"))
+    },
+
     // REAL audio decode end-to-end: executors synthesize a doc_id-derived
     // square wave, the JDK's javax.sound wraps it in a genuine RIFF/WAVE
     // container, and audioFeatures walks the RIFF chunks + decodes the
@@ -546,6 +596,10 @@ object GetitemIoQueries {
       """SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS width, CAST(1 + (doc_id * 7) % 48 AS BIGINT) AS height, CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format FROM documents""",
     "mm_pixels" ->
       """WITH c AS (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + (doc_id * 7) % 48 AS h FROM documents), rgb AS (SELECT doc_id, w, h, (w * 37) % 255 AS r, (h * 53) % 255 AS g, 128 AS b FROM c) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, TRUE AS is_real, round(CAST(r AS DOUBLE), 4) AS mean_r, round(CAST(g AS DOUBLE), 4) AS mean_g, round(CAST(b AS DOUBLE), 4) AS mean_b, CAST(((r * 299 + g * 587 + b * 114) // 1000) * 8 // 256 AS BIGINT) AS luma_bin, CAST(1.0 AS DOUBLE) AS f_mass FROM rgb""",
+    "mm_phash" ->
+      s"""WITH p AS (SELECT doc_id, 9 + (doc_id % 7) * 5 AS w, 8 + ((doc_id * 3) % 5) * 8 AS h, 1 + doc_id % 2 AS ax, 1 + (doc_id // 2) % 2 AS by, (doc_id % 8) * 29 AS seed FROM documents), px AS (SELECT doc_id, x, y, (ax * x * x + by * y * y + x * y + seed) % 251 AS v FROM p, range(0, 39) rx(x), range(0, 40) ry(y) WHERE x < w AND y < h), cell AS (SELECT doc_id, w, h, i, j, (j * w) // 9 AS x0, ((j + 1) * w) // 9 AS x1, (i * h) // 8 AS y0, ((i + 1) * h) // 8 AS y1 FROM p, range(0, 8) ri(i), range(0, 9) rj(j)), cs AS (SELECT c.doc_id, c.w, c.h, c.i, c.j, sum(px.v) AS s, count(*) AS n FROM cell c JOIN px ON px.doc_id = c.doc_id AND px.x >= c.x0 AND px.x < c.x1 AND px.y >= c.y0 AND px.y < c.y1 GROUP BY 1, 2, 3, 4, 5), b AS (SELECT a.doc_id, a.w, a.h, a.i, a.j, CASE WHEN a.s * r.n > r.s * a.n THEN 1 ELSE 0 END AS bit FROM cs a JOIN cs r ON a.doc_id = r.doc_id AND a.i = r.i AND r.j = a.j + 1 WHERE a.j < 8), band AS (SELECT doc_id, w, h, i // 2 AS bi, sum(bit * (1 << (15 - (i % 2) * 8 - j))) AS v FROM b GROUP BY 1, 2, 3, 4) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, CAST(max(CASE WHEN bi = 0 THEN v END) AS INT) AS b0, CAST(max(CASE WHEN bi = 1 THEN v END) AS INT) AS b1, CAST(max(CASE WHEN bi = 2 THEN v END) AS INT) AS b2, CAST(max(CASE WHEN bi = 3 THEN v END) AS INT) AS b3 FROM band GROUP BY 1, 2, 3""",
+    "mm_neardup" ->
+      s"""WITH p AS (SELECT doc_id, 9 + (doc_id % 7) * 5 AS w, 8 + ((doc_id * 3) % 5) * 8 AS h, 1 + doc_id % 2 AS ax, 1 + (doc_id // 2) % 2 AS by, (doc_id % 8) * 29 AS seed FROM documents), px AS (SELECT doc_id, x, y, (ax * x * x + by * y * y + x * y + seed) % 251 AS v FROM p, range(0, 39) rx(x), range(0, 40) ry(y) WHERE x < w AND y < h), cell AS (SELECT doc_id, w, h, i, j, (j * w) // 9 AS x0, ((j + 1) * w) // 9 AS x1, (i * h) // 8 AS y0, ((i + 1) * h) // 8 AS y1 FROM p, range(0, 8) ri(i), range(0, 9) rj(j)), cs AS (SELECT c.doc_id, c.i, c.j, sum(px.v) AS s, count(*) AS n FROM cell c JOIN px ON px.doc_id = c.doc_id AND px.x >= c.x0 AND px.x < c.x1 AND px.y >= c.y0 AND px.y < c.y1 GROUP BY 1, 2, 3), b AS (SELECT a.doc_id, a.i, a.j, CASE WHEN a.s * r.n > r.s * a.n THEN 1 ELSE 0 END AS bit FROM cs a JOIN cs r ON a.doc_id = r.doc_id AND a.i = r.i AND r.j = a.j + 1 WHERE a.j < 8), band AS (SELECT doc_id, i // 2 AS bi, sum(bit * (1 << (15 - (i % 2) * 8 - j))) AS v FROM b GROUP BY 1, 2), hh AS (SELECT doc_id, max(CASE WHEN bi = 0 THEN v END) AS b0, max(CASE WHEN bi = 1 THEN v END) AS b1, max(CASE WHEN bi = 2 THEN v END) AS b2, max(CASE WHEN bi = 3 THEN v END) AS b3 FROM band GROUP BY 1) SELECT a.doc_id AS id1, c.doc_id AS id2, CAST(bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS INT) AS dist FROM hh a JOIN hh c ON a.doc_id < c.doc_id WHERE bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) <= 3""",
     "mm_audio" ->
       """WITH t AS (SELECT doc_id, 1000 + doc_id % 20000 AS amp, 4 + doc_id % 8 AS half, 800 + doc_id % 100 AS n, 8000 + (doc_id % 4) * 4000 AS rate FROM documents) SELECT doc_id, CAST(1 AS BIGINT) AS channels, CAST(rate AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_frames, TRUE AS is_real, round(CAST(amp AS DOUBLE), 4) AS rms, round(CAST(amp AS DOUBLE), 4) AS mean_abs, CAST(amp AS BIGINT) AS peak, CAST((n - 1) // half AS BIGINT) AS zero_crossings FROM t""")
 }

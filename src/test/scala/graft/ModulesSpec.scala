@@ -2031,6 +2031,53 @@ class ModulesSpec extends SparkSuite {
       dec.meanG == (3 * 53 % 255).toDouble && dec.meanB == 128.0)
   }
 
+  test("multimodal: dHash — brightness-invariant, resize-robust, banded pairs complete") {
+    implicit val s: SparkSession = spark
+    import graft.multimodal.Multimodal._
+    def gray(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val pat = (x: Int, y: Int) => (x * x + 3 * y * y + x * y) % 200
+    val media = Seq(
+      MediaRow(1L, gray(36, 24, pat), "image/png"),
+      // +55 luma everywhere: every left-vs-right compare unchanged
+      MediaRow(2L, gray(36, 24, (x, y) => pat(x, y) + 55), "image/png"),
+      // 2x pixel-doubled: same picture at another size — dHash is
+      // resize-ROBUST (grid boundaries shift by rounding), not exact
+      MediaRow(3L, gray(72, 48, (x, y) => pat(x / 2, y / 2)), "image/png"),
+      MediaRow(4L, "definitely not pixels".getBytes("UTF-8"), "text/plain"),
+      MediaRow(5L, gray(8, 4, pat), "image/png")) // below the 9x8 grid
+      .toDS()
+    val out = imageDHash(media).collect().map(d => d.id -> d).toMap
+    def bits(d: DHash): Long =
+      (d.b0.toLong << 48) | (d.b1.toLong << 32) | (d.b2.toLong << 16) | d.b3
+    assert(out(1L).isReal && out(1L).width == 36)
+    assert(bits(out(1L)) != 0L && bits(out(1L)) != 0xffffffffffffffffL,
+      "degenerate hash — test pattern has no structure")
+    assert(bits(out(1L)) == bits(out(2L)), "brightness shift changed the dHash")
+    val resizeDist = java.lang.Long.bitCount(bits(out(1L)) ^ bits(out(3L)))
+    assert(resizeDist <= 8, s"2x resize moved $resizeDist of 64 bits")
+    assert(!out(4L).isReal && !out(5L).isReal, "fallbacks must be flagged")
+    // near-dup join: the pigeonhole makes <=3 exact; dist-4 pair excluded
+    val hs = Seq(
+      (10L, 0x1111, 0x2222, 0x3333, 0x4444),
+      (11L, 0x1111, 0x2222, 0x3333, 0x4444),  // dist 0
+      (12L, 0x1111, 0x2222, 0x3333, 0x4447),  // dist 2 from 10/11
+      (13L, 0x1110, 0x2223, 0x3332, 0x4445)   // dist 4 from 10
+    ).toDF("id", "b0", "b1", "b2", "b3")
+    val pairs = dhashNearDup(hs, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((10L, 11L, 0), (10L, 12L, 2), (11L, 12L, 2)),
+      s"banded pairs wrong: $pairs")
+  }
+
   test("multimodal: real WAV decode — RIFF walk, exact sample roundtrip") {
     implicit val s: SparkSession = spark
     import graft.multimodal.Multimodal._
