@@ -86,6 +86,18 @@ object TextQueries {
           sum(col("doc_id")).cast("bigint").as("sum_id"))
     },
 
+    // weighted k-sample without replacement (graft.text.weightedSampleK —
+    // sequential Poisson sampling): priority u/n_chars, u from the text
+    // hash — longer docs proportionally likelier. Division (not pow)
+    // keeps the priorities bit-identical cross-engine, so the selected
+    // SET grades exactly; prio_atto pins the priorities themselves
+    "t_wsample" -> { (s, dir) =>
+      weightedSampleK(Tables.documents(s, dir), col("text"), "doc_id",
+          col("n_chars"), k = 100)
+        .select(col("doc_id"), col("n_chars"),
+          floor(col("_prio") * 1e18).cast("long").as("prio_atto"))
+    },
+
     // deterministic weighted mixture sampling (graft.text.mixtureKeep):
     // down-weight 'en' to 0.5 and 'es' to 0.25, keep the rest — the
     // data-mixing filter, map-side and reproducible
@@ -463,6 +475,11 @@ ${(1 to 12).map(bpeRoundSql).mkString(",\n")}"""
     // same rolling hash, ranked per stratum; quota = (n*10) // 100 exact
     "t_strat" ->
       """WITH h AS (SELECT lang, doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS hv FROM documents), sz AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), r AS (SELECT h.lang, doc_id, row_number() OVER (PARTITION BY h.lang ORDER BY hv, doc_id) AS rn, sz.n FROM h JOIN sz ON sz.lang = h.lang) SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM r WHERE rn <= (n * 10) // 100 GROUP BY 1""",
+    // sequential-Poisson replay: same hash-uniform, same IEEE division
+    // (every operand cast to DOUBLE so DuckDB can't fall into decimal),
+    // same (priority, id) order and k cut
+    "t_wsample" ->
+      """WITH h AS (SELECT doc_id, n_chars, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS hv FROM documents), p AS (SELECT doc_id, n_chars, (CAST(hv + 1 AS DOUBLE) / CAST(1000000007 AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS prio FROM h) SELECT doc_id, n_chars, CAST(floor(prio * 1e18) AS BIGINT) AS prio_atto FROM p ORDER BY prio, doc_id LIMIT 100""",
     "t_winnow" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok FROM documents), h AS (SELECT doc_id, list_transform(range(1, len(tok)), i -> list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)], ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)) AS hs FROM t), f AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE list_distinct(list_transform(range(1, greatest(1, len(hs) - 3) + 1), i -> list_min(hs[CAST(i AS INT):CAST(least(i + 3, len(hs)) AS INT)]))) END AS fps FROM h) SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum FROM f""",
     "t_tfidf" ->

@@ -240,6 +240,33 @@ package object text {
       .drop("_strat_rn", "_strat_n")
   }
 
+  /** Weighted sample of k rows without replacement — sequential Poisson
+    * sampling (Ohlsson 1998): each row draws a deterministic
+    * pseudo-uniform u from its content hash and wins a slot when its
+    * priority u/weight ranks among the k smallest, giving
+    * inclusion probability ≈ proportional to weight (the πps scheme
+    * survey statistics uses when exact πps is too expensive). Chosen
+    * over Efraimidis–Spirakis u^(1/w) ON PURPOSE: division is IEEE
+    * correctly-rounded so the priorities — and therefore the selected
+    * SET — are bit-identical in any engine, while pow's last-ulp
+    * wobble could flip the rank-k boundary cross-engine.
+    *
+    * Deterministic and seedless like [[stratifiedSampleExact]]:
+    * u = (rollingHash(key)+1)/(10^9+7) ∈ (0,1], ties broken by id —
+    * stable under re-partitioning, replays in SQL.
+    *
+    * Scale: orderBy+limit plans as TakeOrdered (per-partition top-k
+    * heaps, one k-row merge) — no global sort, no shuffle of the
+    * corpus. */
+  def weightedSampleK(df: DataFrame, key: Column, idCol: String,
+      weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (rollingHash(key) + 1).cast("double") / 1000000007.0
+    df.withColumn("_prio", u / weight.cast("double"))
+      .orderBy(col("_prio"), col(idCol))
+      .limit(k)
+  }
+
   /** Repetition quality metrics (the Gopher-rule family): per document,
     * the fraction of all n-grams taken by the single most frequent one
     * (`top_frac`, word-soup/keyword-stuffing detector) and the fraction of

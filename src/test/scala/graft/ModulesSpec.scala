@@ -527,6 +527,41 @@ class ModulesSpec extends SparkSuite {
     assert(exact.forall(_ == 3))
   }
 
+  test("weightedSampleK: brute-force differential, weight monotone, TakeOrdered plan") {
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"n_chars")
+    val sampled = graft.text.weightedSampleK(
+      docs, $"text", "doc_id", $"n_chars", k = 40)
+    val got = sampled.select($"doc_id").as[Long].collect().toSet
+    assert(got.size == 40)
+    // brute-force reference model: same hash-uniform, same priority
+    val prios = docs.select($"doc_id", $"n_chars",
+        graft.functions.HashExprs.polyHashFast($"text").as("h"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, w, h) => id -> (h + 1).toDouble / 1000000007.0 / w }
+    val want = prios.sortBy { case (id, p) => (p, id) }.take(40).map(_._1).toSet
+    assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
+    // repartition-stable (the seedless-determinism contract)
+    val again = graft.text.weightedSampleK(docs.repartition(7),
+      $"text", "doc_id", $"n_chars", k = 40)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == got)
+    // inclusion is monotone in weight: boosting one excluded doc's weight
+    // 1000x pulls it in without touching other priorities
+    val outsider = prios.sortBy { case (id, p) => (p, id) }.last._1
+    assert(!got.contains(outsider))
+    val boosted = graft.text.weightedSampleK(
+      docs.withColumn("n_chars",
+        when($"doc_id" === outsider, $"n_chars" * 100000).otherwise($"n_chars")),
+      $"text", "doc_id", $"n_chars", k = 40)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(boosted.contains(outsider), "weight boost failed to pull the row in")
+    // per-partition heaps + one k-row merge — no global sort, no exchange
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered, got:\n${plan.take(1200)}")
+  }
+
   test("partitionHistogram: counts per partition, sums to the row count") {
     val df = graft.core.Tables.orders(spark, dir).repartition(4)
     val h = graft.inspect.Inspect.partitionHistogram(df)
