@@ -716,6 +716,170 @@ object GraftIO {
     n
   }
 
+  // --- snapshot versioning (time travel) ----------------------------------
+  //
+  // MVCC over a plain parquet directory, the Delta-lite pattern: every
+  // version is a FILE SET recorded in an NDJSON log (`_graft_versions
+  // .json`, one {version, parent, files} line per snapshot). Upserts
+  // append new files and a new log line — they never delete — so any
+  // recorded version stays readable until [[vacuumSnapshots]] reclaims
+  // files referenced only by dropped versions. Single-writer by contract
+  // (like [[upsertParquet]] — plain parquet has no commit protocol; a
+  // table format is the multi-writer answer and out of scope).
+  //
+  // Readers MUST go through [[fromParquetSnapshot]]: the directory
+  // accumulates files from many versions, so a raw spark.read.parquet of
+  // it would see duplicates. The version log is bounded by contract (one
+  // line per snapshot, one relative path per live file).
+
+  private def versionLogPath(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p, "_graft_versions.json")
+
+  /** Parse the version log: Seq of (version, parent, files), ascending.
+    * Empty if the directory has no snapshot log. */
+  def snapshotVersions(spark: SparkSession, dest: String)
+      : Seq[(Int, Int, Seq[String])] = {
+    val p = new org.apache.hadoop.fs.Path(dest)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = versionLogPath(p)
+    if (!fs.exists(log)) return Nil
+    val in = fs.open(log)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    txt.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+      val n = mapper.readTree(line)
+      val files = (0 until n.get("files").size())
+        .map(i => n.get("files").get(i).asText())
+      (n.get("version").asInt(), n.get("parent").asInt(), files)
+    }.sortBy(_._1)
+  }
+
+  private def appendVersionLine(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, prior: Seq[(Int, Int, Seq[String])],
+      version: Int, parent: Int, files: Seq[String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def line(v: Int, par: Int, fsx: Seq[String]): String = {
+      val o = mapper.createObjectNode()
+      o.put("version", v); o.put("parent", par)
+      val arr = o.putArray("files"); fsx.foreach(arr.add)
+      mapper.writeValueAsString(o)
+    }
+    val all = prior.map(t => line(t._1, t._2, t._3)) :+
+      line(version, parent, files)
+    // single-writer contract: rewrite-in-place of a bounded NDJSON log
+    val os = fs.create(versionLogPath(p), true)
+    try os.write(all.mkString("\n").getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Start snapshot history for an existing parquet directory: records
+    * the current file set as version 0. */
+  def initSnapshots(spark: SparkSession, dest: String): Int = {
+    val (fs, p, files) = walkDataFiles(spark, dest)
+    require(snapshotVersions(spark, dest).isEmpty,
+      s"$dest already has a snapshot log")
+    appendVersionLine(fs, p, Nil, 0, -1, files.map(_._2))
+    0
+  }
+
+  /** Read one recorded snapshot (default: the latest). Plans exactly the
+    * version's file set — old versions read with zero copying because an
+    * upsert never rewrites a file in place. */
+  def fromParquetSnapshot(spark: SparkSession, dest: String,
+      version: Int = -1): DataFrame = {
+    val log = snapshotVersions(spark, dest)
+    require(log.nonEmpty, s"$dest has no snapshot log (initSnapshots first)")
+    val want = if (version < 0) log.last._1 else version
+    val entry = log.find(_._1 == want).getOrElse(
+      sys.error(s"version $want not in log (have ${log.map(_._1)}): " +
+        "vacuumed or never written"))
+    if (entry._3.isEmpty) spark.read.parquet(dest).limit(0)
+    else spark.read.option("basePath", dest)
+      .parquet(entry._3.map(f => s"$dest/$f"): _*)
+  }
+
+  /** Upsert as a NEW SNAPSHOT: same merge semantics and delta-
+    * proportional file selection as [[upsertParquet]] (manifest min/max
+    * ranges pick the affected files when a `_graft_metadata.json` sidecar
+    * exists), but rewritten files are retired from the new version's file
+    * set instead of deleted — the parent version still reads exactly as
+    * before. Returns (rewrittenFiles, filesInParent, newVersion). */
+  def upsertParquetSnapshot(spark: SparkSession, dest: String,
+      updates: DataFrame, keyCol: String, keyCast: String = "bigint")
+      : (Int, Int, Int) = {
+    import spark.implicits._
+    val log = snapshotVersions(spark, dest)
+    require(log.nonEmpty, s"$dest has no snapshot log (initSnapshots first)")
+    val (parentV, _, current) = log.last
+    val (fs, p, before) = walkDataFiles(spark, dest)
+    val sidecar = new org.apache.hadoop.fs.Path(p, "_graft_metadata.json")
+    val affected: Seq[String] =
+      if (!fs.exists(sidecar)) current
+      else {
+        val stats = element_at(col("col_stats"), keyCol)
+        // the manifest covers every on-disk file including retired
+        // versions' — restrict range-matching to THIS snapshot's files
+        val ranges = fromParquetManifest(spark, dest)
+          .join(broadcast(current.toDF("file")), "file")
+          .select(col("file"),
+            stats.getField("min").try_cast(keyCast).as("mn"),
+            stats.getField("max").try_cast(keyCast).as("mx"))
+        val keys = updates.select(col(keyCol).cast(keyCast).as("k")).distinct()
+        ranges.join(keys,
+            col("mn").isNull || col("mx").isNull ||
+              col("k").between(col("mn"), col("mx")), "left_semi")
+          .select(col("file")).collect().map(_.getString(0)).toSeq
+          // bounded: one row per file in the parent snapshot
+      }
+    val survivors =
+      if (affected.isEmpty) updates.limit(0)
+      else {
+        val old = spark.read.option("basePath", dest)
+          .parquet(affected.map(f => s"$dest/$f"): _*)
+        old.join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
+          "left_anti")
+      }
+    survivors.unionByName(updates).write.mode("append").parquet(dest)
+    val beforeSet = before.map(_._2).toSet
+    val fresh = walkDataFiles(spark, dest)._3.map(_._2)
+      .filterNot(beforeSet)
+    val nextFiles = current.filterNot(affected.toSet) ++ fresh
+    appendVersionLine(fs, p, log, parentV + 1, parentV, nextFiles)
+    if (fs.exists(sidecar)) writeManifestIncremental(spark, dest): Unit
+    (affected.size, current.size, parentV + 1)
+  }
+
+  /** Reclaim history: keep the last `keepLast` versions, delete data
+    * files referenced ONLY by dropped versions, truncate the log (and
+    * refresh the manifest sidecar, which tracks on-disk files). Returns
+    * the number of data files deleted. */
+  def vacuumSnapshots(spark: SparkSession, dest: String,
+      keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val log = snapshotVersions(spark, dest)
+    require(log.nonEmpty, s"$dest has no snapshot log")
+    val (fs, p, onDisk) = walkDataFiles(spark, dest)
+    val kept = log.takeRight(keepLast)
+    val live = kept.flatMap(_._3).toSet
+    val doomed = onDisk.map(_._2).filterNot(live)
+    doomed.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, f), false))
+    val os = fs.create(versionLogPath(p), true)
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val lines = kept.map { case (v, par, fsx) =>
+        val o = mapper.createObjectNode()
+        o.put("version", v); o.put("parent", par)
+        val arr = o.putArray("files"); fsx.foreach(arr.add)
+        mapper.writeValueAsString(o)
+      }
+      os.write(lines.mkString("\n").getBytes("UTF-8"))
+    } finally os.close()
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_graft_metadata.json")))
+      writeManifestIncremental(spark, dest): Unit
+    doomed.size
+  }
+
   /** `from_json` line-delimited with optional explicit schema — schema
     * pushdown is the reference's JSONSchema trick (`json.py:77-89`) done
     * natively by the reader's requiredSchema. */

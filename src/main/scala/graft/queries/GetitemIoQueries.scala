@@ -212,6 +212,50 @@ object GetitemIoQueries {
           sum(col("o_orderkey")).as("sum_key"))
     },
 
+    // snapshot versioning / time travel graded END TO END: v0 write,
+    // two snapshot upserts (price bumps + inserted keys), then every
+    // version read back THROUGH ITS RECORDED FILE SET — v0 must still
+    // aggregate to the pre-upsert state after two upserts, and v1/v2
+    // must survive vacuuming v0 away unchanged. The oracle reconstructs
+    // each version's state relationally from `orders`.
+    "io_timetravel" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_tt").toString + "/ord"
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.io.GraftIO.toParquetWithMetadata(
+        ord.filter(col("o_orderkey") % 3 === 0)
+          .repartitionByRange(8, col("o_orderkey")), tmp)
+      graft.io.GraftIO.initSnapshots(s, tmp)
+      val bump0 = ord.filter(col("o_orderkey") % 30 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      val fresh1 = ord.filter(col("o_orderkey") % 30 === 3)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          (col("o_totalprice") + 111.0).as("o_totalprice"))
+      graft.io.GraftIO.upsertParquetSnapshot(s, tmp,
+        bump0.unionByName(fresh1), "o_orderkey")
+      val bump6 = ord.filter(col("o_orderkey") % 30 === 6)
+        .withColumn("o_totalprice", col("o_totalprice") + 999.0)
+      val fresh2 = ord.filter(col("o_orderkey") % 30 === 3)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          (col("o_totalprice") * 2.0).as("o_totalprice"))
+      graft.io.GraftIO.upsertParquetSnapshot(s, tmp,
+        bump6.unionByName(fresh2), "o_orderkey")
+      def snap(tag: String, v: Int) =
+        graft.io.GraftIO.fromParquetSnapshot(s, tmp, v)
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"),
+            sum(col("o_orderkey")).as("sum_key"))
+          .select(lit(tag).as("snap"), col("n"), col("sum_price"),
+            col("sum_key"))
+      val before = snap("v0", 0)
+        .unionByName(snap("v1", 1)).unionByName(snap("v2", 2))
+        .localCheckpoint() // materialize BEFORE vacuum deletes v0's files
+      graft.io.GraftIO.vacuumSnapshots(s, tmp, keepLast = 2)
+      before.unionByName(snap("v1_vacuumed", 1))
+        .unionByName(snap("v2_vacuumed", 2))
+    },
+
     // incremental aggregate maintenance graded END TO END
     // (graft.operators.IncrementalAgg): history's partial-aggregate
     // state lands in parquet, the delta batch aggregates ALONE, and the
@@ -569,6 +613,10 @@ object GetitemIoQueries {
     // simulated merge: bumped rows replace their keys, fresh keys append
     "io_upsert" ->
       """WITH merged AS (SELECT o_orderkey, o_orderstatus, CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice FROM orders UNION ALL SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 20 = 1) SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price, CAST(sum(o_orderkey) AS BIGINT) AS sum_key FROM merged GROUP BY 1""",
+    // each snapshot's state reconstructed relationally; vacuumed reads
+    // must match the pre-vacuum rows exactly
+    "io_timetravel" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0), v0 AS (SELECT o_orderkey, o_totalprice FROM base), fresh1 AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_totalprice + 111.0 AS o_totalprice FROM orders WHERE o_orderkey % 30 = 3), v1 AS (SELECT o_orderkey, CASE WHEN o_orderkey % 30 = 0 THEN o_totalprice + 500.0 ELSE o_totalprice END AS o_totalprice FROM base UNION ALL SELECT * FROM fresh1), fresh2 AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_totalprice * 2.0 AS o_totalprice FROM orders WHERE o_orderkey % 30 = 3), v2 AS (SELECT o_orderkey, CASE WHEN o_orderkey % 30 = 0 THEN o_totalprice + 500.0 WHEN o_orderkey % 30 = 6 THEN o_totalprice + 999.0 ELSE o_totalprice END AS o_totalprice FROM base UNION ALL SELECT * FROM fresh2) SELECT 'v0' AS snap, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price, CAST(sum(o_orderkey) AS BIGINT) AS sum_key FROM v0 UNION ALL SELECT 'v1', count(*), round(sum(o_totalprice), 2), CAST(sum(o_orderkey) AS BIGINT) FROM v1 UNION ALL SELECT 'v2', count(*), round(sum(o_totalprice), 2), CAST(sum(o_orderkey) AS BIGINT) FROM v2 UNION ALL SELECT 'v1_vacuumed', count(*), round(sum(o_totalprice), 2), CAST(sum(o_orderkey) AS BIGINT) FROM v1 UNION ALL SELECT 'v2_vacuumed', count(*), round(sum(o_totalprice), 2), CAST(sum(o_orderkey) AS BIGINT) FROM v2""",
     // the merged state must equal the one-pass aggregate over everything
     "io_incragg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, round(sum(l_quantity) / count(*), 4) AS avg_qty FROM lineitem GROUP BY 1, 2""",

@@ -725,6 +725,47 @@ class ModulesSpec extends SparkSuite {
       .agg(sum($"n_rows")).as[Long].head() == 401L)
   }
 
+  test("snapshots: every version reads back exactly, vacuum reclaims only dead files") {
+    import graft.io.GraftIO
+    val d = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/t"
+    val base = (1L to 400L).map(i => (i, i.toDouble)).toDF("id", "v")
+    GraftIO.toParquetWithMetadata(base.repartitionByRange(8, $"id"), d)
+    assert(GraftIO.initSnapshots(spark, d) == 0)
+    // v1: update a narrow key range + insert one key
+    val (rw1, tot1, v1) = GraftIO.upsertParquetSnapshot(spark, d,
+      Seq((5L, -5.0), (7L, -7.0), (9000L, 1.0)).toDF("id", "v"), "id")
+    assert(v1 == 1 && tot1 == 8)
+    assert(rw1 < tot1, s"manifest ranges should keep the upsert delta-" +
+      s"proportional: rewrote $rw1 of $tot1")
+    // v2: touch a different range
+    val (_, _, v2) = GraftIO.upsertParquetSnapshot(spark, d,
+      Seq((395L, -395.0)).toDF("id", "v"), "id")
+    assert(v2 == 2)
+    def state(ver: Int): Map[Long, Double] =
+      GraftIO.fromParquetSnapshot(spark, d, ver)
+        .as[(Long, Double)].collect().toMap
+    val want0 = (1L to 400L).map(i => i -> i.toDouble).toMap
+    val want1 = want0 ++ Map(5L -> -5.0, 7L -> -7.0, 9000L -> 1.0)
+    val want2 = want1 + (395L -> -395.0)
+    assert(state(0) == want0, "v0 must be untouched by later upserts")
+    assert(state(1) == want1 && state(2) == want2)
+    assert(GraftIO.fromParquetSnapshot(spark, d).as[(Long, Double)]
+      .collect().toMap == want2, "default read = latest")
+    // lineage is recorded
+    assert(GraftIO.snapshotVersions(spark, d).map(t => (t._1, t._2)) ==
+      Seq((0, -1), (1, 0), (2, 1)))
+    // vacuum to the last two versions: v0-only files die, v1/v2 intact
+    val deleted = GraftIO.vacuumSnapshots(spark, d, keepLast = 2)
+    assert(deleted > 0, "v0's rewritten files should have been reclaimed")
+    assert(state(1) == want1 && state(2) == want2)
+    intercept[RuntimeException] { GraftIO.fromParquetSnapshot(spark, d, 0) }
+    // the manifest sidecar tracked the deletions (no vanished files)
+    val files = GraftIO.fromParquetManifest(spark, d)
+      .select($"file").as[String].collect().toSet
+    assert(files == GraftIO.snapshotVersions(spark, d)
+      .flatMap(_._3).toSet, "manifest out of sync with live files")
+  }
+
   test("IncrementalAgg: merged batch states equal the one-pass aggregate") {
     import graft.operators.IncrementalAgg
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
