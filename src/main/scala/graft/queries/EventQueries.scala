@@ -141,6 +141,17 @@ object EventQueries {
           "click" -> (col("event_type") === "click"),
           "highval" -> (col("value") > 90)))
     },
+    // Markov-chain multi-touch attribution (Attribution
+    // .markovRemovalEffects): transition matrix from per-user journeys
+    // truncated at first purchase, then each channel's removal effect on
+    // the START->conversion fixed point. All fixed-point ppb integers —
+    // the oracle replays the journeys, the matrix, and all 15 unrolled
+    // power rounds per knockout variant (the q_pagerank discipline)
+    "ev_markov" -> { (s, dir) =>
+      graft.operators.Attribution.markovRemovalEffects(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+        convType = "purchase", iters = 15)
+    },
     // robust per-user daily anomaly detection (Timeseries.dailyAnomalies):
     // median/MAD z-score over daily event counts — flags burst/dropout
     // days without letting the burst inflate its own yardstick. z=1.2
@@ -440,6 +451,41 @@ object EventQueries {
   // same polyHash / coefficient literals as DedupQueries' minhash oracles
   // (HashExprs.minHashCoefficients is the single source of truth)
   private val POLY = """list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(w, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)"""
+
+  /** ev_markov replay: journeys -> integer-ppb transition matrix -> K
+    * unrolled fixed-point power rounds per knockout variant (base + one
+    * per channel), exactly mirroring Attribution.markovRemovalEffects'
+    * per-term (p·w) DIV 1e9 arithmetic. Channel list is the corpus's
+    * stable event alphabet minus the conversion type. */
+  private def markovOracle(iters: Int, channels: Seq[String]): String = {
+    val base =
+      """ev AS (SELECT user_id AS ent, ts, event_id AS tie, event_type AS t FROM events WHERE user_id IS NOT NULL), w1 AS (SELECT ent, t, row_number() OVER (PARTITION BY ent ORDER BY ts, tie) AS pos FROM ev), w2 AS (SELECT ent, t, pos, min(CASE WHEN t = 'purchase' THEN pos END) OVER (PARTITION BY ent) AS cpos FROM w1), f AS (SELECT ent, t, pos, cpos FROM w2 WHERE cpos IS NULL OR pos <= cpos), j AS (SELECT ent, t, pos, cpos, max(pos) OVER (PARTITION BY ent) AS mpos FROM f), steps AS (SELECT coalesce(lag(t) OVER (PARTITION BY ent ORDER BY pos), 'START') AS src, t AS dst FROM f), ends AS (SELECT t AS src, 'DROP' AS dst FROM j WHERE cpos IS NULL AND pos = mpos), c AS (SELECT src, dst, count(*) AS n FROM (SELECT * FROM steps UNION ALL SELECT * FROM ends) u GROUP BY 1, 2), rs AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1), p AS (SELECT c.src, c.dst, (c.n * 1000000000) // rs.tot AS pr FROM c JOIN rs ON rs.src = c.src), st AS (SELECT DISTINCT src AS state FROM p)"""
+    def rounds(tag: String, removed: Option[String]): String = {
+      val init = s"v0_$tag AS (SELECT state, CAST(0 AS BIGINT) AS v FROM st)"
+      val steps = (1 to iters).map { i =>
+        val remDst = removed.map(r =>
+          s"WHEN p.dst = '$r' THEN 0 ").getOrElse("")
+        val body = s"coalesce((" +
+          s"SELECT CAST(sum((p.pr * (CASE WHEN p.dst = 'purchase' THEN 1000000000 ${remDst}ELSE coalesce(vp.v, 0) END)) // 1000000000) AS BIGINT) " +
+          s"FROM p LEFT JOIN v${i - 1}_$tag vp ON vp.state = p.dst WHERE p.src = s.state), 0)"
+        val v = removed match {
+          case Some(r) =>
+            s"CASE WHEN s.state = '$r' THEN CAST(0 AS BIGINT) ELSE $body END"
+          case None => body
+        }
+        s"v${i}_$tag AS (SELECT s.state, $v AS v FROM st s)"
+      }
+      (init +: steps).mkString(", ")
+    }
+    val allRounds = rounds("base", None) + ", " +
+      channels.map(c => rounds(c, Some(c))).mkString(", ")
+    val fin = channels.map(c =>
+      s"SELECT '$c' AS channel, (SELECT v FROM v${iters}_$c WHERE state = 'START') AS rem")
+      .mkString(" UNION ALL ")
+    s"WITH $base, $allRounds, bb AS (SELECT v FROM v${iters}_base WHERE state = 'START'), fin AS ($fin) " +
+      "SELECT channel, (SELECT v FROM bb) AS conv_ppb, rem AS conv_removed_ppb, " +
+      "CASE WHEN (SELECT v FROM bb) = 0 THEN 0 ELSE ((SELECT v FROM bb) - rem) * 1000000 // (SELECT v FROM bb) END AS removal_ppm FROM fin"
+  }
   private val (mhA, mhB) = graft.functions.HashExprs.minHashCoefficients(16, 42L)
 
   val oracle: Map[String, String] = Map(
@@ -486,6 +532,9 @@ object EventQueries {
     // decimal division would diverge from Spark's IEEE doubles)
     "ev_abtest" ->
       """WITH pe AS (SELECT user_id AS ent, user_id % 2 AS arm, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_purchase, max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click, max(coalesce(CAST(value > 90 AS INT), 0)) AS c_highval FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2), w AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, CAST(sum(CASE WHEN arm = 0 THEN c_purchase ELSE 0 END) AS BIGINT) AS ca_purchase, CAST(sum(CASE WHEN arm = 1 THEN c_purchase ELSE 0 END) AS BIGINT) AS cb_purchase, CAST(sum(CASE WHEN arm = 0 THEN c_click ELSE 0 END) AS BIGINT) AS ca_click, CAST(sum(CASE WHEN arm = 1 THEN c_click ELSE 0 END) AS BIGINT) AS cb_click, CAST(sum(CASE WHEN arm = 0 THEN c_highval ELSE 0 END) AS BIGINT) AS ca_highval, CAST(sum(CASE WHEN arm = 1 THEN c_highval ELSE 0 END) AS BIGINT) AS cb_highval FROM pe), s AS (SELECT 'purchase' AS metric, n_a, ca_purchase AS conv_a, n_b, cb_purchase AS conv_b FROM w UNION ALL SELECT 'click', n_a, ca_click, n_b, cb_click FROM w UNION ALL SELECT 'highval', n_a, ca_highval, n_b, cb_highval FROM w), z AS (SELECT *, CASE WHEN n_a = 0 THEN NULL ELSE CAST(conv_a AS DOUBLE) / n_a END AS pa, CASE WHEN n_b = 0 THEN NULL ELSE CAST(conv_b AS DOUBLE) / n_b END AS pb, CASE WHEN n_a + n_b = 0 THEN NULL ELSE CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) END AS pp FROM s), z2 AS (SELECT *, pp * (1 - pp) * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b) AS pv FROM z) SELECT metric, n_a, conv_a, n_b, conv_b, CASE WHEN n_a = 0 THEN NULL ELSE CAST((conv_a * 10000) // n_a AS BIGINT) END AS rate_a_bp, CASE WHEN n_b = 0 THEN NULL ELSE CAST((conv_b * 10000) // n_b AS BIGINT) END AS rate_b_bp, CASE WHEN pv IS NULL OR pv <= 0 THEN NULL ELSE CAST(floor((pa - pb) / sqrt(pv) * 1000000) AS BIGINT) END AS z_micro FROM z2""",
+    // full journey -> matrix -> unrolled-knockout replay (generator above)
+    "ev_markov" ->
+      markovOracle(15, Seq("click", "error", "signup", "view")),
     // robust-anomaly replay: DuckDB's median is quantile_cont(0.5) —
     // the same midpoint interpolation as Spark's exact percentile, so
     // med/MAD are identical exact multiples of 1/2 and 1/4; the flag

@@ -735,6 +735,43 @@ class OperatorsSpec extends SparkSuite {
     assert(r == Seq(("buy", 2L, 0L, 2L, 2L), ("hv", 2L, 2L, 2L, 1L)))
   }
 
+  test("markovRemovalEffects: hand-chain fixed point, knockout ordering, truncation") {
+    // journeys: u1 view>click>purchase, u2 view>error (drop),
+    // u3 click>purchase, u4 view>click (drop). Exact chain:
+    // v(click)=2/3, v(view)=4/9, v(START)=3/4*4/9 + 1/4*2/3 = 1/2.
+    val df = funnelFixture(Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      (2L, 10L, 4L, "view"), (2L, 20L, 5L, "error"),
+      (3L, 10L, 6L, "click"), (3L, 20L, 7L, "purchase"),
+      (4L, 10L, 8L, "view"), (4L, 20L, 9L, "click")))
+    val out = graft.operators.Attribution
+      .markovRemovalEffects(df, "user_id", "ts", "event_id", "event_type",
+        "purchase", iters = 15)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("view", "click", "error"))
+    val base = out("click")._2
+    assert(math.abs(base - 500000000L) < 5,
+      s"base conversion should be ~1/2 ppb, got $base")
+    // every converting path runs through click -> total removal effect
+    assert(out("click")._3 == 0L && out("click")._4 == 1000000L)
+    // error is never on a converting path -> zero effect
+    assert(out("error")._3 == base && out("error")._4 == 0L)
+    // removing view leaves only START>click>purchase = 1/4 * 2/3 = 1/6;
+    // effect = (1/2 - 1/6)/(1/2) = 2/3
+    assert(math.abs(out("view")._4 - 666666L) < 5, out("view").toString)
+    // post-conversion events must not contribute transitions: a journey
+    // that STARTS with purchase converts at 100% regardless of later noise
+    val trunc = funnelFixture(Seq(
+      (9L, 10L, 1L, "purchase"), (9L, 20L, 2L, "click"), (9L, 30L, 3L, "view")))
+    val t = graft.operators.Attribution
+      .markovRemovalEffects(trunc, "user_id", "ts", "event_id", "event_type",
+        "purchase", iters = 5)
+      .as[(String, Long, Long, Long)].collect()
+    assert(t.isEmpty, // START is the only transient state: no channels
+      s"post-purchase events leaked into the chain: ${t.toSeq}")
+  }
+
   test("funnelReport: per-depth rollup with cumulative reached counts") {
     val df = funnelFixture(Seq(
       (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
