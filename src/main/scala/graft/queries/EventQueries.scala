@@ -459,7 +459,7 @@ object EventQueries {
     * stable event alphabet minus the conversion type. */
   private def markovOracle(iters: Int, channels: Seq[String]): String = {
     val base =
-      """ev AS (SELECT user_id AS ent, ts, event_id AS tie, event_type AS t FROM events WHERE user_id IS NOT NULL), w1 AS (SELECT ent, t, row_number() OVER (PARTITION BY ent ORDER BY ts, tie) AS pos FROM ev), w2 AS (SELECT ent, t, pos, min(CASE WHEN t = 'purchase' THEN pos END) OVER (PARTITION BY ent) AS cpos FROM w1), f AS (SELECT ent, t, pos, cpos FROM w2 WHERE cpos IS NULL OR pos <= cpos), j AS (SELECT ent, t, pos, cpos, max(pos) OVER (PARTITION BY ent) AS mpos FROM f), steps AS (SELECT coalesce(lag(t) OVER (PARTITION BY ent ORDER BY pos), 'START') AS src, t AS dst FROM f), ends AS (SELECT t AS src, 'DROP' AS dst FROM j WHERE cpos IS NULL AND pos = mpos), c AS (SELECT src, dst, count(*) AS n FROM (SELECT * FROM steps UNION ALL SELECT * FROM ends) u GROUP BY 1, 2), rs AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1), p AS (SELECT c.src, c.dst, (c.n * 1000000000) // rs.tot AS pr FROM c JOIN rs ON rs.src = c.src), st AS (SELECT DISTINCT src AS state FROM p)"""
+      """ev AS (SELECT user_id AS ent, ts, event_id AS tie, event_type AS t FROM events WHERE user_id IS NOT NULL), w1 AS (SELECT ent, t, row_number() OVER (PARTITION BY ent ORDER BY ts, tie) AS pos FROM ev), w2 AS (SELECT ent, t, pos, min(CASE WHEN t = 'purchase' THEN pos END) OVER (PARTITION BY ent) AS cpos FROM w1), f AS MATERIALIZED (SELECT ent, t, pos, cpos FROM w2 WHERE cpos IS NULL OR pos <= cpos), j AS (SELECT ent, t, pos, cpos, max(pos) OVER (PARTITION BY ent) AS mpos FROM f), steps AS (SELECT coalesce(lag(t) OVER (PARTITION BY ent ORDER BY pos), 'START') AS src, t AS dst FROM f), ends AS (SELECT t AS src, 'DROP' AS dst FROM j WHERE cpos IS NULL AND pos = mpos), c AS (SELECT src, dst, count(*) AS n FROM (SELECT * FROM steps UNION ALL SELECT * FROM ends) u GROUP BY 1, 2), rs AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1), p AS MATERIALIZED (SELECT c.src, c.dst, (c.n * 1000000000) // rs.tot AS pr FROM c JOIN rs ON rs.src = c.src), st AS MATERIALIZED (SELECT DISTINCT src AS state FROM p)"""
     def rounds(tag: String, removed: Option[String]): String = {
       val init = s"v0_$tag AS (SELECT state, CAST(0 AS BIGINT) AS v FROM st)"
       val steps = (1 to iters).map { i =>

@@ -543,6 +543,29 @@ object GetitemIoQueries {
         .select(col("id1"), col("id2"), col("dist"))
     },
 
+    // the clone-group-safe near-dup face (Multimodal
+    // .dhashNearDupClustered): identical hashes collapse to min-id
+    // representatives BEFORE the banded join, so output is linear in
+    // distinct hashes even when clone groups are huge (the sf1 graded
+    // corpus has ~178-copy groups -> 4.76M raw pairs but only
+    // representative rows here); member counts carry the true pair mass
+    "mm_neardup_c" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          Multimodal.MediaRow(id, Multimodal.Codecs.encodeTexturedImage(
+            w = (9 + (id % 7) * 5).toInt, h = (8 + ((id * 3) % 5) * 8).toInt,
+            ax = (1 + id % 2).toInt, by = (1 + (id / 2) % 2).toInt,
+            seed = ((id % 8) * 29).toInt, fmt), s"image/$fmt")
+        })
+      val hashes = Multimodal.imageDHash(media)
+        .toDF("id", "width", "height", "is_real", "b0", "b1", "b2", "b3")
+      Multimodal.dhashNearDupClustered(hashes, maxDist = 3)
+    },
+
     // REAL audio decode end-to-end: executors synthesize a doc_id-derived
     // square wave, the JDK's javax.sound wraps it in a genuine RIFF/WAVE
     // container, and audioFeatures walks the RIFF chunks + decodes the
@@ -648,6 +671,8 @@ object GetitemIoQueries {
       s"""WITH p AS (SELECT doc_id, 9 + (doc_id % 7) * 5 AS w, 8 + ((doc_id * 3) % 5) * 8 AS h, 1 + doc_id % 2 AS ax, 1 + (doc_id // 2) % 2 AS by, (doc_id % 8) * 29 AS seed FROM documents), px AS (SELECT doc_id, x, y, (ax * x * x + by * y * y + x * y + seed) % 251 AS v FROM p, range(0, 39) rx(x), range(0, 40) ry(y) WHERE x < w AND y < h), cell AS (SELECT doc_id, w, h, i, j, (j * w) // 9 AS x0, ((j + 1) * w) // 9 AS x1, (i * h) // 8 AS y0, ((i + 1) * h) // 8 AS y1 FROM p, range(0, 8) ri(i), range(0, 9) rj(j)), cs AS (SELECT c.doc_id, c.w, c.h, c.i, c.j, sum(px.v) AS s, count(*) AS n FROM cell c JOIN px ON px.doc_id = c.doc_id AND px.x >= c.x0 AND px.x < c.x1 AND px.y >= c.y0 AND px.y < c.y1 GROUP BY 1, 2, 3, 4, 5), b AS (SELECT a.doc_id, a.w, a.h, a.i, a.j, CASE WHEN a.s * r.n > r.s * a.n THEN 1 ELSE 0 END AS bit FROM cs a JOIN cs r ON a.doc_id = r.doc_id AND a.i = r.i AND r.j = a.j + 1 WHERE a.j < 8), band AS (SELECT doc_id, w, h, i // 2 AS bi, sum(bit * (1 << (15 - (i % 2) * 8 - j))) AS v FROM b GROUP BY 1, 2, 3, 4) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, CAST(max(CASE WHEN bi = 0 THEN v END) AS INT) AS b0, CAST(max(CASE WHEN bi = 1 THEN v END) AS INT) AS b1, CAST(max(CASE WHEN bi = 2 THEN v END) AS INT) AS b2, CAST(max(CASE WHEN bi = 3 THEN v END) AS INT) AS b3 FROM band GROUP BY 1, 2, 3""",
     "mm_neardup" ->
       s"""WITH p AS (SELECT doc_id, 9 + (doc_id % 7) * 5 AS w, 8 + ((doc_id * 3) % 5) * 8 AS h, 1 + doc_id % 2 AS ax, 1 + (doc_id // 2) % 2 AS by, (doc_id % 8) * 29 AS seed FROM documents), px AS (SELECT doc_id, x, y, (ax * x * x + by * y * y + x * y + seed) % 251 AS v FROM p, range(0, 39) rx(x), range(0, 40) ry(y) WHERE x < w AND y < h), cell AS (SELECT doc_id, w, h, i, j, (j * w) // 9 AS x0, ((j + 1) * w) // 9 AS x1, (i * h) // 8 AS y0, ((i + 1) * h) // 8 AS y1 FROM p, range(0, 8) ri(i), range(0, 9) rj(j)), cs AS (SELECT c.doc_id, c.i, c.j, sum(px.v) AS s, count(*) AS n FROM cell c JOIN px ON px.doc_id = c.doc_id AND px.x >= c.x0 AND px.x < c.x1 AND px.y >= c.y0 AND px.y < c.y1 GROUP BY 1, 2, 3), b AS (SELECT a.doc_id, a.i, a.j, CASE WHEN a.s * r.n > r.s * a.n THEN 1 ELSE 0 END AS bit FROM cs a JOIN cs r ON a.doc_id = r.doc_id AND a.i = r.i AND r.j = a.j + 1 WHERE a.j < 8), band AS (SELECT doc_id, i // 2 AS bi, sum(bit * (1 << (15 - (i % 2) * 8 - j))) AS v FROM b GROUP BY 1, 2), hh AS (SELECT doc_id, max(CASE WHEN bi = 0 THEN v END) AS b0, max(CASE WHEN bi = 1 THEN v END) AS b1, max(CASE WHEN bi = 2 THEN v END) AS b2, max(CASE WHEN bi = 3 THEN v END) AS b3 FROM band GROUP BY 1) SELECT a.doc_id AS id1, c.doc_id AS id2, CAST(bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS INT) AS dist FROM hh a JOIN hh c ON a.doc_id < c.doc_id WHERE bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) <= 3""",
+    "mm_neardup_c" ->
+      s"""WITH p AS (SELECT doc_id, 9 + (doc_id % 7) * 5 AS w, 8 + ((doc_id * 3) % 5) * 8 AS h, 1 + doc_id % 2 AS ax, 1 + (doc_id // 2) % 2 AS by, (doc_id % 8) * 29 AS seed FROM documents), px AS (SELECT doc_id, x, y, (ax * x * x + by * y * y + x * y + seed) % 251 AS v FROM p, range(0, 39) rx(x), range(0, 40) ry(y) WHERE x < w AND y < h), cell AS (SELECT doc_id, w, h, i, j, (j * w) // 9 AS x0, ((j + 1) * w) // 9 AS x1, (i * h) // 8 AS y0, ((i + 1) * h) // 8 AS y1 FROM p, range(0, 8) ri(i), range(0, 9) rj(j)), cs AS (SELECT c.doc_id, c.i, c.j, sum(px.v) AS s, count(*) AS n FROM cell c JOIN px ON px.doc_id = c.doc_id AND px.x >= c.x0 AND px.x < c.x1 AND px.y >= c.y0 AND px.y < c.y1 GROUP BY 1, 2, 3), b AS (SELECT a.doc_id, a.i, a.j, CASE WHEN a.s * r.n > r.s * a.n THEN 1 ELSE 0 END AS bit FROM cs a JOIN cs r ON a.doc_id = r.doc_id AND a.i = r.i AND r.j = a.j + 1 WHERE a.j < 8), band AS (SELECT doc_id, i // 2 AS bi, sum(bit * (1 << (15 - (i % 2) * 8 - j))) AS v FROM b GROUP BY 1, 2), hh AS (SELECT doc_id, max(CASE WHEN bi = 0 THEN v END) AS b0, max(CASE WHEN bi = 1 THEN v END) AS b1, max(CASE WHEN bi = 2 THEN v END) AS b2, max(CASE WHEN bi = 3 THEN v END) AS b3 FROM band GROUP BY 1), reps AS (SELECT b0, b1, b2, b3, min(doc_id) AS id, count(*) AS members FROM hh GROUP BY 1, 2, 3, 4), pr AS (SELECT a.id AS id1, c.id AS id2, CAST(bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS INT) AS dist, a.members AS m1, c.members AS m2 FROM reps a JOIN reps c ON a.id < c.id WHERE bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) <= 3) SELECT id1, id2, dist, m1, m2 FROM pr UNION ALL SELECT id, id, 0, members, members FROM reps WHERE members > 1""",
     "mm_audio" ->
       """WITH t AS (SELECT doc_id, 1000 + doc_id % 20000 AS amp, 4 + doc_id % 8 AS half, 800 + doc_id % 100 AS n, 8000 + (doc_id % 4) * 4000 AS rate FROM documents) SELECT doc_id, CAST(1 AS BIGINT) AS channels, CAST(rate AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_frames, TRUE AS is_real, round(CAST(amp AS DOUBLE), 4) AS rms, round(CAST(amp AS DOUBLE), 4) AS mean_abs, CAST(amp AS BIGINT) AS peak, CAST((n - 1) // half AS BIGINT) AS zero_crossings FROM t""")
 }

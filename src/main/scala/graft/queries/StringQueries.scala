@@ -113,6 +113,26 @@ object StringQueries {
           size(filter(col("vs"), x => x.isNotNull)).cast("long").as("n_ok"))
     },
 
+    // fuzzy record linkage (graft.functions.StringSimExprs
+    // .jaroWinklerSim): brand-blocked candidate pairs of part names,
+    // Jaro-Winkler >= 0.9 survivors. The kernel is a codegen'd Catalyst
+    // expression with the STANDARD semantics (0.7 boost threshold,
+    // p=0.1, l<=4) DuckDB implements natively — the oracle grades the
+    // kernel itself, pair for pair, at 6 decimals. Blocking keeps the
+    // join equi-keyed (never all-pairs across blocks).
+    "str_linkage" -> { (s, dir) =>
+      import graft.functions.StringSimExprs.jaroWinklerSim
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey").as("k"), col("p_name").as("nm"),
+          col("p_brand").as("b"))
+      p.as("a").join(p.as("c"),
+          col("a.b") === col("c.b") && col("a.k") < col("c.k"))
+        .select(col("a.k").as("k1"), col("c.k").as("k2"),
+          jaroWinklerSim(col("a.nm"), col("c.nm")).as("jw"))
+        .filter(col("jw") >= 0.9)
+        .select(col("k1"), col("k2"), round(col("jw"), 6).as("jw"))
+    },
+
     // to_categorical (reference str.py:867): dictionary-encode two string
     // columns; codes are dense ranks in sorted value order, so the oracle
     // reproduces them with window dense_rank over the raw table
@@ -125,6 +145,10 @@ object StringQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    // DuckDB's native jaro_winkler_similarity IS the reference
+    // implementation of the kernel under test
+    "str_linkage" ->
+      """SELECT a.p_partkey AS k1, c.p_partkey AS k2, round(jaro_winkler_similarity(a.p_name, c.p_name), 6) AS jw FROM part a JOIN part c ON a.p_brand = c.p_brand AND a.p_partkey < c.p_partkey WHERE jaro_winkler_similarity(a.p_name, c.p_name) >= 0.9""",
     "str_astype" ->
       """WITH v AS (SELECT doc_id, list_transform([CAST(n_chars AS VARCHAR), 'x7', ' 42 ', '', '1.5', '-0.25'], x -> TRY_CAST(trim(x) AS DOUBLE)) AS vs FROM documents) SELECT doc_id, vs[1] AS v0, vs[3] AS v42, CAST(len(list_filter(vs, x -> x IS NOT NULL)) AS BIGINT) AS n_ok FROM v""",
     "str_categorical" ->

@@ -59,7 +59,9 @@ class CodegenPinSpec extends SparkSuite {
         m = 2, ksub = 2),
       ReducerExprs.argExtremum($"vec", smaller = true),
       ReducerExprs.argExtremum($"vec", smaller = false),
-      BpeExprs.bpeCount(toks, Seq(("t", "h"), ("th", "e"), ("q", "u")))
+      BpeExprs.bpeCount(toks, Seq(("t", "h"), ("th", "e"), ("q", "u"))),
+      StringSimExprs.jaroWinklerSim($"text", reverse($"text")),
+      StringSimExprs.jaroWinklerSim($"text", lit("the quick brown dog"))
     ).zipWithIndex.map { case (c, i) => c.as(s"c$i") }
 
     val interpreted = withConfs(

@@ -72,4 +72,30 @@ class StringsSpec extends SparkSuite {
       .as[Seq[String]].head
     assert(got == Seq("Ab", "Cd"))
   }
+
+  test("jaroWinkler: textbook values, boost threshold, symmetry, edges") {
+    import graft.functions.StringSimExprs.{jaro, jaroWinkler}
+    // the canonical literature examples (also DuckDB's outputs, which the
+    // str_linkage oracle grades against at corpus scale)
+    assert(jaro("martha", "marhta") == 0.9444444444444445)
+    assert(jaroWinkler("martha", "marhta") == 0.9611111111111111)
+    assert(jaroWinkler("dwayne", "duane") == 0.8400000000000001)
+    assert(jaroWinkler("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jaro("kitten", "sitting") == 0.746031746031746)
+    // boost applies ONLY above jaro 0.7 — shared prefix alone is not enough
+    val lowJ = jaro("prefixaaaa", "prefixbbbbbbbbbbbb")
+    assert(lowJ < 0.7 && jaroWinkler("prefixaaaa", "prefixbbbbbbbbbbbb") == lowJ)
+    // edges: empty strings and no-match pairs are 0; identity is 1
+    assert(jaroWinkler("", "") == 0.0 && jaroWinkler("", "abc") == 0.0)
+    assert(jaroWinkler("a", "b") == 0.0 && jaroWinkler("abc", "abc") == 1.0)
+    // symmetric by construction
+    for ((a, b) <- Seq(("crate", "trace"), ("dixon", "dicksonx"), ("x", "xyzzy")))
+      assert(jaroWinkler(a, b) == jaroWinkler(b, a), s"asymmetric on ($a,$b)")
+    // column face: null-safe
+    val r = Seq((Option("martha"), Option("marhta")), (None, Option("x")))
+      .toDF("a", "b")
+      .select(graft.functions.StringSimExprs.jaroWinklerSim($"a", $"b"))
+      .collect()
+    assert(r(0).getDouble(0) == 0.9611111111111111 && r(1).isNullAt(0))
+  }
 }
