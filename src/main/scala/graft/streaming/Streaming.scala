@@ -141,6 +141,58 @@ object Streaming {
       }
   }
 
+  /** Streaming EWMA — the online face of `graft.operators.Timeseries
+    * .ewma`: the recursion e₁ = v₁, e = α·v + (1−α)·e IS the streaming-
+    * native form of the batch closed-form weighted sum (the closed form
+    * exists precisely because batch has no per-row state to carry).
+    * Emits one `(user_id, n_events, ewma)` row per entity per
+    * micro-batch (its post-batch state — the live-dashboard feed).
+    *
+    * Determinism: batch rows fold in (ts, event_id) order inside the
+    * group, so a single batch processes exactly like the batch
+    * operator; across batches the result equals the batch answer up to
+    * double rounding whenever per-user arrival respects event order —
+    * the recursion and the closed-form sum associate differently, so
+    * agreement is ~1e-12 relative (ModulesSpec pins 1e-9), not
+    * bit-equality. Idle entities are cleared by event-time timeout
+    * anchored on the entity's LAST event floored at the watermark (the
+    * streamingFunnel discipline — never the watermark alone). */
+  def streamingEwma(events: DataFrame, alpha: Double = 0.125,
+      idleTimeoutMs: Long = 24L * 3600 * 1000)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as[Long], col("value").as[Double],
+        col("ts").as[java.sql.Timestamp], col("event_id").as[Long])
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Double, java.sql.Timestamp, Long)],
+            state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (n, e) = state.getOption.getOrElse((0L, 0.0))
+            var lastMs = 0L
+            // fold in event order within the batch — single-batch
+            // processing is then identical to the batch operator's
+            rows.toSeq.sortBy(r => (r._3.getTime, r._4)).foreach {
+              case (_, v, ts, _) =>
+                e = if (n == 0) v else alpha * v + (1 - alpha) * e
+                n += 1
+                lastMs = math.max(lastMs, ts.getTime)
+            }
+            state.update((n, e))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), lastMs) + idleTimeoutMs)
+            Iterator.single((user, n, e))
+          }
+      }
+  }
+
   /** Streaming funnel — the streaming face of `graft.operators.Funnel`:
     * per-user conversion progress held in keyed state, emitting one row
     * `(user_id, depth, ts_us)` each time a user ADVANCES to the next

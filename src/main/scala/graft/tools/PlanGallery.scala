@@ -142,7 +142,33 @@ object PlanGallery {
     "io_incragg" -> ("Materialized-view refresh: history state comes " +
       "from a parquet scan of stored partial aggregates, only the " +
       "delta batch is re-aggregated, and the merge shuffles state rows " +
-      "(group-cardinality), not the corpus."))
+      "(group-cardinality), not the corpus."),
+    "ev_anomaly" -> ("Robust daily anomaly detection: one corpus scan " +
+      "into the map-side-combined (entity, day) count shuffle, then " +
+      "median AND MAD as two whole-partition Window aggregates sharing " +
+      "ONE entity exchange — the join-based median/MAD spelling would " +
+      "re-run the day-count aggregate per consumer."),
+    "ev_ewma" -> ("Per-entity EWMA: row_number, per-entity count, and " +
+      "the ordered running sum all ride ONE exchange + one sort; the " +
+      "closed-form decay terms stay inside the projection's codegen — " +
+      "no recursion, no per-row UDF, one pass."),
+    "ev_markov" -> ("Markov attribution: journey truncation and both " +
+      "transition feeds (steps + DROP ends) share the same per-entity " +
+      "window sort; the only other shuffle is the bounded " +
+      "(types+1)^2 transition aggregate — the chain solve never " +
+      "touches the corpus."),
+    "t_wsample" -> ("Sequential Poisson weighted sampling: priorities " +
+      "computed inside the scan's codegen span, then " +
+      "TakeOrderedAndProject — per-partition k-heaps and one k-row " +
+      "merge; the corpus is never globally sorted or shuffled."),
+    "mm_neardup_c" -> ("Clone-safe perceptual near-dup: decode + dHash " +
+      "map-only, identical hashes collapse to representatives in one " +
+      "groupBy, and the banded Hamming join runs over representatives " +
+      "— output linear in distinct hashes under any duplication."),
+    "str_linkage" -> ("Fuzzy record linkage: brand-blocked equi hash " +
+      "join (never all-pairs across blocks) with the Jaro-Winkler " +
+      "kernel evaluated inside whole-stage codegen on each candidate " +
+      "pair."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -143,6 +143,30 @@ class ModulesSpec extends SparkSuite {
     got.foreach { case (k, n) => assert(want(k) == n, s"window $k") }
   }
 
+  test("streaming EWMA converges to the batch closed form per user") {
+    implicit val s: SparkSession = spark
+    val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
+    val out = graft.streaming.Streaming.runToMemory(
+      graft.streaming.Streaming.streamingEwma(src).toDF(
+        "user_id", "n_events", "ewma"), "t_ewma")
+    // one emission per entity per micro-batch: keep the last (max n)
+    val got = out.as[(Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+    val batch = graft.operators.Timeseries
+      .ewma(graft.core.Tables.events(spark, dir),
+        "user_id", "ts", "event_id", "value")
+      .select($"user_id", $"n_events", $"ewma_micro")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty && got.size == batch.size)
+    got.foreach { case (u, (_, n, e)) =>
+      val (_, bn, bMicro) = batch(u)
+      assert(n == bn, s"user $u event count $n vs batch $bn")
+      // recursion vs closed-form sum: same value up to double rounding
+      assert(math.abs(e - bMicro / 1e6) < 1e-3,
+        s"user $u streamed $e vs batch ${bMicro / 1e6}")
+    }
+  }
+
   test("streaming funnel advancement feed equals the batch funnel depths") {
     implicit val s: SparkSession = spark
     val stages = Seq("view", "click", "purchase")
