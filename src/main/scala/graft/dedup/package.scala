@@ -411,6 +411,54 @@ package object dedup {
       .filter(col("dist") =!= -1) // threshold form returns -1 past maxDist
   }
 
+  /** Sorted-neighborhood blocking (Hernández–Stolfo): rank every row by
+    * a sort key, pair rows whose GLOBAL ranks are within `w` — the
+    * record-linkage blocking used when no clean equality key (brand,
+    * language) exists but similar records sort near each other
+    * (names, normalized addresses). Returns (id1, id2, rn1, rn2)
+    * candidates; verify with the matcher of your choice (the
+    * str_linkage_sn query verifies with the Jaro–Winkler kernel).
+    *
+    * Exact global ranks WITHOUT a single-task sort: range-partition by
+    * (key, id), local row_number per partition, plus per-partition
+    * offsets from a bounded one-row-per-partition count frame (the
+    * two-level-scan pattern of Partitions.withRowIndex, generalized to
+    * a non-integral sort key). The rank — hence the output — is
+    * partitioning-independent: partition boundaries only move WHERE
+    * offsets split, never what any row's global rank is. Candidate
+    * pairs come from a bucket equi-join (rank DIV w, probing b and
+    * b+1); each qualifying pair matches exactly one probe, so no dedup
+    * pass. Output volume is ≤ w rows per row — linear in the corpus by
+    * construction, the property that makes this blocking usable at
+    * 100 TB where key-blocking quadratics blow up. */
+  def sortedNeighborhoodPairs(df: DataFrame, key: Column, idCol: String,
+      w: Int): DataFrame = {
+    require(w > 0, s"window must be positive, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = df.select(col(idCol).as("id"), key.as("k"))
+      .repartitionByRange(col("k"), col("id"))
+      .withColumn("pid", spark_partition_id())
+    val withLrn = tagged.withColumn("lrn",
+      row_number().over(Window.partitionBy("pid").orderBy("k", "id")))
+    // one row per partition — bounded by contract; the only unpartitioned
+    // window runs over that bounded frame (the t_pack discipline)
+    val offs = withLrn.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("pid"), col("off"))
+    val ranked = withLrn.join(broadcast(offs), "pid")
+      .select(col("id"), col("k"), (col("off") + col("lrn")).as("rn"))
+      .withColumn("b", expr(s"rn DIV $w"))
+    val probe = ranked.select(col("id").as("id1"), col("rn").as("rn1"),
+      explode(array(col("b"), col("b") + 1)).as("bb"))
+    val build = ranked.select(col("id").as("id2"), col("rn").as("rn2"),
+      col("b").as("bb"))
+    probe.join(build, "bb")
+      .filter(col("rn2") > col("rn1") && col("rn2") - col("rn1") <= w)
+      .select(col("id1"), col("id2"), col("rn1"), col("rn2"))
+  }
+
   /** Cross-corpus contamination scan: every (train, eval) document pair
     * whose n-gram Jaccard is at least `minJaccardPct`/100 — the
     * decontamination pass that keeps benchmark/eval text out of a training

@@ -133,6 +133,28 @@ object StringQueries {
         .select(col("k1"), col("k2"), round(col("jw"), 6).as("jw"))
     },
 
+    // the second blocking strategy: sorted-neighborhood linkage
+    // (graft.dedup.sortedNeighborhoodPairs, Hernández–Stolfo) — rank by
+    // name, candidates within rank distance 10, JW >= 0.9 verify.
+    // Catches cross-BLOCK near-names brand-blocking can't see, with
+    // candidate volume LINEAR in the corpus (<= w per row); the exact
+    // global ranks come from the two-level range-partitioned scan, no
+    // single-task sort. Output pins both pair set and ranks.
+    "str_linkage_sn" -> { (s, dir) =>
+      import graft.functions.StringSimExprs.jaroWinklerSim
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey").as("k"), col("p_name").as("nm"))
+      val cands = graft.dedup.sortedNeighborhoodPairs(p, col("nm"), "k", 10)
+      cands
+        .join(p.select(col("k").as("id1"), col("nm").as("n1")), "id1")
+        .join(p.select(col("k").as("id2"), col("nm").as("n2")), "id2")
+        .select(col("id1"), col("id2"), col("rn1"), col("rn2"),
+          jaroWinklerSim(col("n1"), col("n2")).as("jw"))
+        .filter(col("jw") >= 0.9)
+        .select(col("id1"), col("id2"), col("rn1"), col("rn2"),
+          round(col("jw"), 6).as("jw"))
+    },
+
     // to_categorical (reference str.py:867): dictionary-encode two string
     // columns; codes are dense ranks in sorted value order, so the oracle
     // reproduces them with window dense_rank over the raw table
@@ -149,6 +171,9 @@ object StringQueries {
     // implementation of the kernel under test
     "str_linkage" ->
       """SELECT a.p_partkey AS k1, c.p_partkey AS k2, round(jaro_winkler_similarity(a.p_name, c.p_name), 6) AS jw FROM part a JOIN part c ON a.p_brand = c.p_brand AND a.p_partkey < c.p_partkey WHERE jaro_winkler_similarity(a.p_name, c.p_name) >= 0.9""",
+    // same global (name, key) ranks via one window; rank distance <= 10
+    "str_linkage_sn" ->
+      """WITH r AS (SELECT p_partkey AS id, p_name AS nm, row_number() OVER (ORDER BY p_name, p_partkey) AS rn FROM part) SELECT a.id AS id1, c.id AS id2, a.rn AS rn1, c.rn AS rn2, round(jaro_winkler_similarity(a.nm, c.nm), 6) AS jw FROM r a JOIN r c ON c.rn > a.rn AND c.rn - a.rn <= 10 WHERE jaro_winkler_similarity(a.nm, c.nm) >= 0.9""",
     "str_astype" ->
       """WITH v AS (SELECT doc_id, list_transform([CAST(n_chars AS VARCHAR), 'x7', ' 42 ', '', '1.5', '-0.25'], x -> TRY_CAST(trim(x) AS DOUBLE)) AS vs FROM documents) SELECT doc_id, vs[1] AS v0, vs[3] AS v42, CAST(len(list_filter(vs, x -> x IS NOT NULL)) AS BIGINT) AS n_ok FROM v""",
     "str_categorical" ->

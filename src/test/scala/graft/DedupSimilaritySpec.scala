@@ -803,4 +803,34 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(matching <= est.rows && est.rows < est.totalRows)
     assert(est.bytes > 0L && est.bytes < est.totalBytes)
   }
+
+  test("sortedNeighborhoodPairs: brute-force differential, exact ranks, linear bound") {
+    import spark.implicits._
+    // names engineered so near-duplicates sort adjacent while equality
+    // blocking would find nothing (all distinct)
+    val names = Seq("alpha one", "alpha onf", "alpha two", "beta one",
+      "beta onf", "beta ten", "gamma x", "gamma y", "delta q", "delta r",
+      "epsilon", "zeta", "eta", "theta", "iota", "kappa")
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("k", "nm")
+    val w = 3
+    val got = graft.dedup.sortedNeighborhoodPairs(df, col("nm"), "k", w)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // brute force: global (nm, k) rank, all pairs within w
+    val ranked = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .sortBy { case (k, n) => (n, k) }.zipWithIndex
+      .map { case ((k, _), r) => k -> (r + 1).toLong }.toMap
+    val want = (for {
+      a <- ranked.toSeq; b <- ranked.toSeq
+      if ranked(b._1) > ranked(a._1) && ranked(b._1) - ranked(a._1) <= w
+    } yield (a._1, b._1, ranked(a._1), ranked(b._1))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // linear bound: each left row pairs with at most w partners
+    assert(got.groupBy(_._1).values.forall(_.size <= w))
+    // partitioning independence: the ranks are global properties
+    val again = graft.dedup.sortedNeighborhoodPairs(
+      df.repartition(7), col("nm"), "k", w)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(again == got)
+  }
 }
