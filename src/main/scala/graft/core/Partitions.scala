@@ -100,6 +100,34 @@ object Partitions {
     * single-task Window. Adds `outCol` (0-based). Requires distinct
     * NUMERIC `orderCol` values (the scan buckets by value range; ties
     * would make the ordinal order-dependent). */
+  /** Exact 1-based GLOBAL rank by an arbitrary (key, id) sort — the
+    * generalization of [[withRowIndex]] to non-integral keys: range-
+    * partition by (key, id), rank locally per partition, add bounded
+    * per-partition offsets (one count row per partition; the only
+    * unpartitioned window runs over that bounded frame). No corpus-wide
+    * single-task sort; the rank is partitioning-independent — partition
+    * boundaries only move where offsets split, never any row's rank.
+    * `idCol` must be distinct (the tiebreak that makes the order total).
+    * Returns (idCol, k, outCol). */
+  def globalRankBy(df: DataFrame, key: org.apache.spark.sql.Column,
+      idCol: String, outCol: String = "rn"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val tagged = df.select(col(idCol).as("id"), key.as("k"))
+      .repartitionByRange(col("k"), col("id"))
+      .withColumn("pid", spark_partition_id())
+    val withLrn = tagged.withColumn("lrn",
+      row_number().over(Window.partitionBy("pid").orderBy("k", "id")))
+    val offs = withLrn.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("pid"), col("off"))
+    withLrn.join(broadcast(offs), "pid")
+      .select(col("id").as(idCol), col("k"),
+        (col("off") + col("lrn")).as(outCol))
+  }
+
   def withRowIndex(df: DataFrame, orderCol: String,
       outCol: String = "row_idx"): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}

@@ -434,21 +434,10 @@ package object dedup {
   def sortedNeighborhoodPairs(df: DataFrame, key: Column, idCol: String,
       w: Int): DataFrame = {
     require(w > 0, s"window must be positive, got $w")
-    import org.apache.spark.sql.expressions.Window
-    val tagged = df.select(col(idCol).as("id"), key.as("k"))
-      .repartitionByRange(col("k"), col("id"))
-      .withColumn("pid", spark_partition_id())
-    val withLrn = tagged.withColumn("lrn",
-      row_number().over(Window.partitionBy("pid").orderBy("k", "id")))
-    // one row per partition — bounded by contract; the only unpartitioned
-    // window runs over that bounded frame (the t_pack discipline)
-    val offs = withLrn.groupBy(col("pid")).agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum(col("n")).over(
-        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("pid"), col("off"))
-    val ranked = withLrn.join(broadcast(offs), "pid")
-      .select(col("id"), col("k"), (col("off") + col("lrn")).as("rn"))
+    // exact global (key, id) ranks via the two-level range-partitioned
+    // scan — no single-task sort (graft.core.Partitions.globalRankBy)
+    val ranked = graft.core.Partitions.globalRankBy(
+        df.select(col(idCol).as("id"), key.as("k")), col("k"), "id")
       .withColumn("b", expr(s"rn DIV $w"))
     val probe = ranked.select(col("id").as("id1"), col("rn").as("rn1"),
       explode(array(col("b"), col("b") + 1)).as("bb"))

@@ -155,6 +155,25 @@ object StringQueries {
           round(col("jw"), 6).as("jw"))
     },
 
+    // the COMPLETE entity-resolution pipeline as one graded query:
+    // sorted-neighborhood blocking -> Jaro-Winkler matching (>= 0.92)
+    // -> connected-components transitive closure. Matching is not
+    // transitive ("ab"~"ac"~"ad" without ab~ad), so real entity
+    // resolution always ends in the closure step; the oracle replays
+    // all three stages, WITH RECURSIVE reach for the closure
+    "str_entities" -> { (s, dir) =>
+      import graft.functions.StringSimExprs.jaroWinklerSim
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey").as("k"), col("p_name").as("nm"))
+      val edges = graft.dedup
+        .sortedNeighborhoodPairs(p, col("nm"), "k", 10)
+        .join(p.select(col("k").as("id1"), col("nm").as("n1")), "id1")
+        .join(p.select(col("k").as("id2"), col("nm").as("n2")), "id2")
+        .filter(jaroWinklerSim(col("n1"), col("n2")) >= 0.92)
+        .select(col("id1"), col("id2"))
+      graft.dedup.connectedComponents(edges, "id1", "id2")
+    },
+
     // to_categorical (reference str.py:867): dictionary-encode two string
     // columns; codes are dense ranks in sorted value order, so the oracle
     // reproduces them with window dense_rank over the raw table
@@ -171,6 +190,10 @@ object StringQueries {
     // implementation of the kernel under test
     "str_linkage" ->
       """SELECT a.p_partkey AS k1, c.p_partkey AS k2, round(jaro_winkler_similarity(a.p_name, c.p_name), 6) AS jw FROM part a JOIN part c ON a.p_brand = c.p_brand AND a.p_partkey < c.p_partkey WHERE jaro_winkler_similarity(a.p_name, c.p_name) >= 0.9""",
+    // blocking + matching + WITH RECURSIVE min-label closure (the
+    // d_clusters replay pattern) over the same rank-window candidates
+    "str_entities" ->
+      """WITH RECURSIVE r AS (SELECT p_partkey AS id, p_name AS nm, row_number() OVER (ORDER BY p_name, p_partkey) AS rn FROM part), e AS (SELECT a.id AS id1, c.id AS id2 FROM r a JOIN r c ON c.rn > a.rn AND c.rn - a.rn <= 10 WHERE jaro_winkler_similarity(a.nm, c.nm) >= 0.92), sym AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e), reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM sym) n UNION SELECT rr.a, s.b FROM reach rr JOIN sym s ON rr.b = s.a) SELECT a AS id, min(b) AS rep FROM reach GROUP BY a""",
     // same global (name, key) ranks via one window; rank distance <= 10
     "str_linkage_sn" ->
       """WITH r AS (SELECT p_partkey AS id, p_name AS nm, row_number() OVER (ORDER BY p_name, p_partkey) AS rn FROM part) SELECT a.id AS id1, c.id AS id2, a.rn AS rn1, c.rn AS rn2, round(jaro_winkler_similarity(a.nm, c.nm), 6) AS jw FROM r a JOIN r c ON c.rn > a.rn AND c.rn - a.rn <= 10 WHERE jaro_winkler_similarity(a.nm, c.nm) >= 0.9""",

@@ -98,6 +98,25 @@ object TextQueries {
           floor(col("_prio") * 1e18).cast("long").as("prio_atto"))
     },
 
+    // exact quantile normalization (graft.text.quantileNormalize): each
+    // doc's n_chars replaced by its exact corpus percentile in ppm —
+    // rank from the two-level range-partitioned global scan (no
+    // single-task sort), ties broken by doc_id, integer-exact
+    "t_qnorm" -> { (s, dir) =>
+      quantileNormalize(Tables.documents(s, dir), "n_chars", "doc_id")
+    },
+
+    // feature hashing (graft.text.featureHash): whitespace tokens into
+    // 16 polyHash buckets, per-doc counts as a fixed vector — computed
+    // inside the row via HOF aggregate (no explode, no shuffle),
+    // scalarized to f0..f15 for the harness
+    "t_fhash" -> { (s, dir) =>
+      val fh = featureHash(col("text"), 16)
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: (0 until 16).map(j =>
+          fh.getItem(j).as(s"f$j")): _*)
+    },
+
     // deterministic weighted mixture sampling (graft.text.mixtureKeep):
     // down-weight 'en' to 0.5 and 'es' to 0.25, keep the rest — the
     // data-mixing filter, map-side and reproducible
@@ -475,6 +494,12 @@ ${(1 to 12).map(bpeRoundSql).mkString(",\n")}"""
     // same rolling hash, ranked per stratum; quota = (n*10) // 100 exact
     "t_strat" ->
       """WITH h AS (SELECT lang, doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS hv FROM documents), sz AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), r AS (SELECT h.lang, doc_id, row_number() OVER (PARTITION BY h.lang ORDER BY hv, doc_id) AS rn, sz.n FROM h JOIN sz ON sz.lang = h.lang) SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS sum_id FROM r WHERE rn <= (n * 10) // 100 GROUP BY 1""",
+    // same (n_chars, doc_id) total order via one window; ppm integer DIV
+    "t_qnorm" ->
+      """WITH r AS (SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn, count(*) OVER () AS nn FROM documents) SELECT doc_id, n_chars, rn, CASE WHEN nn > 1 THEN (rn - 1) * 1000000 // (nn - 1) ELSE 0 END AS pct_ppm FROM r""",
+    // same polyHash-mod-16 bucketing per token, counted per doc
+    "t_fhash" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents) SELECT doc_id, ${(0 until 16).map(j => s"CAST(len(list_filter(toks, w -> list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(w, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 16 = $j)) AS BIGINT) AS f$j").mkString(", ")} FROM t""",
     // sequential-Poisson replay: same hash-uniform, same IEEE division
     // (every operand cast to DOUBLE so DuckDB can't fall into decimal),
     // same (priority, id) order and k cut

@@ -267,6 +267,41 @@ package object text {
       .limit(k)
   }
 
+  /** Exact quantile normalization (rank transform): replace a numeric
+    * feature by its corpus percentile — the distribution-free scaling
+    * feature pipelines apply before mixing heterogeneous signals.
+    * Percentile = (rank − 1)·10⁶ DIV (N − 1) in exact ppm integers
+    * (0 for the minimum, 10⁶ for the maximum), rank from the two-level
+    * range-partitioned global scan ([[graft.core.Partitions
+    * .globalRankBy]] — no single-task sort) with `idCol` as the
+    * deterministic tiebreak. A 1-row count broadcast supplies N. */
+  def quantileNormalize(df: DataFrame, valueCol: String, idCol: String)
+      : DataFrame = {
+    val ranked = graft.core.Partitions.globalRankBy(
+      df.select(col(idCol).as("id"), col(valueCol).as("v")), col("v"), "id")
+    val n = df.agg(count(lit(1)).as("nn"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("id").as(idCol), col("k").as(valueCol), col("rn"),
+        expr("CASE WHEN nn > 1 THEN ((rn - 1) * 1000000) DIV (nn - 1) " +
+          "ELSE CAST(0 AS BIGINT) END").as("pct_ppm"))
+  }
+
+  /** Feature hashing (the hashing-trick vectorizer): whitespace tokens
+    * hash into `dim` buckets (polyHash mod dim — the oracle-replayable
+    * hash convention), per-document bucket counts come out as a fixed
+    * `dim`-length vector. Entirely row-local HOFs — no explode, no
+    * shuffle, map-only at any corpus size. The hash runs once per token
+    * (codegen subexpression elimination shares the bucket array across
+    * lanes); the lane loop re-scans only the small int array, O(dim ·
+    * tokens) cheap compares — the trade that buys zero wire traffic. */
+  def featureHash(textCol: Column, dim: Int): Column = {
+    require(dim > 0 && dim <= 1024, s"dim out of range: $dim")
+    val bks = transform(wsTokens(lower(textCol)),
+      t => pmod(graft.functions.HashExprs.polyHashFast(t), lit(dim.toLong)))
+    transform(sequence(lit(0), lit(dim - 1)),
+      j => size(filter(bks, b => b === j.cast("long"))).cast("long"))
+  }
+
   /** Repetition quality metrics (the Gopher-rule family): per document,
     * the fraction of all n-grams taken by the single most frequent one
     * (`top_frac`, word-soup/keyword-stuffing detector) and the fraction of

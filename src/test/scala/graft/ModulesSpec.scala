@@ -551,6 +551,41 @@ class ModulesSpec extends SparkSuite {
     assert(exact.forall(_ == 3))
   }
 
+  test("globalRankBy/quantileNormalize/featureHash: exact ranks, ppm bounds, hash lanes") {
+    // globalRankBy: arbitrary string key, exact 1..N, repartition-stable
+    val df = Seq((3L, "bb"), (1L, "aa"), (2L, "aa"), (4L, "cc"))
+      .toDF("id", "k")
+    def ranks(d: org.apache.spark.sql.DataFrame) =
+      graft.core.Partitions.globalRankBy(d, $"k", "id")
+        .select($"id", $"rn").as[(Long, Long)].collect().toMap
+    val r = ranks(df)
+    assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L), r.toString)
+    assert(ranks(df.repartition(5)) == r)
+    // quantileNormalize: ties split by id; endpoints exactly 0 and 1e6
+    val q = graft.text.quantileNormalize(
+        Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L)).toDF("id", "v"),
+        "v", "id")
+      .select($"id", $"pct_ppm").as[(Long, Long)].collect().toMap
+    assert(q == Map(1L -> 0L, 2L -> 333333L, 3L -> 666666L, 4L -> 1000000L),
+      q.toString)
+    assert(graft.text.quantileNormalize(Seq((1L, 5L)).toDF("id", "v"),
+      "v", "id").select($"pct_ppm").as[Long].head() == 0L)
+    // featureHash: lanes sum to the token count; buckets match the
+    // reference hash; deterministic across partitionings
+    val texts = Seq((1L, "the quick brown fox"), (2L, "a a b"))
+    val lanes = texts.toDF("id", "text")
+      .select($"id", graft.text.featureHash($"text", 8).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((id, t) <- texts) {
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      val want = toks.groupBy(w =>
+        graft.functions.HashExprs.polyHash(w) % 8).view.mapValues(_.size.toLong)
+      assert(lanes(id).sum == toks.size)
+      assert(lanes(id).zipWithIndex.forall { case (c, j) =>
+        c == want.getOrElse(j.toLong, 0L) }, s"doc $id: ${lanes(id)}")
+    }
+  }
+
   test("weightedSampleK: brute-force differential, weight monotone, TakeOrdered plan") {
     val docs = graft.core.Tables.documents(spark, dir)
       .select($"doc_id", $"text", $"n_chars")

@@ -53,7 +53,10 @@ class PlanQualitySpec extends SparkSuite {
       val crossByDesign = Set("sim_ivf", "sim_kmeans", "sim_topk", "sim_pq",
         "d_semdedup", "t_bm25", "sim_mmr", "sim_sq8", "t_ppl", "t_tfidf",
         "t_bigram", "t_nbayes", "q_pagerank", "sim_rrf", "sim_recall",
-        "d_lsh_quality")
+        "d_lsh_quality",
+        // quantileNormalize ships corpus cardinality as a 1-row count
+        // broadcast (the denominator of the ppm percentile)
+        "t_qnorm")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
