@@ -806,7 +806,17 @@ object GraftIO {
     * before. Returns (rewrittenFiles, filesInParent, newVersion). */
   def upsertParquetSnapshot(spark: SparkSession, dest: String,
       updates: DataFrame, keyCol: String, keyCast: String = "bigint")
-      : (Int, Int, Int) = {
+      : (Int, Int, Int) =
+    snapshotRewrite(spark, dest, updates.select(col(keyCol)).distinct(),
+      Some(updates), keyCol, keyCast)
+
+  /** Shared snapshot-rewrite core: files whose manifest key range can
+    * contain a key in `keys` are rewritten to survivors-only (rows NOT
+    * in `keys`), `append` (if any) lands as new rows, and the new
+    * version's file set retires the rewritten files. */
+  private def snapshotRewrite(spark: SparkSession, dest: String,
+      keys: DataFrame, append: Option[DataFrame], keyCol: String,
+      keyCast: String): (Int, Int, Int) = {
     import spark.implicits._
     val log = snapshotVersions(spark, dest)
     require(log.nonEmpty, s"$dest has no snapshot log (initSnapshots first)")
@@ -824,22 +834,24 @@ object GraftIO {
           .select(col("file"),
             stats.getField("min").try_cast(keyCast).as("mn"),
             stats.getField("max").try_cast(keyCast).as("mx"))
-        val keys = updates.select(col(keyCol).cast(keyCast).as("k")).distinct()
-        ranges.join(keys,
+        val ks = keys.select(col(keyCol).cast(keyCast).as("k")).distinct()
+        ranges.join(ks,
             col("mn").isNull || col("mx").isNull ||
               col("k").between(col("mn"), col("mx")), "left_semi")
           .select(col("file")).collect().map(_.getString(0)).toSeq
           // bounded: one row per file in the parent snapshot
       }
+    val base = append.getOrElse(fromParquetSnapshot(spark, dest).limit(0))
     val survivors =
-      if (affected.isEmpty) updates.limit(0)
+      if (affected.isEmpty) base.limit(0)
       else {
         val old = spark.read.option("basePath", dest)
           .parquet(affected.map(f => s"$dest/$f"): _*)
-        old.join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
+        old.join(keys.select(col(keyCol)).distinct(), Seq(keyCol),
           "left_anti")
       }
-    survivors.unionByName(updates).write.mode("append").parquet(dest)
+    append.fold(survivors)(survivors.unionByName(_))
+      .write.mode("append").parquet(dest)
     val beforeSet = before.map(_._2).toSet
     val fresh = walkDataFiles(spark, dest)._3.map(_._2)
       .filterNot(beforeSet)
@@ -847,6 +859,57 @@ object GraftIO {
     appendVersionLine(fs, p, log, parentV + 1, parentV, nextFiles)
     if (fs.exists(sidecar)) writeManifestIncremental(spark, dest): Unit
     (affected.size, current.size, parentV + 1)
+  }
+
+  /** Delete-by-key as a NEW SNAPSHOT — the GDPR/right-to-be-forgotten
+    * path: same manifest-ranged file selection as
+    * [[upsertParquetSnapshot]] (only files whose [min, max] key range
+    * can contain a doomed key are rewritten; at 100 TB almost none),
+    * rewritten files are retired from the new version, nothing is
+    * destroyed until [[vacuumSnapshots]] — which is what makes the
+    * compliance story auditable: the deletion snapshot records exactly
+    * which files changed, and vacuum is the physical erasure step.
+    * Returns (rewrittenFiles, filesInParent, newVersion). */
+  def deleteParquetSnapshot(spark: SparkSession, dest: String,
+      keys: DataFrame, keyCol: String, keyCast: String = "bigint")
+      : (Int, Int, Int) =
+    snapshotRewrite(spark, dest, keys.select(col(keyCol)).distinct(),
+      None, keyCol, keyCast)
+
+  /** Change feed between two recorded snapshots, at DELTA cost: rows
+    * that changed can only live in files in the symmetric difference of
+    * the two versions' file sets, so only THOSE files are read — never
+    * the stable bulk of the table. Emits one row per changed key with
+    * `_op` ∈ {insert, delete, update}: keys only in `toV` are inserts,
+    * only in `fromV` deletes, and keys present in both sides of the
+    * changed-file read whose rows differ are updates (same-key rows
+    * re-written byte-identically — pure file compaction — do not
+    * appear). Column layout: (_op, <full row from the newer side; the
+    * older values for deletes>). */
+  def snapshotDiff(spark: SparkSession, dest: String, fromV: Int,
+      toV: Int, keyCol: String): DataFrame = {
+    val log = snapshotVersions(spark, dest)
+    def filesOf(v: Int): Set[String] =
+      log.find(_._1 == v).getOrElse(sys.error(s"version $v not in log"))._3.toSet
+    val (fa, fb) = (filesOf(fromV), filesOf(toV))
+    val onlyOld = (fa -- fb).toSeq
+    val onlyNew = (fb -- fa).toSeq
+    val schema = fromParquetSnapshot(spark, dest, toV).schema
+    def read(files: Seq[String]): DataFrame =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.option("basePath", dest)
+        .parquet(files.map(f => s"$dest/$f"): _*)
+    val old = read(onlyOld)
+    val neu = read(onlyNew)
+    val inserts = neu.join(old.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .select(lit("insert").as("_op") +: schema.fieldNames.map(col): _*)
+    val deletes = old.join(neu.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .select(lit("delete").as("_op") +: schema.fieldNames.map(col): _*)
+    val updates = neu.join(old.select(col(keyCol)), Seq(keyCol), "left_semi")
+      .exceptAll(old.join(neu.select(col(keyCol)), Seq(keyCol), "left_semi"))
+      .select(lit("update").as("_op") +: schema.fieldNames.map(col): _*)
+    inserts.unionByName(deletes).unionByName(updates)
   }
 
   /** Reclaim history: keep the last `keepLast` versions, delete data

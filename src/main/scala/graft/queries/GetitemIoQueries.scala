@@ -230,14 +230,14 @@ object GetitemIoQueries {
       val bump0 = ord.filter(col("o_orderkey") % 30 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 500.0)
       val fresh1 = ord.filter(col("o_orderkey") % 30 === 3)
-        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        .select((col("o_orderkey") + 1000000000000L).as("o_orderkey"),
           (col("o_totalprice") + 111.0).as("o_totalprice"))
       graft.io.GraftIO.upsertParquetSnapshot(s, tmp,
         bump0.unionByName(fresh1), "o_orderkey")
       val bump6 = ord.filter(col("o_orderkey") % 30 === 6)
         .withColumn("o_totalprice", col("o_totalprice") + 999.0)
       val fresh2 = ord.filter(col("o_orderkey") % 30 === 3)
-        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        .select((col("o_orderkey") + 1000000000000L).as("o_orderkey"),
           (col("o_totalprice") * 2.0).as("o_totalprice"))
       graft.io.GraftIO.upsertParquetSnapshot(s, tmp,
         bump6.unionByName(fresh2), "o_orderkey")
@@ -254,6 +254,40 @@ object GetitemIoQueries {
       graft.io.GraftIO.vacuumSnapshots(s, tmp, keepLast = 2)
       before.unionByName(snap("v1_vacuumed", 1))
         .unionByName(snap("v2_vacuumed", 2))
+    },
+
+    // change-data-capture between snapshots graded END TO END
+    // (GraftIO.snapshotDiff): v1 = upsert (price bumps + inserted
+    // keys), v2 = DELETE-by-key (deleteParquetSnapshot, the GDPR
+    // path). Each diff reads ONLY the symmetric difference of the two
+    // versions' file sets — delta cost — and must classify every
+    // changed key as insert/update/delete; rewritten-but-identical
+    // rows (pure compaction traffic) must NOT appear. The oracle
+    // reconstructs both change feeds relationally.
+    "io_cdc" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cdc").toString + "/ord"
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.io.GraftIO.toParquetWithMetadata(
+        ord.repartitionByRange(8, col("o_orderkey")), tmp)
+      graft.io.GraftIO.initSnapshots(s, tmp)
+      val bumped = ord.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val fresh = ord.filter(col("o_orderkey") % 20 === 1)
+        .select((col("o_orderkey") + 1000000000000L).as("o_orderkey"),
+          col("o_totalprice"))
+      graft.io.GraftIO.upsertParquetSnapshot(s, tmp,
+        bumped.unionByName(fresh), "o_orderkey")
+      graft.io.GraftIO.deleteParquetSnapshot(s, tmp,
+        ord.filter(col("o_orderkey") % 30 === 2)
+          .select(col("o_orderkey")), "o_orderkey")
+      def feed(tag: String, a: Int, b: Int) =
+        graft.io.GraftIO.snapshotDiff(s, tmp, a, b, "o_orderkey")
+          .groupBy(col("_op"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+          .select(lit(tag).as("pair"), col("_op"), col("n"), col("sum_key"))
+      feed("v0_v1", 0, 1).unionByName(feed("v1_v2", 1, 2))
     },
 
     // incremental aggregate maintenance graded END TO END
@@ -636,10 +670,15 @@ object GetitemIoQueries {
     // simulated merge: bumped rows replace their keys, fresh keys append
     "io_upsert" ->
       """WITH merged AS (SELECT o_orderkey, o_orderstatus, CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice FROM orders UNION ALL SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 20 = 1) SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price, CAST(sum(o_orderkey) AS BIGINT) AS sum_key FROM merged GROUP BY 1""",
+    // semantic change feeds reconstructed relationally: v0->v1 inserts
+    // the +1e9 keys and updates the %20==0 keys; v1->v2 deletes the
+    // %30==2 keys; nothing else may appear in either feed
+    "io_cdc" ->
+      """WITH f1 AS (SELECT 'v0_v1' AS pair, 'insert' AS op, o_orderkey + 1000000000000 AS k FROM orders WHERE o_orderkey % 20 = 1 UNION ALL SELECT 'v0_v1', 'update', o_orderkey FROM orders WHERE o_orderkey % 20 = 0), f2 AS (SELECT 'v1_v2' AS pair, 'delete' AS op, o_orderkey AS k FROM orders WHERE o_orderkey % 30 = 2), u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2) SELECT pair, op AS _op, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_key FROM u GROUP BY 1, 2""",
     // each snapshot's state reconstructed relationally; vacuumed reads
     // must match the pre-vacuum rows exactly
     "io_timetravel" ->
-      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0), v0 AS (SELECT o_orderkey, o_totalprice FROM base), fresh1 AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_totalprice + 111.0 AS o_totalprice FROM orders WHERE o_orderkey % 30 = 3), v1 AS (SELECT o_orderkey, CASE WHEN o_orderkey % 30 = 0 THEN o_totalprice + 500.0 ELSE o_totalprice END AS o_totalprice FROM base UNION ALL SELECT * FROM fresh1), fresh2 AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_totalprice * 2.0 AS o_totalprice FROM orders WHERE o_orderkey % 30 = 3), v2 AS (SELECT o_orderkey, CASE WHEN o_orderkey % 30 = 0 THEN o_totalprice + 500.0 WHEN o_orderkey % 30 = 6 THEN o_totalprice + 999.0 ELSE o_totalprice END AS o_totalprice FROM base UNION ALL SELECT * FROM fresh2) SELECT 'v0' AS snap, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price, CAST(sum(o_orderkey) AS BIGINT) AS sum_key FROM v0 UNION ALL SELECT 'v1', count(*), round(sum(o_totalprice), 2), CAST(sum(o_orderkey) AS BIGINT) FROM v1 UNION ALL SELECT 'v2', count(*), round(sum(o_totalprice), 2), CAST(sum(o_orderkey) AS BIGINT) FROM v2 UNION ALL SELECT 'v1_vacuumed', count(*), round(sum(o_totalprice), 2), CAST(sum(o_orderkey) AS BIGINT) FROM v1 UNION ALL SELECT 'v2_vacuumed', count(*), round(sum(o_totalprice), 2), CAST(sum(o_orderkey) AS BIGINT) FROM v2""",
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0), v0 AS (SELECT o_orderkey, o_totalprice FROM base), fresh1 AS (SELECT o_orderkey + 1000000000000 AS o_orderkey, o_totalprice + 111.0 AS o_totalprice FROM orders WHERE o_orderkey % 30 = 3), v1 AS (SELECT o_orderkey, CASE WHEN o_orderkey % 30 = 0 THEN o_totalprice + 500.0 ELSE o_totalprice END AS o_totalprice FROM base UNION ALL SELECT * FROM fresh1), fresh2 AS (SELECT o_orderkey + 1000000000000 AS o_orderkey, o_totalprice * 2.0 AS o_totalprice FROM orders WHERE o_orderkey % 30 = 3), v2 AS (SELECT o_orderkey, CASE WHEN o_orderkey % 30 = 0 THEN o_totalprice + 500.0 WHEN o_orderkey % 30 = 6 THEN o_totalprice + 999.0 ELSE o_totalprice END AS o_totalprice FROM base UNION ALL SELECT * FROM fresh2) SELECT 'v0' AS snap, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price, CAST(sum(o_orderkey) AS BIGINT) AS sum_key FROM v0 UNION ALL SELECT 'v1', count(*), round(sum(o_totalprice), 2), CAST(sum(o_orderkey) AS BIGINT) FROM v1 UNION ALL SELECT 'v2', count(*), round(sum(o_totalprice), 2), CAST(sum(o_orderkey) AS BIGINT) FROM v2 UNION ALL SELECT 'v1_vacuumed', count(*), round(sum(o_totalprice), 2), CAST(sum(o_orderkey) AS BIGINT) FROM v1 UNION ALL SELECT 'v2_vacuumed', count(*), round(sum(o_totalprice), 2), CAST(sum(o_orderkey) AS BIGINT) FROM v2""",
     // the merged state must equal the one-pass aggregate over everything
     "io_incragg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, round(sum(l_quantity) / count(*), 4) AS avg_qty FROM lineitem GROUP BY 1, 2""",

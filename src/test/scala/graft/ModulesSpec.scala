@@ -825,6 +825,41 @@ class ModulesSpec extends SparkSuite {
       .flatMap(_._3).toSet, "manifest out of sync with live files")
   }
 
+  test("snapshot delete + diff: exact change feeds, compaction rows invisible") {
+    import graft.io.GraftIO
+    val d = java.nio.file.Files.createTempDirectory("graft_cdc2").toString + "/t"
+    val base = (1L to 300L).map(i => (i, i.toDouble)).toDF("id", "v")
+    GraftIO.toParquetWithMetadata(base.repartitionByRange(6, $"id"), d)
+    GraftIO.initSnapshots(spark, d)
+    // v1: one real update, one insert, and one SAME-VALUE rewrite (pure
+    // compaction traffic — must be invisible to the diff)
+    GraftIO.upsertParquetSnapshot(spark, d,
+      Seq((10L, -10.0), (900L, 9.0), (11L, 11.0)).toDF("id", "v"), "id")
+    val d01 = GraftIO.snapshotDiff(spark, d, 0, 1, "id")
+      .select($"_op", $"id").as[(String, Long)].collect().toSet
+    assert(d01 == Set(("update", 10L), ("insert", 900L)),
+      s"diff(0,1) wrong: $d01")
+    // v2: delete a narrow range — delta-proportional rewrite
+    val (rw, tot, v2) = GraftIO.deleteParquetSnapshot(spark, d,
+      Seq(10L, 11L, 900L).toDF("id"), "id")
+    assert(v2 == 2 && rw < tot, s"delete rewrote $rw of $tot")
+    val s2 = GraftIO.fromParquetSnapshot(spark, d, 2)
+      .as[(Long, Double)].collect().toMap
+    assert(!s2.contains(10L) && !s2.contains(11L) && !s2.contains(900L))
+    assert(s2.size == 298 && s2(12L) == 12.0)
+    // parent untouched; diff(1,2) is exactly the three deletes
+    assert(GraftIO.fromParquetSnapshot(spark, d, 1).count() == 301)
+    val d12 = GraftIO.snapshotDiff(spark, d, 1, 2, "id")
+      .select($"_op", $"id").as[(String, Long)].collect().toSet
+    assert(d12 == Set(("delete", 10L), ("delete", 11L), ("delete", 900L)),
+      s"diff(1,2) wrong: $d12")
+    // transitive feed 0->2: the net change
+    val d02 = GraftIO.snapshotDiff(spark, d, 0, 2, "id")
+      .select($"_op", $"id").as[(String, Long)].collect().toSet
+    assert(d02 == Set(("delete", 10L), ("delete", 11L)),
+      s"diff(0,2) wrong: $d02")
+  }
+
   test("IncrementalAgg: merged batch states equal the one-pass aggregate") {
     import graft.operators.IncrementalAgg
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
