@@ -234,4 +234,38 @@ object Inspect {
     ScanEstimate(r.getLong(0), r.getLong(1), r.getLong(2),
       r.getLong(3), r.getLong(4), r.getLong(5))
   }
+  /** Join-key skew report — the diagnostic a pipeline runs BEFORE
+    * reaching for salting/AQE: per-key cardinalities of a prospective
+    * join/groupBy key, reduced to the top-`k` heavy keys with each
+    * key's share of all rows (ppm) and its ratio to the median key
+    * (x100). A ratio_x100 in the thousands is the "one user is 30% of
+    * the table" smell that q_skew_build / asofJoinSalted exist for.
+    *
+    * Shapes: one map-side-combined count shuffle (corpus -> one row per
+    * key), exact percentile + total as a 1-row broadcast over the
+    * key-cardinality frame, bounded-heap top-k — nothing key-quadratic,
+    * no driver collect. Integer outputs (the median of integer counts
+    * is an exact half, carried x2) so the report replays hash-exact. */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.functions._
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      sum(col("cnt")).as("total"),
+      (percentile(col("cnt"), lit(0.5)) * 2).cast("long").as("med_x2"),
+      count(lit(1)).as("n_keys"))
+    // global top-k: TakeOrdered (per-partition heaps, k-row merge); the
+    // rank window then runs over the bounded k-row frame only
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key"))))
+    top.crossJoin(broadcast(stats))
+      .select(col("rank"), col("key").cast("string").as("key"), col("cnt"),
+        expr("cnt * 1000000 DIV total").as("share_ppm"),
+        expr("CASE WHEN med_x2 > 0 THEN (cnt * 200) DIV med_x2 ELSE NULL END")
+          .as("ratio_to_median_x100"),
+        col("n_keys"))
+  }
 }

@@ -269,6 +269,13 @@ object Relational {
     // from the first shuffle's files. Fixed-point int64 arithmetic
     // makes the result bit-identical across engines and partitionings
     // (the oracle replays all 6 rounds in DuckDB with // division).
+    // join-key skew diagnostic (graft.inspect.Inspect.skewReport): the
+    // pre-salting report — top-10 heavy keys with ppm share and the
+    // ratio to the median key (x100, integer-exact via med_x2)
+    "q_skewreport" -> { (s, dir) =>
+      graft.inspect.Inspect.skewReport(
+        Tables.lineitem(s, dir), "l_suppkey", k = 10)
+    },
     "q_pagerank" -> { (s, dir) =>
       import graft.operators.PageRank
       val edges = PageRank.coOccurrenceEdges(
@@ -330,6 +337,9 @@ object Relational {
       """SELECT count(*) AS n_supp, CAST(sum(l_suppkey) AS BIGINT) AS sum_supp FROM (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 5 EXCEPT SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45) t""",
     "q_skew_build" ->
       """WITH r AS (SELECT l_returnflag, row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT)) AS rn, CAST(l_quantity AS BIGINT) AS qty FROM lineitem) SELECT l_returnflag, count(*) AS n, CAST(sum(rn * qty) AS BIGINT) AS ord_chk, CAST(sum(qty) AS BIGINT) AS sum_qty FROM r GROUP BY l_returnflag""",
+    // same counts, exact half-integer median x2, rank ties by key
+    "q_skewreport" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1), s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(median(cnt) * 2 AS BIGINT) AS med_x2, count(*) AS n_keys FROM c), t AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank FROM c) SELECT CAST(rank AS INT) AS rank, CAST(key AS VARCHAR) AS key, cnt, cnt * 1000000 // total AS share_ppm, CASE WHEN med_x2 > 0 THEN (cnt * 200) // med_x2 END AS ratio_to_median_x100, n_keys FROM t, s WHERE rank <= 10""",
     // full 6-round fixed-point power-iteration replay; // is integer
     // division on BIGINT, matching Spark's DIV (all quantities positive)
     "q_pagerank" -> pagerankOracle(6))
