@@ -268,4 +268,33 @@ object Inspect {
           .as("ratio_to_median_x100"),
         col("n_keys"))
   }
+  /** Join-explosion pre-check — skewReport's companion: the EXACT row
+    * count a key-equality join would produce, plus where it comes from,
+    * computed WITHOUT running the join: per-key cardinalities of both
+    * sides (two map-side-combined count shuffles, one row per key),
+    * joined on the bounded key frame, Σ cnt_a·cnt_b. Returns one row:
+    * (join_rows, n_keys_both, n_keys_left_only, n_keys_right_only,
+    * max_key_contrib, top_key) — a join_rows orders of magnitude above
+    * either input, or a max_key_contrib owning most of it, is the
+    * fan-out/skew smell to fix BEFORE paying the shuffle at 100 TB. */
+  def joinCardinality(lhs: DataFrame, rhs: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val la = lhs.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("ca"))
+    val rb = rhs.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cb"))
+    val j = la.join(rb, Seq("k"), "full_outer")
+      .select(col("k"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        (coalesce(col("ca"), lit(0L)) * coalesce(col("cb"), lit(0L)))
+          .as("contrib"))
+    j.agg(
+      sum(col("contrib")).as("join_rows"),
+      sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+        .as("n_keys_both"),
+      sum(when(col("cb") === 0, 1L).otherwise(0L)).as("n_keys_left_only"),
+      sum(when(col("ca") === 0, 1L).otherwise(0L)).as("n_keys_right_only"),
+      max(col("contrib")).as("max_key_contrib"),
+      max_by(col("k").cast("string"), struct(col("contrib"), col("k")))
+        .as("top_key"))
+  }
 }

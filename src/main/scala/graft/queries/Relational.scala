@@ -276,6 +276,14 @@ object Relational {
       graft.inspect.Inspect.skewReport(
         Tables.lineitem(s, dir), "l_suppkey", k = 10)
     },
+    // join-explosion pre-check (Inspect.joinCardinality): the EXACT row
+    // count of the lineitem self-join on l_partkey predicted from
+    // per-key cardinalities alone — never running the join the report
+    // exists to warn about
+    "q_joincard" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      graft.inspect.Inspect.joinCardinality(li, li, "l_partkey", "l_partkey")
+    },
     "q_pagerank" -> { (s, dir) =>
       import graft.operators.PageRank
       val edges = PageRank.coOccurrenceEdges(
@@ -337,6 +345,10 @@ object Relational {
       """SELECT count(*) AS n_supp, CAST(sum(l_suppkey) AS BIGINT) AS sum_supp FROM (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 5 EXCEPT SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45) t""",
     "q_skew_build" ->
       """WITH r AS (SELECT l_returnflag, row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT)) AS rn, CAST(l_quantity AS BIGINT) AS qty FROM lineitem) SELECT l_returnflag, count(*) AS n, CAST(sum(rn * qty) AS BIGINT) AS ord_chk, CAST(sum(qty) AS BIGINT) AS sum_qty FROM r GROUP BY l_returnflag""",
+    // per-key counts, exact contrib sums; max-contrib key ties resolve
+    // to the larger key (Spark's max_by over (contrib, k) structs)
+    "q_joincard" ->
+      """WITH c AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1), agg AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS jr, CAST(count(*) AS BIGINT) AS nb, CAST(max(cnt * cnt) AS BIGINT) AS mx FROM c) SELECT jr AS join_rows, nb AS n_keys_both, CAST(0 AS BIGINT) AS n_keys_left_only, CAST(0 AS BIGINT) AS n_keys_right_only, mx AS max_key_contrib, CAST((SELECT k FROM c ORDER BY cnt * cnt DESC, k DESC LIMIT 1) AS VARCHAR) AS top_key FROM agg""",
     // same counts, exact half-integer median x2, rank ties by key
     "q_skewreport" ->
       """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1), s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(median(cnt) * 2 AS BIGINT) AS med_x2, count(*) AS n_keys FROM c), t AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank FROM c) SELECT CAST(rank AS INT) AS rank, CAST(key AS VARCHAR) AS key, cnt, cnt * 1000000 // total AS share_ppm, CASE WHEN med_x2 > 0 THEN (cnt * 200) // med_x2 END AS ratio_to_median_x100, n_keys FROM t, s WHERE rank <= 10""",

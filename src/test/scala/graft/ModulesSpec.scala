@@ -551,6 +551,29 @@ class ModulesSpec extends SparkSuite {
     assert(exact.forall(_ == 3))
   }
 
+  test("skewReport/joinCardinality: exact diagnostics, prediction matches the real join") {
+    import graft.inspect.Inspect
+    // skew: a=6, b=2, c=2, d=2 -> median 2 (x2=4), total 12
+    val sk = Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(2)("d")
+    val rep = Inspect.skewReport(sk.toDF("key2").select($"key2".as("key")),
+        "key", k = 2)
+      .select($"rank", $"key", $"cnt", $"share_ppm",
+        $"ratio_to_median_x100", $"n_keys")
+      .as[(Int, String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rep == Seq((1, "a", 6L, 500000L, 300L, 4L),
+      (2, "b", 2L, 166666L, 100L, 4L)), rep.toString)
+    // join cardinality: key 1 fans out 2x3; 2,3 left-only; 4 right-only
+    val a = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w")).toDF("k", "va")
+    val b = Seq((1L, "p"), (1L, "q"), (1L, "r"), (4L, "s")).toDF("k", "vb")
+    val jc = Inspect.joinCardinality(a, b, "k", "k").collect()(0)
+    assert(jc.getLong(0) == 6 && jc.getLong(1) == 1, jc.toString)
+    assert(jc.getLong(2) == 2 && jc.getLong(3) == 1, jc.toString)
+    assert(jc.getLong(4) == 6 && jc.getString(5) == "1", jc.toString)
+    // the whole point: the prediction equals the join it never ran
+    assert(a.join(b, "k").count() == jc.getLong(0))
+  }
+
   test("globalRankBy/quantileNormalize/featureHash: exact ranks, ppm bounds, hash lanes") {
     // globalRankBy: arbitrary string key, exact 1..N, repartition-stable
     val df = Seq((3L, "bb"), (1L, "aa"), (2L, "aa"), (4L, "cc"))
