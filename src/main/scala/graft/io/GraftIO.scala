@@ -912,6 +912,35 @@ object GraftIO {
     inserts.unionByName(deletes).unionByName(updates)
   }
 
+  /** Small-files compaction as a NEW SNAPSHOT: rewrite the CURRENT
+    * version's files into ~`targetFileBytes` outputs and retire every
+    * old file from the new version — same row set, new layout, history
+    * intact. The maintenance op streaming/upsert-heavy snapshot tables
+    * need (each upsert appends small files; read cost decays without
+    * this). Correctness is self-testing through [[snapshotDiff]]: the
+    * diff between the pre- and post-compaction versions must be EMPTY —
+    * every rewritten row cancels byte-identically (pinned in
+    * ModulesSpec). Returns (outputFiles, newVersion). */
+  def compactSnapshot(spark: SparkSession, dest: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val log = snapshotVersions(spark, dest)
+    require(log.nonEmpty, s"$dest has no snapshot log (initSnapshots first)")
+    val (parentV, _, current) = log.last
+    val (fs, p, before) = walkDataFiles(spark, dest)
+    val bytes = before.filter(f => current.contains(f._2)).map(_._3).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    fromParquetSnapshot(spark, dest).repartition(n)
+      .write.mode("append").option("compression", "zstd").parquet(dest)
+    val beforeSet = before.map(_._2).toSet
+    val fresh = walkDataFiles(spark, dest)._3.map(_._2)
+      .filterNot(beforeSet)
+    appendVersionLine(fs, p, log, parentV + 1, parentV, fresh)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_graft_metadata.json")))
+      writeManifestIncremental(spark, dest): Unit
+    (fresh.size, parentV + 1)
+  }
+
   /** Reclaim history: keep the last `keepLast` versions, delete data
     * files referenced ONLY by dropped versions, truncate the log (and
     * refresh the manifest sidecar, which tracks on-disk files). Returns

@@ -883,6 +883,28 @@ class ModulesSpec extends SparkSuite {
       s"diff(0,2) wrong: $d02")
   }
 
+  test("compactSnapshot: fewer files, identical rows, EMPTY change feed") {
+    import graft.io.GraftIO
+    val d = java.nio.file.Files.createTempDirectory("graft_csn").toString + "/t"
+    val base = (1L to 500L).map(i => (i, i * 2.0)).toDF("id", "v")
+    GraftIO.toParquetWithMetadata(base.repartition(16), d)
+    GraftIO.initSnapshots(spark, d)
+    val filesBefore = GraftIO.snapshotVersions(spark, d).last._3.size
+    val (out, v1) = GraftIO.compactSnapshot(spark, d, targetFileBytes = 1L << 30)
+    assert(v1 == 1 && out < filesBefore,
+      s"compaction produced $out files from $filesBefore")
+    assert(GraftIO.fromParquetSnapshot(spark, d, 1)
+      .as[(Long, Double)].collect().toMap ==
+      (1L to 500L).map(i => i -> i * 2.0).toMap)
+    // the compaction snapshot is pure layout: the change feed is EMPTY
+    assert(GraftIO.snapshotDiff(spark, d, 0, 1, "id").count() == 0,
+      "compaction rows leaked into the change feed")
+    // and history still reads (until vacuumed)
+    assert(GraftIO.fromParquetSnapshot(spark, d, 0).count() == 500)
+    val deleted = GraftIO.vacuumSnapshots(spark, d, keepLast = 1)
+    assert(deleted == filesBefore, s"vacuum reclaimed $deleted")
+  }
+
   test("IncrementalAgg: merged batch states equal the one-pass aggregate") {
     import graft.operators.IncrementalAgg
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
