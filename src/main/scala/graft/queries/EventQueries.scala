@@ -152,6 +152,15 @@ object EventQueries {
         Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
         convType = "purchase", iters = 15)
     },
+    // RFM segmentation (graft.operators.Rfm.rfmSegments): per-user
+    // recency/frequency/monetary quintiles packed into the classic
+    // three-digit code. Quintiles come from the two-level global rank
+    // over the ENTITY frame — never the textbook single-task
+    // ntile-over-everything window; monetary is exact integer micros
+    "ev_rfm" -> { (s, dir) =>
+      graft.operators.Rfm.rfmSegments(Tables.events(s, dir),
+        "user_id", "ts", col("value"))
+    },
     // robust per-user daily anomaly detection (Timeseries.dailyAnomalies):
     // median/MAD z-score over daily event counts — flags burst/dropout
     // days without letting the burst inflate its own yardstick. z=1.2
@@ -532,6 +541,11 @@ object EventQueries {
     // decimal division would diverge from Spark's IEEE doubles)
     "ev_abtest" ->
       """WITH pe AS (SELECT user_id AS ent, user_id % 2 AS arm, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_purchase, max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click, max(coalesce(CAST(value > 90 AS INT), 0)) AS c_highval FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2), w AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, CAST(sum(CASE WHEN arm = 0 THEN c_purchase ELSE 0 END) AS BIGINT) AS ca_purchase, CAST(sum(CASE WHEN arm = 1 THEN c_purchase ELSE 0 END) AS BIGINT) AS cb_purchase, CAST(sum(CASE WHEN arm = 0 THEN c_click ELSE 0 END) AS BIGINT) AS ca_click, CAST(sum(CASE WHEN arm = 1 THEN c_click ELSE 0 END) AS BIGINT) AS cb_click, CAST(sum(CASE WHEN arm = 0 THEN c_highval ELSE 0 END) AS BIGINT) AS ca_highval, CAST(sum(CASE WHEN arm = 1 THEN c_highval ELSE 0 END) AS BIGINT) AS cb_highval FROM pe), s AS (SELECT 'purchase' AS metric, n_a, ca_purchase AS conv_a, n_b, cb_purchase AS conv_b FROM w UNION ALL SELECT 'click', n_a, ca_click, n_b, cb_click FROM w UNION ALL SELECT 'highval', n_a, ca_highval, n_b, cb_highval FROM w), z AS (SELECT *, CASE WHEN n_a = 0 THEN NULL ELSE CAST(conv_a AS DOUBLE) / n_a END AS pa, CASE WHEN n_b = 0 THEN NULL ELSE CAST(conv_b AS DOUBLE) / n_b END AS pb, CASE WHEN n_a + n_b = 0 THEN NULL ELSE CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) END AS pp FROM s), z2 AS (SELECT *, pp * (1 - pp) * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b) AS pv FROM z) SELECT metric, n_a, conv_a, n_b, conv_b, CASE WHEN n_a = 0 THEN NULL ELSE CAST((conv_a * 10000) // n_a AS BIGINT) END AS rate_a_bp, CASE WHEN n_b = 0 THEN NULL ELSE CAST((conv_b * 10000) // n_b AS BIGINT) END AS rate_b_bp, CASE WHEN pv IS NULL OR pv <= 0 THEN NULL ELSE CAST(floor((pa - pb) / sqrt(pv) * 1000000) AS BIGINT) END AS z_micro FROM z2""",
+    // same entity aggregate (trunc() mirrors Spark's toward-zero long
+    // cast — DuckDB's bare CAST rounds), same (key, ent) rank order,
+    // same integer quintile formula
+    "ev_rfm" ->
+      """WITH pe AS (SELECT user_id AS ent, max(epoch_us(ts)) AS last_us, count(*) AS freq, CAST(sum(CAST(trunc(value * 1000000) AS BIGINT)) AS BIGINT) AS mon_micro FROM events WHERE user_id IS NOT NULL GROUP BY 1), nr AS (SELECT max(last_us) AS now_us, count(*) AS n FROM pe), b AS (SELECT ent, (SELECT now_us FROM nr) - last_us AS rec_us, freq, mon_micro FROM pe), rq AS (SELECT ent, CAST((row_number() OVER (ORDER BY -rec_us, ent) - 1) * 5 // (SELECT n FROM nr) + 1 AS INT) AS r_q FROM b), fq AS (SELECT ent, CAST((row_number() OVER (ORDER BY freq, ent) - 1) * 5 // (SELECT n FROM nr) + 1 AS INT) AS f_q FROM b), mq AS (SELECT ent, CAST((row_number() OVER (ORDER BY mon_micro, ent) - 1) * 5 // (SELECT n FROM nr) + 1 AS INT) AS m_q FROM b) SELECT b.ent AS user_id, b.rec_us, b.freq, b.mon_micro, rq.r_q, fq.f_q, mq.m_q, CAST(rq.r_q AS VARCHAR) || CAST(fq.f_q AS VARCHAR) || CAST(mq.m_q AS VARCHAR) AS rfm FROM b JOIN rq USING (ent) JOIN fq USING (ent) JOIN mq USING (ent)""",
     // full journey -> matrix -> unrolled-knockout replay (generator above)
     "ev_markov" ->
       markovOracle(15, Seq("click", "error", "signup", "view")),

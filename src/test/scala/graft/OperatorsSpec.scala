@@ -772,6 +772,27 @@ class OperatorsSpec extends SparkSuite {
       s"post-purchase events leaked into the chain: ${t.toSeq}")
   }
 
+  test("rfmSegments: quintile directions, exact micros, code packing") {
+    // 5 users, one per quintile on every axis: user i has its last event
+    // at day i, i+1 events, value 10*i each — so recency/frequency/
+    // monetary ranks all ascend with i and the codes are 111..555
+    val rows = (0 until 5).flatMap { i =>
+      (0 to i).map(j => (i.toLong, 86400000000L * i + j + 1, 10.0 * (i + 1)))
+    }
+    val df = rows.toDF("user_id", "us", "value")
+      .select($"user_id", timestamp_micros($"us").as("ts"), $"value")
+    val out = graft.operators.Rfm
+      .rfmSegments(df, "user_id", "ts", $"value")
+      .select($"user_id", $"freq", $"mon_micro", $"rfm")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    for (i <- 0 until 5) {
+      val (_, f, m, code) = out(i.toLong)
+      assert(f == i + 1 && m == (i + 1).toLong * (i + 1) * 10000000L,
+        s"user $i: freq $f mon $m")
+      assert(code == s"${i + 1}${i + 1}${i + 1}", s"user $i code $code")
+    }
+  }
+
   test("funnelReport: per-depth rollup with cumulative reached counts") {
     val df = funnelFixture(Seq(
       (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
