@@ -54,9 +54,9 @@ class PlanQualitySpec extends SparkSuite {
         "d_semdedup", "t_bm25", "sim_mmr", "sim_sq8", "t_ppl", "t_tfidf",
         "t_bigram", "t_nbayes", "q_pagerank", "sim_rrf", "sim_recall",
         "d_lsh_quality",
-        // quantileNormalize/skewReport ship 1-row stats broadcasts
-        // (percentile denominators) over bounded frames
-        "t_qnorm", "q_skewreport")
+        // quantileNormalize/skewReport/rfmSegments ship 1-row stats
+        // broadcasts (counts / corpus max ts) over bounded frames
+        "t_qnorm", "q_skewreport", "ev_rfm")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
