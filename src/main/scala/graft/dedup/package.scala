@@ -743,6 +743,32 @@ package object dedup {
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 
+  /** Quality-aware near-dup retention: within each near-dup cluster keep
+    * the single row with the HIGHEST `priorityCol` (smallest id on ties);
+    * rows with no near-dup edge pass through unchanged. This is the
+    * "keep the best copy" policy real curation pipelines want over
+    * [[dropNearDuplicates]]'s min-id representative — e.g. keep the
+    * longest / highest-quality-scored version of a mirrored page.
+    *
+    * 100 TB posture: one left join against the node-sized cluster-label
+    * frame, then a row_number window partitioned BY CLUSTER — group sizes
+    * are near-dup cluster sizes (bounded in practice; never a single-task
+    * global window). Ties broken by id, so the kept set is deterministic
+    * and the DuckDB oracle replays it exactly. */
+  def keepBestPerCluster(df: DataFrame, idCol: String, priorityCol: String,
+      pairs: DataFrame, id1: String = "id1", id2: String = "id2"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = connectedComponents(pairs, id1, id2)
+    val lab = df.join(labels, df(idCol) === labels("id"), "left")
+      .withColumn("__cluster", coalesce(col("rep"), df(idCol)))
+      .drop("id", "rep")
+    val w = Window.partitionBy(col("__cluster"))
+      .orderBy(col(priorityCol).desc, col(idCol).asc)
+    lab.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__cluster")
+  }
+
   /** MinHash-LSH candidate pairs, verified with exact Jaccard on the
     * signatures (estimate = matching minhash coordinates / k).
     *

@@ -194,6 +194,18 @@ object DedupQueries {
           sum(col("doc_id")).as("sum_ids"))
     },
 
+    // quality-aware retention: same clusters as d_dropdups, but keep the
+    // LONGEST member (n_chars desc, min id ties) instead of the min-id
+    // representative — the kept character mass must dominate d_dropdups'
+    "d_keepbest" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val edges = ngramJaccardPairs(docs, "doc_id", "text", 2, 50)
+      keepBestPerCluster(docs, "doc_id", "n_chars", edges)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+    },
+
     // the full training-data dedup pipeline composed end-to-end:
     // length filter -> exact dedup (keep min id per identical text) ->
     // near-dup clustering on the survivors -> keep representatives
@@ -329,6 +341,8 @@ object DedupQueries {
       s"""WITH RECURSIVE sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh), e AS (SELECT a.id AS id1, b.id AS id2 FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50), sym AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e), reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM sym) n UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) SELECT a AS id, min(b) AS rep FROM reach GROUP BY a""",
     "d_dropdups" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh), e AS (SELECT a.id AS id1, b.id AS id2 FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50), sym AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e), reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM sym) n UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), lbl AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY a) SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM documents WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> rep)""",
+    "d_keepbest" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, $TOKS AS t FROM documents) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh), e AS (SELECT a.id AS id1, b.id AS id2 FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50), sym AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e), reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM sym) n UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), lbl AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY a), cl AS (SELECT d.doc_id, d.n_chars, coalesce(l.rep, d.doc_id) AS cluster FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id), k AS (SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn FROM cl) z WHERE rn = 1) SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM k""",
     "d_pipeline" ->
       s"""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 150), keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(text)), surv AS (SELECT d.doc_id, d.text FROM docs d JOIN keep k ON d.doc_id = k.doc_id), sh AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gs FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM surv) x), inv AS (SELECT id, len(gs) AS nsh, unnest(gs) AS g FROM sh), e AS (SELECT a.id AS id1, b.id AS id2 FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id GROUP BY a.id, b.id, a.nsh, b.nsh HAVING count(*) * 100 >= (a.nsh + b.nsh - count(*)) * 50), sym AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e), reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM sym) n UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), lbl AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY a) SELECT count(*) AS n_final, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM surv WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> rep)""",
     "d_simhash" ->

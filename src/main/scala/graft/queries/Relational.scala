@@ -292,6 +292,15 @@ object Relational {
       // flag keeps the 6-round lineage LINEAR (one rank reference per
       // round) — same fixpoint, and the oracle's dsum term is 0
       PageRank.pageRank(edges, iterations = 6, handleDangling = false)
+    },
+    // per-node triangle counts over the same part co-occurrence graph —
+    // degree-ordered wedge closure, so the O(m^1.5) bound (not hub-key
+    // quadratics) governs the self-join even under skew
+    "q_triangles" -> { (s, dir) =>
+      import graft.operators.{PageRank, Triangles}
+      val edges = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      Triangles.triangleCounts(edges)
     })
 
   private def pagerankOracle(iters: Int): String = {
@@ -354,5 +363,11 @@ object Relational {
       """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1), s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(median(cnt) * 2 AS BIGINT) AS med_x2, count(*) AS n_keys FROM c), t AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank FROM c) SELECT CAST(rank AS INT) AS rank, CAST(key AS VARCHAR) AS key, cnt, cnt * 1000000 // total AS share_ppm, CASE WHEN med_x2 > 0 THEN (cnt * 200) // med_x2 END AS ratio_to_median_x100, n_keys FROM t, s WHERE rank <= 10""",
     // full 6-round fixed-point power-iteration replay; // is integer
     // division on BIGINT, matching Spark's DIV (all quantities positive)
-    "q_pagerank" -> pagerankOracle(6))
+    "q_pagerank" -> pagerankOracle(6),
+    "q_triangles" ->
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, greatest(a.l_partkey, b.l_partkey) AS b FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+           deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+           o AS MATERIALIZED (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b) THEN e0.a ELSE e0.b END AS u, CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b) THEN e0.b ELSE e0.a END AS v, CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b) THEN db.deg ELSE da.deg END AS dv FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b),
+           tri AS MATERIALIZED (SELECT o1.u, o1.v AS x, o2.v AS y FROM o o1 JOIN o o2 ON o1.u = o2.u AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)) JOIN o oe ON oe.u = o1.v AND oe.v = o2.v)
+         SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (SELECT u AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri) GROUP BY 1""")
 }

@@ -38,6 +38,14 @@ object TextQueries {
         docs.filter(col("sp") === "valid"), "doc_id", "text")
     },
 
+    // interpolated Kneser-Ney bigram self-scoring (graft.text
+    // .kneserNeyDocScore): every count int64, ONE fixed double dag per
+    // bigram (0.75e0 literal so neither engine parses DECIMAL), per-doc
+    // sum of floor(ln(p) * 2^20) int64 lanes — order-independent
+    "t_kneser" -> { (s, dir) =>
+      graft.text.kneserNeyDocScore(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // temperature-based mixture rebalancing (graft.text
     // .temperatureMixture + applyMixture): derive per-lang p^0.5
     // sampling shares from the corpus itself, quantize the repeat factor
@@ -461,6 +469,11 @@ ${(1 to 12).map(bpeRoundSql).mkString(",\n")}"""
     // integer sums, two exact IEEE divisions
     "t_bigram" ->
       """WITH sp AS (SELECT doc_id, text, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) % 100 AS b FROM documents), trt AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ts FROM sp WHERE b < 80), uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(ts) AS w FROM trt) GROUP BY w), tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS nn FROM uni), bg2 AS (SELECT bg, count(*) AS c2 FROM (SELECT unnest(list_transform(range(1, len(ts)), i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])) AS bg FROM trt) GROUP BY bg), teb AS (SELECT doc_id AS id, unnest(list_transform(range(1, len(ts)), i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])) AS bg FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM sp WHERE b >= 80 AND b < 90)), terms AS (SELECT id, CAST(floor(ln(CASE WHEN c2 IS NOT NULL THEN CAST(c2 AS DOUBLE) / CAST(c1f AS DOUBLE) WHEN coalesce(c1t, 0) > 0 THEN 0.4 * CAST(coalesce(c1t, 0) AS DOUBLE) / nn ELSE 0.4 / nn END) * 1048576) AS BIGINT) AS q FROM teb LEFT JOIN bg2 USING (bg) LEFT JOIN (SELECT w AS w1k, c1 AS c1f FROM uni) u1 ON split_part(bg, ' ', 1) = u1.w1k LEFT JOIN (SELECT w AS w2k, c1 AS c1t FROM uni) u2 ON split_part(bg, ' ', 2) = u2.w2k, tot), s AS (SELECT id, count(*) AS n_bigrams, CAST(sum(q) AS BIGINT) AS sq FROM terms GROUP BY id) SELECT id AS doc_id, n_bigrams, CAST(sq AS DOUBLE) / 1048576 / n_bigrams AS logprob FROM s""",
+
+    // Kneser-Ney replay: identical count tables and the identical
+    // double dag (same association order, 0.75e0 double literal)
+    "t_kneser" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents), bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1])) AS bgstr FROM tok), bg AS (SELECT doc_id, split_part(bgstr, ' ', 1) AS w1, split_part(bgstr, ' ', 2) AS w2 FROM bgs), c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), lhs AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p FROM c2 GROUP BY 1), cont AS (SELECT w2, count(*) AS nc FROM c2 GROUP BY 1), nt AS (SELECT count(*) AS ntypes FROM c2), pr AS (SELECT c2.w1, c2.w2, (CAST(c12 AS DOUBLE) - 0.75e0) / CAST(c1 AS DOUBLE) + (0.75e0 * CAST(n1p AS DOUBLE) / CAST(c1 AS DOUBLE)) * (CAST(nc AS DOUBLE) / CAST((SELECT ntypes FROM nt) AS DOUBLE)) AS p FROM c2 JOIN lhs USING (w1) JOIN cont USING (w2)) SELECT doc_id, count(*) AS n_bigrams, CAST(sum(CAST(floor(ln(p) * 1048576) AS BIGINT)) AS BIGINT) AS kn_q FROM bg JOIN pr USING (w1, w2) GROUP BY doc_id""",
 
     // temperature mixture replay: per-lang counts, p^0.5 shares and
     // repeat factors with the SAME left-associated arithmetic as the

@@ -1044,6 +1044,60 @@ package object text {
         (col("sq").cast("double") / Q / col("n_bigrams")).as("logprob"))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring with the corpus as its own
+    * model — the standard-smoothing upgrade over [[bigramLogProb]]'s
+    * stupid backoff (Kneser & Ney 1995; Chen & Goodman 1999's
+    * interpolated form). For every observed bigram (w1, w2):
+    *
+    *   P_KN(w2|w1) = (c(w1 w2) - d) / c(w1)
+    *               + (d * N1+(w1,*) / c(w1)) * (N1+(*,w2) / N1+(*,*))
+    *
+    * with discount d = 0.75. The continuation factor N1+(*,w2)/types is
+    * the KN insight: "how many contexts does w2 follow" rather than raw
+    * frequency, so boilerplate tokens that only ever follow one context
+    * (e.g. "Francisco" after "San") stop inflating doc scores — exactly
+    * the failure mode of unigram/backoff scoring on templated web text.
+    *
+    * Self-scoring means every doc bigram is observed (c12 >= 1), so the
+    * discounted term is positive and no unseen-event branch exists.
+    *
+    * EXACTNESS contract (what the DuckDB oracle relies on): every count
+    * is int64; the probability is ONE fixed double dag over those ints
+    * (division and multiplication are IEEE-correctly-rounded, so the
+    * bits match across engines when the tree matches — the literal is
+    * written 0.75e0 so no engine parses it as DECIMAL), and the per-doc
+    * reduction sums floor(ln(p) * 2^20) int64 lanes — order-independent.
+    *
+    * 100 TB posture: one corpus bigram pass; the count tables are
+    * vocab-sized key-partitioned aggregates off that one frame; scoring
+    * is a bigram-keyed join back plus a per-doc agg. The only broadcast
+    * is the 1-row bigram-type count. Docs with < 2 tokens produce no
+    * row. Returns (idCol, n_bigrams, kn_q) with kn_q the summed
+    * quantized log-prob (divide by 2^20 * n_bigrams for nats/bigram). */
+  def kneserNeyDocScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val Q = 1L << 20
+    val docBg = df.select(col(idCol),
+        explode(graft.functions.HashExprs.wordNgramsSeq(
+          wsTokens(lower(col(textCol))), 2)).as("bg"))
+    val c2 = docBg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val lhs = c2.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val types = c2.agg(count(lit(1)).as("ntypes"))
+    val probs = c2.join(lhs, "w1").join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("bg"), expr(
+        "(CAST(c12 AS DOUBLE) - 0.75e0) / CAST(c1 AS DOUBLE)" +
+          " + (0.75e0 * CAST(n1p AS DOUBLE) / CAST(c1 AS DOUBLE))" +
+          " * (CAST(nc AS DOUBLE) / CAST(ntypes AS DOUBLE))").as("p"))
+    docBg.join(probs, "bg")
+      .select(col(idCol), floor(log(col("p")) * Q).cast("long").as("q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("kn_q"))
+  }
+
   /** Temperature-based mixture rebalancing — the multilingual-pretraining
     * p^alpha reweighting (XLM-R / mT5 convention): given per-source corpus
     * shares p_d, the target sampling shares are q_d proportional to

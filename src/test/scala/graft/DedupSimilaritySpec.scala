@@ -459,6 +459,21 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(kept == Seq(0L, 1L, 6L, 7L, 8L, 9L, 10L, 12L))
   }
 
+  test("keepBestPerCluster keeps the max-priority member, min id on ties") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    // cluster {1,2,3}: doc 2 has the highest priority; cluster {10,11}:
+    // tied priorities, so the SMALLER id 10 wins; 7 is untouched
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 1L), (10L, 4L),
+      (11L, 4L)).toDF("doc_id", "prio")
+    // doc 2 beats the tied doc 3 by id; singleton 7 passes through
+    val kept = keepBestPerCluster(docs, "doc_id", "prio", edges)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 7L, 10L))
+    // schema is preserved — no helper columns leak
+    assert(keepBestPerCluster(docs, "doc_id", "prio", edges)
+      .columns.toSeq == Seq("doc_id", "prio"))
+  }
+
   test("distributed CC in anger: 16k-node long chains, O(log diameter) rounds") {
     // Worst-diameter shape for label propagation: path graphs (4 chains x
     // 4,096 nodes — diameter 4,095). Neighbor-only propagation would

@@ -69,4 +69,36 @@ class GraphSpec extends SparkSuite {
     assert(r(0L) > r(1L) * 3, s"hub should dominate spokes: $r")
     assert((1L to 6L).map(r).toSet.size == 1, "spokes are symmetric")
   }
+
+  test("triangleCounts: square + one diagonal, direction/dup/loop noise") {
+    import graft.operators.Triangles
+    // square 1-2-3-4-1 with diagonal 1-3 => triangles {1,2,3} and
+    // {1,3,4}; throw in reversed duplicates and a self-loop, which the
+    // canonicalization must erase
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (3L, 1L), (2L, 1L), (2L, 2L)).toDF("src", "dst")
+    val r = collectMap[Long, Long](Triangles.triangleCounts(edges))
+    assert(r == Map(1L -> 2L, 3L -> 2L, 2L -> 1L, 4L -> 1L))
+    val g = Triangles.triangleCount(edges).as[Long].head()
+    assert(g == 2L)
+  }
+
+  test("triangleCounts: K5 is degree-tied everywhere; node-id order breaks it") {
+    import graft.operators.Triangles
+    // complete graph on 5 nodes: C(5,3) = 10 triangles, each node in
+    // C(4,2) = 6 — every degree equal, so orientation falls entirely to
+    // the node-id tiebreak
+    val edges = (for { a <- 1 to 5; b <- 1 to 5 if a < b }
+      yield (a.toLong, b.toLong)).toDF("src", "dst")
+    val r = collectMap[Long, Long](Triangles.triangleCounts(edges))
+    assert(r == (1L to 5L).map(_ -> 6L).toMap)
+    assert(Triangles.triangleCount(edges).as[Long].head() == 10L)
+  }
+
+  test("triangleCounts: triangle-free bipartite graph returns no rows") {
+    import graft.operators.Triangles
+    val edges = (for { a <- 1 to 3; b <- 4 to 6 }
+      yield (a.toLong, b.toLong)).toDF("src", "dst")
+    assert(Triangles.triangleCounts(edges).count() == 0L)
+  }
 }

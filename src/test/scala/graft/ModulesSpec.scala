@@ -1885,6 +1885,22 @@ class ModulesSpec extends SparkSuite {
     assert(n == 3L && lp == want, s"($n, $lp) vs (3, $want)")
   }
 
+  test("kneserNeyDocScore: hand-computed interpolated KN probabilities") {
+    // corpus bigrams: "a b" x3 (doc1 twice + doc2), "b a" x1 (doc1);
+    // types = 2; lhs a: c1=3 n1p=1, b: c1=1 n1p=1; cont a: 1, b: 1
+    //   P(b|a) = (3-.75)/3 + (.75*1/3)*(1/2) = 0.875
+    //   P(a|b) = (1-.75)/1 + (.75*1/1)*(1/2) = 0.625
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.text.kneserNeyDocScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def q(x: Double) = math.floor(math.log(x) * (1L << 20)).toLong
+    assert(got.size == 2, s"single-token doc must produce no row: $got")
+    assert(got(1L) == ((3L, 2 * q(0.875) + q(0.625))))
+    assert(got(2L) == ((1L, q(0.875))))
+  }
+
   test("temperatureMixture: alpha=1 is identity, alpha<1 upsamples minority") {
     val docs = graft.core.Tables.documents(spark, dir)
     // alpha = 1: q == p, repeat == budget == 1 -> every doc exactly once

@@ -56,7 +56,9 @@ class PlanQualitySpec extends SparkSuite {
         "d_lsh_quality",
         // quantileNormalize/skewReport/rfmSegments ship 1-row stats
         // broadcasts (counts / corpus max ts) over bounded frames
-        "t_qnorm", "q_skewreport", "ev_rfm")
+        "t_qnorm", "q_skewreport", "ev_rfm",
+        // kneserNeyDocScore ships the 1-row bigram-type count
+        "t_kneser")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
