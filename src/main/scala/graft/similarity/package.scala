@@ -431,20 +431,34 @@ package object similarity {
     val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") <= dfCap).select(col("g"))
     val invf = inv.join(rare, "g")
-    // nsh rides the pair aggregate as a grouping key (functionally
-    // dependent on uid — same groups) instead of joining back after:
-    // +16 bytes per partial-agg entry buys eliminating two corpus-sized
-    // rebuild branches, the inverse of the d_ngram trade where the
-    // (id, nsh) frame was already materialized either way. The oracle
-    // groups by (uid, nid, n1, n2) identically.
-    val pairs = invf.as("a").join(invf.as("b"),
-        col("a.g") === col("b.g") && col("a.uid") =!= col("b.uid"))
-      .groupBy(col("a.uid").as("uid"), col("a.nsh").as("n1"),
-        col("b.uid").as("nid"), col("b.nsh").as("n2"))
+    // The pair aggregate groups by (uid, nid) ONLY — 16-byte keys. The
+    // pair stream is the quadratic term (sum over grams of df^2 rows,
+    // ~10^8 at sf0.1), so every byte of partial-agg key is paid 10^8
+    // times; nsh instead rides a NODE-sized side frame (one narrow
+    // reduction of the reused inv exchange) joined back onto the
+    // aggregated, candidate-sized pair frame. The divergent-projection
+    // hazard only applies BELOW the reused Exchange; above it,
+    // consumers are free. Jaccard is symmetric, so the quadratic stream
+    // only generates the uid < nid half and the aggregated
+    // CANDIDATE-sized frame mirrors via union — ReuseExchange shares
+    // the one partial-agg exchange between the two union branches, so
+    // the 10^8-row term runs once at half the rows while only the
+    // candidate-sized final agg doubles. Interleaved same-JVM A/B on
+    // sf0.1 (tools/ABBench, 3 rounds): halved 3.3 s median vs 4.7 s
+    // full-stream vs 6.3 s with nsh as r7's two extra grouping keys.
+    val half = invf.as("a").join(invf.as("b"),
+        col("a.g") === col("b.g") && col("a.uid") < col("b.uid"))
+      .groupBy(col("a.uid").as("uid"), col("b.uid").as("nid"))
       .agg(count(lit(1)).as("inter"))
-    val scored = pairs.select(col("uid"), col("nid"),
-      (col("inter").cast("double") /
-        (col("n1") + col("n2") - col("inter"))).as("jac"))
+    val pairs = half.unionAll(half.select(
+      col("nid").as("uid"), col("uid").as("nid"), col("inter")))
+    val sizes = inv.groupBy(col("uid")).agg(max(col("nsh")).as("nsh"))
+    val scored = pairs
+      .join(sizes.select(col("uid"), col("nsh").as("n1")), "uid")
+      .join(sizes.select(col("uid").as("nid"), col("nsh").as("n2")), "nid")
+      .select(col("uid"), col("nid"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter"))).as("jac"))
     topKPerKey(scored, "uid", "jac", "nid", k)
       .select(col("uid").as(idCol), col("rank"), col("nid"), col("jac"))
   }

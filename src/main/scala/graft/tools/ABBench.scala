@@ -1,12 +1,14 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch A/B harness for plan-shape experiments (not part of the public
   * surface; run via `sbt "runMain graft.tools.ABBench"`). Current matchup:
-  * inverted-index vs PPJoin-prefix exact Jaccard pairs (see
-  * graft.dedup.ngramJaccardPairsPrefix for the measured verdict). */
+  * seqsim pair-stream shapes — halved (uid<nid + mirror-after-agg, the
+  * shipped r8 shape) vs full (=!= stream, both directions through the
+  * partial agg) vs r7 (nsh riding the quadratic agg as grouping keys).
+  * Interleaved runs in one JVM so JIT/load hit all variants equally. */
 object ABBench {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -15,49 +17,88 @@ object ABBench {
       .config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val docs = graft.core.Tables.documents(spark, dir)
-    docs.count() // warm
-    def time(tag: String)(f: => Long): Unit =
-      for (i <- 1 to 2) {
-        val t0 = System.nanoTime(); val nr = f
-        println(f"[ab] $tag run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$nr")
-      }
-    time("ngram-invidx") {
-      graft.dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 50).count()
+    val ev = graft.core.Tables.events(spark, dir).withColumn("tok",
+      concat(col("event_type"), lit(":"),
+        least(floor(col("value") / 25), lit(9.0)).cast("long")))
+    ev.count() // warm
+
+    def seqFrames(): (DataFrame, DataFrame) = {
+      val seqs = ev.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id").cast("long").as("uid"))
+        .agg(transform(sort_array(collect_list(struct(
+            col("ts").as("ts"), col("event_id").as("tie"),
+            col("tok").as("tok")))),
+          x => x.getField("tok")).as("toks"))
+      val inv = seqs
+        .select(col("uid"),
+          graft.functions.HashExprs.wordNgrams(col("toks"), 2).as("gs"))
+        .select(col("uid"), size(col("gs")).as("nsh"),
+          explode(col("gs")).as("gstr"))
+        .select(col("uid"), col("nsh"), xxhash64(col("gstr")).as("g"))
+        .distinct()
+      val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+        .filter(col("gdf") <= 1000).select(col("g"))
+      (inv, inv.join(rare, "g"))
     }
-    time("ngram-hashedkey") {
-      val sh = docs.select(col("doc_id").as("id"),
-          graft.dedup.wordShingles(col("text"), 2).as("sh"))
-        .withColumn("nsh", size(col("sh")))
-        .repartition(spark.sessionState.conf.numShufflePartitions, col("id"))
-      val inv = sh.select(col("id"), explode(col("sh")).as("g"))
-        .select(col("id"), xxhash64(col("g")).as("g"))
-      val pairs = inv.as("a").join(inv.as("b"),
-          col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+
+    def halved(): Long = {
+      val (inv, invf) = seqFrames()
+      val half = invf.as("a").join(invf.as("b"),
+          col("a.g") === col("b.g") && col("a.uid") < col("b.uid"))
+        .groupBy(col("a.uid").as("uid"), col("b.uid").as("nid"))
         .agg(count(lit(1)).as("inter"))
-      val nshDf = sh.select(col("id"), col("nsh"))
-      pairs
-        .join(broadcast(nshDf.withColumnRenamed("nsh", "n1")), col("id1") === col("id")).drop("id")
-        .join(broadcast(nshDf.withColumnRenamed("nsh", "n2")), col("id2") === col("id")).drop("id")
-        .withColumn("uni", col("n1") + col("n2") - col("inter"))
-        .filter(col("inter") * 100 >= col("uni") * 50)
-        .count()
+      val pairs = half.unionAll(half.select(
+        col("nid").as("uid"), col("uid").as("nid"), col("inter")))
+      val sizes = inv.groupBy(col("uid")).agg(max(col("nsh")).as("nsh"))
+      val scored = pairs
+        .join(sizes.select(col("uid"), col("nsh").as("n1")), "uid")
+        .join(sizes.select(col("uid").as("nid"), col("nsh").as("n2")), "nid")
+        .select(col("uid"), col("nid"),
+          (col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter"))).as("jac"))
+      graft.similarity.topKPerKey(scored, "uid", "jac", "nid", 3).count()
     }
-    time("ngram-prefix") {
-      graft.dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 2, 50).count()
+
+    def full(): Long = {
+      val (inv, invf) = seqFrames()
+      val pairs = invf.as("a").join(invf.as("b"),
+          col("a.g") === col("b.g") && col("a.uid") =!= col("b.uid"))
+        .groupBy(col("a.uid").as("uid"), col("b.uid").as("nid"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = inv.groupBy(col("uid")).agg(max(col("nsh")).as("nsh"))
+      val scored = pairs
+        .join(sizes.select(col("uid"), col("nsh").as("n1")), "uid")
+        .join(sizes.select(col("uid").as("nid"), col("nsh").as("n2")), "nid")
+        .select(col("uid"), col("nid"),
+          (col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter"))).as("jac"))
+      graft.similarity.topKPerKey(scored, "uid", "jac", "nid", 3).count()
     }
-    time("spanrm-stringkey") {
-      graft.text.dedupSpans(docs, "doc_id", "text", 5).count()
+
+    def r7keys(): Long = {
+      val (_, invf) = seqFrames()
+      val pairs = invf.as("a").join(invf.as("b"),
+          col("a.g") === col("b.g") && col("a.uid") =!= col("b.uid"))
+        .groupBy(col("a.uid").as("uid"), col("a.nsh").as("n1"),
+          col("b.uid").as("nid"), col("b.nsh").as("n2"))
+        .agg(count(lit(1)).as("inter"))
+      val scored = pairs.select(col("uid"), col("nid"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter"))).as("jac"))
+      graft.similarity.topKPerKey(scored, "uid", "jac", "nid", 3).count()
     }
-    time("spanrm-hashedkey") {
-      graft.text.dedupSpans(docs, "doc_id", "text", 5, hashKeys = true).count()
+
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val nr = f
+      println(f"[ab] $tag: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$nr")
     }
-    val a = graft.dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 50)
-      .collect().map(_.toSeq).toSet
-    val b = graft.dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 2, 50)
-      .collect().map(_.toSeq).toSet
-    println(s"[ab] equal=${a == b} n=${a.size} / ${b.size}")
+    // one untimed warm-up of each, then 3 interleaved timed rounds
+    halved(); full(); r7keys()
+    for (_ <- 1 to 3) {
+      time("seqsim-halved")(halved())
+      time("seqsim-full")(full())
+      time("seqsim-r7keys")(r7keys())
+    }
     spark.stop()
   }
 }
