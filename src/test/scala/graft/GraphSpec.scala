@@ -101,4 +101,18 @@ class GraphSpec extends SparkSuite {
       yield (a.toLong, b.toLong)).toDF("src", "dst")
     assert(Triangles.triangleCounts(edges).count() == 0L)
   }
+
+  test("triangleCounts: wedge (large-regime) path == intersection path") {
+    import graft.operators.Triangles
+    // real graph with degree ties, hubs, and shared wedges: the part
+    // co-occurrence graph at sf0.001. threshold=0 forces the
+    // shuffled-hash wedge plan; the default takes the broadcast
+    // adjacency-intersection plan — identical counts required
+    val edges = PageRank.coOccurrenceEdges(
+      graft.core.Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+    val inter = collectMap[Long, Long](Triangles.triangleCounts(edges))
+    val wedge = collectMap[Long, Long](
+      Triangles.triangleCounts(edges, broadcastEdgeThreshold = 0L))
+    assert(inter.nonEmpty && inter == wedge)
+  }
 }
