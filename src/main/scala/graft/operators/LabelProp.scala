@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Seed-clamped label propagation over a weighted directed edge list —
+  * the weak-supervision primitive of corpus curation: spread a small set
+  * of trusted labels (hand-audited quality tiers, known-domain tags,
+  * license classes) across a similarity or co-occurrence graph so every
+  * connected document inherits the majority judgment of its labeled
+  * neighborhood. The reference has no graph operators
+  * (`/root/reference/src/dask_awkward/__init__.py:1-108` is
+  * array-structural); this is a Spark-native superset.
+  *
+  * Semantics (synchronized rounds, fully deterministic):
+  *   - round 0: exactly the seed assignments; every other node unlabeled
+  *   - each round, every NON-SEED node adopts the label with the largest
+  *     incoming edge-weight sum from currently-labeled neighbors
+  *     (src -> dst; feed symmetric edges for undirected graphs, e.g.
+  *     [[PageRank.coOccurrenceEdges]]). Ties break to the SMALLEST
+  *     label. A node whose labeled in-neighborhood is empty keeps its
+  *     previous state (possibly unlabeled).
+  *   - seeds are CLAMPED: a seed never changes, and dueling seeds
+  *     simply partition the graph along weighted-majority frontiers.
+  *
+  * No floats anywhere — weight sums are int64 and the argmax is a
+  * (sum DESC, label ASC) ordering — so the result is bit-identical
+  * across partitionings and engines, and the whole run replays as
+  * unrolled ANSI SQL rounds (the q_pagerank oracle convention).
+  *
+  * 100 TB posture: per round, ONE edge-sized shuffle (the contribution
+  * join keyed on src) into a (dst, label)-keyed aggregate with map-side
+  * partials, then a node-sized bounded-heap argmax
+  * ([[graft.operators.GroupTopK]] shape via max_by ordering struct) —
+  * no corpus-sized window, no driver action. The label frame is
+  * localCheckpointed each round (the d_clusters flat-cost-per-round
+  * discipline): the carry-forward coalesce references the previous
+  * frame twice, which would otherwise double the lineage every round.
+  */
+object LabelProp {
+
+  /** Propagate `seeds` (nodeCol, labelCol) over `edges` (src, dst, w)
+    * for `iterations` synchronized rounds. Returns (node, label, is_seed)
+    * for every node labeled after the final round; still-unlabeled
+    * nodes (unreachable from any seed within `iterations` hops) are
+    * omitted. */
+  def propagate(edges: DataFrame, seeds: DataFrame, iterations: Int,
+      nodeCol: String = "node", labelCol: String = "label"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    val seed = seeds.select(col(nodeCol).cast("long").as("node"),
+        col(labelCol).cast("long").as("label"))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+      .localCheckpoint()
+    var labels = seed.select(col("node"), col("label"),
+      lit(true).as("is_seed"))
+    for (_ <- 1 to iterations) {
+      // weighted-majority incoming label per node, ties to the smaller
+      // label: one edge shuffle + (dst,label) partial agg + max_by over
+      // an ordering struct (sum DESC via negation-free struct compare:
+      // greatest (s, -label) == largest sum, then smallest label)
+      val votes = e.join(labels.select(col("node").as("src"),
+          col("label")), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(sum(col("w")).as("s"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"),
+          struct(col("s"), (-col("label")).as("nl"))).as("plabel"))
+      // synchronized update: seeds clamp, non-seeds adopt the vote or
+      // carry forward. The previous frame is referenced twice (vote
+      // join + carry) — checkpoint keeps the plan flat per round.
+      labels = labels.join(votes, labels("node") === votes("dst"), "full")
+        .select(
+          coalesce(col("node"), col("dst")).as("node"),
+          when(coalesce(col("is_seed"), lit(false)), col("label"))
+            .otherwise(coalesce(col("plabel"), col("label"))).as("label"),
+          coalesce(col("is_seed"), lit(false)).as("is_seed"))
+        .localCheckpoint()
+    }
+    labels.filter(col("label").isNotNull)
+  }
+}

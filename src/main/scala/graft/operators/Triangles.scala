@@ -66,25 +66,38 @@ object Triangles {
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst",
       broadcastEdgeThreshold: Long = 5000000L): DataFrame = {
-    // localCheckpoint (the d_clusters/sim_kmeans lineage discipline):
-    // the canonical edge set feeds FOUR consumers (degree agg, the
-    // orientation join's edge side, and — for a computed input like a
-    // co-occurrence frame — everything upstream would otherwise re-run
-    // per branch and once more for the plan-pick probe). Materializing
-    // it once makes every branch a narrow read of shuffle-partitioned
-    // blocks and the probe count free. Edge-sized and
-    // partition-parallel — the same cost any multi-pass graph algorithm
-    // pays, disk-backed at scale.
+    val (e, m) = canonical(edges, srcCol, dstCol)
+    countsFromCanonical(e, m, broadcastEdgeThreshold)
+  }
+
+  /** Canonical undirected edge set: (a < b) pairs, loops and duplicates
+    * gone, localCheckpointed (the d_clusters/sim_kmeans lineage
+    * discipline): it feeds FOUR consumers (degree agg, the orientation
+    * join's edge side, and — for a computed input like a co-occurrence
+    * frame — everything upstream would otherwise re-run per branch and
+    * once more for the plan-pick probe). Materializing it once makes
+    * every branch a narrow read of shuffle-partitioned blocks and the
+    * probe count free. Edge-sized and partition-parallel — the same
+    * cost any multi-pass graph algorithm pays, disk-backed at scale. */
+  private def canonical(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, Long) = {
     val e = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    val m = e.count() // free: counts the checkpointed blocks
-    val deg = e.select(col("a").as("node"))
+    (e, e.count()) // count is free: it reads the checkpointed blocks
+  }
+
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  private def countsFromCanonical(e: DataFrame, m: Long,
+      broadcastEdgeThreshold: Long): DataFrame = {
+    val deg = degrees(e)
     val withDeg = e
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
@@ -103,7 +116,7 @@ object Triangles {
         when(lowFirst, col("a")).otherwise(col("b")).as("u"),
         when(lowFirst, col("b")).otherwise(col("a")).as("v"),
         when(lowFirst, col("db")).otherwise(col("da")).as("dv"))
-      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+      .repartition(e.sparkSession.sessionState.conf.numShufflePartitions,
         col("u"))
     val corners: DataFrame = if (m < broadcastEdgeThreshold) {
       // oriented adjacency: duplicate-free by construction (o is a
@@ -148,4 +161,38 @@ object Triangles {
       dstCol: String = "dst"): DataFrame =
     triangleCounts(edges, srcCol, dstCol)
       .agg((sum(col("triangles")) / 3).cast("long").as("n_triangles"))
+
+  /** Per-node local clustering coefficient — the standard graph-quality
+    * signal for corpus/domain curation (a domain whose link
+    * neighborhood closes into cliques is a community; one that never
+    * closes is link spam or a crawl artifact). For each node with
+    * degree >= 2:
+    *
+    *   cc = triangles(node) / C(deg, 2)
+    *
+    * reported in exact MICRO units (`cc_q = (2_000_000 * tri) DIV
+    * (deg * (deg - 1))`, int64 floor division — bit-identical across
+    * partitionings and engines, the q_pagerank fixed-point convention;
+    * deg is capped far below the 2^31 that would overflow the int64
+    * product). Nodes with >= 2 neighbors and zero triangles report 0;
+    * degree-0/1 nodes have no defined coefficient and are omitted.
+    *
+    * Plan: the [[triangleCounts]] core over ONE canonical edge pass
+    * (the checkpointed edge set serves both the triangle machinery and
+    * the degree frame — no second canonicalization), then a node-keyed
+    * left join of the degree frame against the triangle counts.
+    * Returns (node, deg, triangles, cc_q). */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst",
+      broadcastEdgeThreshold: Long = 5000000L): DataFrame = {
+    val (e, m) = canonical(edges, srcCol, dstCol)
+    val tri = countsFromCanonical(e, m, broadcastEdgeThreshold)
+    degrees(e).filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .select(col("node"), col("deg"), col("triangles"),
+        // int64 `div`, not double `/`: exact for any count magnitude
+        expr("(2000000 * triangles) div (deg * (deg - 1))").as("cc_q"))
+  }
 }

@@ -301,6 +301,32 @@ object Relational {
       val edges = PageRank.coOccurrenceEdges(
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
       Triangles.triangleCounts(edges)
+    },
+    // per-node local clustering coefficient over the same graph, in
+    // exact micro units (int64 floor division — the q_pagerank
+    // fixed-point convention); deg >= 2 nodes only, zero-triangle
+    // nodes report cc_q = 0
+    "q_clustcoef" -> { (s, dir) =>
+      import graft.operators.{PageRank, Triangles}
+      val edges = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      Triangles.clusteringCoefficient(edges)
+    },
+    // seed-clamped label propagation (graft.operators.LabelProp): every
+    // 20th part seeds its partkey-mod-5 class; three synchronized
+    // weighted-majority rounds spread the labels over the co-occurrence
+    // graph. Integer weight sums + (sum DESC, label ASC) argmax — the
+    // whole run replays as unrolled SQL rounds
+    "q_labelprop" -> { (s, dir) =>
+      import graft.operators.{LabelProp, PageRank}
+      val li = Tables.lineitem(s, dir)
+      val edges = PageRank.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val seeds = li.select(col("l_partkey").as("node")).distinct()
+        .filter(col("node") % 20 === 0)
+        .withColumn("label", col("node") % 5)
+      LabelProp.propagate(edges, seeds, 3)
+        .select(col("node"), col("label"),
+          col("is_seed").cast("int").as("is_seed"))
     })
 
   private def pagerankOracle(iters: Int): String = {
@@ -369,5 +395,25 @@ object Relational {
            deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
            o AS MATERIALIZED (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b) THEN e0.a ELSE e0.b END AS u, CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b) THEN e0.b ELSE e0.a END AS v, CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b) THEN db.deg ELSE da.deg END AS dv FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b),
            tri AS MATERIALIZED (SELECT o1.u, o1.v AS x, o2.v AS y FROM o o1 JOIN o o2 ON o1.u = o2.u AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)) JOIN o oe ON oe.u = o1.v AND oe.v = o2.v)
-         SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (SELECT u AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri) GROUP BY 1""")
+         SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (SELECT u AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri) GROUP BY 1""",
+    "q_clustcoef" ->
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, greatest(a.l_partkey, b.l_partkey) AS b FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+           deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+           o AS MATERIALIZED (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b) THEN e0.a ELSE e0.b END AS u, CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b) THEN e0.b ELSE e0.a END AS v, CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b) THEN db.deg ELSE da.deg END AS dv FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b),
+           tri AS MATERIALIZED (SELECT o1.u, o1.v AS x, o2.v AS y FROM o o1 JOIN o o2 ON o1.u = o2.u AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)) JOIN o oe ON oe.u = o1.v AND oe.v = o2.v),
+           cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (SELECT u AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri) GROUP BY 1)
+         SELECT d.node, CAST(d.deg AS BIGINT) AS deg, coalesce(c.triangles, 0) AS triangles, (2000000 * coalesce(c.triangles, 0)) // (d.deg * (d.deg - 1)) AS cc_q FROM deg d LEFT JOIN cnt c ON c.node = d.node WHERE d.deg >= 2""",
+    "q_labelprop" -> labelpropOracle(3))
+
+  private def labelpropOracle(iters: Int): String = {
+    val base =
+      """e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey GROUP BY 1, 2), l0 AS MATERIALIZED (SELECT DISTINCT l_partkey AS node, l_partkey % 5 AS label, TRUE AS is_seed FROM lineitem WHERE l_partkey % 20 = 0)"""
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"v$i AS (SELECT e.dst, l.label, CAST(sum(e.w) AS BIGINT) AS s FROM e0 e JOIN l$p l ON l.node = e.src GROUP BY 1, 2), " +
+        s"p$i AS (SELECT dst, label AS plabel FROM (SELECT dst, label, row_number() OVER (PARTITION BY dst ORDER BY s DESC, label) AS rn FROM v$i) WHERE rn = 1), " +
+        s"l$i AS MATERIALIZED (SELECT coalesce(l.node, p.dst) AS node, CASE WHEN coalesce(l.is_seed, FALSE) THEN l.label ELSE coalesce(p.plabel, l.label) END AS label, coalesce(l.is_seed, FALSE) AS is_seed FROM l$p l FULL JOIN p$i p ON l.node = p.dst)"
+    }.mkString(", ")
+    s"WITH $base, $rounds SELECT node, label, CAST(is_seed AS INT) AS is_seed FROM l$iters WHERE label IS NOT NULL"
+  }
 }

@@ -102,6 +102,51 @@ class GraphSpec extends SparkSuite {
     assert(Triangles.triangleCounts(edges).count() == 0L)
   }
 
+  test("clusteringCoefficient: square + diagonal, exact micro units") {
+    import graft.operators.Triangles
+    // deg: 1->3, 2->2, 3->3, 4->2; tri: 1->2, 2->1, 3->2, 4->1
+    // cc: 2/C(3,2) = 2/3 -> 666666 (floor); 1/C(2,2) = 1 -> 1000000
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val r = Triangles.clusteringCoefficient(edges)
+      .select("node", "cc_q").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 666666L, 2L -> 1000000L,
+      3L -> 666666L, 4L -> 1000000L))
+    // zero-triangle nodes with deg >= 2 report 0; deg-1 nodes are absent
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val s = Triangles.clusteringCoefficient(star)
+      .select("node", "cc_q").as[(Long, Long)].collect().toMap
+    assert(s == Map(0L -> 0L))
+  }
+
+  test("labelProp: path graph — spreading, tie-to-smaller, seed clamping") {
+    import graft.operators.LabelProp
+    // path 1-2-3-4-5 (symmetric unit edges), seeds 1->10 and 5->20.
+    // r1: 2->10, 4->20; r2: 3 ties (10 vs 20) -> 10;
+    // r3: 4 now ties (3 has 10, 5 has 20) -> flips to 10. Seeds fixed.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+      .toDF("src", "dst", "w")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("node", "label")
+    def run(it: Int) = LabelProp.propagate(edges, seeds, it)
+      .select("node", "label").as[(Long, Long)].collect().toMap
+    assert(run(1) == Map(1L -> 10L, 2L -> 10L, 4L -> 20L, 5L -> 20L))
+    assert(run(2) == Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L, 5L -> 20L))
+    assert(run(3) == Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 10L, 5L -> 20L))
+  }
+
+  test("labelProp: edge weights decide the majority; seeds never move") {
+    import graft.operators.LabelProp
+    // node 2 hears label 10 with weight 1 and label 30 with weight 5;
+    // seed 1 is adjacent to the heavy 30-voter but stays clamped
+    val edges = Seq((1L, 2L, 1L), (3L, 2L, 5L), (3L, 1L, 99L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq((1L, 10L), (3L, 30L)).toDF("node", "label")
+    val r = LabelProp.propagate(edges, seeds, 2)
+      .select("node", "label").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 10L, 2L -> 30L, 3L -> 30L))
+  }
+
   test("triangleCounts: wedge (large-regime) path == intersection path") {
     import graft.operators.Triangles
     // real graph with degree ties, hubs, and shared wedges: the part
