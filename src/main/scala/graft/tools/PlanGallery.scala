@@ -134,6 +134,18 @@ object PlanGallery {
       "per round), and the byte-identical edges join subtree is planned " +
       "once with ReusedExchange serving rounds 2-6; integer fixed-point " +
       "ranks make the result partitioning-independent."),
+    "q_triangles" -> ("Degree-ordered triangle closure with an adaptive " +
+      "plan: the canonical edge set is checkpointed once (its count is " +
+      "the free plan-pick probe); below the edge threshold each " +
+      "oriented edge intersects two broadcast adjacency lists " +
+      "row-locally, so the sum(outdeg^2) wedge stream never exists as " +
+      "rows — above it, shuffled-hash wedge joins keep the O(m^1.5) " +
+      "bound partition-parallel."),
+    "q_labelprop" -> ("Three synchronized label-propagation rounds: " +
+      "each round is one edge-sized src-keyed join + a (dst,label) " +
+      "map-side-partial aggregate + a node-sized max_by argmax; the " +
+      "label frame re-checkpoints per round so the carry-forward " +
+      "full-join cannot double the lineage."),
     "sim_rrf" -> ("Hybrid retrieval fusion: the dense leg broadcast-" +
       "crosses the 10-query set (bruteForceTopK's bounded-heap top-k), " +
       "the lexical leg probes the corpus postings with broadcast query " +
