@@ -48,12 +48,14 @@ object ShuffleProbe {
     def mb(b: Long) = f"${b / 1048576.0}%.1f MiB"
     for (q <- args.drop(1)) {
       val fn = graft.SparkEntry.queries.getOrElse(q, sys.error(s"unknown query $q"))
-      var rows = 0L
+      // rows reported from an untimed, unprobed count; the measured runs
+      // use noop-write so count-star pruning can't shrink the plan (Bench)
+      val rows = fn(spark, dir).count()
       var wall = 0.0
       for (_ <- 1 to 2) {
         acc.reset()
         val t0 = System.nanoTime()
-        rows = fn(spark, dir).count()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
         wall = (System.nanoTime() - t0) / 1e9
         // listener events are async (the public API has no drain hook):
         // stage-completed events for a finished job land within ms, give
