@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.QuantileExprs
+
+/** EXACT distributed quantiles without a global sort — iterative
+  * select-k by histogram bisection over the order-preserving long image
+  * of the double column ([[QuantileExprs.DoubleSortableBits]]).
+  *
+  * Spark's own exact `percentile` aggregate buffers every value of a
+  * group in executor memory (OpenHashMap per group) and
+  * `approx_percentile` is approximate by construction; sorting 100 TB to
+  * read 5 order statistics is a full shuffle of the corpus. This
+  * operator computes DuckDB-exact `quantile_disc` values in at most
+  * ceil(64/12) = 6 linear SCANS with no shuffle at all:
+  *
+  *   1. one pass: non-null count n + global [min, max] (as sortable
+  *      longs); rank k_p = max(1, ceil(p*n)) per requested prob — the
+  *      `quantile_disc` convention, pinned against DuckDB.
+  *   2. per round, ONE filtered scan histograms every still-active
+  *      prob's range into <= 2^13 shift-based buckets (integer
+  *      arithmetic on the sortable image — `(v - lo) >>> shift` — so
+  *      bucket edges are EXACT, no float-boundary misassignment), via
+  *      an explode over the per-prob range branches and one small
+  *      (prob, bucket) count aggregate. Walking the cumulative counts
+  *      picks the bucket holding rank k and narrows the range by 2^12.
+  *   3. when a range's width fits inside one bucket span (shift 0),
+  *      buckets ARE individual values and the answer is read off
+  *      directly — ties, duplicates and NaN-free data all resolve
+  *      without ever collecting values.
+  *
+  * 100 TB posture: zero shuffles (map-side partial count aggregates
+  * only), <= 7 scans total for any number of probs (all active probs
+  * share each scan), and every round's scan carries a plain double
+  * BETWEEN filter over the enclosing range (the sortable map is
+  * monotone and self-inverse) that parquet row-group min/max stats
+  * prune on — later rounds touch a shrinking fraction of the corpus.
+  * Driver state is `probs * 8192` count rows per round, bounded by
+  * construction. NaN follows the IEEE total order (above +Infinity),
+  * matching Spark sort semantics; nulls are excluded like every SQL
+  * aggregate.
+  */
+object ExactQuantiles {
+
+  /** Returns (prob, value) with value the exact `quantile_disc(p)`
+    * element of `valueCol`; empty input yields null values. */
+  def exactQuantiles(df: DataFrame, valueCol: String, probs: Seq[Double],
+      log2Buckets: Int = 12): DataFrame = {
+    require(probs.nonEmpty, "probs must be non-empty")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0), s"probs in [0,1]: $probs")
+    require(log2Buckets >= 1 && log2Buckets <= 20, s"bad log2Buckets=$log2Buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val v = col(valueCol).cast("double")
+    val base = df.select(v.as("v")).filter(col("v").isNotNull)
+    val sv = QuantileExprs.doubleSortableBits(col("v"))
+
+    // pass 1: n, min, max — min/max on the DOUBLE column (same order)
+    val head = base.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+    val n = head.getLong(0)
+    if (n == 0L)
+      return probs.toDF("prob").select(col("prob"),
+        lit(null).cast("double").as("value"))
+
+    val glo = QuantileExprs.toSortable(head.getDouble(1))
+    val ghi = QuantileExprs.toSortable(head.getDouble(2))
+    // quantile_disc rank: k = max(1, ceil(p*n)), 1-based k-th smallest
+    final case class St(k: Long, lo: Long, hi: Long, var done: Boolean = false)
+    val st = probs.map { p =>
+      St(math.max(1L, math.ceil(p * n).toLong), glo, ghi)
+    }.toArray
+    st.foreach(s => if (s.lo == s.hi) s.done = true)
+
+    var guard = 0
+    while (st.exists(!_.done)) {
+      guard += 1
+      require(guard <= 8, "bisection failed to converge (impossible: " +
+        "each round removes >= log2Buckets bits)") // 64/12 -> <= 6 rounds
+      val active = st.zipWithIndex.filter(!_._1.done)
+      // per-prob shift: bucket = (sv - lo) >>> shift, <= 2^(log2Buckets+1)
+      // buckets; shift 0 means buckets are single values (terminal round)
+      val shifts = active.map { case (s, _) =>
+        val dist = s.hi - s.lo // exact UNSIGNED distance (lo <= hi signed)
+        val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(dist)
+        math.max(0, bitlen - log2Buckets)
+      }
+      // one scan: double-range prefilter (pushdown-able) + per-prob branch.
+      // A NaN endpoint (NaN is above +Inf in the sortable order) would
+      // false-out a double comparison — drop that side of the prefilter;
+      // the per-prob sortable-long branch conditions stay exact either way
+      val dLo = active.map(a => QuantileExprs.fromSortable(a._1.lo)).min
+      val dHi = active.map(a => QuantileExprs.fromSortable(a._1.hi)).max
+      val pre = (if (dLo.isNaN) lit(true) else col("v") >= lit(dLo)) &&
+        (if (dHi.isNaN) lit(true) else col("v") <= lit(dHi))
+      val branches = active.zip(shifts).map { case ((s, i), sh) =>
+        when(sv >= lit(s.lo) && sv <= lit(s.hi),
+          struct(lit(i).as("i"),
+            shiftrightunsigned(sv - lit(s.lo), sh).as("b")))
+      }
+      val hist = base
+        .filter(pre)
+        .select(explode(filter(array(branches: _*), x => x.isNotNull)).as("s"))
+        .groupBy(col("s.i").as("i"), col("s.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect() // bounded: <= probs * 2^(log2Buckets+1) rows
+        .groupBy(_.getInt(0))
+        .map { case (i, rows) =>
+          i -> rows.map(r => r.getLong(1) -> r.getLong(2))
+            .sortBy(_._1).toVector }
+      active.zip(shifts).foreach { case ((s, i), sh) =>
+        var k = s.k
+        val buckets = hist(i)
+        var j = 0
+        while (buckets(j)._2 < k) { k -= buckets(j)._2; j += 1 }
+        val b = buckets(j)._1
+        if (sh == 0) { // buckets are single sortable values: resolved
+          s.lo = s.lo + b; s.hi = s.lo; s.done = true
+        } else {
+          val newLo = s.lo + (b << sh)
+          val span = (1L << sh) - 1L
+          // unsigned min(hi, newLo + span)
+          val cand = newLo + span
+          s.hi = if (java.lang.Long.compareUnsigned(cand - s.lo, s.hi - s.lo) < 0)
+            cand else s.hi
+          s.lo = newLo
+          s.k = k
+          if (s.lo == s.hi) s.done = true
+        }
+      }
+    }
+    probs.zip(st).map { case (p, s) =>
+      (p, QuantileExprs.fromSortable(s.lo)) }
+      .toDF("prob", "value")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by iterative peeling — the graph-family density
+  * filter of corpus curation: keep only the subgraph where every node
+  * retains at least `k` neighbors AFTER every weaker node is removed.
+  * On similarity / co-occurrence graphs this isolates the densely
+  * interlinked clusters (boilerplate farms, template families, topical
+  * hubs) that degree thresholds alone miss, because peeling cascades:
+  * removing one weak node can demote its neighbors below k. The
+  * reference has no graph operators
+  * (`/root/reference/src/dask_awkward/__init__.py:1-108` is
+  * array-structural); this is a Spark-native superset alongside
+  * [[PageRank]], [[Triangles]] and [[LabelProp]].
+  *
+  * Semantics (classic peel, fully deterministic): start from the
+  * canonical undirected edge set (loops dropped, duplicates collapsed);
+  * each round removes every node whose CURRENT degree is below k, plus
+  * all its edges; stop at the fixpoint. The result is the unique
+  * maximal subgraph with minimum degree >= k — unique regardless of
+  * removal order, so the output is engine- and partitioning-independent
+  * and the whole run replays as unrolled ANSI SQL rounds. Peeling is
+  * MONOTONE and idempotent at the fixpoint, which is what makes a
+  * fixed-unroll oracle exact: extra rounds past convergence are no-ops.
+  *
+  * 100 TB posture: per round, ONE edge-sized shuffle (the degree
+  * aggregate on the symmetric edge list, map-side partials) and two
+  * node-sized semi-joins back onto the edges (AQE broadcasts the
+  * survivor frame once peeling has bitten); the edge frame is
+  * localCheckpointed each round (the d_clusters flat-cost-per-round
+  * discipline — the survivor filter references it twice, which would
+  * otherwise double the lineage every round). The per-round driver
+  * action is ONE bounded count on the checkpointed blocks (free read,
+  * no recompute), used only for the convergence test. Rounds are
+  * bounded by the peel depth (the graph's degeneracy ordering length),
+  * O(log n) on real-world graphs; `maxRounds` converts a pathological
+  * input (a path graph peels one node per round) into an explicit error
+  * instead of an unbounded loop.
+  */
+object KCore {
+
+  /** Peel `edges` (srcCol, dstCol; orientation and duplicates ignored)
+    * to the k-core. Returns (node, deg) — every surviving node with its
+    * degree INSIDE the core — empty when no k-core exists. */
+  def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
+      dstCol: String = "dst", maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    // canonical SYMMETRIC edge list: both directions of each undirected
+    // edge, so degree(node) == out-degree(src) and one groupBy serves
+    // the whole round. distinct() collapses weighted multi-edges —
+    // k-core is a structural property, multiplicity does not count.
+    // explode-of-both-orientations keeps this ONE codegen'd pass over
+    // the (possibly computed) input instead of a self-union that would
+    // run the upstream twice.
+    var e = edges.select(explode(array(
+        struct(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"),
+          col(srcCol).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst") &&
+        col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var m = e.count() // free: reads the checkpointed blocks
+    var rounds = 0
+    var converged = m == 0L
+    while (!converged) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"kCore(k=$k) did not converge in $maxRounds peel rounds " +
+            s"($m directed edges remain) — raise maxRounds for " +
+            "deep-degeneracy graphs (e.g. long paths)")
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"))
+      val next = e
+        .join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      val m2 = next.count()
+      converged = m2 == m
+      e = next
+      m = m2
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+}

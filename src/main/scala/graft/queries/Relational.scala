@@ -327,6 +327,18 @@ object Relational {
       LabelProp.propagate(edges, seeds, 3)
         .select(col("node"), col("label"),
           col("is_seed").cast("int").as("is_seed"))
+    },
+    // k-core (graft.operators.KCore): peel the part co-occurrence graph
+    // to its 80-core — k sits inside the degree distribution, so the
+    // peel CASCADES (6 rounds measured at sf0.01 AND sf0.1, non-trivial
+    // survivor set both). The k-core is unique regardless of removal
+    // order and peeling is idempotent at the fixpoint, so the oracle's
+    // fixed 10-round unroll is exact for any convergence depth <= 10
+    "q_kcore" -> { (s, dir) =>
+      import graft.operators.{KCore, PageRank}
+      val edges = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      KCore.kCore(edges, 80)
     })
 
   private def pagerankOracle(iters: Int): String = {
@@ -403,7 +415,23 @@ object Relational {
            tri AS MATERIALIZED (SELECT o1.u, o1.v AS x, o2.v AS y FROM o o1 JOIN o o2 ON o1.u = o2.u AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)) JOIN o oe ON oe.u = o1.v AND oe.v = o2.v),
            cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (SELECT u AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri) GROUP BY 1)
          SELECT d.node, CAST(d.deg AS BIGINT) AS deg, coalesce(c.triangles, 0) AS triangles, (2000000 * coalesce(c.triangles, 0)) // (d.deg * (d.deg - 1)) AS cc_q FROM deg d LEFT JOIN cnt c ON c.node = d.node WHERE d.deg >= 2""",
-    "q_labelprop" -> labelpropOracle(3))
+    "q_labelprop" -> labelpropOracle(3),
+    "q_kcore" -> kcoreOracle(80, 10))
+
+  /** Unrolled peel: round i keeps nodes whose CURRENT degree >= k and
+    * the edges between them. Monotone + idempotent at the fixpoint, so
+    * rounds beyond convergence are no-ops and the unroll count only
+    * needs to be >= the measured peel depth (6 at sf0.01 and sf0.1). */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val base =
+      """e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)"""
+    val peel = (1 to rounds).map { i =>
+      val p = i - 1
+      s"k$i AS (SELECT src AS node FROM e$p GROUP BY src HAVING count(*) >= $k), " +
+        s"e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e$p e JOIN k$i a ON e.src = a.node JOIN k$i b ON e.dst = b.node)"
+    }.mkString(", ")
+    s"WITH $base, $peel SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e$rounds GROUP BY src"
+  }
 
   private def labelpropOracle(iters: Int): String = {
     val base =

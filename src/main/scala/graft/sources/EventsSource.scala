@@ -4,8 +4,10 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,8 +15,25 @@ import org.apache.spark.unsafe.types.UTF8String
 /** DataSource V2 synthetic events source — the engine's `from_map` idea
   * (reference `lib/io/io.py:528-697`, SURVEY §2.1) expressed at the
   * planner-integrated level: partition planning, per-partition readers,
-  * and REAL column pruning (SupportsPushDownRequiredColumns — unrequested
-  * columns are never generated).
+  * and REAL pushdown across all four DSv2 axes:
+  *
+  *   - columns (SupportsPushDownRequiredColumns) — unrequested columns
+  *     are never generated;
+  *   - filters (SupportsPushDownFilters) — event_id range predicates
+  *     narrow the generated id interval BEFORE partition planning, so a
+  *     selective scan plans proportionally fewer/smaller partitions
+  *     (the DSv2 analog of parquet row-group pruning; event_id == row
+  *     id, so bounds are exact and the filters are fully absorbed);
+  *   - limit (SupportsPushDownLimit) — a pushed LIMIT truncates the id
+  *     interval exactly (generation is ordered and deterministic), and
+  *     `isPartiallyPushed = false` removes Spark's post-scan limit;
+  *   - aggregates (SupportsPushDownAggregates) — global COUNT(*) /
+  *     COUNT(col) / MIN / MAX over the id-monotone columns (event_id,
+  *     ts) evaluate in CLOSED FORM from the generator equations: a
+  *     count over a 10^12-row synthetic corpus is O(1), zero rows
+  *     generated. Hash-mixed columns (user_id, event_type, value) are
+  *     not id-monotone and are declined — Spark falls back to a real
+  *     scan for them, which is the correctness-preserving default.
   *
   * Deterministic splitmix64 generation keyed by row id: a 100 TB-scale
   * benchmark corpus with zero storage, reproducible anywhere.
@@ -39,6 +58,10 @@ object EventsSource {
   val eventTypes: Array[UTF8String] =
     Array("click", "view", "purchase", "signup", "error").map(UTF8String.fromString)
 
+  /** micros at 2026-01-01T00:00Z; one event per second from there */
+  val tsBaseMicros: Long = 1767225600000000L
+  @inline def tsMicros(id: Long): Long = tsBaseMicros + id * 1000000L
+
   @inline def mix(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -58,21 +81,165 @@ private class EventsTable(rows: Long, partitions: Int)
 }
 
 private class EventsScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
+
   private var required: StructType = EventsSource.fullSchema
+  // generated id interval [lo, hi) after filter/limit pushdown
+  private var lo: Long = 0L
+  private var hi: Long = rows
+  private var accepted: Array[Filter] = Array.empty
+  // closed-form results of a completely-pushed global aggregate, with
+  // the schema Spark expects the scan to emit (positional match)
+  private var agg: Option[(StructType, InternalRow)] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new EventsScan(rows, partitions, required)
+
+  /** Only a single-column reference counts as a generator column. */
+  private def refName(e: V2Expression): Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      Some(f.fieldNames()(0))
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition {
+      case EqualTo("event_id", v: Number) => true
+      case GreaterThan("event_id", v: Number) => true
+      case GreaterThanOrEqual("event_id", v: Number) => true
+      case LessThan("event_id", v: Number) => true
+      case LessThanOrEqual("event_id", v: Number) => true
+      // every generated column is non-null, so IsNotNull is a tautology
+      // this source absorbs for free (it otherwise blocks agg pushdown:
+      // Spark only pushes aggregates when NO post-scan filter remains)
+      case IsNotNull(_) => true
+      case _ => false
+    }
+    ok.foreach {
+      case EqualTo("event_id", v: Number) =>
+        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue() + 1)
+      case GreaterThan("event_id", v: Number) => lo = math.max(lo, v.longValue() + 1)
+      case GreaterThanOrEqual("event_id", v: Number) => lo = math.max(lo, v.longValue())
+      case LessThan("event_id", v: Number) => hi = math.min(hi, v.longValue())
+      case LessThanOrEqual("event_id", v: Number) => hi = math.min(hi, v.longValue() + 1)
+      case _ => () // IsNotNull and anything partition() let through
+    }
+    accepted = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, math.addExact(lo, limit.toLong)); true
+  }
+  /** Generation is ordered and exact, so the pushed limit is the whole
+    * limit — Spark drops its post-scan GlobalLimit. */
+  override def isPartiallyPushed(): Boolean = false
+
+  /** Closed forms exist only for the id-monotone columns. Returns the
+    * (schema, row) the scan emits when every aggregate translates. */
+  private def translate(a: Aggregation): Option[(StructType, InternalRow)] = {
+    if (a.groupByExpressions().nonEmpty) return None
+    val n = math.max(0L, hi - lo)
+    val fields = Vector.newBuilder[StructField]
+    val values = Vector.newBuilder[Any]
+    a.aggregateExpressions().foreach { f: AggregateFunc =>
+      f match {
+        case _: CountStar =>
+          fields += StructField("count(*)", LongType, nullable = false)
+          values += n
+        case c: Count if !c.isDistinct &&
+            refName(c.column).exists(EventsSource.fullSchema.fieldNames.contains) =>
+          // all generated columns are non-null: COUNT(col) == COUNT(*)
+          fields += StructField(s"count", LongType, nullable = false)
+          values += n
+        case m: Min => refName(m.column) match {
+          case Some("event_id") =>
+            fields += StructField("min(event_id)", LongType)
+            values += (if (n == 0L) null else lo)
+          case Some("ts") =>
+            fields += StructField("min(ts)", TimestampType)
+            values += (if (n == 0L) null else EventsSource.tsMicros(lo))
+          case _ => return None
+        }
+        case m: Max => refName(m.column) match {
+          case Some("event_id") =>
+            fields += StructField("max(event_id)", LongType)
+            values += (if (n == 0L) null else hi - 1)
+          case Some("ts") =>
+            fields += StructField("max(ts)", TimestampType)
+            values += (if (n == 0L) null else EventsSource.tsMicros(hi - 1))
+          case _ => return None
+        }
+        case _ => return None
+      }
+    }
+    Some((StructType(fields.result()), InternalRow.fromSeq(values.result())))
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    translate(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    translate(aggregation) match {
+      case some @ Some(_) => agg = some; true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = agg match {
+    case Some((schema, row)) => new EventsAggScan(schema, row, describePush)
+    case None => new EventsScan(lo, hi, rows, partitions, required, describePush)
+  }
+
+  private def describePush: String = {
+    val fs = if (accepted.isEmpty) "" else accepted.mkString("[", ", ", "]")
+    s"idRange=[$lo,$hi)${if (fs.isEmpty) "" else s", PushedFilters: $fs"}"
+  }
 }
 
-private class EventsScan(rows: Long, partitions: Int, required: StructType)
+/** A completely-pushed global aggregate: one partition, one closed-form
+  * row, zero generated events. */
+private class EventsAggScan(schema: StructType, row: InternalRow,
+    pushDesc: String) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_events PushedAggregates(closed-form) $pushDesc"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(EventsRange(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventsAggReaderFactory(row)
+}
+
+private class EventsAggReaderFactory(row: InternalRow)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+}
+
+private class EventsScan(lo: Long, hi: Long, tableRows: Long,
+    partitions: Int, required: StructType, pushDesc: String)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String = s"graft_events $pushDesc"
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (rows + partitions - 1) / partitions)
-    (0L until rows by per)
-      .map(s => EventsRange(s, math.min(rows, s + per)): InputPartition)
+    if (hi <= lo) return Array.empty
+    // split grain comes from the UNFILTERED table, so a pushed id-range
+    // plans proportionally fewer partitions — the DSv2 analog of
+    // parquet file/row-group pruning (a pruned scan must not re-shred
+    // its remnant into the full partition count)
+    val per = math.max(1L, (tableRows + partitions - 1) / partitions)
+    (lo until hi by per)
+      .map(s => EventsRange(s, math.min(hi, s + per)): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -88,8 +255,7 @@ private class EventsReaderFactory(required: StructType)
     // resolve each required column to a generator once, not per row
     val gens: Array[Long => Any] = required.fields.map(_.name match {
       case "event_id" => (id: Long) => id
-      case "ts" => (id: Long) => // micros, one event/second from 2026-01-01
-        1767225600000000L + id * 1000000L
+      case "ts" => (id: Long) => EventsSource.tsMicros(id)
       case "user_id" => (id: Long) => EventsSource.mix(id) % 1000 match {
         case n if n < 0 => n + 1000; case n => n
       }

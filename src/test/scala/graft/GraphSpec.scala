@@ -160,4 +160,62 @@ class GraphSpec extends SparkSuite {
       Triangles.triangleCounts(edges, broadcastEdgeThreshold = 0L))
     assert(inter.nonEmpty && inter == wedge)
   }
+
+  test("kCore: pendant chain peels round by round; the triangle survives") {
+    import graft.operators.KCore
+    // triangle {1,2,3} + chain 3-4-5-6. k=2: the chain peels from the
+    // tail one node per round (degree drops CASCADE — 6 first, then 5,
+    // then 4), which is exactly what a one-shot degree threshold gets
+    // wrong: 4 and 5 start at degree 2. Direction/dup/loop noise mixed
+    // in to pin canonicalization.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+        (5L, 6L), (2L, 1L), (1L, 1L), (5L, 4L))
+      .toDF("src", "dst")
+    val core = collectMap[Long, Long](KCore.kCore(edges, 2))
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: no 3-core anywhere — empty result, not an error
+    assert(KCore.kCore(edges, 3).count() == 0L)
+    // k=1 on an edge-ful graph: nothing peels, degrees are raw
+    val k1 = collectMap[Long, Long](KCore.kCore(edges, 1))
+    assert(k1 == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 2L, 6L -> 1L))
+  }
+
+  test("kCore matches a brute-force peel on the real co-occurrence graph") {
+    import graft.operators.KCore
+    val edges = PageRank.coOccurrenceEdges(
+      graft.core.Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+    // brute force: collected adjacency, literal while-loop peel
+    val undirected = edges.select(col("src"), col("dst"))
+      .as[(Long, Long)].collect().filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    def brute(k: Int): Map[Long, Long] = {
+      var adj = undirected.groupBy(_._1).map { case (n, es) =>
+        n -> es.map(_._2).toSet }
+      var changed = true
+      while (changed) {
+        val dead = adj.collect { case (n, ns) if ns.size < k => n }.toSet
+        changed = dead.nonEmpty
+        adj = adj.collect { case (n, ns) if !dead(n) => n -> (ns -- dead) }
+      }
+      adj.map { case (n, ns) => n -> ns.size.toLong }
+    }
+    // a k in the cascade regime for this graph (sf0.001 degrees are
+    // smaller than sf0.01's) plus one that empties it
+    for (k <- Seq(2, 12, 18, 25)) {
+      val got = collectMap[Long, Long](KCore.kCore(edges, k))
+      assert(got == brute(k), s"k=$k")
+    }
+  }
+
+  test("kCore: maxRounds converts a pathological deep peel into an error") {
+    import graft.operators.KCore
+    // a path graph peels exactly one node per round from each end:
+    // 12 nodes -> ~6 rounds at k=2; cap at 2 must throw
+    val path = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException](
+      KCore.kCore(path, 2, maxRounds = 2).count())
+    assert(ex.getMessage.contains("did not converge"))
+    // and the uncapped run converges to the empty 2-core
+    assert(KCore.kCore(path, 2).count() == 0L)
+  }
 }

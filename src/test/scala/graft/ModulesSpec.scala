@@ -2110,6 +2110,69 @@ class ModulesSpec extends SparkSuite {
     assert(read.select($"user_id").distinct().count() <= 1000)
   }
 
+  test("sources: DSv2 aggregate pushdown — closed-form over 10^12 rows") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scanClass(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan.getClass.getSimpleName }.getOrElse("?")
+    // a trillion-row synthetic table: only a closed-form evaluation can
+    // answer these inside a test budget — the pushed scan generates ZERO
+    // event rows
+    val big = spark.read.format("graft.sources.EventsSource")
+      .option("rows", "1000000000000").option("partitions", "32").load()
+    val a = big.agg(count(lit(1)).as("n"), min($"event_id").as("mn"),
+      max($"event_id").as("mx"), min($"ts").as("t0"), max($"ts").as("t1"))
+    assert(scanClass(a) == "EventsAggScan", a.queryExecution.executedPlan)
+    val r = a.head()
+    assert(r.getLong(0) == 1000000000000L)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 999999999999L)
+    assert(r.getTimestamp(3).getTime == 1767225600000L) // 2026-01-01T00:00Z
+    assert(big.count() == 1000000000000L) // Dataset.count rides the same path
+    // filters compose: the pushed id-range narrows the closed forms
+    val f = big.filter($"event_id" >= 250 && $"event_id" < 1000000)
+      .agg(count(lit(1)), min($"event_id"), max($"event_id"))
+    assert(scanClass(f) == "EventsAggScan")
+    assert(f.head() == org.apache.spark.sql.Row(999750L, 250L, 999999L))
+    // empty range: count 0, null min/max — the SQL contract
+    val e = big.filter($"event_id" < 0)
+      .agg(count(lit(1)), min($"event_id")).head()
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+    // hash-mixed columns have no closed form: DECLINED, real scan, and
+    // the values still come out right (correctness-preserving fallback)
+    val small = spark.read.format("graft.sources.EventsSource")
+      .option("rows", "1000").option("partitions", "4").load()
+    val d = small.agg(min($"user_id").as("mn"), count(lit(1)).as("n"))
+    assert(scanClass(d) != "EventsAggScan")
+    assert(d.head().getLong(1) == 1000L)
+  }
+
+  test("sources: DSv2 filter + limit pushdown — partition pruning, exact truncation") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val small = spark.read.format("graft.sources.EventsSource")
+      .option("rows", "1000").option("partitions", "4").load()
+    // range filter narrows generation BEFORE partition planning: the
+    // [990, 1000) slice fits one partition (unpushed: 4 x 250 rows)
+    val sel = small.filter($"event_id" >= 990)
+    val parts = sel.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.inputRDD.getNumPartitions }.get
+    assert(parts == 1, s"expected 1 planned partition, got $parts")
+    assert(sel.select($"event_id").as[Long].collect().sorted.toSeq ==
+      (990L to 999L))
+    // equality is a 1-row range, residual predicates stay post-scan
+    assert(small.filter($"event_id" === 123 && $"user_id" >= 0)
+      .select($"event_id").as[Long].collect().toSeq == Seq(123L))
+    // pushed LIMIT truncates a trillion-row table to exactly k generated
+    // rows (ordered deterministic generation => ids 0..k-1)
+    val big = spark.read.format("graft.sources.EventsSource")
+      .option("rows", "1000000000000").option("partitions", "32").load()
+    assert(big.limit(7).select($"event_id").as[Long].collect().sorted.toSeq ==
+      (0L to 6L))
+    // filter + limit compose on the id interval
+    assert(big.filter($"event_id" >= 500).limit(3)
+      .select($"event_id").as[Long].collect().sorted.toSeq ==
+      (500L to 502L))
+  }
+
   test("asof join: inclusive tie, latest-at-or-before, null when none") {
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 50L, "d"))
       .toDF("k", "ts", "tag")
