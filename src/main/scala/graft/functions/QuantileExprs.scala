@@ -38,4 +38,22 @@ object QuantileExprs {
 
   def doubleSortableBits(c: Column): Column =
     GraftBridge.column(DoubleSortableBits(GraftBridge.expression(c)))
+
+  /** `(v - lo) >>> shift` with two's-complement WRAPAROUND — the exact
+    * unsigned distance-to-bucket map of the select-k bisection. ANSI
+    * mode (Spark 4 default) makes the builtin `-` throw on the
+    * intentional overflow, so the wrap lives here in Java semantics. */
+  case class SortableBucket(child: Expression, lo: Long, shift: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(input: Any): Any =
+      (input.asInstanceOf[Long] - lo) >>> shift
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"(($c - ${lo}L) >>> $shift)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def sortableBucket(c: Column, lo: Long, shift: Int): Column =
+    GraftBridge.column(SortableBucket(GraftBridge.expression(c), lo, shift))
 }

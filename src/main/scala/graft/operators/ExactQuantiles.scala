@@ -30,12 +30,14 @@ import graft.functions.QuantileExprs
   *      directly — ties, duplicates and NaN-free data all resolve
   *      without ever collecting values.
   *
-  * 100 TB posture: zero shuffles (map-side partial count aggregates
-  * only), <= 7 scans total for any number of probs (all active probs
-  * share each scan), and every round's scan carries a plain double
-  * BETWEEN filter over the enclosing range (the sortable map is
-  * monotone and self-inverse) that parquet row-group min/max stats
-  * prune on — later rounds touch a shrinking fraction of the corpus.
+  * 100 TB posture: no corpus-sized shuffle anywhere — each round's only
+  * exchange carries the map-side-combined (prob, bucket) partial counts,
+  * <= probs * 2^13 rows per task. <= 7 scans total for any number of
+  * probs (all active probs share each scan), and every round's scan
+  * carries a plain double BETWEEN filter over the enclosing range (the
+  * sortable map is monotone and self-inverse) that parquet row-group
+  * min/max stats prune on — later rounds touch a shrinking fraction of
+  * the corpus.
   * Driver state is `probs * 8192` count rows per round, bounded by
   * construction. NaN follows the IEEE total order (above +Infinity),
   * matching Spark sort semantics; nulls are excluded like every SQL
@@ -67,7 +69,8 @@ object ExactQuantiles {
     val glo = QuantileExprs.toSortable(head.getDouble(1))
     val ghi = QuantileExprs.toSortable(head.getDouble(2))
     // quantile_disc rank: k = max(1, ceil(p*n)), 1-based k-th smallest
-    final case class St(k: Long, lo: Long, hi: Long, var done: Boolean = false)
+    final case class St(var k: Long, var lo: Long, var hi: Long,
+      var done: Boolean = false)
     val st = probs.map { p =>
       St(math.max(1L, math.ceil(p * n).toLong), glo, ghi)
     }.toArray
@@ -97,7 +100,7 @@ object ExactQuantiles {
       val branches = active.zip(shifts).map { case ((s, i), sh) =>
         when(sv >= lit(s.lo) && sv <= lit(s.hi),
           struct(lit(i).as("i"),
-            shiftrightunsigned(sv - lit(s.lo), sh).as("b")))
+            QuantileExprs.sortableBucket(sv, s.lo, sh).as("b")))
       }
       val hist = base
         .filter(pre)

@@ -123,6 +123,17 @@ object ReducerQueries {
           .as("n_close"),
         count(when(isnan(sq), 1)).as("n_nan"),
         round(sum(nanToNum(sq)), 4).as("sum_sqrt"))
+    },
+
+    // EXACT quantiles without a global sort: select-k by histogram
+    // bisection on the order-preserving long image of the double column
+    // (graft.operators.ExactQuantiles) — <= 7 filtered scans, zero
+    // shuffles, values are actual corpus elements so they hash-compare
+    // bit-exactly against DuckDB's quantile_disc
+    "r_quantiles" -> { (s, dir) =>
+      graft.operators.ExactQuantiles.exactQuantiles(
+        Tables.lineitem(s, dir), "l_extendedprice",
+        Seq(0.01, 0.25, 0.5, 0.75, 0.99))
     })
 
   private val ORD = Oracles.itemOrder
@@ -141,5 +152,9 @@ object ReducerQueries {
     "r_isclose_nan" ->
       """SELECT count(*) FILTER (WHERE abs(l_quantity*0.1*10 - l_quantity) <= 1e-15) AS n_close, count(*) FILTER (WHERE l_quantity < 30) AS n_nan, round(sum(CASE WHEN l_quantity < 30 THEN 0 ELSE sqrt(l_quantity-30) END),4) AS sum_sqrt FROM lineitem""",
     "r_axis0_ragged" ->
-      s"""WITH ord AS (SELECT l_orderkey, list(l_quantity ORDER BY $ORD) AS qs FROM lineitem GROUP BY l_orderkey) SELECT CAST(i - 1 AS BIGINT) AS pos, round(sum(qs[CAST(i AS INT)]), 2) AS s, count(*) AS n FROM ord, range(1, 33) r(i) WHERE len(qs) >= i GROUP BY i""")
+      s"""WITH ord AS (SELECT l_orderkey, list(l_quantity ORDER BY $ORD) AS qs FROM lineitem GROUP BY l_orderkey) SELECT CAST(i - 1 AS BIGINT) AS pos, round(sum(qs[CAST(i AS INT)]), 2) AS s, count(*) AS n FROM ord, range(1, 33) r(i) WHERE len(qs) >= i GROUP BY i""",
+    "r_quantiles" ->
+      Seq(0.01, 0.25, 0.5, 0.75, 0.99).map(p =>
+        s"SELECT CAST($p AS DOUBLE) AS prob, quantile_disc(l_extendedprice, $p) AS value FROM lineitem")
+        .mkString(" UNION ALL "))
 }

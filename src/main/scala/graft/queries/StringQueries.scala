@@ -183,6 +183,23 @@ object StringQueries {
       val (bothCoded, _) = toCategorical(langCoded, "source", "source_code")
       bothCoded.select(col("doc_id"), col("lang"), col("lang_code"),
         col("source"), col("source_code"))
+    },
+
+    // unicode NFC normalization (graft.functions.UnicodeExprs — the Arrow
+    // utf8_normalize analog, codegen'd UAX #15): x carries two DECOMPOSED
+    // e+U+0301 pairs plus one composed U+00E9, so NFC must compose (char
+    // count drops by 2) while y is composed-only and passes the
+    // isNormalized fast path untouched. Both engines implement UAX #15,
+    // so the normalized STRINGS hash-compare exactly
+    "str_nfc" -> { (s, dir) =>
+      val x = concat(col("text"), lit("e\u0301e\u0301"), lit("\u00e9"))
+      val y = concat(col("text"), lit("\u00e9"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        normalizeUnicode(x).as("nfc"),
+        length(x).cast("long").as("n_raw"),
+        length(normalizeUnicode(x)).cast("long").as("n_nfc"),
+        (normalizeUnicode(x) === x).as("was_nfc"),
+        (normalizeUnicode(y) === y).as("y_was_nfc"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -201,6 +218,10 @@ object StringQueries {
       """WITH v AS (SELECT doc_id, list_transform([CAST(n_chars AS VARCHAR), 'x7', ' 42 ', '', '1.5', '-0.25'], x -> TRY_CAST(trim(x) AS DOUBLE)) AS vs FROM documents) SELECT doc_id, vs[1] AS v0, vs[3] AS v42, CAST(len(list_filter(vs, x -> x IS NOT NULL)) AS BIGINT) AS n_ok FROM v""",
     "str_categorical" ->
       """SELECT doc_id, lang, dense_rank() OVER (ORDER BY lang) - 1 AS lang_code, source, dense_rank() OVER (ORDER BY source) - 1 AS source_code FROM documents""",
+    // chr(769) = U+0301 combining acute, chr(233) = composed U+00E9;
+    // both engines implement UAX #15 so the normalized strings match
+    "str_nfc" ->
+      """SELECT doc_id, nfc_normalize(x) AS nfc, length(x) AS n_raw, length(nfc_normalize(x)) AS n_nfc, (nfc_normalize(x) = x) AS was_nfc, (nfc_normalize(y) = y) AS y_was_nfc FROM (SELECT doc_id, text || 'e' || chr(769) || 'e' || chr(769) || chr(233) AS x, text || chr(233) AS y FROM documents) t""",
     "str_case" ->
       """SELECT p_partkey, upper(s) AS up, lower(s) AS lo, upper(s[1])||lower(s[2:]) AS cap, array_to_string(list_transform(string_split(lower(s), ' '), w -> upper(w[1])||lower(w[2:])), ' ') AS ti, array_to_string(list_transform(string_split_regex(s, ''), c -> CASE WHEN c = upper(c) AND c <> lower(c) THEN lower(c) WHEN c = lower(c) AND c <> upper(c) THEN upper(c) ELSE c END), '') AS sw, reverse(s) AS rev, repeat(p_name, 2) AS rep, length(s) AS len FROM (SELECT p_partkey, p_name, p_name || ' ' || p_brand || ' ' || p_type AS s FROM part) t""",
     "str_pad_trim" ->

@@ -183,6 +183,17 @@ object TextQueries {
         .limit(25)
     },
 
+    // precision/recall threshold sweep (graft.text.prCurve): calibrate a
+    // quality-filter cutoff against labels (here: lang='en' as the
+    // positive class, n_chars as the score). Exact ppm integers; the
+    // descending cumulative runs as the two-level scan, no single-task
+    // corpus window — the oracle's one window over the DISTINCT-score
+    // frame proves the decomposition exact
+    "t_prcurve" -> { (s, dir) =>
+      graft.text.prCurve(Tables.documents(s, dir), "n_chars",
+        col("lang") === "en")
+    },
+
     // winnowing fingerprints (MOSS): k=2-gram polyHashes, window w=4
     // sliding minima, distinct — exact oracle via DuckDB list ops
     "t_winnow" -> { (s, dir) =>
@@ -520,6 +531,8 @@ ${(1 to 12).map(bpeRoundSql).mkString(",\n")}"""
       """WITH h AS (SELECT doc_id, n_chars, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007) AS hv FROM documents), p AS (SELECT doc_id, n_chars, (CAST(hv + 1 AS DOUBLE) / CAST(1000000007 AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS prio FROM h) SELECT doc_id, n_chars, CAST(floor(prio * 1e18) AS BIGINT) AS prio_atto FROM p ORDER BY prio, doc_id LIMIT 100""",
     "t_winnow" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok FROM documents), h AS (SELECT doc_id, list_transform(range(1, len(tok)), i -> list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)], ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)) AS hs FROM t), f AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE list_distinct(list_transform(range(1, greatest(1, len(hs) - 3) + 1), i -> list_min(hs[CAST(i AS INT):CAST(least(i + 3, len(hs)) AS INT)]))) END AS fps FROM h) SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum FROM f""",
+    "t_prcurve" ->
+      """WITH g AS (SELECT CAST(n_chars AS BIGINT) AS thr, count(*) FILTER (WHERE lang = 'en') AS pos, count(*) AS n FROM documents GROUP BY 1), c AS (SELECT thr, CAST(sum(pos) OVER w AS BIGINT) AS tp, CAST(sum(n) OVER w AS BIGINT) AS cn FROM g WINDOW w AS (ORDER BY thr DESC)), tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p FROM g) SELECT thr, tp, cn - tp AS fp, tp * 1000000 // cn AS prec_ppm, CASE WHEN p > 0 THEN tp * 1000000 // p END AS rec_ppm FROM c, tot""",
     "t_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2), dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), r AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df, row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfq.df ASC, tf.tok) AS rank FROM tf JOIN dfq USING (tok)) SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 4) AS score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3""",
     "t_ppl" ->

@@ -1249,4 +1249,56 @@ package object text {
     struct(piiPatterns.map { case (name, pat, _) =>
       regexp_count(c, lit(pat)).as(name)
     }: _*)
+
+  /** Precision/recall sweep over every decision threshold of a score
+    * column — the report that calibrates a quality-filter cutoff (which
+    * threshold keeps 90% of known-good docs? what precision does it buy?)
+    * against a labeled sample, entirely in exact integer arithmetic.
+    *
+    * Predicting positive means `score >= threshold`; one output row per
+    * DISTINCT score, descending-cumulative TP/FP and ppm-quantized
+    * precision/recall (int64 floor division — the q_pagerank fixed-point
+    * convention, bit-identical cross-engine).
+    *
+    * 100 TB posture: one corpus-sized map-side-combined aggregate
+    * collapses the corpus to the distinct-score frame; the cumulative
+    * runs over THAT frame as a two-level scan (range-partition by score
+    * desc, partition-local window, bounded per-partition offsets joined
+    * back by broadcast — the packSequences/globalRankBy discipline, no
+    * single-task corpus window). Totals ride the same bounded offsets
+    * frame, not a second corpus pass. Returns
+    * (thr, tp, fp, prec_ppm, rec_ppm). */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("thr"))
+      .agg(count(when(labelCol, 1)).as("pos"), count(lit(1)).as("n"))
+    val tagged = g.repartitionByRange(col("thr").desc)
+      .withColumn("pid", spark_partition_id())
+    val wLoc = Window.partitionBy(col("pid")).orderBy(col("thr").desc)
+    val loc = tagged
+      .withColumn("ltp", sum(col("pos")).over(wLoc))
+      .withColumn("lcn", sum(col("n")).over(wLoc))
+    // bounded: one row per range partition; the only unpartitioned
+    // window runs over this frame
+    val offs = tagged.groupBy(col("pid"))
+      .agg(sum(col("pos")).as("p"), sum(col("n")).as("c"))
+      .withColumn("offp", coalesce(sum(col("p")).over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("offc", coalesce(sum(col("c")).over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("totp", sum(col("p")).over(
+        Window.orderBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("pid"), col("offp"), col("offc"), col("totp"))
+    loc.join(broadcast(offs), "pid")
+      .select(col("thr"),
+        (col("offp") + col("ltp")).as("tp"),
+        (col("offc") + col("lcn") - col("offp") - col("ltp")).as("fp"),
+        expr("(offp + ltp) * 1000000 DIV (offc + lcn)").as("prec_ppm"),
+        expr("CASE WHEN totp > 0 THEN (offp + ltp) * 1000000 DIV totp END")
+          .as("rec_ppm"))
+  }
 }

@@ -180,7 +180,29 @@ object PlanGallery {
     "str_linkage" -> ("Fuzzy record linkage: brand-blocked equi hash " +
       "join (never all-pairs across blocks) with the Jaro-Winkler " +
       "kernel evaluated inside whole-stage codegen on each candidate " +
-      "pair."))
+      "pair."),
+    "q_kcore" -> ("k-core peel (the printed plan is the FINAL degree " +
+      "aggregate over the converged edge frame — each preceding round " +
+      "was one edge-sized map-side-partial degree aggregate + two " +
+      "node-sized semi-joins, re-checkpointed so lineage stays flat " +
+      "per round; convergence check reads the checkpointed blocks, " +
+      "never recomputes)."),
+    "r_quantiles" -> ("Exact quantiles WITHOUT a global sort: the plan " +
+      "is one filtered scan per bisection round (<= 7 total) into a " +
+      "(prob, bucket) map-side-partial count aggregate — the only " +
+      "exchange carries <= probs*2^13 count rows, the corpus is never " +
+      "shuffled, and each round's BETWEEN refilter is parquet-" +
+      "prunable."),
+    "str_nfc" -> ("Unicode NFC normalization: one codegen'd map-only " +
+      "projection over the scan (UnicodeNormalize static-call pattern, " +
+      "isNormalized fast path) — zero exchanges; normalize-before-hash " +
+      "at scan speed."),
+    "t_prcurve" -> ("Precision/recall threshold sweep: one corpus-" +
+      "sized map-side-combined aggregate collapses to the distinct-" +
+      "score frame; the descending cumulative is a two-level scan " +
+      "(range-partition + local window + broadcast offsets) — the " +
+      "only unpartitioned window runs on one row per range " +
+      "partition."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -61,7 +61,13 @@ class CodegenPinSpec extends SparkSuite {
       ReducerExprs.argExtremum($"vec", smaller = false),
       BpeExprs.bpeCount(toks, Seq(("t", "h"), ("th", "e"), ("q", "u"))),
       StringSimExprs.jaroWinklerSim($"text", reverse($"text")),
-      StringSimExprs.jaroWinklerSim($"text", lit("the quick brown dog"))
+      StringSimExprs.jaroWinklerSim($"text", lit("the quick brown dog")),
+      QuantileExprs.doubleSortableBits($"vec".getItem(2).cast("double")),
+      QuantileExprs.doubleSortableBits(lit(Double.NaN)),
+      QuantileExprs.doubleSortableBits(lit(-0.0)),
+      QuantileExprs.sortableBucket(
+        QuantileExprs.doubleSortableBits($"vec".getItem(0).cast("double")),
+        Long.MinValue + 3, 52) // wraparound distance, unsigned shift
     ).zipWithIndex.map { case (c, i) => c.as(s"c$i") }
 
     val interpreted = withConfs(

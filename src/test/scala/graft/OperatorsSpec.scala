@@ -808,4 +808,34 @@ class OperatorsSpec extends SparkSuite {
       (1, 1L, 2L, 66.6666),    // 2 of 3 entered the funnel
       (2, 1L, 1L, 33.3333)))   // 1 of 3 converted fully
   }
+
+  test("exactQuantiles: bisection matches sorted-array quantile_disc exactly") {
+    import graft.operators.ExactQuantiles
+    val rnd = new scala.util.Random(7)
+    // heavy ties (50 distinct in 2000 rows), negatives, huge magnitudes,
+    // denormal-scale values, -0.0/+0.0, and nulls to skip
+    val vals: Seq[Double] =
+      Seq.fill(2000)((rnd.nextInt(50) - 25) * 0.5) ++
+        Seq(1e300, -1e300, 4.9e-324, -4.9e-324, 0.0, -0.0, 123.456)
+    val df = (vals.map(Option(_)) ++ Seq(None, None)).toDF("x")
+    val probs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val got = ExactQuantiles.exactQuantiles(df, "x", probs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = vals.sorted
+    val n = sorted.length
+    probs.foreach { p =>
+      val k = math.max(1L, math.ceil(p * n).toLong).toInt
+      val want = sorted(k - 1)
+      assert(java.lang.Double.compare(got(p), want) == 0 ||
+        got(p) == want, s"p=$p got ${got(p)} want $want")
+    }
+    // degenerate shapes: single row; all-equal column; empty input
+    assert(ExactQuantiles.exactQuantiles(Seq(42.5).toDF("x"), "x", Seq(0.5))
+      .head().getDouble(1) == 42.5)
+    assert(ExactQuantiles.exactQuantiles(
+      Seq.fill(100)(7.25).toDF("x"), "x", Seq(0.01, 0.99))
+      .collect().forall(_.getDouble(1) == 7.25))
+    assert(ExactQuantiles.exactQuantiles(
+      Seq.empty[Double].toDF("x"), "x", Seq(0.5)).head().isNullAt(1))
+  }
 }

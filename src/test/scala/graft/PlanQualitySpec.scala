@@ -496,9 +496,12 @@ class PlanQualitySpec extends SparkSuite {
     // per-entity build (ragged fold, min+collect_set pair, window lead)
     // feeds bounded-frame post-aggregation. A second parquet scan
     // appearing means a subtree diverged and the corpus pays twice.
+    // t_prcurve joins the same list: one corpus aggregate collapses to
+    // the distinct-score frame, everything after runs on that frame —
+    // a second documents scan means the cumulative diverged
     for (name <- Seq("ev_funnel", "ev_retention", "ev_transitions",
         "ev_paths", "ev_sessionize", "ev_funnel_sessions",
-        "ev_funnel_times")) {
+        "ev_funnel_times", "t_prcurve")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString

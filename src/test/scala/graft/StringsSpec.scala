@@ -98,4 +98,55 @@ class StringsSpec extends SparkSuite {
       .collect()
     assert(r(0).getDouble(0) == 0.9611111111111111 && r(1).isNullAt(0))
   }
+
+  test("normalizeUnicode: NFC/NFD/NFKC against the java.text reference") {
+    import java.text.Normalizer
+    val cases = Seq(
+      "e\u0301clair",          // decomposed accent -> composes under NFC
+      "\u00e9clair",           // already composed -> NFC fast path no-op
+      "\uFB01le \uFF12\uFF10", // ligature fi + fullwidth 20 (NFKC folds)
+      "\u1E9B\u0323",          // long s, dot above + dot below: reorders
+      "plain ascii", "")
+    val df = (cases.map(Option(_)) :+ None).toDF("s")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = df.select(normalizeUnicode($"s", form)).collect()
+      cases.zipWithIndex.foreach { case (c, i) =>
+        val want = Normalizer.normalize(c, Normalizer.Form.valueOf(form))
+        assert(got(i).getString(0) == want, s"$form on ${c.toList}")
+      }
+      assert(got.last.isNullAt(0), "null passthrough")
+    }
+    // the composition actually happens (not an identity shim)
+    val nfc = df.select(normalizeUnicode($"s")).head().getString(0)
+    assert(nfc == "\u00e9clair" && nfc.length == cases.head.length - 1)
+    // NFKC folds the ligature and fullwidth forms to ASCII
+    val nfkc = df.select(normalizeUnicode($"s", "NFKC")).collect()(2).getString(0)
+    assert(nfkc == "file 20")
+    intercept[IllegalArgumentException](normalizeUnicode($"s", "NFX"))
+  }
+
+  test("prCurve: descending threshold sweep matches a brute-force count") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(500) { i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(3) == 0) }
+    val df = rows.toDF("id", "score", "lab")
+    val got = graft.text.prCurve(df, "score", $"lab")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val p = rows.count(_._3).toLong
+    val thresholds = rows.map(_._2).distinct
+    assert(got.keySet == thresholds.toSet)
+    thresholds.foreach { t =>
+      val sel = rows.filter(_._2 >= t)
+      val tp = sel.count(_._3).toLong
+      val fp = sel.size - tp
+      val want = (tp, fp, tp * 1000000L / sel.size, tp * 1000000L / p)
+      assert(got(t) == want, s"thr=$t")
+    }
+    // no positives anywhere: rec_ppm is null, not a division crash
+    val none = graft.text.prCurve(
+      Seq((1L, 5L, false), (2L, 6L, false)).toDF("id", "score", "lab"),
+      "score", $"lab").collect()
+    assert(none.forall(r => r.isNullAt(4) && r.getLong(1) == 0L))
+  }
 }
