@@ -89,14 +89,19 @@ object ExactQuantiles {
         val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(dist)
         math.max(0, bitlen - log2Buckets)
       }
-      // one scan: double-range prefilter (pushdown-able) + per-prob branch.
+      // one scan: per-prob double-range prefilter, OR'd (pushdown-able —
+      // parquet row-group min/max stats evaluate range disjunctions, so
+      // once the ranges narrow past round 1 the scan prunes almost
+      // everything instead of re-reading the [p_min, p_max] envelope).
       // A NaN endpoint (NaN is above +Inf in the sortable order) would
-      // false-out a double comparison — drop that side of the prefilter;
+      // false-out a double comparison — drop that side of that range;
       // the per-prob sortable-long branch conditions stay exact either way
-      val dLo = active.map(a => QuantileExprs.fromSortable(a._1.lo)).min
-      val dHi = active.map(a => QuantileExprs.fromSortable(a._1.hi)).max
-      val pre = (if (dLo.isNaN) lit(true) else col("v") >= lit(dLo)) &&
-        (if (dHi.isNaN) lit(true) else col("v") <= lit(dHi))
+      val pre = active.map { case (s, _) =>
+        val dLo = QuantileExprs.fromSortable(s.lo)
+        val dHi = QuantileExprs.fromSortable(s.hi)
+        (if (dLo.isNaN) lit(true) else col("v") >= lit(dLo)) &&
+          (if (dHi.isNaN) lit(true) else col("v") <= lit(dHi))
+      }.reduce(_ || _)
       val branches = active.zip(shifts).map { case ((s, i), sh) =>
         when(sv >= lit(s.lo) && sv <= lit(s.hi),
           struct(lit(i).as("i"),
@@ -136,5 +141,55 @@ object ExactQuantiles {
     probs.zip(st).map { case (p, s) =>
       (p, QuantileExprs.fromSortable(s.lo)) }
       .toDF("prob", "value")
+  }
+
+  /** Per-GROUP exact `quantile_disc` — the grouped face. The naive
+    * spellings both break at scale: Spark's exact `percentile`
+    * aggregate buffers every group value in executor memory, and the
+    * `row_number() OVER (PARTITION BY g ORDER BY v)` window puts an
+    * entire group in ONE task, so a hot group (half the corpus sharing
+    * one key) serializes and spills. This ranks through the two-level
+    * scan instead: range-partition by (g, v) — a huge group SPANS
+    * partitions — rank locally per (partition, group), then add
+    * per-(partition, group) offsets whose cumulative runs partitioned
+    * BY GROUP over <= #partitions rows each. No driver action, no
+    * single-task group, ~2 corpus shuffles total; every requested prob
+    * reads off the same ranked frame.
+    *
+    * Returns (g, prob, value); groups ordered any way, values actual
+    * elements (rank k = max(1, ceil(p*n)) — the quantile_disc
+    * convention, ties resolving to the same VALUE under any tie
+    * permutation). */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty, "probs must be non-empty")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0), s"probs in [0,1]: $probs")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val parts = base.repartitionByRange(col("g"), col("v"))
+      .withColumn("pid", spark_partition_id())
+    val loc = parts.withColumn("lrn", row_number().over(
+      Window.partitionBy(col("pid"), col("g")).orderBy(col("v"))))
+    // (pid, g) grain: <= #partitions rows per group; both windows below
+    // are partitioned by g over that bounded frame
+    val cnts = parts.groupBy(col("pid"), col("g"))
+      .agg(count(lit(1)).as("n"))
+    val offs = cnts
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.partitionBy(col("g")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("g"))))
+      .select(col("pid"), col("g"), col("off"), col("tot"))
+    val targets = explode(array(probs.map(p =>
+      struct(lit(p).as("prob"),
+        greatest(lit(1L), ceil(lit(p) * col("tot")).cast("long")).as("k"))
+    ): _*)).as("t")
+    loc.join(offs, Seq("pid", "g"))
+      .select(col("g"), col("v"), (col("off") + col("lrn")).as("rn"), col("tot"))
+      .select(col("g"), col("v"), col("rn"), targets)
+      .filter(col("rn") === col("t.k"))
+      .select(col("g"), col("t.prob").as("prob"), col("v").as("value"))
   }
 }

