@@ -48,7 +48,8 @@ class EventsSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new EventsTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("ratePerBatch", "1000").toLong)
 }
 
 object EventsSource {
@@ -70,17 +71,19 @@ object EventsSource {
   }
 }
 
-private class EventsTable(rows: Long, partitions: Int)
+private class EventsTable(rows: Long, partitions: Int, ratePerBatch: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft_events($rows)"
   override def schema(): StructType = EventsSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EventsScanBuilder(rows, partitions)
+    new EventsScanBuilder(rows, partitions, ratePerBatch)
 }
 
-private class EventsScanBuilder(rows: Long, partitions: Int)
+private class EventsScanBuilder(rows: Long, partitions: Int,
+    ratePerBatch: Long = 1000L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -104,13 +107,33 @@ private class EventsScanBuilder(rows: Long, partitions: Int)
     case _ => None
   }
 
+  /** ts is id-monotone (one event per second from the base), so time
+    * predicates translate to EXACT id bounds — floorDiv/ceilDiv handle
+    * sub-second constants and pre-base times. */
+  private def tsMicrosOf(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _ => None
+  }
+  private def idFloor(us: Long): Long = // greatest id with ts(id) <= us
+    Math.floorDiv(us - EventsSource.tsBaseMicros, 1000000L)
+  private def idCeil(us: Long): Long = // least id with ts(id) >= us
+    -Math.floorDiv(-(us - EventsSource.tsBaseMicros), 1000000L)
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition {
-      case EqualTo("event_id", v: Number) => true
-      case GreaterThan("event_id", v: Number) => true
-      case GreaterThanOrEqual("event_id", v: Number) => true
-      case LessThan("event_id", v: Number) => true
-      case LessThanOrEqual("event_id", v: Number) => true
+      case EqualTo("event_id", _: Number) => true
+      case GreaterThan("event_id", _: Number) => true
+      case GreaterThanOrEqual("event_id", _: Number) => true
+      case LessThan("event_id", _: Number) => true
+      case LessThanOrEqual("event_id", _: Number) => true
+      case EqualTo("ts", v) => tsMicrosOf(v).isDefined
+      case GreaterThan("ts", v) => tsMicrosOf(v).isDefined
+      case GreaterThanOrEqual("ts", v) => tsMicrosOf(v).isDefined
+      case LessThan("ts", v) => tsMicrosOf(v).isDefined
+      case LessThanOrEqual("ts", v) => tsMicrosOf(v).isDefined
       // every generated column is non-null, so IsNotNull is a tautology
       // this source absorbs for free (it otherwise blocks agg pushdown:
       // Spark only pushes aggregates when NO post-scan filter remains)
@@ -124,8 +147,22 @@ private class EventsScanBuilder(rows: Long, partitions: Int)
       case GreaterThanOrEqual("event_id", v: Number) => lo = math.max(lo, v.longValue())
       case LessThan("event_id", v: Number) => hi = math.min(hi, v.longValue())
       case LessThanOrEqual("event_id", v: Number) => hi = math.min(hi, v.longValue() + 1)
+      case EqualTo("ts", v) => tsMicrosOf(v).foreach { us =>
+        if ((us - EventsSource.tsBaseMicros) % 1000000L == 0L) {
+          lo = math.max(lo, idFloor(us)); hi = math.min(hi, idFloor(us) + 1)
+        } else hi = math.min(hi, 0L) // between ticks: empty range
+      }
+      case GreaterThan("ts", v) => tsMicrosOf(v).foreach(us =>
+        lo = math.max(lo, idFloor(us) + 1))
+      case GreaterThanOrEqual("ts", v) => tsMicrosOf(v).foreach(us =>
+        lo = math.max(lo, idCeil(us)))
+      case LessThan("ts", v) => tsMicrosOf(v).foreach(us =>
+        hi = math.min(hi, idCeil(us))) // ids strictly below us
+      case LessThanOrEqual("ts", v) => tsMicrosOf(v).foreach(us =>
+        hi = math.min(hi, idFloor(us) + 1))
       case _ => () // IsNotNull and anything partition() let through
     }
+    lo = math.max(lo, 0L)
     accepted = ok
     residual
   }
@@ -191,7 +228,8 @@ private class EventsScanBuilder(rows: Long, partitions: Int)
 
   override def build(): Scan = agg match {
     case Some((schema, row)) => new EventsAggScan(schema, row, describePush)
-    case None => new EventsScan(lo, hi, rows, partitions, required, describePush)
+    case None => new EventsScan(lo, hi, rows, partitions, required,
+      describePush, ratePerBatch)
   }
 
   private def describePush: String = {
@@ -226,11 +264,22 @@ private class EventsAggReaderFactory(row: InternalRow)
 }
 
 private class EventsScan(lo: Long, hi: Long, tableRows: Long,
-    partitions: Int, required: StructType, pushDesc: String)
+    partitions: Int, required: StructType, pushDesc: String,
+    ratePerBatch: Long = 1000L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"graft_events $pushDesc"
+  /** Micro-batch face: the same deterministic id space drained
+    * `ratePerBatch` ids per trigger — a rate-limited, REPLAYABLE event
+    * stream with zero storage. Offsets are plain row ids, so restart
+    * recovery is exact: the checkpointed offset resumes generation at
+    * the precise row, and a re-planned batch regenerates byte-identical
+    * rows (the generator is pure). Column pruning and the id/ts range
+    * pushdown apply to the stream exactly as to the batch scan. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EventsMicroBatchStream(lo, hi, partitions, ratePerBatch, required)
   override def planInputPartitions(): Array[InputPartition] = {
     if (hi <= lo) return Array.empty
     // split grain comes from the UNFILTERED table, so a pushed id-range
@@ -247,6 +296,44 @@ private class EventsScan(lo: Long, hi: Long, tableRows: Long,
 }
 
 private case class EventsRange(start: Long, end: Long) extends InputPartition
+
+private case class EventsOffset(id: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
+}
+
+private class EventsMicroBatchStream(lo: Long, hi: Long, partitions: Int,
+    rate: Long, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  // the next latestOffset() advances at most `rate` ids past what has
+  // already been planned; deserializeOffset bumps it on restart so a
+  // recovered query continues from the checkpoint, not from lo
+  private var planned: Long = lo
+  override def initialOffset(): Offset = EventsOffset(lo)
+  override def latestOffset(): Offset = {
+    planned = math.min(hi, math.addExact(planned, rate))
+    EventsOffset(planned)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val id = json.trim.toLong
+    planned = math.max(planned, id)
+    EventsOffset(id)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EventsOffset].id
+    val e = end.asInstanceOf[EventsOffset].id
+    if (e <= s) return Array.empty
+    val per = math.max(1L, (e - s + partitions - 1) / partitions)
+    (s until e by per)
+      .map(x => EventsRange(x, math.min(e, x + per)): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventsReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private class EventsReaderFactory(required: StructType)
     extends PartitionReaderFactory {

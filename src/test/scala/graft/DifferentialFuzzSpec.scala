@@ -728,4 +728,64 @@ class DifferentialFuzzSpec extends SparkSuite {
       assert(gotSess == wantSess, s"trial $trial sessionize")
     }
   }
+
+  test("exactQuantiles (global + grouped) match sorted references on random data") {
+    import graft.operators.ExactQuantiles
+    val rnd = new scala.util.Random(23L)
+    for (trial <- 1 to 6) {
+      val n = 50 + rnd.nextInt(400)
+      // mixed regimes per trial: dense ties, wide magnitudes, negatives
+      val gen: () => Double = trial % 3 match {
+        case 0 => () => (rnd.nextInt(7) - 3).toDouble          // tie-heavy
+        case 1 => () => math.pow(10, rnd.nextInt(12) - 6) *
+          (if (rnd.nextBoolean()) 1 else -1) * rnd.nextDouble() // wide
+        case 2 => () => rnd.nextGaussian()
+      }
+      val rows = Seq.fill(n)((s"g${rnd.nextInt(3)}", gen()))
+      val probs = Seq(0.0, rnd.nextDouble(), 0.5, 1.0)
+      val df = rows.toDF("g", "v").repartition(1 + rnd.nextInt(8))
+      def disc(vs: Seq[Double], p: Double): Double = {
+        val k = math.max(1L, math.ceil(p * vs.length).toLong).toInt
+        vs.sorted.apply(k - 1)
+      }
+      val all = rows.map(_._2)
+      val gotG = ExactQuantiles.exactQuantiles(df, "v", probs)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      probs.foreach(p => assert(gotG(p) == disc(all, p), s"trial $trial p=$p"))
+      val gotGrp = ExactQuantiles.exactQuantilesByGroup(df, "g", "v", probs)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+        .toMap
+      for ((g, vs) <- rows.groupBy(_._1); p <- probs)
+        assert(gotGrp((g, p)) == disc(vs.map(_._2), p),
+          s"trial $trial g=$g p=$p")
+    }
+  }
+
+  test("kCore matches the brute-force peel on random graphs") {
+    import graft.operators.KCore
+    val rnd = new scala.util.Random(29L)
+    for (trial <- 1 to 5) {
+      val nodes = 8 + rnd.nextInt(25)
+      val edges = Seq.fill(30 + rnd.nextInt(120))(
+        (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+      val df = edges.toDF("src", "dst")
+      val undirected = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+      def brute(k: Int): Map[Long, Long] = {
+        var adj = undirected.groupBy(_._1).map { case (a, es) =>
+          a -> es.map(_._2).toSet }
+        var changed = true
+        while (changed) {
+          val dead = adj.collect { case (a, ns) if ns.size < k => a }.toSet
+          changed = dead.nonEmpty
+          adj = adj.collect { case (a, ns) if !dead(a) => a -> (ns -- dead) }
+        }
+        adj.map { case (a, ns) => a -> ns.size.toLong }
+      }
+      for (k <- Seq(1, 2, 3, 5)) {
+        val got = KCore.kCore(df, k).as[(Long, Long)].collect().toMap
+        assert(got == brute(k), s"trial $trial k=$k")
+      }
+    }
+  }
 }

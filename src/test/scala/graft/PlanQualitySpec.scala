@@ -799,4 +799,34 @@ class PlanQualitySpec extends SparkSuite {
     assert(same.queryExecution.executedPlan.toString ==
       wide.queryExecution.executedPlan.toString)
   }
+
+  test("plan-fingerprint lockfile: no graded query's plan shape drifted") {
+    // docs/PLAN_FINGERPRINTS.json records every query's physical-plan
+    // node counts (tools/PlanFingerprints, same session config). A
+    // mismatch means a plan changed — a lost broadcast, a subtree
+    // diverging into a second scan, a join falling to nested-loop. If
+    // the change is INTENDED, regenerate the lockfile and review the
+    // diff: sbt "runMain graft.tools.PlanFingerprints"
+    import graft.tools.PlanFingerprints
+    val p = java.nio.file.Paths.get(PlanFingerprints.file)
+    assume(java.nio.file.Files.exists(p), s"no lockfile at $p")
+    val stored = java.nio.file.Files.readString(p).linesIterator
+      .flatMap { l =>
+        """"([^"]+)": "([^"]+)"""".r.findFirstMatchIn(l)
+          .map(m => m.group(1) -> m.group(2))
+      }.toMap
+    val current = PlanFingerprints.compute(spark, "/root/testdata/sf0.001").toMap
+    val drifted = stored.keySet.intersect(current.keySet)
+      .filter(k => stored(k) != current(k))
+      .toSeq.sorted
+      .map(k => s"$k: stored '${stored(k)}' vs current '${current(k)}'")
+    assert(drifted.isEmpty,
+      s"${drifted.size} plan(s) drifted — if intended, regenerate the " +
+        s"lockfile (runMain graft.tools.PlanFingerprints) and review " +
+        s"the diff:\n${drifted.mkString("\n")}")
+    // new queries must not ship without a fingerprint
+    val missing = current.keySet -- stored.keySet
+    assert(missing.isEmpty,
+      s"queries without a lockfile entry (regenerate): $missing")
+  }
 }
