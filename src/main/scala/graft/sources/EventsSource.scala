@@ -304,22 +304,37 @@ private case class EventsOffset(id: Long)
 
 private class EventsMicroBatchStream(lo: Long, hi: Long, partitions: Int,
     rate: Long, required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
-  // the next latestOffset() advances at most `rate` ids past what has
-  // already been planned; deserializeOffset bumps it on restart so a
-  // recovered query continues from the checkpoint, not from lo
-  private var planned: Long = lo
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  // Admission control, not a mutable planned-counter: the engine hands
+  // THIS trigger's start offset (restored from the checkpoint on
+  // restart) and the stream advances at most `rate` ids past it — a
+  // stateless function, so restart resumes at exactly the committed id
+  // (the counter pattern is restart-blind: the engine compares
+  // serialized offsets before ever calling deserializeOffset, sees
+  // "latest == committed", and declares no new data).
+  private def idOf(o: Offset): Long = o match {
+    case EventsOffset(id) => id
+    case other => other.json().trim.toLong
+  }
   override def initialOffset(): Offset = EventsOffset(lo)
-  override def latestOffset(): Offset = {
-    planned = math.min(hi, math.addExact(planned, rate))
-    EventsOffset(planned)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rate)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = math.max(lo, idOf(start))
+    val step = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        m.maxRows()
+      case _ => rate
+    }
+    EventsOffset(math.min(hi, math.addExact(s, step)))
   }
-  override def deserializeOffset(json: String): Offset = {
-    val id = json.trim.toLong
-    planned = math.max(planned, id)
-    EventsOffset(id)
-  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control source: use latestOffset(start, limit)")
+  override def reportLatestOffset(): Offset = EventsOffset(hi)
+  override def deserializeOffset(json: String): Offset =
+    EventsOffset(json.trim.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[EventsOffset].id
     val e = end.asInstanceOf[EventsOffset].id
