@@ -145,13 +145,21 @@ object Bench {
           }
         System.err.println(
           f"[bench] $name%-20s ${qt.steady}%8.2fs  (first ${qt.first}%.2fs, runs ${qt.runs})")
-        // mid-suite calibration sample (~0.3 s each, 5-6 per full pass):
-        // catches the load burst that lands BETWEEN the endpoints. No
-        // warm-up call here — the suite itself keeps the shape warm, and
-        // a JIT-evicted sample reads at most ~cold (0.47 s idle), well
-        // under the 2x-idle trip wire.
+        // mid-suite calibration sample (~0.3 s each, ~8 per full pass):
+        // catches the load burst that lands BETWEEN the endpoints. A
+        // tripped sample gets ONE warmed re-sample before it counts —
+        // at ~200 queries the suite's plan diversity evicts this shape's
+        // codegen deeply enough that a cold sample plus the previous
+        // query's GC tail reads ~0.95 s on an IDLE box (measured, r8),
+        // which false-flagged entire runs; machine load is sustained and
+        // survives the re-sample, a JIT/GC tail does not.
         sinceCal += 1
-        if (sinceCal >= 25) { cals += calibrate(); sinceCal = 0 }
+        if (sinceCal >= 25) {
+          var c = calibrate()
+          if (c > 2.0 * calRef) { calibrate(); c = math.min(c, calibrate()) }
+          cals += c
+          sinceCal = 0
+        }
         name -> qt
       }.toMap
       calibrate()

@@ -60,8 +60,16 @@ object KCore {
     * the sf0.1 co-occurrence graph (6 rounds; the residual floor is the
     * shared co-occurrence edge build + per-round job latency — the
     * graph-family profile: q_pagerank 8.6 s, q_triangles 6.5 s there). */
+  /** `symmetricDistinct = true` asserts the input ALREADY lists both
+    * directions of every undirected edge exactly once with no loops
+    * (e.g. [[PageRank.coOccurrenceEdges]] output, symmetric-by-
+    * construction and grouped) — the canonicalization explode+distinct
+    * (a 2x-edge shuffle) is then skipped. The general path stays the
+    * default; the fuzz differential covers it and a GraphSpec test pins
+    * fast == general on a real co-occurrence graph. */
   def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
-      dstCol: String = "dst", maxRounds: Int = 64): DataFrame = {
+      dstCol: String = "dst", maxRounds: Int = 64,
+      symmetricDistinct: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     // canonical SYMMETRIC edge list: both directions of each undirected
@@ -71,15 +79,20 @@ object KCore {
     // explode-of-both-orientations keeps this ONE codegen'd pass over
     // the (possibly computed) input instead of a self-union that would
     // run the upstream twice.
-    val e = edges.select(explode(array(
-        struct(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst")),
-        struct(col(dstCol).cast("long").as("src"),
-          col(srcCol).cast("long").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .filter(col("src") =!= col("dst") &&
-        col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    val e = (if (symmetricDistinct)
+        edges.select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"))
+          .filter(col("src") =!= col("dst") &&
+            col("src").isNotNull && col("dst").isNotNull)
+      else edges.select(explode(array(
+          struct(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst")),
+          struct(col(dstCol).cast("long").as("src"),
+            col(srcCol).cast("long").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .filter(col("src") =!= col("dst") &&
+          col("src").isNotNull && col("dst").isNotNull)
+        .distinct())
       .localCheckpoint()
     var deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()

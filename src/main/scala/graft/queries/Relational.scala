@@ -338,7 +338,9 @@ object Relational {
       import graft.operators.{KCore, PageRank}
       val edges = PageRank.coOccurrenceEdges(
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
-      KCore.kCore(edges, 80)
+      // coOccurrenceEdges is symmetric + grouped-distinct by
+      // construction: skip kCore's canonicalization shuffle
+      KCore.kCore(edges, 80, symmetricDistinct = true)
     })
 
   private def pagerankOracle(iters: Int): String = {

@@ -200,10 +200,15 @@ class GraphSpec extends SparkSuite {
       adj.map { case (n, ns) => n -> ns.size.toLong }
     }
     // a k in the cascade regime for this graph (sf0.001 degrees are
-    // smaller than sf0.01's) plus one that empties it
+    // smaller than sf0.01's) plus one that empties it; the
+    // symmetricDistinct fast path (valid for co-occurrence input) must
+    // match both the general path and the brute peel
     for (k <- Seq(2, 12, 18, 25)) {
       val got = collectMap[Long, Long](KCore.kCore(edges, k))
       assert(got == brute(k), s"k=$k")
+      val fast = collectMap[Long, Long](
+        KCore.kCore(edges, k, symmetricDistinct = true))
+      assert(fast == got, s"fast path diverged at k=$k")
     }
   }
 
