@@ -325,6 +325,8 @@ private class EventsMicroBatchStream(lo: Long, hi: Long, partitions: Int,
     val step = limit match {
       case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
         m.maxRows()
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+        math.max(0L, hi - s) // drain-everything triggers take the rest
       case _ => rate
     }
     EventsOffset(math.min(hi, math.addExact(s, step)))

@@ -202,7 +202,13 @@ object PlanGallery {
       "score frame; the descending cumulative is a two-level scan " +
       "(range-partition + local window + broadcast offsets) — the " +
       "only unpartitioned window runs on one row per range " +
-      "partition."))
+      "partition."),
+    "r_quantiles_grp" -> ("Per-group exact quantile_disc through the " +
+      "two-level rank: range-partition by (group, value) so a hot " +
+      "group SPANS partitions, partition-local row_number, and the " +
+      "per-(partition, group) offset cumulative runs partitioned BY " +
+      "GROUP over <= #partitions rows — no single-task group, no " +
+      "per-group value buffering."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -2233,20 +2233,30 @@ class ModulesSpec extends SparkSuite {
       .option("rows", "100").option("partitions", "3")
       .option("ratePerBatch", "10").load()
       .select($"event_id")
-    // run 1: exactly ONE micro-batch (ids 0..9), then the query dies
+    // run 1: rate-limited batches spaced by the trigger; KILL the query
+    // after the first committed batch — a mid-stream crash, not a
+    // graceful drain
     val q1 = stream.writeStream.format("parquet")
       .option("checkpointLocation", ckpt).option("path", out)
-      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
-    q1.awaitTermination()
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (q1.recentProgress.forall(_.numInputRows == 0) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    q1.stop()
     val after1 = spark.read.parquet(out).as[Long].collect().sorted.toSeq
-    assert(after1 == (0L to 9L), s"first batch: $after1")
+    assert(after1.nonEmpty && after1 == (0L until after1.length.toLong),
+      s"first run wrote a non-prefix: $after1")
+    assert(after1.length % 10 == 0, s"partial batch visible: ${after1.length}")
     // run 2: a FRESH stream instance recovers the committed offset from
-    // the checkpoint (deserializeOffset) and resumes at id 10 — the
-    // exactly-once contract: every id delivered once, none regenerated
+    // the checkpoint and resumes exactly where run 1 died. AvailableNow
+    // drives the drain through Spark's wrapper (reportLatestOffset is
+    // the target, batches still ratePerBatch-chunked) — the exactly-once
+    // contract: every id delivered once, none regenerated
     val q2 = stream.writeStream.format("parquet")
-      .option("checkpointLocation", ckpt).option("path", out).start()
-    q2.processAllAvailable()
-    q2.stop()
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
     val after2 = spark.read.parquet(out).as[Long].collect().sorted.toSeq
     assert(after2 == (0L to 99L), s"resume left gaps/dups: $after2")
   }
