@@ -28,13 +28,17 @@ object GetitemIoQueries {
   private def copyTree(src: String, dst: String): Unit = {
     val s = java.nio.file.Paths.get(src)
     val d = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.walk(s).forEach { p =>
+    // Files.walk holds directory handles until closed — this runs once per
+    // timed io_timetravel pass, so an unclosed stream leaks handles for the
+    // rest of a ~200-query bench run
+    val st = java.nio.file.Files.walk(s)
+    try st.forEach { p =>
       val t = d.resolve(s.relativize(p))
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(t)
       else java.nio.file.Files.copy(p, t,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally st.close()
   }
 
   val queries: Map[String, Q] = Map(

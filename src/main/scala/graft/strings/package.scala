@@ -171,6 +171,11 @@ package object strings {
     (df.join(broadcast(dict), valueCol), dict)
   }
 
+  /** Unicode normalization (UAX #15) — the Arrow `utf8_normalize`
+    * analog; see [[graft.functions.UnicodeExprs]]. */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    graft.functions.UnicodeExprs.unicodeNormalize(c, form)
+
   /** `ak.strings_astype` — a TODO stub in the reference itself
     * (reference `structure.py:857-865` raises DaskAwkwardNotImplemented),
     * implemented here with the semantics its docstring promises: parse an
@@ -180,11 +185,6 @@ package object strings {
     * every CSV-ish ingestion expects); leading/trailing whitespace is
     * trimmed first, matching numpy's `astype(str -> float)` tolerance.
     * Row-local, stays inside whole-stage codegen. */
-  /** Unicode normalization (UAX #15) — the Arrow `utf8_normalize`
-    * analog; see [[graft.functions.UnicodeExprs]]. */
-  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
-    graft.functions.UnicodeExprs.unicodeNormalize(c, form)
-
   def stringsAstype(c: Column, to: String): Column =
     transform(c, x => trim(x).try_cast(to))
 }

@@ -839,6 +839,22 @@ class OperatorsSpec extends SparkSuite {
       Seq.empty[Double].toDF("x"), "x", Seq(0.5)).head().isNullAt(1))
   }
 
+  test("exactQuantiles: NaN follows the IEEE total order (above +Infinity)") {
+    import graft.operators.ExactQuantiles
+    // the documented contract (ExactQuantiles scaladoc): NaN sorts above
+    // +Infinity, so p=1.0 returns NaN when any is present and lower probs
+    // are unaffected. 3 NaNs in 23 rows: ranks 1..20 are the finite data,
+    // 21..23 the NaNs — p=0.5 hits rank 12 (finite), p=1.0 rank 23 (NaN),
+    // and the +Inf row must surface at the first NaN-free top rank.
+    val finite = (1 to 19).map(_.toDouble) :+ Double.PositiveInfinity
+    val df = (finite ++ Seq.fill(3)(Double.NaN)).toDF("x")
+    val got = ExactQuantiles.exactQuantiles(df, "x", Seq(0.5, 20.0 / 23, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got(0.5) == 12.0, s"p=0.5 got ${got(0.5)}")
+    assert(got(20.0 / 23).isPosInfinity, s"p=20/23 got ${got(20.0 / 23)}")
+    assert(got(1.0).isNaN, s"p=1.0 got ${got(1.0)}")
+  }
+
   test("exactQuantilesByGroup: two-level rank matches per-group sorted arrays") {
     import graft.operators.ExactQuantiles
     val rnd = new scala.util.Random(13)

@@ -828,5 +828,11 @@ class PlanQualitySpec extends SparkSuite {
     val missing = current.keySet -- stored.keySet
     assert(missing.isEmpty,
       s"queries without a lockfile entry (regenerate): $missing")
+    // and deleted/renamed queries must not leave stale entries behind —
+    // symmetric to the missing-entry check, else the lockfile accretes
+    // dead rows that shadow a future query reusing the name
+    val stale = stored.keySet -- current.keySet
+    assert(stale.isEmpty,
+      s"lockfile entries for queries that no longer exist (regenerate): $stale")
   }
 }
