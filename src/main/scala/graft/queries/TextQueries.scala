@@ -265,13 +265,25 @@ object TextQueries {
         length(col("text")).cast("long").as("n_chars_computed"))
     },
 
+    // staged projections (split once -> count once -> derive): projecting
+    // the five signals side by side re-ran the same regexp_count/split
+    // passes ~10x per document (this was the bench's #2 query); the
+    // textCounts struct makes the one-pass shape a plan property —
+    // CollapseProject cannot inline the expensive counts because each is
+    // consumed more than once. Pinned in PlanQualitySpec ("t_quality
+    // computes each text pass once").
     "t_quality" -> { (s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
-        round(punctRatio(col("text")), 4).as("punct_ratio"),
-        round(alphaRatio(col("text")), 4).as("alpha_ratio"),
-        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
-        round(meanTokenLen(col("text")), 4).as("mean_tok_len"),
-        qualityScore(col("text")).as("quality"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          graft.text.wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          graft.text.textCounts(col("text"), col("toks")).as("tc"))
+        .select(col("doc_id"),
+          round(punctRatioFromCounts(col("tc")), 4).as("punct_ratio"),
+          round(alphaRatioFromCounts(col("tc")), 4).as("alpha_ratio"),
+          round(stopwordRatioFromCounts(col("tc")), 4).as("stop_ratio"),
+          round(meanTokenLenFromCounts(col("tc")), 4).as("mean_tok_len"),
+          qualityScoreFromCounts(col("tc")).as("quality"))
     },
 
     "t_langid" -> { (s, dir) =>

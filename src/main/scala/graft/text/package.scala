@@ -90,14 +90,23 @@ package object text {
     *     bounding num at 2000*2^50 < 2^63. Docs beyond 33.5M chars score
     *     with saturated ratios — documented, and mirrored in the oracle. */
   def qualityScore(c: Column): Column = {
-    val CAP = 1L << 25
-    val len = length(c).cast("long")
-    val pc = regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("long")
-    val ac = regexp_count(c, lit("[A-Za-z]")).cast("long")
     val toks = wsTokens(c)
-    val nt = size(toks).cast("long")
-    val sc = size(filter(toks,
-      t => t.isin(defaultStopwords.map(x => x: Any): _*))).cast("long")
+    qualityScoreFromParts(
+      length(c).cast("long"),
+      regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("long"),
+      regexp_count(c, lit("[A-Za-z]")).cast("long"),
+      size(toks).cast("long"),
+      size(filter(toks,
+        t => t.isin(defaultStopwords.map(x => x: Any): _*))).cast("long"))
+  }
+
+  /** The quality-score arithmetic over already-computed counts — shared
+    * by [[qualityScore]] (counts inlined from the text column) and
+    * [[qualityScoreFromCounts]] (counts read from a [[textCounts]]
+    * struct), so the two faces cannot drift. */
+  private def qualityScoreFromParts(len: Column, pc: Column, ac: Column,
+      nt: Column, sc: Column): Column = {
+    val CAP = 1L << 25
     val lenC = least(len, lit(CAP))
     val ntC = least(nt, lit(CAP))
     val num = lit(3L) * least(lenC, lit(200L)) * lenC * ntC +
@@ -115,6 +124,70 @@ package object text {
     val q = idiv(num, den) * lit(5L) + idiv((num % den) * lit(5L), den)
     when(len === 0, lit(0.3)).otherwise(q.cast("double") / lit(10000.0))
   }
+
+  /** The shared primitive counts every quality signal derives from —
+    * char length, punctuation/alpha char counts, whitespace-token count,
+    * stopword count, summed token length — as ONE struct column, so a
+    * query projecting several signals pays ONE text pass instead of one
+    * per signal. Projected side by side, `punctRatio`/`alphaRatio`/
+    * `stopwordRatio`/`meanTokenLen`/`qualityScore` each re-run their own
+    * regexp/split scan of the full text (~10 passes for the 5-signal
+    * t_quality shape) unless runtime subexpression elimination happens to
+    * fuse them; building this struct in its own projection and deriving
+    * the signals via the `*FromCounts` faces makes the single-pass shape
+    * a property of the PLAN: Catalyst's CollapseProject refuses to inline
+    * a non-cheap producer expression referenced more than once, so the
+    * counts projection survives as its own operator and every consumer
+    * reads six longs. Callers split it in two map-side projections:
+    * {{{
+    *   df.select(id, text.as("t"), wsTokens(text).as("toks"))   // split once
+    *     .select(id, textCounts(col("t"), col("toks")).as("tc")) // count once
+    *     .select(id, punctRatioFromCounts(col("tc")), ...)       // derive
+    * }}}
+    * At 100 TB this is the difference between scan-speed quality scoring
+    * and regex-bound CPU: the regexes dominate, and they run once. */
+  def textCounts(text: Column, toks: Column,
+      stop: Seq[String] = defaultStopwords): Column = struct(
+    length(text).cast("long").as("len"),
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long").as("punct"),
+    regexp_count(text, lit("[A-Za-z]")).cast("long").as("alpha"),
+    size(toks).cast("long").as("ntok"),
+    size(filter(toks, t => t.isin(stop.map(x => x: Any): _*)))
+      .cast("long").as("nstop"),
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("toklen"))
+
+  /** [[punctRatio]] over a [[textCounts]] struct. */
+  def punctRatioFromCounts(tc: Column): Column = {
+    val len = tc.getField("len")
+    when(len > 0, tc.getField("punct").cast("double") / len)
+      .otherwise(lit(0.0))
+  }
+
+  /** [[alphaRatio]] over a [[textCounts]] struct. */
+  def alphaRatioFromCounts(tc: Column): Column = {
+    val len = tc.getField("len")
+    when(len > 0, tc.getField("alpha").cast("double") / len)
+      .otherwise(lit(0.0))
+  }
+
+  /** [[stopwordRatio]] over a [[textCounts]] struct. */
+  def stopwordRatioFromCounts(tc: Column): Column = {
+    val nt = tc.getField("ntok")
+    when(nt > 0, tc.getField("nstop").cast("double") / nt)
+      .otherwise(lit(0.0))
+  }
+
+  /** [[meanTokenLen]] over a [[textCounts]] struct. */
+  def meanTokenLenFromCounts(tc: Column): Column = {
+    val nt = tc.getField("ntok")
+    when(nt > 0, tc.getField("toklen").cast("double") / nt)
+  }
+
+  /** [[qualityScore]] over a [[textCounts]] struct — bit-identical to the
+    * inline face (same [[qualityScoreFromParts]] arithmetic). */
+  def qualityScoreFromCounts(tc: Column): Column =
+    qualityScoreFromParts(tc.getField("len"), tc.getField("punct"),
+      tc.getField("alpha"), tc.getField("ntok"), tc.getField("nstop"))
 
   /** The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
     * Language Models", Appendix A) as per-document boolean flags plus

@@ -381,6 +381,30 @@ class PlanQualitySpec extends SparkSuite {
       s"expected a generator for the chunk windows:\n${plan.take(2000)}")
   }
 
+  test("t_quality computes each text pass once (staged counts projection)") {
+    // the 5 quality signals share primitive counts via the textCounts
+    // struct; before this shape the query re-ran regexp_count/split ~10x
+    // per document (it was the bench's #2 query). The pin: ONE regex
+    // pass per distinct pattern and ONE whitespace split in the
+    // OPTIMIZED plan — i.e. CollapseProject did NOT inline the counts
+    // into every consumer. If this fails, the staged projections in
+    // TextQueries."t_quality" got collapsed or bypassed.
+    val qe = SparkEntry.queries("t_quality")(spark, dir).queryExecution
+    val opt = qe.optimizedPlan.toString
+    def occurrences(s: String, sub: String): Int =
+      s.sliding(sub.length).count(_ == sub)
+    // regexp_count lowers to size(regexp_extract_all(...)) — one per pattern
+    assert(occurrences(opt, "regexp_extract_all") == 2,
+      s"expected exactly 2 regex passes (punct + alpha), plan:\n${opt.take(3000)}")
+    assert(occurrences(opt, "split(trim(") == 1,
+      s"expected exactly 1 whitespace tokenization, plan:\n${opt.take(3000)}")
+    // still map-only and column-pruned to the two columns it needs
+    val exec = qe.executedPlan.toString
+    assert(!exec.contains("Exchange"), s"quality scoring must not shuffle")
+    assert(exec.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to (doc_id, text):\n${exec.take(2000)}")
+  }
+
   test("t_bpe_seg: segmentation after training is a map-only projection") {
     // training collects its bounded rule table eagerly; the returned
     // segmentation frame itself must plan zero exchanges — the 12-replace
