@@ -42,8 +42,26 @@ object PageRank {
     * for TPC-H orders). Symmetric by construction — every node with an
     * in-edge has the mirror out-edge, so the graph has no dangling
     * nodes (pageRank still handles dangling mass for arbitrary input).
+    *
+    * `groupCap` is the dfCap discipline for the quadratic pair blowup:
+    * the per-group cost is n², fine at TPC-H's 4-7 items but fatal on a
+    * power-law corpus (one 10^5-item session/basket/domain contributes
+    * 10^10 pairs and lands in ONE task). With `groupCap > 0`, groups
+    * holding more than `groupCap` item ROWS (multiplicity included — the
+    * blowup is row-driven) are DROPPED before the self-join, bounding
+    * every group's cost at groupCap². Dropped, not truncated: truncating
+    * would bias edge weights toward arbitrary row order, while a hub
+    * group so large it exceeds the cap carries near-zero signal per pair
+    * anyway (the standard stop-shingle argument). The dropped-group
+    * count is observable without an extra action via the plan-native
+    * `observe` metric `"co_occurrence_cap"` (fields `dropped_groups`,
+    * `kept_groups`) — wire a QueryExecutionListener or check
+    * `q_skewreport`/`q_joincard` beforehand to PRICE the cap: both run
+    * the same group-size aggregate this guard plans. With the default
+    * `groupCap = 0` the plan is byte-identical to the uncapped build.
     */
-  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+      groupCap: Int = 0): DataFrame = {
     // under-parallel input guard (the d_ngram discipline): a small scan
     // (3 parquet splits at sf0.1) would run the pair blowup + partial
     // agg 3-wide while 29 cores idle — measured 2.3 s -> 0.4 s for that
@@ -51,8 +69,25 @@ object PageRank {
     // partitions splits (any real corpus, and the 100 TB case).
     val in = graft.core.Partitions.ensureMinParallelism(df, col(groupCol),
       df.sparkSession.sessionState.conf.numShufflePartitions)
-    val a = in.select(col(groupCol).as("g"), col(itemCol).cast("long").as("src"))
-    val b = in.select(col(groupCol).as("g"), col(itemCol).cast("long").as("dst"))
+    val base = in.select(col(groupCol).as("g"), col(itemCol).cast("long").as("item"))
+    val src =
+      if (groupCap <= 0) base
+      else {
+        // group sizes shuffle the same key as the self-join (map-side
+        // combined, one long per group), and the kept-keys frame joins
+        // back co-partitioned — no new shuffle key enters the plan
+        val kept = base.groupBy(col("g")).agg(count(lit(1)).as("n_items"))
+          .observe("co_occurrence_cap",
+            sum(when(col("n_items") > groupCap, 1L).otherwise(0L))
+              .as("dropped_groups"),
+            sum(when(col("n_items") <= groupCap, 1L).otherwise(0L))
+              .as("kept_groups"))
+          .filter(col("n_items") <= groupCap)
+          .select(col("g"))
+        base.join(kept, Seq("g"), "left_semi")
+      }
+    val a = src.select(col("g"), col("item").as("src"))
+    val b = src.select(col("g"), col("item").as("dst"))
     a.join(b, "g")
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst"))
@@ -84,10 +119,24 @@ object PageRank {
     * are symmetric and have NO dangling nodes by construction — pass
     * `handleDangling = false` there (a dangling-free graph computes
     * identical ranks on both paths; the flag only skips work, never
-    * changes the fixpoint). */
+    * changes the fixpoint).
+    *
+    * CONVERGENCE early-exit (`tolUnits >= 0`): fixed-point integer ranks
+    * make "has the iteration converged" an EXACT test — when
+    * `max(|r'(n) - r(n)|) <= tolUnits` the run stops, and with the
+    * natural `tolUnits = 0` the remaining rounds are provably identity
+    * (the update is a deterministic function of the rank vector, so a
+    * fixed vector stays fixed): the output is bit-identical to running
+    * all `iterations` rounds. Deep runs at 100x stop paying rounds past
+    * the fixpoint, the same way kCore's peel converges early. Each
+    * round then materializes the node-sized rank frame (localCheckpoint)
+    * and pays one node-sized self-join + 1-row max aggregate — eager
+    * rounds instead of one lazy plan, so leave the default `-1`
+    * (disabled, single lazy plan) when the round count is small and
+    * known. Executed round count is reported on stderr. */
   def pageRank(edges: DataFrame, iterations: Int, scale: Long = 1000000000L,
       dampNum: Int = 85, dampDen: Int = 100, handleDangling: Boolean = true,
-      stageEvery: Int = 0): DataFrame = {
+      stageEvery: Int = 0, tolUnits: Long = -1L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
@@ -103,28 +152,57 @@ object PageRank {
     val eo = e.join(outw, "src")
     val teleport = (dampDen - dampNum).toLong * scale / dampDen
 
-    var ranks = nodes.select(col("node"), lit(scale).as("pr"))
-    for (i <- 1 to iterations) {
+    def round(ranks: DataFrame): DataFrame = {
       val contrib = eo.join(ranks, eo("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("(pr DIV out_w) * w")).as("c"))
       val base = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-      ranks =
-        if (handleDangling) {
-          val dang = ranks.join(dangNodes, "node", "left_semi")
-            .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
-          base.crossJoin(broadcast(dang)).crossJoin(broadcast(nN))
-            .select(col("node"),
-              (lit(teleport) +
-                expr(s"$dampNum * (coalesce(c, 0) + dsum DIV n_nodes) DIV $dampDen"))
-                .as("pr"))
-        } else
-          base.select(col("node"),
+      if (handleDangling) {
+        val dang = ranks.join(dangNodes, "node", "left_semi")
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
+        base.crossJoin(broadcast(dang)).crossJoin(broadcast(nN))
+          .select(col("node"),
             (lit(teleport) +
-              expr(s"$dampNum * coalesce(c, 0) DIV $dampDen")).as("pr"))
-      if (stageEvery > 0 && i % stageEvery == 0 && i < iterations)
-        ranks = graft.io.GraftIO.stageParquet(ranks, s"pagerank-r$i")
+              expr(s"$dampNum * (coalesce(c, 0) + dsum DIV n_nodes) DIV $dampDen"))
+              .as("pr"))
+      } else
+        base.select(col("node"),
+          (lit(teleport) +
+            expr(s"$dampNum * coalesce(c, 0) DIV $dampDen")).as("pr"))
     }
-    ranks
+
+    var ranks = nodes.select(col("node"), lit(scale).as("pr"))
+    if (tolUnits >= 0L) {
+      // eager convergence-checked rounds: the rank frame is node-sized
+      // (never corpus-sized), so per-round materialization + the max-diff
+      // aggregate cost one node pass each — paid back the first time a
+      // deep run stops early
+      ranks = ranks.localCheckpoint()
+      var i = 0
+      var converged = false
+      while (i < iterations && !converged) {
+        val next = round(ranks).localCheckpoint()
+        val diff = next.as("n")
+          .join(ranks.as("o"), col("n.node") === col("o.node"))
+          .agg(coalesce(max(abs(col("n.pr") - col("o.pr"))), lit(0L)))
+          .head().getLong(0)
+        ranks = next
+        i += 1
+        converged = diff <= tolUnits
+        if (converged) System.err.println(
+          s"[pageRank] converged after $i of $iterations rounds " +
+            s"(max |r'-r| = $diff <= tolUnits=$tolUnits)")
+      }
+      if (!converged) System.err.println(
+        s"[pageRank] ran all $iterations rounds without hitting tolUnits=$tolUnits")
+      ranks
+    } else {
+      for (i <- 1 to iterations) {
+        ranks = round(ranks)
+        if (stageEvery > 0 && i % stageEvery == 0 && i < iterations)
+          ranks = graft.io.GraftIO.stageParquet(ranks, s"pagerank-r$i")
+      }
+      ranks
+    }
   }
 }

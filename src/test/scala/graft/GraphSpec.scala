@@ -38,6 +38,64 @@ class GraphSpec extends SparkSuite {
     assert(srcs == dsts, "symmetric construction: every dst also a src")
   }
 
+  test("coOccurrenceEdges groupCap: hot group dropped, cool groups untouched") {
+    // a power-law "hot" group (100 items => 9,900 directed pairs) next to
+    // two cool groups; cap=10 must erase the hot group's edges entirely
+    // while leaving the cool groups' edges byte-identical to an uncapped
+    // build over the cool rows alone
+    val cool = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (2L, 5L))
+    val hot = (1 to 100).map(i => (9L, 100L + i))
+    val df = (cool ++ hot).toDF("g", "item")
+    val coolOnly = PageRank.coOccurrenceEdges(
+        df.filter(col("g") =!= 9L), "g", "item")
+      .as[(Long, Long, Long)].collect().toSet
+    val capped = PageRank.coOccurrenceEdges(df, "g", "item", groupCap = 10)
+    // collect on THIS dataset (not an .as[] re-wrap) — observed metrics
+    // belong to the executed QueryExecution
+    val got = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == coolOnly, "cap must drop exactly the hot group's pairs")
+    // the logged count: plan-native observe metric, no extra action
+    val m = capped.queryExecution.observedMetrics("co_occurrence_cap")
+    assert(m.getAs[Long]("dropped_groups") == 1L &&
+      m.getAs[Long]("kept_groups") == 2L, s"metric row: $m")
+    // cap-free input: a cap wider than every group changes nothing
+    val wide = PageRank.coOccurrenceEdges(df, "g", "item", groupCap = 1000)
+      .as[(Long, Long, Long)].collect().toSet
+    val uncapped = PageRank.coOccurrenceEdges(df, "g", "item")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(wide == uncapped)
+  }
+
+  test("pageRank tolUnits=0 early-exit: bit-identical, stops at the fixpoint") {
+    // 4-cycle, out-degree 2 each way (symmetric): from the uniform start
+    // the integer update is the identity (teleport 0.15*scale exact,
+    // contrib = scale), so round 1 already satisfies max|r'-r| = 0 and a
+    // 30-round request must stop after round 1
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val edges = (cyc ++ cyc.map(_.swap)).map { case (s, d) => (s, d, 1L) }
+      .toDF("src", "dst", "w")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    val early = try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      collectMap[Long, Long](
+        PageRank.pageRank(edges, 30, handleDangling = false, tolUnits = 0L))
+    } finally System.setErr(realErr)
+    val full = collectMap[Long, Long](
+      PageRank.pageRank(edges, 30, handleDangling = false))
+    assert(early == full, "early-exit must be bit-identical to the full run")
+    assert(errBuf.toString.contains("converged after 1 of 30 rounds"),
+      s"expected round-1 convergence, stderr: ${errBuf.toString}")
+    // non-fixpoint graph: the checked path must still match the lazy path
+    // round for round even when it never converges inside the budget
+    val star = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val a = collectMap[Long, Long](PageRank.pageRank(star, 3, scale = 100L,
+      tolUnits = 0L))
+    val b = collectMap[Long, Long](PageRank.pageRank(star, 3, scale = 100L))
+    assert(a == b)
+  }
+
   test("pageRank staged iterations produce bit-identical ranks") {
     val edges = PageRank.coOccurrenceEdges(
       graft.core.Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
