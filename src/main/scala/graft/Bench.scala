@@ -62,7 +62,22 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
-    val loadStart = loadAvg()
+    // Bounded idle-wait (r8 verdict ask #1): starting a suite into a loaded
+    // box guarantees a contended artifact, so before the first pass AND
+    // before each retry, poll the 1-min load average until it drops under
+    // the ambient gate or the budget runs out. The budget is bounded —
+    // persistent co-tenant load won't clear, and the contended flag plus
+    // per-query minima across attempts carry that case.
+    val idleWaitMax = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT", "240").toDouble
+    def waitForIdle(): Unit = {
+      var waited = 0.0
+      while (loadAvg() > 2.0 * loadRef && waited < idleWaitMax) {
+        System.err.println(
+          f"[bench] load ${loadAvg()}%.2f > ${2.0 * loadRef}%.2f — waiting " +
+            f"for idle (${waited}%.0f/${idleWaitMax}%.0f s)")
+        Thread.sleep(10000); waited += 10
+      }
+    }
     def calibrate(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
@@ -84,7 +99,13 @@ object Bench {
     case class QTime(steady: Double, first: Double, runs: Int) {
       def warmRatio: Double = first / math.max(1e-9, steady)
     }
-    case class Pass(cals: Seq[Double], results: Map[String, QTime]) {
+    // `cals` are the gating samples (tripped mid-suite samples replaced by
+    // their warmed re-sample); `calsRaw` additionally keeps every sample
+    // the re-sample discarded, so a suite that trips repeatedly — a load
+    // burst shorter than the ~1 s re-sample window — is still visible in
+    // the artifact even though the gate (by design) forgives it.
+    case class Pass(cals: Seq[Double], calsRaw: Seq[Double],
+        loadStart: Double, results: Map[String, QTime]) {
       def calStart: Double = cals.head
       def calEnd: Double = cals.last
       def total: Double =
@@ -94,15 +115,19 @@ object Bench {
       def absSlow: Boolean = cals.max > 2.0 * calRef
       def ambientLoaded: Boolean = loadStart > 2.0 * loadRef
       def contended: Boolean = endpointsDisagree || absSlow || ambientLoaded
+      def trippedSamples: Int = calsRaw.count(_ > 2.0 * calRef) -
+        cals.count(_ > 2.0 * calRef)
     }
 
     def measure(): Pass = {
+      val loadStart = loadAvg()
       // each measured calibration is preceded by an untimed warm-up call:
       // the suite's ~128 query plans evict this shape's codegen/JIT state, so
       // an unwarmed end measurement reads ~2x slow on an idle box and would
       // false-flag contention — both ends must measure the same (warm) state
       calibrate()
       val cals = scala.collection.mutable.ArrayBuffer(calibrate())
+      val calsRaw = scala.collection.mutable.ArrayBuffer(cals.head)
       var sinceCal = 0
       val results = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -156,45 +181,72 @@ object Bench {
         sinceCal += 1
         if (sinceCal >= 25) {
           var c = calibrate()
-          if (c > 2.0 * calRef) { calibrate(); c = math.min(c, calibrate()) }
+          calsRaw += c
+          if (c > 2.0 * calRef) {
+            calibrate()
+            val re = calibrate()
+            calsRaw += re
+            c = math.min(c, re)
+          }
           cals += c
           sinceCal = 0
         }
         name -> qt
       }.toMap
       calibrate()
-      cals += calibrate()
-      Pass(cals.toSeq, results)
+      val end = calibrate()
+      cals += end
+      calsRaw += end
+      Pass(cals.toSeq, calsRaw.toSeq, loadStart, results)
     }
 
-    // Auto-retry: a contended recording is not decision-grade (r4 and r5
-    // both shipped one), so when the calibrations disagree, run the whole
-    // suite once more — transient load (a co-tenant build, a GC storm)
-    // usually clears — and report whichever pass is clean, or failing
-    // that, the faster one (still flagged contended). One retry only:
-    // persistent load won't improve with repetition, the flag carries it.
-    val first = measure()
-    val (pass, retried) =
-      if (!first.contended) (first, false)
-      else {
+    // Auto-retry: a contended recording is not decision-grade (r4, r5 and
+    // r8 all shipped one), so a contended pass earns up to `maxAttempts`
+    // full suite runs, each preceded by the bounded idle-wait — transient
+    // load (a co-tenant build, a GC storm) usually clears. The reported
+    // per-query values are the MINIMUM across every attempt: contention
+    // only ever inflates a timing, so the min is the best steady estimate
+    // available, and even an artifact that stays flagged carries usable
+    // per-query numbers (the r8 failure mode: one contended pass as the
+    // round's official record, 45% above steady).
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_ATTEMPTS", "3").toInt
+    val passes = scala.collection.mutable.ArrayBuffer[Pass]()
+    while (passes.size < maxAttempts && passes.lastOption.forall(_.contended)) {
+      passes.lastOption.foreach { p =>
         System.err.println(
-          f"[bench] contended pass (cals ${first.cals.map(c => f"$c%.3f").mkString("/")}, " +
-            f"load_start $loadStart%.2f); retrying once")
-        val second = measure()
-        if (!second.contended || second.total < first.total) (second, true)
-        else (first, true)
+          f"[bench] contended pass ${passes.size} (cals " +
+            f"${p.cals.map(c => f"$c%.3f").mkString("/")}, " +
+            f"load_start ${p.loadStart}%.2f); retrying " +
+            f"(${passes.size + 1}/$maxAttempts)")
       }
+      waitForIdle()
+      passes += measure()
+    }
+    val retried = passes.size > 1
+    val contended = passes.last.contended // false iff some pass was clean
+    // merged view: per-query min(steady) across attempts; `first` from the
+    // first attempt (the only genuinely cold one); runs summed
+    val merged: Map[String, QTime] = passes.flatMap(_.results.toSeq)
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> QTime(vs.map(_._2.steady).min, vs.head._2.first,
+          vs.map(_._2.runs).sum)
+      }.toMap
+    val totalMin =
+      if (merged.nonEmpty) merged.values.map(_.steady).sum else 0.0
+    // calibration metadata from the decision pass: the clean one, else the
+    // least-contended (lowest max calibration)
+    val pass = passes.find(!_.contended).getOrElse(passes.minBy(_.cals.max))
 
     def fmt(v: Double): String = f"$v%.3f"
     // Full per-query map (steady/first/runs) to stderr for local inspection.
-    System.err.println(pass.results.toSeq.sortBy(-_._2.steady)
+    System.err.println(merged.toSeq.sortBy(-_._2.steady)
       .map { case (k, v) => s"""\"$k\":[${fmt(v.steady)},${fmt(v.first)},${v.runs}]""" }
       .mkString("[bench-full] {", ",", "}"))
     // The driver keeps only the tail of the build output, so the stdout JSON
     // line must stay SHORT: report the total plus the slowest queries, capped
     // so line + sbt's trailing "[success] ..." banner fit well under 2000 chars.
     val budget = 1000
-    val top = pass.results.toSeq.sortBy(-_._2.steady).iterator
+    val top = merged.toSeq.sortBy(-_._2.steady).iterator
       .map { case (k, v) => s"""\"$k\":${fmt(v.steady)}""" }
       .scanLeft(("", 0)) { case ((_, len), s) => (s, len + s.length + 1) }
       .drop(1).takeWhile(_._2 < budget).map(_._1).toSeq
@@ -203,13 +255,14 @@ object Bench {
     // exactly the set that earned a third run) with their cold/steady
     // ratios, so a reader can tell compilation noise from regression
     // without the stderr log. Capped like `queries`.
-    val jitBound = pass.results.toSeq
+    val jitBound = merged.toSeq
       .filter(_._2.warmRatio > 2.0).sortBy(-_._2.warmRatio).iterator
       .map { case (k, v) => s"""\"$k\":${f"${v.warmRatio}%.1f"}""" }
       .scanLeft(("", 0)) { case ((_, len), s) => (s, len + s.length + 1) }
       .drop(1).takeWhile(_._2 < 300).map(_._1).toSeq
     val wj = jitBound.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(pass.total)},"unit":"sec","n_queries":${pass.results.size},"cal_start":${fmt(pass.calStart)},"cal_end":${fmt(pass.calEnd)},"cal_max":${fmt(pass.cals.max)},"cal_ref":${fmt(calRef)},"load_start":${fmt(loadStart)},"load_avg":${fmt(loadAvg())},"contended":${pass.contended},"retried":$retried,"steady_min_runs":3,"action":"noop-write","warmup_ratio_gt2":$wj,"queries":$qs,"sf":"$sfDir"}""")
+    val passTotals = passes.map(p => fmt(p.total)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","n_queries":${merged.size},"cal_start":${fmt(pass.calStart)},"cal_end":${fmt(pass.calEnd)},"cal_max":${fmt(pass.cals.max)},"cal_raw_max":${fmt(pass.calsRaw.max)},"cal_tripped_n":${pass.trippedSamples},"cal_ref":${fmt(calRef)},"load_start":${fmt(pass.loadStart)},"load_avg":${fmt(loadAvg())},"contended":$contended,"attempts":${passes.size},"pass_totals":$passTotals,"retried":$retried,"steady_min_runs":3,"action":"noop-write","warmup_ratio_gt2":$wj,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
