@@ -372,6 +372,24 @@ object EventQueries {
           col("f.event_id").as("first_eid"))
     },
 
+    // late-data audit (Streaming.lateDataAudit): replay of the watermark
+    // drop rule — watermark = max event time of completed batches - 10
+    // min; per 5-minute event-time window the kept aggregate streaming
+    // would emit PLUS the late-drop counts it never shows. The one
+    // streaming behavior that previously had no graded batch-parity face.
+    // Arrival order is event_id DISPLACED by a deterministic +-500-slot
+    // shard jitter before batching by 1000: the events table is generated
+    // in time order, so undisplaced arrival has zero late rows (verified)
+    // and the audit would grade vacuously — the jitter models multi-shard
+    // ingestion where a slow shard delivers old events after fast shards
+    // advanced the watermark. Integer-only and clamped at 0 so Spark's
+    // DIV (toward zero) and DuckDB's // (floor) agree.
+    "st_late" -> { (s, dir) =>
+      graft.streaming.Streaming.lateDataAudit(Tables.events(s, dir),
+        expr("greatest(event_id + (((event_id % 97) * 37) % 21 - 10) * 50, 0) DIV 1000"),
+        col("ts"), col("value"))
+    },
+
     // batch face of Streaming.streamingNearDupFilter (stateful simhash
     // near-dup tagging). Keeper choice is arrival-order-dependent, so only
     // the order-independent total is emitted — rows-only driver check; the
@@ -600,6 +618,8 @@ object EventQueries {
       """WITH o AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800 THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM o) SELECT user_id, CAST(count(DISTINCT sess_id) AS BIGINT) AS n_sessions, CAST(sum(cnt) AS BIGINT) AS n_events, CAST(max(cnt) AS BIGINT) AS max_session FROM (SELECT user_id, sess_id, count(*) AS cnt FROM s GROUP BY 1, 2) g GROUP BY user_id""",
     "st_dedup" ->
       """WITH g AS (SELECT user_id, event_type, count(*) AS n_dupes, min(ts) AS mt FROM events GROUP BY 1, 2), f AS (SELECT g.user_id, g.event_type, g.n_dupes, g.mt, min(e.event_id) AS first_eid FROM g JOIN events e ON e.user_id = g.user_id AND e.event_type = g.event_type AND e.ts = g.mt GROUP BY 1, 2, 3, 4) SELECT user_id, event_type, n_dupes, CAST(floor(epoch(mt)) AS BIGINT) AS first_ts, first_eid FROM f""",
+    "st_late" ->
+      """WITH e AS (SELECT greatest(event_id + (((event_id % 97) * 37) % 21 - 10) * 50, 0) // 1000 AS b, epoch_us(ts) // 1000000 AS sec, value FROM events), bm AS (SELECT b, max(sec) AS bmax FROM e GROUP BY b), w AS (SELECT b, max(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600 AS wm FROM bm), j AS (SELECT (e.sec // 300) * 300 AS ws, e.value, (w.wm IS NOT NULL AND (e.sec // 300) * 300 + 300 <= w.wm) AS late FROM e JOIN w USING (b)) SELECT ws, count(*) FILTER (WHERE NOT late) AS n_kept, round(sum(value) FILTER (WHERE NOT late), 2) AS sum_value, count(*) FILTER (WHERE late) AS n_late FROM j GROUP BY ws""",
     "st_json_typed" ->
       """SELECT user_id, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_null FROM events GROUP BY 1""",
     "ev_range" ->

@@ -41,6 +41,55 @@ object Streaming {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Batch replay of Structured Streaming's LATE-DATA rule — the one
+    * streaming behavior with no other batch-parity face: with watermark
+    * delay D, an event arriving in micro-batch b is DROPPED from a
+    * windowed aggregation iff its window has already closed,
+    * `window_end(ts) <= wm(b)`, where `wm(b) = max(event time over
+    * batches < b) - D` (Spark advances the watermark at micro-batch
+    * boundaries from the max event time of completed batches).
+    *
+    * The replay takes the arrival order as data: `batchCol` assigns each
+    * row its micro-batch (any deterministic expression — the graded query
+    * replays arrival-by-event_id, `event_id DIV 1000`). Per event-time
+    * window of `windowSec` seconds it returns
+    * `(ws, n_kept, sum_value, n_late)` — the aggregate the streaming
+    * query would have emitted plus the late-drop audit streaming itself
+    * never shows you. One conditional aggregation, no kept/late join.
+    *
+    * Scale shape: one shuffle for the per-batch max (map-side combined,
+    * one long per batch), one window over the BATCH-sized frame (rows =
+    * number of micro-batches, not events — a day of 1-second triggers is
+    * 86,400 rows on one task, fine), the watermark table broadcast back,
+    * then one aggregation by window. The corpus is scanned once.
+    * Exactness: all arithmetic on integer epoch seconds with DIV —
+    * bit-stable across engines (the DuckDB oracle replays it verbatim). */
+  def lateDataAudit(events: DataFrame, batchCol: org.apache.spark.sql.Column,
+      tsCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column,
+      delaySec: Long = 600L, windowSec: Long = 300L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events
+      .select(batchCol.as("b"), tsCol.as("ts0"), valueCol.as("v"))
+      .select(col("b"), expr("unix_micros(ts0) DIV 1000000").as("sec"),
+        col("v"))
+    val perBatchMax = e.groupBy(col("b")).agg(max(col("sec")).as("bmax"))
+    // watermark at batch START = running max over STRICTLY EARLIER batches
+    // minus the delay; null for the first batch (nothing completed yet)
+    val wmW = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = perBatchMax.select(col("b"),
+      (max(col("bmax")).over(wmW) - delaySec).as("wm"))
+    val ws = expr(s"(sec DIV $windowSec) * $windowSec")
+    e.join(broadcast(wm), "b")
+      .select(ws.as("ws"), col("v"),
+        (col("wm").isNotNull && ws + windowSec <= col("wm")).as("late"))
+      .groupBy(col("ws"))
+      .agg(count(when(!col("late"), 1)).as("n_kept"),
+        round(sum(when(!col("late"), col("v"))), 2).as("sum_value"),
+        count(when(col("late"), 1)).as("n_late"))
+  }
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * the streaming face of `graft.dedup.exactDedup`. */
   def dedupedEvents(events: DataFrame): DataFrame =

@@ -143,6 +143,53 @@ class ModulesSpec extends SparkSuite {
     got.foreach { case (k, n) => assert(want(k) == n, s"window $k") }
   }
 
+  test("streaming late data: real watermark drops match the lateDataAudit replay") {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // base aligned to the 5-minute window grid so ws values are exact
+    val base = 1000000200L
+    def t(min: Int) = new java.sql.Timestamp((base + min * 60L) * 1000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val agg = ms.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"w.start").as("ws"), $"n")
+    val q = agg.writeStream.format("memory").queryName("st_late_t")
+      .outputMode("append").start()
+    // batch 0: three on-time events in window [base, base+300)
+    ms.addData((1L, t(0), 1.0), (2L, t(2), 1.0), (3L, t(4), 1.0))
+    q.processAllAvailable()
+    // batch 1: jump to +30 min — watermark advances to base+1200,
+    // closing (and emitting) the first window
+    ms.addData((4L, t(30), 1.0))
+    q.processAllAvailable()
+    // batch 2: a DELIBERATELY LATE event for the closed window (streaming
+    // must drop it) plus an on-time one
+    ms.addData((5L, t(3), 1.0), (6L, t(31), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("st_late_t").as[(Long, Long)].collect().toMap
+    assert(emitted == Map(base -> 3L),
+      s"expected the first window emitted WITHOUT the late row: $emitted")
+    // the batch replay with the SAME micro-batch assignment must agree on
+    // every emitted window and expose the drop streaming never shows
+    val rows = Seq((0L, t(0), 1.0), (0L, t(2), 1.0), (0L, t(4), 1.0),
+      (1L, t(30), 1.0), (2L, t(3), 1.0), (2L, t(31), 1.0))
+      .toDF("b", "ts", "value")
+    val audit = graft.streaming.Streaming
+      .lateDataAudit(rows, $"b", $"ts", $"value")
+      .select($"ws", $"n_kept", $"n_late")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(audit(base) == ((3L, 1L)), s"audit: $audit")       // drop visible
+    assert(audit(base + 1800) == ((2L, 0L)), s"audit: $audit") // pending window intact
+    emitted.foreach { case (ws, n) =>
+      assert(audit(ws)._1 == n, s"kept-count parity at window $ws")
+    }
+  }
+
   test("streaming EWMA converges to the batch closed form per user") {
     implicit val s: SparkSession = spark
     val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
