@@ -723,9 +723,23 @@ object GraftIO {
   // .json`, one {version, parent, files} line per snapshot). Upserts
   // append new files and a new log line — they never delete — so any
   // recorded version stays readable until [[vacuumSnapshots]] reclaims
-  // files referenced only by dropped versions. Single-writer by contract
-  // (like [[upsertParquet]] — plain parquet has no commit protocol; a
-  // table format is the multi-writer answer and out of scope).
+  // files referenced only by dropped versions.
+  //
+  // WRITER CONCURRENCY contract: commits use optimistic concurrency with
+  // an atomic version claim — before a writer rewrites the log for
+  // version N it must exclusively create `_graft_commits/vN` (HDFS/POSIX
+  // `create(overwrite = false)` is atomic put-if-absent, the same
+  // primitive Delta's commit protocol rests on). Two writers racing from
+  // the same parent both compute version N; exactly one wins the claim,
+  // the loser gets a ConcurrentModificationException and must re-read
+  // the log and retry — a conflict can NEVER silently drop the winner's
+  // commit or corrupt the log. A loser's already-appended data files are
+  // referenced by no version and are reclaimed by [[vacuumSnapshots]].
+  // A writer that crashes between claim and log rewrite leaves an
+  // orphaned marker that blocks version N; the error message names the
+  // marker to delete for manual recovery. [[vacuumSnapshots]] itself is
+  // a maintenance op and requires exclusive access (it rewrites the log
+  // non-transactionally — do not vacuum under live writers).
   //
   // Readers MUST go through [[fromParquetSnapshot]]: the directory
   // accumulates files from many versions, so a raw spark.read.parquet of
@@ -755,9 +769,34 @@ object GraftIO {
     }.sortBy(_._1)
   }
 
+  /** Atomically claim snapshot `version`: exclusive create of the
+    * per-version marker. Throws ConcurrentModificationException if
+    * another writer already claimed it (see the module comment's writer
+    * concurrency contract). */
+  private def claimVersion(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, version: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(p, "_graft_commits")
+    if (!fs.exists(dir)) fs.mkdirs(dir): Unit
+    val marker = new org.apache.hadoop.fs.Path(dir, s"v$version")
+    val os =
+      try fs.create(marker, /* overwrite = */ false)
+      catch {
+        case e: java.io.IOException =>
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot version $version at $p is already claimed by a " +
+              s"concurrent writer (optimistic-concurrency conflict). " +
+              s"Re-read the snapshot log and retry from the new head; the " +
+              s"losing attempt's data files are unreferenced and will be " +
+              s"reclaimed by vacuumSnapshots. If the claimant crashed " +
+              s"before committing, delete $marker to recover. [${e}]")
+      }
+    os.close()
+  }
+
   private def appendVersionLine(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, prior: Seq[(Int, Int, Seq[String])],
       version: Int, parent: Int, files: Seq[String]): Unit = {
+    claimVersion(fs, p, version)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def line(v: Int, par: Int, fsx: Seq[String]): String = {
       val o = mapper.createObjectNode()

@@ -895,6 +895,42 @@ class ModulesSpec extends SparkSuite {
       .flatMap(_._3).toSet, "manifest out of sync with live files")
   }
 
+  test("snapshots: concurrent version claim conflicts error, store stays intact") {
+    import graft.io.GraftIO
+    val d = java.nio.file.Files.createTempDirectory("graft_cc").toString + "/t"
+    val base = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    GraftIO.toParquetWithMetadata(base.repartitionByRange(4, $"id"), d)
+    GraftIO.initSnapshots(spark, d)
+    // simulate the race deterministically: another writer claimed the next
+    // version (exclusive marker exists) after our log read — the commit
+    // must FAIL LOUDLY, never overwrite the winner's log line
+    val marker = new java.io.File(s"$d/_graft_commits/v1")
+    assert(marker.getParentFile.mkdirs() || marker.getParentFile.isDirectory)
+    assert(marker.createNewFile())
+    val e = intercept[java.util.ConcurrentModificationException] {
+      GraftIO.upsertParquetSnapshot(spark, d,
+        Seq((5L, -5.0)).toDF("id", "v"), "id")
+    }
+    assert(e.getMessage.contains("version 1") &&
+      e.getMessage.contains("_graft_commits"), e.getMessage)
+    // the losing attempt left the recorded history untouched and readable
+    assert(GraftIO.snapshotVersions(spark, d).map(_._1) == Seq(0))
+    assert(GraftIO.fromParquetSnapshot(spark, d)
+      .as[(Long, Double)].collect().toMap ==
+      (1L to 100L).map(i => i -> i.toDouble).toMap)
+    // its orphaned data files are reclaimable: vacuum deletes anything no
+    // version references
+    val deleted = GraftIO.vacuumSnapshots(spark, d, keepLast = 1)
+    assert(deleted > 0, "loser's appended files should be vacuumable")
+    // recovery path from the error message: delete the marker and retry
+    assert(marker.delete())
+    val (_, _, v1) = GraftIO.upsertParquetSnapshot(spark, d,
+      Seq((5L, -5.0)).toDF("id", "v"), "id")
+    assert(v1 == 1)
+    assert(GraftIO.fromParquetSnapshot(spark, d)
+      .filter($"id" === 5L).select($"v").as[Double].head() == -5.0)
+  }
+
   test("snapshot delete + diff: exact change feeds, compaction rows invisible") {
     import graft.io.GraftIO
     val d = java.nio.file.Files.createTempDirectory("graft_cdc2").toString + "/t"
