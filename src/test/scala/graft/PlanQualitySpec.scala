@@ -824,6 +824,42 @@ class PlanQualitySpec extends SparkSuite {
       wide.queryExecution.executedPlan.toString)
   }
 
+  test("shuffle-fingerprint lockfile: executed shuffle volume of heavy queries") {
+    // docs/SHUFFLE_FINGERPRINTS.json locks (write records, read records)
+    // from a REAL noop-write run of the ~20 heaviest queries — the
+    // runtime property the lazy plan lockfile cannot see: ReuseExchange /
+    // checkpoint collapse (q_pagerank plans the edges subtree once per
+    // round but WRITES its exchange once; a one-byte subtree divergence
+    // would keep the lazy fingerprint identical while multiplying the
+    // shuffle write volume). Tolerance bands: write ±20% (measured
+    // byte-stable across runs), read ±35% (reused-exchange read
+    // multiplicity wobbles with stage scheduling), and zero stays zero.
+    // If a change is INTENDED, regenerate and review the diff:
+    //   sbt "runMain graft.tools.ShuffleFingerprints"
+    import graft.tools.ShuffleFingerprints
+    val p = java.nio.file.Paths.get(ShuffleFingerprints.file)
+    assume(java.nio.file.Files.exists(p), s"no lockfile at $p")
+    val stored = ShuffleFingerprints.parse(java.nio.file.Files.readString(p))
+    val current = ShuffleFingerprints.compute(spark, dir).toMap
+    def off(cur: Long, st: Long, tol: Double): Boolean =
+      if (st == 0L) cur != 0L
+      else math.abs(cur - st) > tol * st
+    val drifted = stored.keySet.intersect(current.keySet).toSeq.sorted.flatMap { q =>
+      val (sw, sr) = stored(q); val (cw, cr) = current(q)
+      val bad = (if (off(cw, sw, 0.20)) Seq(s"write $sw -> $cw") else Nil) ++
+        (if (off(cr, sr, 0.35)) Seq(s"read $sr -> $cr") else Nil)
+      if (bad.isEmpty) Nil else Seq(s"$q: ${bad.mkString(", ")} records")
+    }
+    assert(drifted.isEmpty,
+      s"${drifted.size} heavy query(ies) moved shuffle volume — if " +
+        s"intended, regenerate (runMain graft.tools.ShuffleFingerprints) " +
+        s"and review:\n${drifted.mkString("\n")}")
+    val missing = current.keySet -- stored.keySet
+    val stale = stored.keySet -- current.keySet
+    assert(missing.isEmpty && stale.isEmpty,
+      s"lockfile out of sync (regenerate): missing=$missing stale=$stale")
+  }
+
   test("plan-fingerprint lockfile: no graded query's plan shape drifted") {
     // docs/PLAN_FINGERPRINTS.json records every query's physical-plan
     // node counts (tools/PlanFingerprints, same session config). A
