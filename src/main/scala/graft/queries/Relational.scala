@@ -293,6 +293,20 @@ object Relational {
       // round) — same fixpoint, and the oracle's dsum term is 0
       PageRank.pageRank(edges, iterations = 6, handleDangling = false)
     },
+    // the CONVERGENCE-CHECKED pageRank face (tolUnits = 0): eager rounds
+    // with the exact integer fixpoint test, stopping early once
+    // max|r'-r| = 0. Gradeable against the SAME fixed-round replay by
+    // construction: if the run converges at round k < 6 the remaining
+    // rounds are provably identity (a fixed vector stays fixed), and if
+    // it never converges it runs all 6 — either way the output is
+    // bit-identical to the 6-round oracle.
+    "q_pagerank_conv" -> { (s, dir) =>
+      import graft.operators.PageRank
+      val edges = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      PageRank.pageRank(edges, iterations = 6, handleDangling = false,
+        tolUnits = 0L)
+    },
     // per-node triangle counts over the same part co-occurrence graph —
     // degree-ordered wedge closure, so the O(m^1.5) bound (not hub-key
     // quadratics) governs the self-join even under skew
@@ -404,6 +418,10 @@ object Relational {
     // full 6-round fixed-point power-iteration replay; // is integer
     // division on BIGINT, matching Spark's DIV (all quantities positive)
     "q_pagerank" -> pagerankOracle(6),
+    // the convergence-checked face must land on the same 6-round values:
+    // early exit only fires at an exact fixpoint, where further rounds
+    // are identity
+    "q_pagerank_conv" -> pagerankOracle(6),
     "q_triangles" ->
       """WITH e0 AS MATERIALIZED (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, greatest(a.l_partkey, b.l_partkey) AS b FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
            deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
