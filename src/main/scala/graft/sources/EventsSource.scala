@@ -305,8 +305,21 @@ private case class EventsOffset(id: Long)
 private class EventsMicroBatchStream(lo: Long, hi: Long, partitions: Int,
     rate: Long, required: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  // Trigger.AvailableNow, FIRST-CLASS: the engine calls
+  // prepareForTriggerAvailableNow() once at query start and then drains
+  // rate-chunked batches until reportLatestOffset() is reached. Without
+  // this interface Spark falls back to wrapping/single-batch heuristics
+  // for "unsupported" sources — a path that proved timing-sensitive on a
+  // loaded box (observed once: a restarted AvailableNow drain deciding
+  // "no new data" at the recovered offset). The drain target is captured
+  // here: for this synthetic table the id space [lo, hi) is static, so
+  // the capture pins the query-start snapshot the contract asks for.
+  private var availableNowTarget: Long = hi
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = hi
   // Admission control, not a mutable planned-counter: the engine hands
   // THIS trigger's start offset (restored from the checkpoint on
   // restart) and the stream advances at most `rate` ids past it — a
@@ -322,19 +335,20 @@ private class EventsMicroBatchStream(lo: Long, hi: Long, partitions: Int,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rate)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = math.max(lo, idOf(start))
+    val cap = availableNowTarget // == hi unless an AvailableNow drain pinned it
     val step = limit match {
       case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
         m.maxRows()
       case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
-        math.max(0L, hi - s) // drain-everything triggers take the rest
+        math.max(0L, cap - s) // drain-everything triggers take the rest
       case _ => rate
     }
-    EventsOffset(math.min(hi, math.addExact(s, step)))
+    EventsOffset(math.min(cap, math.addExact(s, step)))
   }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "admission-control source: use latestOffset(start, limit)")
-  override def reportLatestOffset(): Offset = EventsOffset(hi)
+  override def reportLatestOffset(): Offset = EventsOffset(availableNowTarget)
   override def deserializeOffset(json: String): Offset =
     EventsOffset(json.trim.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
