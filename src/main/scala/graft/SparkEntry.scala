@@ -62,5 +62,6 @@ object SparkEntry {
     * graded rows themselves; they exist so an oracle in [[oracleSql]] can
     * ground a structural replay on Spark-computed intermediates. */
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
-    _root_.graft.queries.DedupQueries.aux
+    _root_.graft.queries.DedupQueries.aux ++
+      _root_.graft.queries.SimilarityQueries.aux
 }

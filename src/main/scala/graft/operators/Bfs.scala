@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source breadth-first search: exact hop distance from a seed
+  * set, the traversal primitive the graph family was missing (PageRank
+  * = value propagation, k-core = peeling, label-prop = gossip; BFS =
+  * reachability/distance — e.g. "how far is every product from the
+  * promoted set in the co-purchase graph").
+  *
+  * Frontier-delta iteration, the k-core discipline
+  * ([[KCore.kCore]]): each round expands only the nodes REACHED LAST
+  * ROUND (not the whole reached set), so per-round work is proportional
+  * to the frontier, not the graph — on a 100 TB graph rounds get
+  * cheaper as the traversal saturates, and the loop exits as soon as a
+  * frontier comes back empty (every later round is provably identity).
+  * Each round's frontier and the accumulated distance frame are
+  * localCheckpoint()ed: constant-size lineage, O(1) plan growth per
+  * round, and the anti-join probe side is a materialized frame.
+  * Frontiers ≤ 5M rows broadcast explicitly (a checkpointed frame has
+  * no stats, so Spark would otherwise sort-merge the whole edge list
+  * every round — the same reasoning as the k-core dead-set probe).
+  */
+object Bfs {
+
+  /** Exact hop distances from `seeds` within `maxHops`. Input edges are
+    * DIRECTED follow-direction (pass a symmetric list for undirected
+    * graphs — e.g. [[PageRank.coOccurrenceEdges]] output). Seed rows
+    * not present in the graph still appear at dist 0 (they are reached
+    * by definition). Returns (node, dist) for every node reachable in
+    * ≤ maxHops hops; unreached nodes are absent, matching the
+    * "distance table" contract rather than an all-nodes outer frame. */
+  def distances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint() // scanned once per round; pin the blocks
+
+    var reached = seeds.select(col(seedCol).cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint()
+    var frontier = reached.select(col("node"))
+    var frontierSize = frontier.count()
+
+    var hop = 0
+    while (hop < maxHops && frontierSize > 0L) {
+      hop += 1
+      val probe =
+        if (frontierSize <= 5000000L) broadcast(frontier.withColumnRenamed("node", "src"))
+        else frontier.withColumnRenamed("node", "src")
+      val next = e.join(probe, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint()
+      frontierSize = next.count() // one action: sizes the broadcast AND the exit test
+      if (frontierSize > 0L) {
+        reached = reached.union(next).localCheckpoint()
+        frontier = next.select(col("node"))
+      }
+    }
+    reached
+  }
+}

@@ -192,4 +192,46 @@ object ExactQuantiles {
       .filter(col("rn") === col("t.k"))
       .select(col("g"), col("t.prob").as("prob"), col("v").as("value"))
   }
+
+  /** Robust outlier report via median absolute deviation — the
+    * composition the exact-quantile machinery exists for: a z-score
+    * cut needs mean/stddev (both wrecked by the outliers it hunts),
+    * MAD is the robust estimator (Hampel 1974).
+    *
+    *   med = exact median of v per group (quantile_disc element)
+    *   mad = exact median of |v − med| per group
+    *   outlier ⇔ |v − med| · kDen > mad · kNum   (default 3×)
+    *
+    * Everything is either an ACTUAL data element (med, mad — picked by
+    * rank, identical doubles in any engine) or a single IEEE op on such
+    * elements (the subtraction, the two comparison products), so the
+    * report hashes identically cross-engine with no quantization step.
+    *
+    * Plan shape: two [[exactQuantilesByGroup]] passes (each ~2 shuffles
+    * over (group, value) pairs, never a per-group sort of the corpus in
+    * one task) plus two group-keyed joins of group-sized frames back
+    * onto the corpus. The deviations frame is computed once and feeds
+    * both the mad quantile and the outlier count.
+    *
+    * Returns (g, n, med, mad, n_outliers) per group. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      kNum: Long = 3L, kDen: Long = 1L): DataFrame = {
+    require(kNum >= 0 && kDen >= 1, s"bad k = $kNum/$kDen")
+    val base = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val med = exactQuantilesByGroup(base, "g", "v", Seq(0.5))
+      .select(col("g"), col("value").as("med"))
+    val dev = base.join(med, "g")
+      .select(col("g"), col("med"), abs(col("v") - col("med")).as("dev"))
+    val mad = exactQuantilesByGroup(dev, "g", "dev", Seq(0.5))
+      .select(col("g"), col("value").as("mad"))
+    dev.join(mad, "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("dev") * kDen > col("mad") * kNum, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

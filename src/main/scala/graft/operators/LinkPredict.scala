@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Neighborhood-overlap link prediction over an undirected graph —
+  * the classic common-neighbors family (Liben-Nowell & Kleinberg 2003;
+  * Zhou/Lü/Zhang 2009 for the resource-allocation index), scored in
+  * integer arithmetic so results are bit-identical across engines:
+  *
+  *   jac_ppm = |N(u) ∩ N(v)| * 10^6  DIV  |N(u) ∪ N(v)|
+  *   ra_1e9  = Σ_{w ∈ N(u) ∩ N(v)}  10^9 DIV deg(w)
+  *
+  * (RA down-weights hub-mediated overlap exactly like Adamic-Adar but
+  * with 1/deg instead of 1/log deg — exact in fixed point, where a
+  * float log would pin the result to one libm's last ulp.)
+  *
+  * Candidate generation is the WEDGE join: every pair (u, v) sharing a
+  * neighbor w appears once per shared w, counted per pair. The two
+  * sides of the wedge join are byte-identical subtrees, so the edge
+  * list shuffles on the wedge center ONCE and ReuseExchange serves the
+  * probe side — the same single-exchange discipline as ev_seqsim.
+  *
+  * Scale guard: a wedge center of degree d contributes d² candidate
+  * rows — quadratic hub blowup, the same failure mode as
+  * [[PageRank.coOccurrenceEdges]]' group blowup. `hubCap > 0` excludes
+  * wedge CENTERS with deg(w) > hubCap from candidate generation (the
+  * dfCap / stop-shingle discipline: a hub shared by everyone carries
+  * near-zero overlap signal per pair, and RA already scores it ~0).
+  * Dropping centers changes scores by contract — it is a documented
+  * approximation knob, default off, priced beforehand by
+  * `Inspect.skewReport` on the edge dst column.
+  */
+object LinkPredict {
+
+  /** Top-k node pairs by neighborhood Jaccard (ties: smaller (u, v)
+    * first). Input must be a SYMMETRIC DISTINCT edge list — both
+    * directions of every undirected edge exactly once, no loops (the
+    * [[PageRank.coOccurrenceEdges]] contract), so N(u) = {dst | (u,dst)}
+    * and deg(u) = the src-group count.
+    *
+    * Returns (u, v, inter, uni, jac_ppm, ra_1e9) with u < v.
+    */
+  def topPairs(edges: DataFrame, k: Int, hubCap: Int = 0,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+
+    // edge tagged with its dst's degree: the wedge-center key. One join
+    // on dst; the result is the shared subtree both wedge sides reuse.
+    val centerDeg = deg.select(col("node").as("dst"), col("deg").as("cdeg"))
+    val tagged0 = e.join(centerDeg, "dst")
+    val tagged = if (hubCap > 0) tagged0.filter(col("cdeg") <= hubCap) else tagged0
+
+    val left = tagged.select(col("dst").as("cw"), col("src").as("u"), col("cdeg"))
+    val right = tagged.select(col("dst").as("cw"), col("src").as("v"))
+    val common = left.join(right, "cw")
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("inter"),
+        sum(expr("1000000000 DIV cdeg")).as("ra_1e9"))
+
+    // union size from the two endpoint degrees — pair-sized joins only
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    common.join(du, "u").join(dv, "v")
+      .select(col("u"), col("v"), col("inter"),
+        (col("du") + col("dv") - col("inter")).as("uni"),
+        expr("inter * 1000000 DIV (du + dv - inter)").as("jac_ppm"),
+        col("ra_1e9"))
+      .orderBy(col("jac_ppm").desc, col("u"), col("v"))
+      .limit(k) // TakeOrdered: per-partition top-k, no global sort shuffle
+  }
+}

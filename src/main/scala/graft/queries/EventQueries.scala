@@ -184,6 +184,16 @@ object EventQueries {
       graft.operators.Timeseries.ewma(Tables.events(s, dir),
         "user_id", "ts", "event_id", "value", alpha = 0.125)
     },
+    // one-sided CUSUM changepoint detection per user
+    // (graft.operators.Timeseries.cusum): drift 60.00, threshold 500.00
+    // in centi-units (14/150 users alarm at sf0.01 — discriminative,
+    // not vacuous). The recursion runs as prefix-sum + running-min
+    // windows, integer-exact
+    "ev_cusum" -> { (s, dir) =>
+      graft.operators.Timeseries.cusum(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "value",
+        driftCenti = 6000L, thresholdCenti = 50000L)
+    },
     // gap-based sessionization primitive (30-minute gap): the graded
     // output is session-level — per (user, session) event count and
     // whole-second duration — proving the per-event assignment exactly
@@ -579,6 +589,11 @@ object EventQueries {
     // sequence, so the raw double matches even before the micro floor
     "ev_ewma" ->
       """WITH e AS (SELECT user_id AS ent, ts, event_id AS tie, CAST(value AS DOUBLE) AS v FROM events WHERE user_id IS NOT NULL), w AS (SELECT ent, v, row_number() OVER (PARTITION BY ent ORDER BY ts, tie) AS rn, count(*) OVER (PARTITION BY ent) AS k FROM e), t AS (SELECT ent, v, rn, k, v * (CASE WHEN rn = 1 THEN pow(0.875, k - 1) ELSE 0.125 * pow(0.875, k - rn) END) AS term FROM w), a AS (SELECT ent, v, rn, k, sum(term) OVER (PARTITION BY ent ORDER BY rn ROWS UNBOUNDED PRECEDING) AS acc FROM t) SELECT ent AS user_id, k AS n_events, v AS last_val, CAST(floor(acc * 1000000) AS BIGINT) AS ewma_micro FROM a WHERE rn = k""",
+    // CUSUM replay: the same prefix-sum/running-min closed form,
+    // centi-quantized BIGINTs throughout; row_number cast to INT to
+    // match Spark's IntegerType rank
+    "ev_cusum" ->
+      """WITH e AS (SELECT user_id, ts, event_id, CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS xq FROM events WHERE user_id IS NOT NULL), w AS (SELECT user_id, CAST(row_number() OVER win AS INT) AS rn, sum(xq - 6000) OVER (win ROWS UNBOUNDED PRECEDING) AS p FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT user_id, rn, p - least(min(p) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING), 0) AS sv FROM w) SELECT user_id, count(*) AS n_events, count(*) FILTER (WHERE sv > 50000) AS n_alarms, CAST(max(sv) AS BIGINT) AS max_s, CAST(min(rn) FILTER (WHERE sv > 50000) AS INT) AS first_alarm_rn FROM s GROUP BY user_id""",
     // sessionize replay: lag-gap flag + running sum assigns the same
     // 1-based ids; epoch-micros integer division floors durations
     // identically

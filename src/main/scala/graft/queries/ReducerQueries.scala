@@ -144,6 +144,17 @@ object ReducerQueries {
         Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
         Seq(0.25, 0.5, 0.75))
         .select(col("g"), col("prob"), col("value"))
+    },
+
+    // robust MAD outliers (ExactQuantiles.madOutliers): exact per-group
+    // median, exact median absolute deviation, 3×MAD cut — every
+    // reported value is a data element or one IEEE op on data elements,
+    // no quantization needed
+    "r_mad" -> { (s, dir) =>
+      graft.operators.ExactQuantiles.madOutliers(
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
+        .select(col("g").as("l_returnflag"), col("n"), col("med"),
+          col("mad"), col("n_outliers"))
     })
 
   private val ORD = Oracles.itemOrder
@@ -170,5 +181,10 @@ object ReducerQueries {
     "r_quantiles_grp" ->
       Seq(0.25, 0.5, 0.75).map(p =>
         s"SELECT l_returnflag AS g, CAST($p AS DOUBLE) AS prob, quantile_disc(l_extendedprice, $p) AS value FROM lineitem GROUP BY 1")
-        .mkString(" UNION ALL "))
+        .mkString(" UNION ALL "),
+    // MAD replay: quantile_disc twice (the pinned exactQuantiles
+    // convention), deviations as raw IEEE doubles — med/mad are actual
+    // data(-derived) elements, identical bit patterns in both engines
+    "r_mad" ->
+      """WITH v AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL), med AS (SELECT g, quantile_disc(v, 0.5) AS med FROM v GROUP BY g), dev AS (SELECT v.g, med, abs(v - med) AS dev FROM v JOIN med USING (g)), mad AS (SELECT g, quantile_disc(dev, 0.5) AS mad FROM dev GROUP BY g) SELECT dev.g AS l_returnflag, count(*) AS n, min(dev.med) AS med, min(mad.mad) AS mad, count(*) FILTER (WHERE dev * 1 > mad.mad * 3) AS n_outliers FROM dev JOIN mad USING (g) GROUP BY dev.g""")
 }

@@ -355,6 +355,30 @@ object Relational {
       // coOccurrenceEdges is symmetric + grouped-distinct by
       // construction: skip kCore's canonicalization shuffle
       KCore.kCore(edges, 80, symmetricDistinct = true)
+    },
+    // link prediction over the same co-occurrence graph
+    // (graft.operators.LinkPredict): top-100 non-adjacent-or-adjacent
+    // pairs by neighborhood Jaccard, with the resource-allocation index
+    // alongside — both integer-exact (ppm / 1e-9 fixed point), wedge
+    // join with ReuseExchange serving the probe side
+    "q_linkpred" -> { (s, dir) =>
+      import graft.operators.{LinkPredict, PageRank}
+      val edges = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      LinkPredict.topPairs(edges, k = 100)
+    },
+    // multi-source BFS (graft.operators.Bfs): exact hop distance from
+    // the node%97==0 seed set within 4 hops, frontier-delta rounds.
+    // BFS distance is a fixpoint (min over paths), so the oracle's
+    // fixed 4-round min-unroll is exact whether or not the frontier
+    // empties early
+    "q_bfs" -> { (s, dir) =>
+      import graft.operators.{Bfs, PageRank}
+      val edges = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      val seeds = edges.select(col("src").as("node"))
+        .distinct().filter(col("node") % 97 === 0)
+      Bfs.distances(edges, seeds, maxHops = 4)
     })
 
   private def pagerankOracle(iters: Int): String = {
@@ -436,7 +460,34 @@ object Relational {
            cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (SELECT u AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri) GROUP BY 1)
          SELECT d.node, CAST(d.deg AS BIGINT) AS deg, coalesce(c.triangles, 0) AS triangles, (2000000 * coalesce(c.triangles, 0)) // (d.deg * (d.deg - 1)) AS cc_q FROM deg d LEFT JOIN cnt c ON c.node = d.node WHERE d.deg >= 2""",
     "q_labelprop" -> labelpropOracle(3),
-    "q_kcore" -> kcoreOracle(80, 10))
+    "q_kcore" -> kcoreOracle(80, 10),
+    // wedge-join replay: common-neighbor counts + RA over the DISTINCT
+    // directed edge list (coOccurrenceEdges is grouped-distinct, weight
+    // ignored); // is BIGINT floor division = Spark's DIV on positives
+    "q_linkpred" ->
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+           deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM e0 GROUP BY 1),
+           tag AS MATERIALIZED (SELECT e.src, e.dst, d.deg AS cdeg FROM e0 e JOIN deg d ON d.node = e.dst),
+           cn AS (SELECT a.src AS u, b.src AS v, count(*) AS inter, CAST(sum(1000000000 // a.cdeg) AS BIGINT) AS ra_1e9 FROM tag a JOIN tag b ON a.dst = b.dst AND a.src < b.src GROUP BY 1, 2)
+         SELECT u, v, CAST(inter AS BIGINT) AS inter, CAST(du.deg + dv.deg - inter AS BIGINT) AS uni, CAST(inter * 1000000 // (du.deg + dv.deg - inter) AS BIGINT) AS jac_ppm, ra_1e9 FROM cn JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v ORDER BY jac_ppm DESC, u, v LIMIT 100""",
+    // fixed 4-round min-unroll: dist(v) = min over rounds of first
+    // reach — exact for any early frontier exhaustion (min is a
+    // fixpoint, extra rounds are identity)
+    "q_bfs" -> bfsOracle(4))
+
+  /** Unrolled multi-source BFS: m_i holds min hop distance within i
+    * hops; round i expands ALL reached nodes (the replay does not need
+    * the frontier optimization — min() collapses re-reached nodes). */
+  private def bfsOracle(hops: Int): String = {
+    val base =
+      """e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey), m0 AS (SELECT DISTINCT src AS node, 0 AS d FROM e0 WHERE src % 97 = 0)"""
+    val rounds = (1 to hops).map { i =>
+      val p = i - 1
+      s"a$i AS (SELECT DISTINCT e.dst AS node, $i AS d FROM e0 e JOIN m$p m ON e.src = m.node), " +
+        s"m$i AS (SELECT node, min(d) AS d FROM (SELECT * FROM m$p UNION ALL SELECT * FROM a$i) GROUP BY node)"
+    }.mkString(", ")
+    s"WITH $base, $rounds SELECT node, CAST(d AS INT) AS dist FROM m$hops"
+  }
 
   /** Unrolled peel: round i keeps nodes whose CURRENT degree >= k and
     * the edges between them. Monotone + idempotent at the fixpoint, so

@@ -144,6 +144,40 @@ object SimilarityQueries {
       rrfFuse(Seq(dense, lex), k = 10)
         .select(col("qid"), col("rank"), col("nid"),
           col("rrf").cast("bigint").as("rrf"))
+    },
+
+    // exact quantized covariance sufficient statistics in ONE corpus
+    // pass (graft.similarity.Pca.momentStats): d first moments +
+    // d(d+1)/2 upper-triangle second moments as exact BIGINTs — the
+    // map-side-agg shape whose shuffle is O(d²) rows per partition at
+    // any corpus size
+    "sim_cov" -> { (s, dir) =>
+      Pca.momentStats(Tables.embeddings(s, dir), "embedding", qBits = 14)
+    },
+    // distributed PCA projection: the moments feed a bounded driver
+    // eigensolve (d×d, the k-centroids contract) and the top component
+    // broadcasts back as a fixed-point literal; proj_q = Σ q_i·vq_i is
+    // exact int64. The oracle replays the projection from the
+    // aux_pca_vec dump — the aux_minhash_sigs pattern
+    "sim_pca" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val vq = Pca.quantizeComponent(
+        Pca.topComponent(Pca.momentStats(emb, "embedding", qBits = 14), d = 64))
+      Pca.projectQ(emb, "embedding", vq, qBits = 14, outCol = "proj_q")
+        .select(col("vec_id"), col("label"), col("proj_q"))
+    })
+
+  /** Spark-computed intermediates for structural oracle replays (the
+    * aux_minhash_sigs pattern): the quantized top principal component,
+    * deterministic on the driver from the exact integer moments. */
+  val aux: Map[String, Q] = Map(
+    "aux_pca_vec" -> { (s, dir) =>
+      import s.implicits._
+      val vq = Pca.quantizeComponent(
+        Pca.topComponent(
+          Pca.momentStats(Tables.embeddings(s, dir), "embedding", qBits = 14),
+          d = 64))
+      vq.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "vq")
     })
 
   private[queries] val COS =
@@ -310,5 +344,20 @@ probes AS (SELECT vid AS qid, cid FROM ranked WHERE rn <= 4),
 cand AS (SELECT p.qid, ce.id AS nid, eq.v AS ea, en.v AS eb FROM probes p JOIN cells ce ON p.cid = ce.cid AND p.qid <> ce.id JOIN e eq ON eq.vec_id = p.qid JOIN e en ON en.vec_id = ce.id),
 d AS (SELECT qid, nid, $COS AS cos FROM cand, range(1,65) r(i) GROUP BY qid, nid),
 rk AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM d WHERE cos IS NOT NULL)
-SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""")
+SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos FROM rk WHERE rank <= 3""",
+
+    // exact moment replay: floor(x·2^14) is one IEEE double multiply +
+    // floor in both engines; every downstream value is integer
+    "sim_cov" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT)) AS qa FROM embeddings WHERE embedding IS NOT NULL),
+f AS (SELECT CAST(i - 1 AS INT) AS i, CAST(-1 AS INT) AS j, qa[CAST(i AS INT)] AS v FROM q, range(1, 65) r(i)),
+p AS (SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j, qa[CAST(i AS INT)] * qa[CAST(j AS INT)] AS v FROM q, range(1, 65) r(i), range(1, 65) r2(j) WHERE j >= i),
+u AS (SELECT * FROM f UNION ALL SELECT * FROM p)
+SELECT i, j, CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM u GROUP BY 1, 2""",
+    // projection replay over the Spark-dumped quantized component: a
+    // 64-row cross join + integer dot product, order-independent
+    "sim_pca" ->
+      """WITH vq AS (SELECT i, vq FROM '__OUTDIR__/aux_pca_vec/*.parquet'),
+e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT)) AS qa FROM embeddings)
+SELECT vec_id, label, CAST(sum(qa[CAST(i + 1 AS INT)] * vq) AS BIGINT) AS proj_q FROM e, vq GROUP BY vec_id, label""")
 }

@@ -848,4 +848,67 @@ class DedupSimilaritySpec extends SparkSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(again == got)
   }
+
+  test("Pca.momentStats: exact quantized moments, partition-independent") {
+    import graft.similarity.Pca
+    val vecs = Seq(
+      Array(1.5f, -0.25f, 2.0f), Array(0.5f, 0.75f, -1.0f),
+      Array(-2.0f, 1.25f, 0.125f))
+    val df = vecs.map(Tuple1(_)).toDF("embedding")
+    val qBits = 4 // tiny scale: floor(x*16)
+    val q = vecs.map(_.map(x => math.floor(x.toDouble * 16).toLong))
+    val want = (for (i <- 0 until 3) yield ((i, -1), q.map(_(i)).sum)).toMap ++
+      (for (i <- 0 until 3; j <- i until 3)
+        yield ((i, j), q.map(r => r(i) * r(j)).sum)).toMap
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Pca.momentStats(d, "embedding", qBits).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val got = run(df)
+    assert(got.view.mapValues(_._1).toMap == want, s"moments: $got")
+    assert(got.values.forall(_._2 == 3L), "n must be the row count in every cell")
+    assert(run(df.repartition(5)) == got, "moments must be partition-independent")
+  }
+
+  test("Pca: top component recovers the dominant axis; projection is exact int64") {
+    import graft.similarity.Pca
+    // anisotropic cloud: variance 100x larger along (1,1,0)/sqrt(2)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 400).map { _ =>
+      val main = rnd.nextGaussian() * 10.0
+      val off1 = rnd.nextGaussian() * 0.3; val off2 = rnd.nextGaussian() * 0.3
+      Array((main / math.sqrt(2) + off1 / math.sqrt(2)).toFloat,
+        (main / math.sqrt(2) - off1 / math.sqrt(2)).toFloat, off2.toFloat)
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val v = Pca.topComponent(Pca.momentStats(df, "embedding", 10), d = 3)
+    val expectAxis = Array(1 / math.sqrt(2), 1 / math.sqrt(2), 0.0)
+    val dot = math.abs(v.zip(expectAxis).map { case (a, b) => a * b }.sum)
+    assert(dot > 0.999, s"component ${v.toSeq} not aligned with dominant axis")
+    val k = v.indices.maxBy(i => math.abs(v(i)))
+    assert(v(k) > 0, "sign must be canonicalized")
+    // integer projection replays exactly from the quantized pieces
+    val vq = Pca.quantizeComponent(v)
+    val got = Pca.projectQ(df, "embedding", vq, 10, "p")
+      .select("vec_id", "p").as[(Long, Long)].collect().toMap
+    val want = vecs.zipWithIndex.map { case (arr, i) =>
+      i.toLong -> arr.zip(vq).map { case (x, w) =>
+        math.floor(x.toDouble * 1024).toLong * w }.sum
+    }.toMap
+    assert(got == want)
+  }
+
+  test("Pca.momentStats shuffles only the d² moment cells, not the corpus") {
+    import graft.similarity.Pca
+    val df = (0 until 100).map(i => (i.toLong,
+      Array.fill(8)(((i * 31 + 7) % 13 - 6).toFloat / 4))).toDF("vec_id", "embedding")
+    val mom = Pca.momentStats(df, "embedding", 10)
+    mom.collect()
+    val plan = mom.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex == 1, s"momentStats should shuffle once (partial-agg cells), got $ex")
+    assert(plan.contains("partial"), // map-side combine before the exchange
+      s"no partial aggregate before the moment shuffle:\n${plan.take(2500)}")
+  }
 }

@@ -281,4 +281,64 @@ class GraphSpec extends SparkSuite {
     // and the uncapped run converges to the empty 2-core
     assert(KCore.kCore(path, 2).count() == 0L)
   }
+
+  // symmetric distinct edge list of the undirected pair set
+  private def sym(pairs: (Long, Long)*) =
+    pairs.flatMap(p => Seq(p, p.swap)).toDF("src", "dst")
+
+  test("linkPredict: hand-computed Jaccard and RA on a wedge graph") {
+    // N(1)={2,3}, N(2)={1,3}, N(3)={1,2,4}, N(4)={3}
+    val edges = sym((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val got = graft.operators.LinkPredict.topPairs(edges, k = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // (1,2): common {3}, deg 2+2, uni 3 -> jac 333333; ra 1e9/deg(3)=333333333
+    assert(got((1L, 2L)) == (1L, 3L, 333333L, 333333333L))
+    // (1,3): common {2}, uni 2+3-1=4 -> 250000; ra 1e9/deg(2)=500000000
+    assert(got((1L, 3L)) == (1L, 4L, 250000L, 500000000L))
+    // (2,3): common {1} -> same as (1,3) by symmetry of degrees
+    assert(got((2L, 3L)) == (1L, 4L, 250000L, 500000000L))
+    // (1,4) and (2,4): common {3}, uni 2+1-1=2 -> jac 500000 (top pairs!)
+    assert(got((1L, 4L)) == (1L, 2L, 500000L, 333333333L))
+    assert(got((2L, 4L)) == (1L, 2L, 500000L, 333333333L))
+    // (3,4) is NOT a candidate: N(3)={1,2,4} and N(4)={3} are disjoint
+    assert(got.size == 5)
+  }
+
+  test("linkPredict: hubCap drops wedge centers above the cap") {
+    // star: center 9 connects 1..5; every leaf pair's ONLY common
+    // neighbor is the hub, so hubCap < 5 empties the candidate set
+    val edges = sym((1L to 5L).map(i => (9L, i)): _*)
+    val full = graft.operators.LinkPredict.topPairs(edges, k = 100)
+    assert(full.count() == 10L) // C(5,2) leaf pairs
+    val capped = graft.operators.LinkPredict.topPairs(edges, k = 100, hubCap = 4)
+    assert(capped.count() == 0L)
+  }
+
+  test("linkPredict: the wedge join's probe side is a reused exchange") {
+    val edges = PageRank.coOccurrenceEdges(
+      spark.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey", "l_partkey")
+    val df = graft.operators.LinkPredict.topPairs(edges, k = 100)
+    df.collect() // AQE inserts ReusedExchange at runtime
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange"),
+      s"wedge sides did not share the center shuffle:\n${plan.take(3000)}")
+  }
+
+  test("bfs: exact hop distances, unreachable nodes absent, early exhaustion safe") {
+    import graft.operators.Bfs
+    // path 1-2-3-4-5 plus isolated edge 8-9; seeds {1}
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val seeds = Seq(1L).toDF("node")
+    val got = collectMap[Long, Int](Bfs.distances(edges, seeds, maxHops = 10))
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // hop cap truncates
+    val capped = collectMap[Long, Int](Bfs.distances(edges, seeds, maxHops = 2))
+    assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // multi-source takes the min side; a seed outside the graph stays at 0
+    val multi = collectMap[Long, Int](
+      Bfs.distances(edges, Seq(1L, 5L, 77L).toDF("node"), maxHops = 10))
+    assert(multi == Map(1L -> 0, 5L -> 0, 77L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
 }

@@ -876,4 +876,19 @@ class OperatorsSpec extends SparkSuite {
     }
     assert(got.size == byG.size * probs.size)
   }
+
+  test("madOutliers matches the hand-computed robust report") {
+    import spark.implicits._
+    // group a: median 10, deviations {9,5,0,5,9,90} -> mad 5 (rank
+    //   ceil(.5*6)=3 of sorted {0,5,5,9,9,90}); 3*mad=15 -> one outlier
+    // group b: constant -> mad 0, every nonzero deviation is an outlier
+    val rows = Seq(("a", 1.0), ("a", 5.0), ("a", 10.0), ("a", 15.0),
+      ("a", 19.0), ("a", 100.0), ("b", 7.0), ("b", 7.0), ("b", 8.0))
+    val got = graft.operators.ExactQuantiles.madOutliers(
+        rows.toDF("g", "v").repartition(5), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got("a") == ((6L, 10.0, 5.0, 1L)), s"a: ${got("a")}")
+    assert(got("b") == ((3L, 7.0, 0.0, 1L)), s"b: ${got("b")}")
+  }
 }

@@ -124,4 +124,46 @@ class TimeseriesSpec extends SparkSuite {
     for (n <- 0 to 1000) // base-1/2 powers must be EXACT
       assert(math.pow(0.5, n) == java.lang.Math.scalb(1.0, -n))
   }
+
+  test("cusum window closed form equals the textbook recursion") {
+    import spark.implicits._
+    // one bursty entity, one quiet entity, one singleton
+    val rows = Seq(
+      (1L, 1000L, 1L, 10.0), (1L, 2000L, 2L, 80.0), (1L, 3000L, 3L, 90.0),
+      (1L, 4000L, 4L, 5.0), (1L, 5000L, 5L, 95.0),
+      (2L, 1000L, 6L, 10.0), (2L, 2000L, 7L, 12.0),
+      (3L, 9000L, 8L, 300.0))
+    val drift = 5000L; val h = 6000L
+    // reference: the literal recursion s = max(0, s + xq - drift)
+    val expect = rows.groupBy(_._1).map { case (ent, rs) =>
+      var s = 0L; var maxS = 0L; var alarms = 0L; var firstRn: Option[Int] = None
+      rs.sortBy(r => (r._2, r._3)).zipWithIndex.foreach { case (r, i) =>
+        s = math.max(0L, s + math.floor(r._4 * 100).toLong - drift)
+        maxS = math.max(maxS, s)
+        if (s > h) { alarms += 1; if (firstRn.isEmpty) firstRn = Some(i + 1) }
+      }
+      ent -> ((rs.size.toLong, alarms, maxS, firstRn))
+    }
+    val got = graft.operators.Timeseries.cusum(
+      rows.toDF("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value", drift, h)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getInt(4))))).toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+    // sanity on the chosen fixture: entity 1 alarms, entity 2 never does
+    assert(got(1L)._2 > 0 && got(2L)._2 == 0L)
+  }
+
+  test("cusum plans one exchange on the entity key (no fold, no collect_list)") {
+    import spark.implicits._
+    val df = graft.operators.Timeseries.cusum(
+      Seq((1L, 1000L, 1L, 10.0)).toDF("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value", 5000L, 6000L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex == 1, s"cusum should shuffle once, got $ex:\n${plan.take(2500)}")
+    assert(!plan.contains("collect_list"), "cusum must not fold per-entity arrays")
+  }
 }
