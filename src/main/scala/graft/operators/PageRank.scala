@@ -205,4 +205,59 @@ object PageRank {
       ranks
     }
   }
+
+  /** Personalized PageRank (random walk with restart to a SEED set) —
+    * the recommendation/relevance face of the power iteration: teleport
+    * mass lands only on `seeds` instead of uniformly, so ranks measure
+    * proximity TO THE SEEDS (Jeh & Widom 2003; Gupta et al., WTF: the
+    * who-to-follow system at Twitter, WWW 2013).
+    *
+    * Same fixed-point integer convention as [[pageRank]]: per-seed
+    * teleport = (teleBase · N) DIV |S| with
+    * teleBase = (dampDen−dampNum)·scale DIV dampDen — two-step DIV so
+    * the product stays < 2^63 up to ~10^9-node graphs at the default
+    * scale. r0 = the teleport vector (walk starts at the seeds), so
+    * non-seed mass is EARNED through edges, never granted. Dangling-free
+    * graphs only (the [[coOccurrenceEdges]] contract — its symmetric
+    * output has no dangling nodes); linear lineage, one rank reference
+    * per round, ReuseExchange serves the edge subtree to every round.
+    *
+    * Returns (node, pr) over ALL nodes; unreached nodes report pr = 0 —
+    * an exact zero in integer arithmetic, not a rounding artifact. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, scale: Long = 1000000000L, dampNum: Int = 85,
+      dampDen: Int = 100, seedCol: String = "node"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val s = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .join(nodes, "node", "left_semi")
+    val counts = nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(s.agg(count(lit(1)).as("n_seeds")))
+    val teleBase = (dampDen - dampNum).toLong * scale / dampDen
+    // static per-node teleport frame: seeds carry teleBase*N DIV |S|,
+    // everyone else 0 — node-sized, reused by every round
+    val tele = nodes.join(s.withColumn("is_seed", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(counts))
+      .select(col("node"),
+        when(col("is_seed").isNotNull,
+          expr(s"$teleBase * n_nodes DIV n_seeds")).otherwise(lit(0L))
+          .as("tele"))
+    val eo = e.join(outw, "src")
+    def round(ranks: DataFrame): DataFrame = {
+      val contrib = eo.join(ranks, eo("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(pr DIV out_w) * w")).as("c"))
+      tele.join(contrib, tele("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (col("tele") +
+            expr(s"$dampNum * coalesce(c, 0) DIV $dampDen")).as("pr"))
+    }
+    var ranks = tele.select(col("node"), col("tele").as("pr"))
+    for (_ <- 1 to iterations) ranks = round(ranks)
+    ranks
+  }
 }

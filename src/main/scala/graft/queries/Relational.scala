@@ -357,15 +357,19 @@ object Relational {
       KCore.kCore(edges, 80, symmetricDistinct = true)
     },
     // link prediction over the same co-occurrence graph
-    // (graft.operators.LinkPredict): top-100 non-adjacent-or-adjacent
-    // pairs by neighborhood Jaccard, with the resource-allocation index
-    // alongside — both integer-exact (ppm / 1e-9 fixed point), wedge
-    // join with ReuseExchange serving the probe side
+    // (graft.operators.LinkPredict.topForQueries): per-query top-5
+    // partner candidates by neighborhood Jaccard, with the resource-
+    // allocation index alongside — both integer-exact (ppm / 1e-9
+    // fixed point). The QUERY-SET face is the graded one: candidate
+    // work is bounded by the query adjacency, where the all-pairs face
+    // is Σ deg² (298M wedges at sf0.1 — measured, see scaladoc)
     "q_linkpred" -> { (s, dir) =>
       import graft.operators.{LinkPredict, PageRank}
       val edges = PageRank.coOccurrenceEdges(
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
-      LinkPredict.topPairs(edges, k = 100)
+      val queries = edges.select(col("src").as("node"))
+        .distinct().filter(col("node") % 199 === 0)
+      LinkPredict.topForQueries(edges, queries, kPerQuery = 5)
     },
     // multi-source BFS (graft.operators.Bfs): exact hop distance from
     // the node%97==0 seed set within 4 hops, frontier-delta rounds.
@@ -379,6 +383,31 @@ object Relational {
       val seeds = edges.select(col("src").as("node"))
         .distinct().filter(col("node") % 97 === 0)
       Bfs.distances(edges, seeds, maxHops = 4)
+    },
+    // personalized PageRank (random walk with restart): teleport mass
+    // restricted to the node%101==0 seed set, 6 fixed-point rounds,
+    // full unrolled DuckDB replay like q_pagerank. Ranks measure
+    // proximity to the seeds — the recommendation face
+    "q_ppr" -> { (s, dir) =>
+      import graft.operators.PageRank
+      val edges = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      val seeds = edges.select(col("src").as("node"))
+        .distinct().filter(col("node") % 101 === 0)
+      PageRank.personalizedPageRank(edges, seeds, iterations = 6)
+    },
+    // bounded Bellman-Ford shortest paths over affinity costs
+    // (1e6 DIV co-occurrence weight — heavier co-purchase = cheaper
+    // hop): exact min-plus distances over paths of <= 3 edges from the
+    // node%97==0 seed set; integer costs replay as a 3-round min-unroll
+    "q_sssp" -> { (s, dir) =>
+      import graft.operators.{Bfs, PageRank}
+      val edges = PageRank.coOccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+        .select(col("src"), col("dst"), expr("1000000 DIV w").as("w"))
+      val seeds = edges.select(col("src").as("node"))
+        .distinct().filter(col("node") % 97 === 0)
+      Bfs.relaxDistances(edges, seeds, rounds = 3)
     })
 
   private def pagerankOracle(iters: Int): String = {
@@ -461,19 +490,50 @@ object Relational {
          SELECT d.node, CAST(d.deg AS BIGINT) AS deg, coalesce(c.triangles, 0) AS triangles, (2000000 * coalesce(c.triangles, 0)) // (d.deg * (d.deg - 1)) AS cc_q FROM deg d LEFT JOIN cnt c ON c.node = d.node WHERE d.deg >= 2""",
     "q_labelprop" -> labelpropOracle(3),
     "q_kcore" -> kcoreOracle(80, 10),
-    // wedge-join replay: common-neighbor counts + RA over the DISTINCT
-    // directed edge list (coOccurrenceEdges is grouped-distinct, weight
-    // ignored); // is BIGINT floor division = Spark's DIV on positives
+    // wedge-join replay over the query set: common-neighbor counts + RA
+    // over the DISTINCT directed edge list (coOccurrenceEdges is
+    // grouped-distinct, weight ignored); // is BIGINT floor division =
+    // Spark's DIV on positives; per-query rank replays the window
     "q_linkpred" ->
       """WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
            deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM e0 GROUP BY 1),
            tag AS MATERIALIZED (SELECT e.src, e.dst, d.deg AS cdeg FROM e0 e JOIN deg d ON d.node = e.dst),
-           cn AS (SELECT a.src AS u, b.src AS v, count(*) AS inter, CAST(sum(1000000000 // a.cdeg) AS BIGINT) AS ra_1e9 FROM tag a JOIN tag b ON a.dst = b.dst AND a.src < b.src GROUP BY 1, 2)
-         SELECT u, v, CAST(inter AS BIGINT) AS inter, CAST(du.deg + dv.deg - inter AS BIGINT) AS uni, CAST(inter * 1000000 // (du.deg + dv.deg - inter) AS BIGINT) AS jac_ppm, ra_1e9 FROM cn JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v ORDER BY jac_ppm DESC, u, v LIMIT 100""",
+           q AS (SELECT node FROM deg WHERE node % 199 = 0),
+           cn AS (SELECT a.src AS u, b.src AS v, count(*) AS inter, CAST(sum(1000000000 // a.cdeg) AS BIGINT) AS ra_1e9 FROM tag a JOIN q ON a.src = q.node JOIN tag b ON a.dst = b.dst AND a.src <> b.src GROUP BY 1, 2),
+           sc AS (SELECT u, v, inter, du.deg + dv.deg - inter AS uni, inter * 1000000 // (du.deg + dv.deg - inter) AS jac_ppm, ra_1e9 FROM cn JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v)
+         SELECT u, CAST(rank AS INT) AS rank, v, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni, CAST(jac_ppm AS BIGINT) AS jac_ppm, ra_1e9 FROM (SELECT *, row_number() OVER (PARTITION BY u ORDER BY jac_ppm DESC, v) AS rank FROM sc) WHERE rank <= 5""",
     // fixed 4-round min-unroll: dist(v) = min over rounds of first
     // reach — exact for any early frontier exhaustion (min is a
     // fixpoint, extra rounds are identity)
-    "q_bfs" -> bfsOracle(4))
+    "q_bfs" -> bfsOracle(4),
+    // 6-round personalized power-iteration replay: teleport vector on
+    // the seed set only, same fixed-point DIV arithmetic as q_pagerank
+    "q_ppr" -> pprOracle(6),
+    // 3-round min-plus unroll over integer affinity costs; min is a
+    // fixpoint so the replay is exact under Spark's early settle-exit
+    "q_sssp" -> ssspOracle(3))
+
+  private def pprOracle(iters: Int): String = {
+    val base =
+      """e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey GROUP BY 1, 2), nodes AS MATERIALIZED (SELECT src AS node FROM e0 UNION SELECT dst FROM e0), outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e0 GROUP BY 1), nn AS (SELECT count(*) AS n FROM nodes), s0 AS (SELECT node FROM nodes WHERE node % 101 = 0), ns AS (SELECT count(*) AS c FROM s0), tele AS MATERIALIZED (SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 150000000 * (SELECT n FROM nn) // (SELECT c FROM ns) ELSE 0 END AS tele FROM nodes n LEFT JOIN s0 s ON n.node = s.node), r0 AS (SELECT node, tele AS pr FROM tele)"""
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"c$i AS (SELECT e.dst, CAST(sum((r.pr // o.out_w) * e.w) AS BIGINT) AS c FROM e0 e JOIN outw o ON e.src = o.src JOIN r$p r ON r.node = e.src GROUP BY 1), " +
+        s"r$i AS (SELECT t.node, t.tele + 85 * coalesce(c.c, 0) // 100 AS pr FROM tele t LEFT JOIN c$i c ON c.dst = t.node)"
+    }.mkString(", ")
+    s"WITH $base, $rounds SELECT node, CAST(pr AS BIGINT) AS pr FROM r$iters"
+  }
+
+  private def ssspOracle(rounds: Int): String = {
+    val base =
+      """e0 AS MATERIALIZED (SELECT src, dst, 1000000 // w AS w FROM (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey GROUP BY 1, 2)), m0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d FROM e0 WHERE src % 97 = 0)"""
+    val iter = (1 to rounds).map { i =>
+      val p = i - 1
+      s"a$i AS (SELECT e.dst AS node, m.d + e.w AS d FROM e0 e JOIN m$p m ON e.src = m.node), " +
+        s"m$i AS (SELECT node, min(d) AS d FROM (SELECT * FROM m$p UNION ALL SELECT * FROM a$i) GROUP BY node)"
+    }.mkString(", ")
+    s"WITH $base, $iter SELECT node, CAST(d AS BIGINT) AS dist FROM m$rounds"
+  }
 
   /** Unrolled multi-source BFS: m_i holds min hop distance within i
     * hops; round i expands ALL reached nodes (the replay does not need

@@ -41,7 +41,8 @@ object ShuffleFingerprints {
     "ev_seqsim", "ev_seqsim_banded", "str_linkage", "str_linkage_sn",
     "str_entities", "d_pipeline", "d_clusters", "d_minhash_lsh",
     "d_simhash_pairs", "d_ngram", "t_bm25", "t_qnorm", "t_tfidf",
-    "ev_markov", "ev_funnel_sessions", "r_quantiles_grp", "t_quality")
+    "ev_markov", "ev_funnel_sessions", "r_quantiles_grp", "t_quality",
+    "q_linkpred", "q_bfs", "sim_cov")
 
   private final class Acc extends SparkListener {
     val wRecs = new AtomicLong; val rRecs = new AtomicLong

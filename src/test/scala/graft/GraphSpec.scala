@@ -305,6 +305,24 @@ class GraphSpec extends SparkSuite {
     assert(got.size == 5)
   }
 
+  test("linkPredict.topForQueries: per-query ranks match the pair scores") {
+    val edges = sym((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val got = graft.operators.LinkPredict.topForQueries(
+        edges, Seq(1L).toDF("node"), kPerQuery = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    // query 1's candidates, ranked jac DESC then v:
+    //   (1,4) jac 500000 > (1,2) 333333 > (1,3) 250000
+    assert(got == Set(
+      (1L, 1, 4L, 1L, 2L, 500000L, 333333333L),
+      (1L, 2, 2L, 1L, 3L, 333333L, 333333333L),
+      (1L, 3, 3L, 1L, 4L, 250000L, 500000000L)))
+    // kPerQuery truncates the per-query list
+    val top1 = graft.operators.LinkPredict.topForQueries(
+      edges, Seq(1L, 3L).toDF("node"), kPerQuery = 1)
+    assert(top1.count() == 2L)
+  }
+
   test("linkPredict: hubCap drops wedge centers above the cap") {
     // star: center 9 connects 1..5; every leaf pair's ONLY common
     // neighbor is the hub, so hubCap < 5 empties the candidate set
@@ -324,6 +342,44 @@ class GraphSpec extends SparkSuite {
       .split("== Initial Plan ==")(0)
     assert(plan.contains("ReusedExchange"),
       s"wedge sides did not share the center shuffle:\n${plan.take(3000)}")
+  }
+
+  test("personalizedPageRank: hand-computed seed-teleport values") {
+    // nodes {1,2}, edges both ways w=1, seeds {1}, scale=100:
+    //   teleBase = 15; tele(1) = 15*2 DIV 1 = 30; tele(2) = 0
+    //   r0 = (30, 0)
+    //   r1(1) = 30 + 85*0 DIV 100  = 30;  r1(2) = 0 + 85*30 DIV 100 = 25
+    //   r2(1) = 30 + 85*25 DIV 100 = 51;  r2(2) = 0 + 85*30 DIV 100 = 25
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val r1 = collectMap[Long, Long](
+      PageRank.personalizedPageRank(edges, seeds, 1, scale = 100L))
+    assert(r1 == Map(1L -> 30L, 2L -> 25L))
+    val r2 = collectMap[Long, Long](
+      PageRank.personalizedPageRank(edges, seeds, 2, scale = 100L))
+    assert(r2 == Map(1L -> 51L, 2L -> 25L))
+    // seeds outside the graph are ignored; all-seed teleport splits mass
+    val rAll = collectMap[Long, Long](PageRank.personalizedPageRank(
+      edges, Seq(1L, 2L, 99L).toDF("node"), 1, scale = 100L))
+    // tele = 15*2 DIV 2 = 15 each; r1 = 15 + 85*15 DIV 100 = 15+12 = 27
+    assert(rAll == Map(1L -> 27L, 2L -> 27L))
+  }
+
+  test("relaxDistances: bounded Bellman-Ford with early settle-exit") {
+    import graft.operators.Bfs
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 7L), (1L, 3L, 20L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    def run(r: Int) = collectMap[Long, Long](
+      Bfs.relaxDistances(edges, seeds, rounds = r))
+    assert(run(1) == Map(1L -> 0L, 2L -> 5L, 3L -> 20L))
+    assert(run(2) == Map(1L -> 0L, 2L -> 5L, 3L -> 12L))
+    // settles at round 2; extra rounds are identity (early exit)
+    assert(run(10) == run(2))
+    // multi-source takes the cheapest side
+    val multi = collectMap[Long, Long](Bfs.relaxDistances(
+      edges, Seq(1L, 2L).toDF("node"), rounds = 3))
+    assert(multi == Map(1L -> 0L, 2L -> 0L, 3L -> 7L))
   }
 
   test("bfs: exact hop distances, unreachable nodes absent, early exhaustion safe") {

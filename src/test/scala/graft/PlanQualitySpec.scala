@@ -58,7 +58,10 @@ class PlanQualitySpec extends SparkSuite {
         // broadcasts (counts / corpus max ts) over bounded frames
         "t_qnorm", "q_skewreport", "ev_rfm",
         // kneserNeyDocScore ships the 1-row bigram-type count
-        "t_kneser")
+        "t_kneser",
+        // personalizedPageRank ships the 1-row (n_nodes × n_seeds)
+        // counts broadcast into the static teleport frame
+        "q_ppr")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
