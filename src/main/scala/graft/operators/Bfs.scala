@@ -116,4 +116,65 @@ object Bfs {
     }
     dist
   }
+
+  /** Per-source hop distances: like [[distances]] but each seed
+    * ("root") runs its own traversal, keyed (root, node) — the input to
+    * any per-seed distance statistic (harmonic/closeness centrality,
+    * landmark embeddings, reachability audits).
+    *
+    * State is Σ_roots |reach(root)| rows — LINEAR per root, bounded by
+    * the seed-set contract (the caller samples roots; an all-nodes
+    * per-source BFS is inherently |V|² and no engine shape fixes that).
+    * Same frontier-delta + localCheckpoint + broadcast-small-frontier
+    * discipline as [[distances]]; the anti-join and every aggregate key
+    * on (root, node), so a hub node does not collapse the traversals
+    * into one partition. */
+  def perSourceDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
+    var reached = seeds.select(col(seedCol).cast("long").as("root"))
+      .filter(col("root").isNotNull).distinct()
+      .withColumn("node", col("root")).withColumn("dist", lit(0))
+      .localCheckpoint()
+    var frontier = reached.select(col("root"), col("node"))
+    var frontierSize = frontier.count()
+    var hop = 0
+    while (hop < maxHops && frontierSize > 0L) {
+      hop += 1
+      val renamed = frontier.withColumnRenamed("node", "src")
+      val probe = if (frontierSize <= 5000000L) broadcast(renamed) else renamed
+      val next = e.join(probe, "src")
+        .select(col("root"), col("dst").as("node")).distinct()
+        .join(reached.select(col("root"), col("node")),
+          Seq("root", "node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint()
+      frontierSize = next.count()
+      if (frontierSize > 0L) {
+        reached = reached.union(next).localCheckpoint()
+        frontier = next.select(col("root"), col("node"))
+      }
+    }
+    reached
+  }
+
+  /** Harmonic centrality of each seed within `maxHops`:
+    * C(s) = Σ_{v ≠ s, d(s,v) ≤ maxHops} 1/d(s,v) — the centrality that
+    * stays well-defined on disconnected graphs (unreached nodes simply
+    * contribute 0, no ∞ bookkeeping). Reported in exact ppm integers:
+    * each term is `1000000 DIV d` (engine-exact), so the sum replays
+    * hash-identically. Returns (root, n_reached, harm_ppm). */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame =
+    perSourceDistances(edges, seeds, maxHops, srcCol, dstCol, seedCol)
+      .filter(col("dist") > 0)
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 DIV dist")).as("harm_ppm"))
 }

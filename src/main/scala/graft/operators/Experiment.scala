@@ -91,4 +91,151 @@ object Experiment {
         ") AS (metric, conv_a, conv_b)")
     zReport(stacked, Seq("metric"))
   }
+
+  /** Chi-square test of independence between two categorical columns —
+    * the contingency-table companion to [[abTest]] (is event mix
+    * independent of the assignment arm? is language independent of
+    * source?).
+    *
+    * Scale shape: ONE corpus scan collapses to the bounded #a×#b cell
+    * domain in a map-side-combined groupBy; row/column totals are
+    * windows over that domain, never the corpus.
+    *
+    * Determinism: observed counts are exact int64. The expected count
+    * E = rowTot·colTot/N is rational, so each cell carries ONE fixed
+    * IEEE dag — e = CAST(rt AS DOUBLE)·ct/N, contrib = (O−e)²/e — then
+    * floors to micro units BEFORE the final sum: summing int64 micro
+    * contributions is order-independent, so the statistic replays
+    * hash-exact where a double Σ would depend on engine visit order.
+    * Returns one row per cell: (a, b, o, e_micro, contrib_micro) —
+    * the caller sums contrib_micro for the statistic and compares to a
+    * χ²((#a−1)(#b−1)) critical value. */
+  def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("rt", sum(col("o")).over(w.partitionBy(col("a"))))
+      .withColumn("ct", sum(col("o")).over(w.partitionBy(col("b"))))
+      .withColumn("n", sum(col("o")).over(
+        w.partitionBy().rowsBetween(w.unboundedPreceding, w.unboundedFollowing)))
+      .withColumn("e", expr("CAST(rt AS DOUBLE) * ct / n"))
+      .select(col("a"), col("b"), col("o"),
+        expr("CAST(floor(e * 1000000) AS BIGINT)").as("e_micro"),
+        expr("CAST(floor((o - e) * (o - e) / e * 1000000) AS BIGINT)")
+          .as("contrib_micro"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the integer-score
+    * distributions of two groups — the drift test a data pipeline runs
+    * between yesterday's corpus and today's (same shape as [[rocAuc]]:
+    * grouped by distinct score, two-level prefix scan over the range-
+    * partitioned score domain, no single-task corpus window).
+    *
+    * D = max_s |cdfA(s) − cdfB(s)| is computed as the exact integer
+    * numerator max_s |cumA(s)·nB − cumB(s)·nA| over the common
+    * denominator nA·nB — int64-exact to nA·nB < 2⁶³ (≈ 3·10⁹ rows per
+    * side). Null group values count toward B; null scores drop.
+    * Returns one row: (n_a, n_b, d_num, ks) with ks = d_num/(nA·nB)
+    * ONE IEEE division (null when a group is empty). */
+  def ksTwoSample(df: DataFrame, scoreCol: Column, inACol: Column)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val g = df
+      .select(scoreCol.cast("long").as("s"),
+        when(inACol, 1L).otherwise(0L).as("ina"))
+      .filter(col("s").isNotNull)
+      .groupBy(col("s"))
+      .agg(sum(col("ina")).as("ca"), sum(lit(1L) - col("ina")).as("cb"))
+    val tagged = g.repartitionByRange(col("s"))
+      .withColumn("pid", spark_partition_id())
+    val wLoc = w.partitionBy(col("pid")).orderBy(col("s"))
+      .rowsBetween(w.unboundedPreceding, 0)
+    val loc = tagged
+      .withColumn("la", sum(col("ca")).over(wLoc))
+      .withColumn("lb", sum(col("cb")).over(wLoc))
+    val prevPids = w.orderBy("pid").rowsBetween(w.unboundedPreceding, -1)
+    val allPids = w.orderBy(lit(1))
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val offs = tagged.groupBy(col("pid"))
+      .agg(sum(col("ca")).as("pa"), sum(col("cb")).as("pb"))
+      .withColumn("offa", coalesce(sum(col("pa")).over(prevPids), lit(0L)))
+      .withColumn("offb", coalesce(sum(col("pb")).over(prevPids), lit(0L)))
+      .withColumn("na", sum(col("pa")).over(allPids))
+      .withColumn("nb", sum(col("pb")).over(allPids))
+      .select(col("pid"), col("offa"), col("offb"), col("na"), col("nb"))
+    loc.join(broadcast(offs), "pid")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs((col("offa") + col("la")) * col("nb") -
+          (col("offb") + col("lb")) * col("na"))).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        expr("CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE " +
+          "CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) END").as("ks"))
+  }
+
+  /** Exact ROC-AUC of an integer score against a binary label — the
+    * classifier-calibration number every quality-filter pipeline needs
+    * (is this score actually ranking good docs above bad ones?).
+    *
+    * The textbook route — rank every row, Mann-Whitney rank-sum — needs
+    * a CORPUS-sized global sort (one task at 100 TB). The closed form
+    * here uses AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻) counted
+    * over the DISTINCT-SCORE domain: group by score (map-side combined —
+    * the corpus collapses to |domain| rows before the wire), then over
+    * scores ascending
+    *
+    *   pairs2 = Σ_s pos_s · (2·cumNegBelow_s + neg_s)   (ties count once)
+    *   AUC    = pairs2 / (2 · n_pos · n_neg)
+    *
+    * The cumulative-negatives scan runs as the prCurve two-level shape,
+    * not one global window: range-partition the score domain, local
+    * exclusive prefix sums per partition, and a broadcast per-partition
+    * offset table (one row per range partition — the only unpartitioned
+    * window runs over THAT). An arbitrary integer score (a timestamp, a
+    * hash) can have corpus-many distinct values; a single
+    * Window.orderBy(s) would funnel them through one task. All counting
+    * is exact int64 (`pairs2 ≤ 2·n_pos·n_neg ≤ N²/2` — fine to
+    * N ≈ 4·10⁹ rows); the final AUC is ONE correctly-rounded IEEE
+    * division of exact integers, so the report replays hash-exact in
+    * SQL. Null labels count as negative; null scores are dropped.
+    * Returns one row: (n_pos, n_neg, pairs2, auc — null when a class is
+    * empty). */
+  def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val g = df
+      .select(scoreCol.cast("long").as("s"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .filter(col("s").isNotNull)
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    val tagged = g.repartitionByRange(col("s"))
+      .withColumn("pid", spark_partition_id())
+    val wLoc = w.partitionBy(col("pid")).orderBy(col("s"))
+      .rowsBetween(w.unboundedPreceding, -1)
+    val loc = tagged
+      .withColumn("lneg", coalesce(sum(col("neg")).over(wLoc), lit(0L)))
+    // the offsets branch aggregates BOTH pos and neg and the class
+    // totals come from IT — so its subtree below the range exchange is
+    // byte-identical to the local branch's and ReuseExchange collapses
+    // the two into ONE corpus read (a neg-only aggregate here would
+    // prune pos, diverge the subtrees, and scan the corpus twice —
+    // pinned by the executed-plan one-scan check in PlanQualitySpec)
+    val offs = tagged.groupBy(col("pid"))
+      .agg(sum(col("neg")).as("nn"), sum(col("pos")).as("np"))
+      .withColumn("offn", coalesce(sum(col("nn")).over(
+        w.orderBy("pid").rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("totp", sum(col("np")).over(w.orderBy(lit(1))
+        .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)))
+      .withColumn("totn", sum(col("nn")).over(w.orderBy(lit(1))
+        .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)))
+      .select(col("pid"), col("offn"), col("totp"), col("totn"))
+    loc.join(broadcast(offs), "pid")
+      .withColumn("cumneg", col("offn") + col("lneg"))
+      .agg(max(col("totp")).as("n_pos"), max(col("totn")).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("cumneg") + col("neg"))).as("pairs2"))
+      .select(col("n_pos"), col("n_neg"), col("pairs2"),
+        expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE " +
+          "CAST(pairs2 AS DOUBLE) / (CAST(2 AS DOUBLE) * n_pos * n_neg) END")
+          .as("auc"))
+  }
 }

@@ -154,4 +154,150 @@ object Timeseries {
         min(when(col("s") > thresholdCenti, col("rn"))).as("first_alarm_rn"))
       .withColumnRenamed("ent", idCol)
   }
+
+  /** Merge overlapping (or touching) per-entity time intervals — the
+    * gaps-and-islands primitive. Each event opens an interval
+    * `[ts, ts + spanUs)`; intervals of the same entity that overlap or
+    * touch coalesce into one "island" (a contiguous activity span:
+    * machine uptime from heartbeats, user presence from page events,
+    * sensor coverage from reports).
+    *
+    * The textbook formulation is a per-entity sequential sweep; the
+    * window-parallel closed form is two frames of ONE ordered window:
+    * a row starts a new island iff its start exceeds the running max of
+    * all PRECEDING ends (not just the previous row's — an early long
+    * interval can swallow many later short ones), and the island id is
+    * the running sum of those start flags. Same scale shape as
+    * [[sessionize]]/[[cusum]]: one corpus scan, one Exchange on the
+    * entity key, windows and the final aggregate all entity-partitioned,
+    * so a power-law entity is a window partition, never a driver array.
+    *
+    * All arithmetic is exact epoch-micros int64 (duration uses integer
+    * division of non-negative micros, so truncation == floor in every
+    * engine). Returns one row per island: (idCol, island_id, n_events,
+    * start_sec, end_sec, dur_sec). */
+  def mergeIntervals(df: DataFrame, idCol: String, tsCol: String,
+      tieCol: String, spanUs: Long): DataFrame = {
+    require(spanUs > 0, s"spanUs must be positive, got $spanUs")
+    val ord = Window.partitionBy("ent").orderBy(col("s_us"), col("tie"))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("ent"), col(tieCol).as("tie"),
+        unix_micros(col(tsCol)).as("s_us"),
+        (unix_micros(col(tsCol)) + spanUs).as("e_us"))
+      .withColumn("flag",
+        when(col("s_us") > coalesce(max(col("e_us")).over(prev),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("island_id", sum(col("flag")).over(run))
+      .groupBy(col("ent"), col("island_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("min(s_us) DIV 1000000").as("start_sec"),
+        expr("max(e_us) DIV 1000000").as("end_sec"),
+        expr("(max(e_us) - min(s_us)) DIV 1000000").as("dur_sec"))
+      .withColumnRenamed("ent", idCol)
+  }
+
+  /** Seasonal-naïve forecast backtest on the hourly event-count series:
+    * forecast ĉ(t) = c(t − period), scored by MASE (mean absolute
+    * scaled error, Hyndman–Koehler 2006) — the standard "is my
+    * forecaster better than doing nothing" yardstick, and the sanity
+    * gate a pipeline runs before trusting any fancier model.
+    *
+    * The last `holdout` buckets are the test window; earlier buckets
+    * train. Both the test MAE and the scaling denominator (in-sample
+    * seasonal-naïve MAE) are integer sums of |c(t) − c(t−period)|, and
+    * MASE = (saeTest·nTrain)/(saeTrain·nTest) needs only ONE IEEE
+    * division of exact int64 products — hash-exact cross-engine.
+    *
+    * The season lag is fetched with a RANGE frame pinned at exactly
+    * `period` behind (`RANGE BETWEEN period PRECEDING AND period
+    * PRECEDING`), so a missing bucket yields NULL (that t is skipped and
+    * counted nowhere) instead of a ROWS lag silently sliding to the
+    * wrong hour across gaps. Scale shape: one corpus scan → bounded
+    * bucket domain → one ordered window over it.
+    *
+    * Returns one row: (n_train, n_test, sae_train, sae_test, mase —
+    * null when either side is empty or sae_train = 0). */
+  def seasonalNaiveBacktest(df: DataFrame, tsCol: String,
+      period: Int = 24, holdout: Int = 168): DataFrame = {
+    require(period > 0 && holdout > 0, s"bad period=$period holdout=$holdout")
+    val ord = Window.orderBy(col("bucket"))
+    val whole = ord.rangeBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    df.select(expr(s"unix_micros($tsCol) DIV 3600000000").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("prev", max(col("cnt")).over(
+        ord.rangeBetween(-period.toLong, -period.toLong)))
+      .withColumn("isTest",
+        col("bucket") > max(col("bucket")).over(whole) - holdout.toLong)
+      .withColumn("ae", abs(col("cnt") - col("prev")))
+      .agg(
+        count(when(!col("isTest"), col("ae"))).as("n_train"),
+        count(when(col("isTest"), col("ae"))).as("n_test"),
+        coalesce(sum(when(!col("isTest"), col("ae"))), lit(0L)).as("sae_train"),
+        coalesce(sum(when(col("isTest"), col("ae"))), lit(0L)).as("sae_test"))
+      .select(col("n_train"), col("n_test"), col("sae_train"), col("sae_test"),
+        expr("CASE WHEN n_train = 0 OR n_test = 0 OR sae_train = 0 THEN NULL " +
+          "ELSE CAST(sae_test * n_train AS DOUBLE) / " +
+          "(CAST(sae_train AS DOUBLE) * n_test) END").as("mase"))
+  }
+
+  /** Classical additive seasonal decomposition of the corpus's hourly
+    * event-count series: cnt = trend + seasonal + residual, with the
+    * trend a centered 2×`period` moving average and the seasonal the
+    * per-phase mean of the detrended series — the decomposition a data
+    * pipeline runs to separate daily rhythm from drift before alerting
+    * on the residual.
+    *
+    * Exactness discipline: the classical estimator is rational, not
+    * integer, so everything is carried in EXACT scaled integers —
+    * `trend48` is the (1,2,…,2,1)/2·period weighted window sum (48ths
+    * for period=24: two RANGE frames of the same ordered window, wide
+    * [-p/2,+p/2] plus narrow [-(p/2-1),+(p/2-1)] — endpoints once,
+    * middles twice; RANGE frames make absent buckets exact implicit
+    * zeros of the count series), `detr48 = 2p·cnt − trend48`, and the
+    * seasonal mean is floor-divided to micro-48ths with an explicit
+    * pmod-based floor (Spark's `DIV` truncates toward zero, SQL `//`
+    * floors — they disagree on negatives, so neither is used raw).
+    *
+    * Scale shape: ONE corpus scan collapses to the bucket domain in a
+    * map-side-combined groupBy (hours: 100 TB of events is still <10⁶
+    * buckets); every window after that runs over the bounded domain,
+    * never the corpus. Trend/seasonal/residual are null on the first and
+    * last `period/2` buckets (no centered window exists — the classical
+    * edge contract, not an implementation gap).
+    *
+    * Returns one row per hour bucket: (bucket epoch-hour, cnt, trend48,
+    * seas_micro48, resid_micro48). */
+  def seasonalDecompose(df: DataFrame, tsCol: String, period: Int = 24)
+      : DataFrame = {
+    require(period > 0 && period % 2 == 0,
+      s"period must be positive and even, got $period")
+    val half = period / 2
+    val ord = Window.orderBy(col("bucket"))
+    val whole = ord.rangeBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val buckets = df
+      .select(expr(s"unix_micros($tsCol) DIV 3600000000").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    buckets
+      .withColumn("trend48",
+        when(col("bucket") - min(col("bucket")).over(whole) >= half &&
+             max(col("bucket")).over(whole) - col("bucket") >= half,
+          sum(col("cnt")).over(ord.rangeBetween(-half, half)) +
+            sum(col("cnt")).over(ord.rangeBetween(-(half - 1), half - 1))))
+      .withColumn("detr48",
+        lit(2L * period) * col("cnt") - col("trend48"))
+      .withColumn("h", pmod(col("bucket"), lit(period.toLong)))
+      .withColumn("seas_sum",
+        sum(col("detr48")).over(Window.partitionBy(col("h"))))
+      .withColumn("n_h",
+        count(col("detr48")).over(Window.partitionBy(col("h"))))
+      .withColumn("seas_micro48", when(col("detr48").isNotNull,
+        expr("(seas_sum * 1000000 - pmod(seas_sum * 1000000, n_h)) DIV n_h")))
+      .select(col("bucket"), col("cnt"), col("trend48"),
+        col("seas_micro48"),
+        (col("detr48") * 1000000L - col("seas_micro48")).as("resid_micro48"))
+  }
 }

@@ -194,6 +194,37 @@ object EventQueries {
         "user_id", "ts", "event_id", "value",
         driftCenti = 6000L, thresholdCenti = 50000L)
     },
+    // gaps-and-islands interval merge (graft.operators.Timeseries
+    // .mergeIntervals): each event opens a 4-hour interval; per-user
+    // overlapping/touching intervals coalesce via the running-max-of-
+    // ends window closed form. Island-level report, epoch-seconds exact
+    "ev_islands" -> { (s, dir) =>
+      graft.operators.Timeseries.mergeIntervals(Tables.events(s, dir),
+        "user_id", "ts", "event_id", spanUs = 4L * 3600 * 1000000)
+    },
+    // classical additive seasonal decomposition of the hourly corpus
+    // count series (graft.operators.Timeseries.seasonalDecompose):
+    // 2x24 centered-MA trend, per-hour-of-day seasonal mean, residual —
+    // all in exact scaled integers (48ths / micro-48ths)
+    "ev_decompose" -> { (s, dir) =>
+      graft.operators.Timeseries.seasonalDecompose(
+        Tables.events(s, dir), "ts", period = 24)
+    },
+    // seasonal-naive MASE backtest (graft.operators.Timeseries
+    // .seasonalNaiveBacktest): last-week holdout, integer |err| sums,
+    // one IEEE division for the ratio
+    "ev_mase" -> { (s, dir) =>
+      graft.operators.Timeseries.seasonalNaiveBacktest(
+        Tables.events(s, dir), "ts", period = 24, holdout = 168)
+    },
+    // chi-square independence: event mix vs the user_id%2 assignment arm
+    // (graft.operators.Experiment.chiSquare) — bounded cell domain,
+    // per-cell micro contributions floor-quantized before any sum
+    "ev_chisq" -> { (s, dir) =>
+      graft.operators.Experiment.chiSquare(
+        Tables.events(s, dir).filter(col("user_id").isNotNull),
+        col("event_type"), pmod(col("user_id"), lit(2L)))
+    },
     // gap-based sessionization primitive (30-minute gap): the graded
     // output is session-level — per (user, session) event count and
     // whole-second duration — proving the per-event assignment exactly
@@ -594,6 +625,26 @@ object EventQueries {
     // match Spark's IntegerType rank
     "ev_cusum" ->
       """WITH e AS (SELECT user_id, ts, event_id, CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS xq FROM events WHERE user_id IS NOT NULL), w AS (SELECT user_id, CAST(row_number() OVER win AS INT) AS rn, sum(xq - 6000) OVER (win ROWS UNBOUNDED PRECEDING) AS p FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT user_id, rn, p - least(min(p) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING), 0) AS sv FROM w) SELECT user_id, count(*) AS n_events, count(*) FILTER (WHERE sv > 50000) AS n_alarms, CAST(max(sv) AS BIGINT) AS max_s, CAST(min(rn) FILTER (WHERE sv > 50000) AS INT) AS first_alarm_rn FROM s GROUP BY user_id""",
+    // islands replay: the same running-max-of-preceding-ends flag +
+    // running-sum id assignment; all epoch-micros BIGINTs are
+    // non-negative so // == Spark's DIV
+    "ev_islands" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s_us, epoch_us(ts) + 14400000000 AS e_us FROM events WHERE user_id IS NOT NULL), f AS (SELECT user_id, event_id, s_us, e_us, CASE WHEN max(e_us) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL OR s_us > max(e_us) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS flag FROM e WINDOW win AS (PARTITION BY user_id ORDER BY s_us, event_id)), i AS (SELECT user_id, s_us, e_us, sum(flag) OVER (win ROWS UNBOUNDED PRECEDING) AS island_id FROM f WINDOW win AS (PARTITION BY user_id ORDER BY s_us, event_id)) SELECT user_id, CAST(island_id AS BIGINT) AS island_id, count(*) AS n_events, min(s_us) // 1000000 AS start_sec, max(e_us) // 1000000 AS end_sec, (max(e_us) - min(s_us)) // 1000000 AS dur_sec FROM i GROUP BY user_id, island_id""",
+    // decomposition replay: identical RANGE frames over the bucket
+    // domain (absent hours are implicit zeros in both engines), and the
+    // same explicit pmod floor-division (DuckDB // floors, Spark DIV
+    // truncates — the subtraction makes the division exact so both agree)
+    "ev_decompose" ->
+      """WITH b AS (SELECT epoch_us(ts) // 3600000000 AS bucket, count(*) AS cnt FROM events GROUP BY 1), t AS (SELECT bucket, cnt, CASE WHEN bucket - min(bucket) OVER () >= 12 AND max(bucket) OVER () - bucket >= 12 THEN sum(cnt) OVER (win RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) + sum(cnt) OVER (win RANGE BETWEEN 11 PRECEDING AND 11 FOLLOWING) END AS trend48 FROM b WINDOW win AS (ORDER BY bucket)), d AS (SELECT bucket, cnt, trend48, 48 * cnt - trend48 AS detr48, bucket % 24 AS h FROM t), s AS (SELECT bucket, cnt, trend48, detr48, CAST(sum(detr48) OVER (PARTITION BY h) AS BIGINT) AS seas_sum, count(detr48) OVER (PARTITION BY h) AS n_h FROM d), m AS (SELECT bucket, cnt, trend48, detr48, CASE WHEN detr48 IS NOT NULL THEN (seas_sum * 1000000 - ((seas_sum * 1000000 % n_h) + n_h) % n_h) // n_h END AS seas_micro48 FROM s) SELECT CAST(bucket AS BIGINT) AS bucket, cnt, CAST(trend48 AS BIGINT) AS trend48, CAST(seas_micro48 AS BIGINT) AS seas_micro48, CAST(detr48 * 1000000 - seas_micro48 AS BIGINT) AS resid_micro48 FROM m""",
+    // MASE replay: the same 24-back RANGE-pinned seasonal lag, integer
+    // |err| sums, the identical int-product-then-divide double dag
+    "ev_mase" ->
+      """WITH b AS (SELECT epoch_us(ts) // 3600000000 AS bucket, count(*) AS cnt FROM events GROUP BY 1), w AS (SELECT bucket, cnt, max(cnt) OVER (ORDER BY bucket RANGE BETWEEN 24 PRECEDING AND 24 PRECEDING) AS prev, bucket > max(bucket) OVER () - 168 AS is_test FROM b), a AS (SELECT abs(cnt - prev) AS ae, is_test FROM w) SELECT count(ae) FILTER (WHERE NOT is_test) AS n_train, count(ae) FILTER (WHERE is_test) AS n_test, coalesce(CAST(sum(ae) FILTER (WHERE NOT is_test) AS BIGINT), 0) AS sae_train, coalesce(CAST(sum(ae) FILTER (WHERE is_test) AS BIGINT), 0) AS sae_test, CASE WHEN count(ae) FILTER (WHERE NOT is_test) = 0 OR count(ae) FILTER (WHERE is_test) = 0 OR coalesce(CAST(sum(ae) FILTER (WHERE NOT is_test) AS BIGINT), 0) = 0 THEN NULL ELSE CAST(coalesce(CAST(sum(ae) FILTER (WHERE is_test) AS BIGINT), 0) * count(ae) FILTER (WHERE NOT is_test) AS DOUBLE) / (CAST(coalesce(CAST(sum(ae) FILTER (WHERE NOT is_test) AS BIGINT), 0) AS DOUBLE) * count(ae) FILTER (WHERE is_test)) END AS mase FROM a""",
+    // chi-square replay: identical cell/margin windows over the bounded
+    // domain and the identical per-cell double dag, floored to micro
+    // BEFORE any cross-cell aggregation (order-independent)
+    "ev_chisq" ->
+      """WITH c AS (SELECT event_type AS a, user_id % 2 AS b, count(*) AS o FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2), w AS (SELECT a, b, o, CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS rt, CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS ct, CAST(sum(o) OVER () AS BIGINT) AS n FROM c), e AS (SELECT a, b, o, CAST(rt AS DOUBLE) * ct / n AS e FROM w) SELECT a, b, o, CAST(floor(e * 1000000) AS BIGINT) AS e_micro, CAST(floor((o - e) * (o - e) / e * 1000000) AS BIGINT) AS contrib_micro FROM e""",
     // sessionize replay: lag-gap flag + running sum assigns the same
     // 1-based ids; epoch-micros integer division floors durations
     // identically

@@ -384,6 +384,19 @@ object Relational {
         .distinct().filter(col("node") % 97 === 0)
       Bfs.distances(edges, seeds, maxHops = 4)
     },
+    // harmonic centrality of a sampled root set via per-source BFS
+    // (graft.operators.Bfs.harmonicCentrality): 3-hop neighborhoods,
+    // per-root 1/d sums in exact ppm. State is linear per root (the
+    // seed-set contract); the replay is the q_bfs min-unroll carrying
+    // the root key
+    "q_harmonic" -> { (s, dir) =>
+      import graft.operators.{Bfs, PageRank}
+      val edges = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      val seeds = edges.select(col("src").as("node"))
+        .distinct().filter(col("node") % 997 === 0)
+      Bfs.harmonicCentrality(edges, seeds, maxHops = 3)
+    },
     // personalized PageRank (random walk with restart): teleport mass
     // restricted to the node%101==0 seed set, 6 fixed-point rounds,
     // full unrolled DuckDB replay like q_pagerank. Ranks measure
@@ -506,6 +519,9 @@ object Relational {
     // reach — exact for any early frontier exhaustion (min is a
     // fixpoint, extra rounds are identity)
     "q_bfs" -> bfsOracle(4),
+    // per-source min-unroll with the root key carried; 1/d terms as
+    // exact ppm integer division
+    "q_harmonic" -> harmonicOracle(3),
     // 6-round personalized power-iteration replay: teleport vector on
     // the seed set only, same fixed-point DIV arithmetic as q_pagerank
     "q_ppr" -> pprOracle(6),
@@ -538,6 +554,17 @@ object Relational {
   /** Unrolled multi-source BFS: m_i holds min hop distance within i
     * hops; round i expands ALL reached nodes (the replay does not need
     * the frontier optimization — min() collapses re-reached nodes). */
+  private def harmonicOracle(hops: Int): String = {
+    val base =
+      """e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey), m0 AS (SELECT DISTINCT src AS root, src AS node, 0 AS d FROM e0 WHERE src % 997 = 0)"""
+    val rounds = (1 to hops).map { i =>
+      val p = i - 1
+      s"a$i AS (SELECT DISTINCT m.root, e.dst AS node, $i AS d FROM e0 e JOIN m$p m ON e.src = m.node), " +
+        s"m$i AS (SELECT root, node, min(d) AS d FROM (SELECT * FROM m$p UNION ALL SELECT * FROM a$i) GROUP BY root, node)"
+    }.mkString(", ")
+    s"WITH $base, $rounds SELECT root, count(*) FILTER (WHERE d > 0) AS n_reached, CAST(sum(1000000 // d) FILTER (WHERE d > 0) AS BIGINT) AS harm_ppm FROM m$hops GROUP BY root"
+  }
+
   private def bfsOracle(hops: Int): String = {
     val base =
       """e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey), m0 AS (SELECT DISTINCT src AS node, 0 AS d FROM e0 WHERE src % 97 = 0)"""

@@ -165,6 +165,15 @@ object SimilarityQueries {
         Pca.topComponent(Pca.momentStats(emb, "embedding", qBits = 14), d = 64))
       Pca.projectQ(emb, "embedding", vq, qBits = 14, outCol = "proj_q")
         .select(col("vec_id"), col("label"), col("proj_q"))
+    },
+    // Johnson–Lindenstrauss random projection (graft.similarity.Rproj):
+    // 8 deterministic splitmix64 Rademacher sign lanes, exact int64
+    // projections, zero shuffle — the oracle replays the dot products
+    // from the aux_rproj_signs dump (the aux_pca_vec pattern)
+    "sim_rproj" -> { (s, dir) =>
+      Rproj.projectQ(Tables.embeddings(s, dir), "embedding",
+        Rproj.signMatrix(d = 64, k = 8), qBits = 14,
+        keep = Seq("vec_id"))
     })
 
   /** Spark-computed intermediates for structural oracle replays (the
@@ -178,6 +187,12 @@ object SimilarityQueries {
           Pca.momentStats(Tables.embeddings(s, dir), "embedding", qBits = 14),
           d = 64))
       vq.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "vq")
+    },
+    "aux_rproj_signs" -> { (s, dir) =>
+      import s.implicits._
+      val m = Rproj.signMatrix(d = 64, k = 8)
+      (for (i <- m.indices; j <- m(i).indices)
+        yield (i, j, m(i)(j))).toDF("i", "j", "sign")
     })
 
   private[queries] val COS =
@@ -359,5 +374,11 @@ SELECT i, j, CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM u GROUP BY 1, 2""",
     "sim_pca" ->
       """WITH vq AS (SELECT i, vq FROM '__OUTDIR__/aux_pca_vec/*.parquet'),
 e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT)) AS qa FROM embeddings)
-SELECT vec_id, label, CAST(sum(qa[CAST(i + 1 AS INT)] * vq) AS BIGINT) AS proj_q FROM e, vq GROUP BY vec_id, label""")
+SELECT vec_id, label, CAST(sum(qa[CAST(i + 1 AS INT)] * vq) AS BIGINT) AS proj_q FROM e, vq GROUP BY vec_id, label""",
+    // JL projection replay over the Spark-dumped sign matrix: per-lane
+    // integer dot product, order-independent
+    "sim_rproj" ->
+      """WITH sg AS (SELECT i, j, sign FROM '__OUTDIR__/aux_rproj_signs/*.parquet'),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT)) AS qa FROM embeddings)
+SELECT vec_id, j, CAST(sum(qa[CAST(i + 1 AS INT)] * sign) AS BIGINT) AS proj_q FROM e, sg GROUP BY vec_id, j""")
 }

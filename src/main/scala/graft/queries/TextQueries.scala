@@ -194,6 +194,35 @@ object TextQueries {
         col("lang") === "en")
     },
 
+    // exact ROC-AUC of a score vs a binary label (graft.operators
+    // .Experiment.rocAuc): the rank-free grouped closed form — no
+    // corpus-sized global sort; the cumulative runs as the prCurve
+    // two-level scan over the range-partitioned score domain. pairs2 is
+    // the exact doubled Mann-Whitney statistic; auc ONE IEEE division
+    "t_auc" -> { (s, dir) =>
+      graft.operators.Experiment.rocAuc(Tables.documents(s, dir),
+        col("n_chars"), col("lang") === "en")
+    },
+
+    // two-sample Kolmogorov-Smirnov distance between the en / non-en
+    // n_chars distributions (graft.operators.Experiment.ksTwoSample):
+    // exact integer cross-multiplied numerator over the distinct-score
+    // domain — the corpus-drift test
+    "t_ks" -> { (s, dir) =>
+      graft.operators.Experiment.ksTwoSample(Tables.documents(s, dir),
+        col("n_chars"), col("lang") === "en")
+    },
+
+    // whole-document bin packing (graft.text.packBinsNoSplit): next-fit-
+    // decreasing within 8 deterministic shards, 128-token bins, full
+    // per-document assignment replayed by a recursive-CTE oracle
+    "t_binpack" -> { (s, dir) =>
+      graft.text.packBinsNoSplit(
+        Tables.documents(s, dir)
+          .withColumn("ntok", countTokensWs(col("text"))),
+        "doc_id", "ntok", capTokens = 128L, nShards = 8)
+    },
+
     // winnowing fingerprints (MOSS): k=2-gram polyHashes, window w=4
     // sliding minima, distinct — exact oracle via DuckDB list ops
     "t_winnow" -> { (s, dir) =>
@@ -545,6 +574,22 @@ ${(1 to 12).map(bpeRoundSql).mkString(",\n")}"""
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok FROM documents), h AS (SELECT doc_id, list_transform(range(1, len(tok)), i -> list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)], ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)) AS hs FROM t), f AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE list_distinct(list_transform(range(1, greatest(1, len(hs) - 3) + 1), i -> list_min(hs[CAST(i AS INT):CAST(least(i + 3, len(hs)) AS INT)]))) END AS fps FROM h) SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum FROM f""",
     "t_prcurve" ->
       """WITH g AS (SELECT CAST(n_chars AS BIGINT) AS thr, count(*) FILTER (WHERE lang = 'en') AS pos, count(*) AS n FROM documents GROUP BY 1), c AS (SELECT thr, CAST(sum(pos) OVER w AS BIGINT) AS tp, CAST(sum(n) OVER w AS BIGINT) AS cn FROM g WINDOW w AS (ORDER BY thr DESC)), tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p FROM g) SELECT thr, tp, cn - tp AS fp, tp * 1000000 // cn AS prec_ppm, CASE WHEN p > 0 THEN tp * 1000000 // p END AS rec_ppm FROM c, tot""",
+    // KS replay: the same grouped cumulative cross-multiplication; max
+    // of exact integers, one final division
+    "t_ks" ->
+      """WITH g AS (SELECT CAST(n_chars AS BIGINT) AS s, count(*) FILTER (WHERE lang = 'en') AS ca, count(*) FILTER (WHERE lang IS NULL OR lang <> 'en') AS cb FROM documents WHERE n_chars IS NOT NULL GROUP BY 1), c AS (SELECT s, CAST(sum(ca) OVER w AS BIGINT) AS cuma, CAST(sum(cb) OVER w AS BIGINT) AS cumb, CAST(sum(ca) OVER () AS BIGINT) AS na, CAST(sum(cb) OVER () AS BIGINT) AS nb FROM g WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT max(na) AS n_a, max(nb) AS n_b, CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num, CASE WHEN max(na) = 0 OR max(nb) = 0 THEN NULL ELSE CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) / (CAST(max(na) AS DOUBLE) * max(nb)) END AS ks FROM c""",
+    // bin-packing replay: rank rows NFD per shard, then a recursive CTE
+    // walks rank i -> i+1 carrying (bin, cum) — exactly the streaming
+    // fold; the p.cum > 0 guard keeps an over-cap document in its own
+    // fresh bin instead of opening a second one
+    "t_binpack" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, doc_id % 8 AS shard, CAST($nws AS BIGINT) AS tok FROM documents WHERE doc_id IS NOT NULL), r AS (SELECT doc_id, shard, tok, CAST(row_number() OVER (PARTITION BY shard ORDER BY tok DESC, doc_id) AS BIGINT) AS rn FROM d), p AS (SELECT doc_id, shard, tok, rn, CAST(1 AS BIGINT) AS bin_id, tok AS cum FROM r WHERE rn = 1 UNION ALL SELECT r.doc_id, r.shard, r.tok, r.rn, CASE WHEN p.cum > 0 AND p.cum + r.tok > 128 THEN p.bin_id + 1 ELSE p.bin_id END, CASE WHEN p.cum > 0 AND p.cum + r.tok > 128 THEN r.tok ELSE p.cum + r.tok END FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1) SELECT doc_id, shard, bin_id, tok AS n_tok FROM p""",
+    // AUC replay: the same grouped pair-count — ties contribute once via
+    // the pos*(...+neg) same-score term; sums cast back to BIGINT
+    // (DuckDB widens to HUGEINT) and the final division is the identical
+    // double dag
+    "t_auc" ->
+      """WITH g AS (SELECT CAST(n_chars AS BIGINT) AS s, count(*) FILTER (WHERE lang = 'en') AS pos, count(*) FILTER (WHERE lang IS NULL OR lang <> 'en') AS neg FROM documents WHERE n_chars IS NOT NULL GROUP BY 1), c AS (SELECT s, pos, neg, coalesce(CAST(sum(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumneg FROM g) SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg, CAST(sum(pos * (2 * cumneg + neg)) AS BIGINT) AS pairs2, CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL ELSE CAST(sum(pos * (2 * cumneg + neg)) AS DOUBLE) / (CAST(2 AS DOUBLE) * sum(pos) * sum(neg)) END AS auc FROM c""",
     "t_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents), tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2), dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), r AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df, row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfq.df ASC, tf.tok) AS rank FROM tf JOIN dfq USING (tok)) SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 4) AS score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3""",
     "t_ppl" ->

@@ -1374,4 +1374,52 @@ package object text {
         expr("CASE WHEN totp > 0 THEN (offp + ltp) * 1000000 DIV totp END")
           .as("rec_ppm"))
   }
+
+  /** Whole-document bin packing: assign each document to a training
+    * "bin" of at most `capTokens` tokens WITHOUT splitting documents —
+    * the complement of [[packSequences]] (which concatenates and chunks
+    * mid-document). Pipelines that must keep documents intact (eval
+    * sets, long-context curricula, RAG corpora) pack this way.
+    *
+    * Optimal bin packing is NP-hard; the implemented contract is the
+    * standard scalable compromise: documents are sharded by
+    * `pmod(id, nShards)` (deterministic, no RNG) and packed next-fit-
+    * decreasing WITHIN each shard — sort by token count descending, walk
+    * once, open a new bin whenever the current document no longer fits.
+    * NFD's sequential walk is the per-shard cost by design: the caller
+    * sizes `nShards` so a shard is ~10⁴ documents, and all shards pack
+    * in parallel (repartition on the shard key + sortWithinPartitions +
+    * ONE streaming mapPartitions fold — O(1) state per task, no
+    * collect_list, no driver anything). A document larger than the cap
+    * gets a bin of its own (never dropped, never split).
+    *
+    * Determinism: shard, order (tok DESC, id), and the fold are all
+    * integer-exact, so the full per-document assignment replays in SQL
+    * as a recursive CTE. Returns one row per document:
+    * (idCol, shard, bin_id, n_tok) with bin_id 1-based per shard. */
+  def packBinsNoSplit(df: DataFrame, idCol: String, nTokCol: String,
+      capTokens: Long, nShards: Int): DataFrame = {
+    require(capTokens > 0 && nShards > 0,
+      s"bad capTokens=$capTokens nShards=$nShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        pmod(col(idCol).cast("long"), lit(nShards.toLong)).as("shard"),
+        greatest(coalesce(col(nTokCol).cast("long"), lit(0L)), lit(0L)).as("tok"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("tok").desc, col("id"))
+      .as[(Long, Long, Long)]
+    sorted.mapPartitions { it =>
+      // a task may hold several shards back-to-back (hash partitioning);
+      // the fold state resets on every shard boundary
+      var cur = Long.MinValue; var cum = 0L; var bin = 0L
+      it.map { case (id, shard, tok) =>
+        if (shard != cur) { cur = shard; bin = 1L; cum = 0L }
+        if (cum > 0L && cum + tok > capTokens) { bin += 1L; cum = 0L }
+        cum += tok
+        (id, shard, bin, tok)
+      }
+    }.toDF(idCol, "shard", "bin_id", "n_tok")
+  }
 }

@@ -397,4 +397,26 @@ class GraphSpec extends SparkSuite {
       Bfs.distances(edges, Seq(1L, 5L, 77L).toDF("node"), maxHops = 10))
     assert(multi == Map(1L -> 0, 5L -> 0, 77L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
   }
+
+  test("perSourceDistances: independent traversals per root; harmonic ppm sums") {
+    import graft.operators.Bfs
+    // path 1-2-3-4-5 plus isolated edge 8-9; roots {1, 4, 8}
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val seeds = Seq(1L, 4L, 8L).toDF("node")
+    val got = Bfs.perSourceDistances(edges, seeds, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val want = Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1, (1L, 3L) -> 2, (1L, 4L) -> 3,
+      (4L, 4L) -> 0, (4L, 3L) -> 1, (4L, 5L) -> 1, (4L, 2L) -> 2, (4L, 1L) -> 3,
+      (8L, 8L) -> 0, (8L, 9L) -> 1)
+    assert(got == want, s"got $got")
+    // harmonic: root 1 -> 1/1 + 1/2 + 1/3 (ppm-floored per term);
+    // root 4 -> 2/1 + 1/2 + 1/3; root 8 -> 1/1
+    val harm = Bfs.harmonicCentrality(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(harm == Map(
+      1L -> ((3L, 1000000L + 500000L + 333333L)),
+      4L -> ((4L, 2000000L + 500000L + 333333L)),
+      8L -> ((1L, 1000000L))), s"got $harm")
+  }
 }

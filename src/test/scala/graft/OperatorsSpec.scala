@@ -891,4 +891,149 @@ class OperatorsSpec extends SparkSuite {
     assert(got("a") == ((6L, 10.0, 5.0, 1L)), s"a: ${got("a")}")
     assert(got("b") == ((3L, 7.0, 0.0, 1L)), s"b: ${got("b")}")
   }
+
+  // --- rocAuc ---------------------------------------------------------------
+
+  test("rocAuc equals brute pair counting with ties, nulls count as negative") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      val s = rnd.nextInt(20).toLong
+      // higher scores more likely positive -> AUC strictly between .5 and 1
+      val lab: Option[Boolean] =
+        if (i % 17 == 0) None else Some(rnd.nextInt(20) < s + 3)
+      (s, lab)
+    }
+    val out = graft.operators.Experiment.rocAuc(
+      rows.toDF("s", "y"), col("s"), col("y")).collect()(0)
+    val pos = rows.filter(_._2.contains(true)).map(_._1)
+    val neg = rows.filter(!_._2.contains(true)).map(_._1)
+    val pairs2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(out.getLong(0) == pos.size && out.getLong(1) == neg.size)
+    assert(out.getLong(2) == pairs2, s"pairs2 ${out.getLong(2)} != $pairs2")
+    assert(out.getDouble(3) == pairs2.toDouble / (2.0 * pos.size * neg.size))
+    assert(out.getDouble(3) > 0.5 && out.getDouble(3) < 1.0)
+  }
+
+  test("rocAuc: perfect separation = 1, reversed = 0, one-class = null") {
+    def auc(rows: Seq[(Long, Boolean)]): org.apache.spark.sql.Row =
+      graft.operators.Experiment.rocAuc(
+        rows.toDF("s", "y"), col("s"), col("y")).collect()(0)
+    assert(auc(Seq((10L, true), (9L, true), (1L, false))).getDouble(3) == 1.0)
+    assert(auc(Seq((1L, true), (9L, false))).getDouble(3) == 0.0)
+    assert(auc(Seq((1L, true), (2L, true))).isNullAt(3))
+  }
+
+  // --- chiSquare --------------------------------------------------------------
+
+  test("chiSquare: hand-computed 2x2 table, independent table gives ~0") {
+    // classic 2x2: a=(x:30,y:10), b=(x:10,y:30) -> chi2 = 20*80^2/(40*40*40*40/80...)
+    val rows = Seq.fill(30)(("g1", 0L)) ++ Seq.fill(10)(("g1", 1L)) ++
+      Seq.fill(10)(("g2", 0L)) ++ Seq.fill(30)(("g2", 1L))
+    val out = graft.operators.Experiment.chiSquare(
+        rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // every margin is 40, N = 80 -> E = 20 for all four cells;
+    // contrib = (30-20)^2/20 = 5 or (10-20)^2/20 = 5 -> chi2 = 20
+    assert(out.size == 4)
+    out.values.foreach { case (o, eMicro, cMicro) =>
+      assert(Set(10L, 30L)(o) && eMicro == 20000000L && cMicro == 5000000L,
+        s"cell ($o, $eMicro, $cMicro)")
+    }
+    // perfectly proportional table -> every contribution exactly 0
+    val ind = Seq.fill(20)(("g1", 0L)) ++ Seq.fill(10)(("g1", 1L)) ++
+      Seq.fill(40)(("g2", 0L)) ++ Seq.fill(20)(("g2", 1L))
+    val zero = graft.operators.Experiment.chiSquare(
+      ind.toDF("a", "b"), col("a"), col("b")).collect()
+    assert(zero.forall(_.getLong(4) == 0L), "independent table must give 0")
+  }
+
+  // --- ksTwoSample ------------------------------------------------------------
+
+  test("ksTwoSample equals brute max-CDF-gap with ties; identical groups give 0") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 400).map { i =>
+      val a = i % 3 != 0
+      // group A shifted up -> nonzero D
+      (rnd.nextInt(15).toLong + (if (a) 3 else 0), a)
+    }
+    val out = graft.operators.Experiment.ksTwoSample(
+      rows.toDF("s", "y"), col("s"), col("y")).collect()(0)
+    val sa = rows.filter(_._2).map(_._1); val sb = rows.filterNot(_._2).map(_._1)
+    val dnum = (0L to 20L).map(t =>
+      math.abs(sa.count(_ <= t).toLong * sb.size - sb.count(_ <= t).toLong * sa.size)).max
+    assert(out.getLong(0) == sa.size && out.getLong(1) == sb.size)
+    assert(out.getLong(2) == dnum, s"d_num ${out.getLong(2)} != $dnum")
+    assert(out.getDouble(3) == dnum.toDouble / (sa.size.toDouble * sb.size))
+    val same = graft.operators.Experiment.ksTwoSample(
+      (rows ++ rows.map(r => (r._1, !r._2))).toDF("s", "y"), col("s"), col("y"))
+      .collect()(0)
+    assert(same.getLong(2) >= 0) // sanity; exact-zero needs equal multisets:
+    val eq = (0 until 100).flatMap(i => Seq((i.toLong % 7, true), (i.toLong % 7, false)))
+    val z = graft.operators.Experiment.ksTwoSample(
+      eq.toDF("s", "y"), col("s"), col("y")).collect()(0)
+    assert(z.getLong(2) == 0L && z.getDouble(3) == 0.0)
+  }
+
+  // --- packBinsNoSplit --------------------------------------------------------
+
+  test("packBinsNoSplit matches a brute per-shard NFD fold; oversized docs get own bins") {
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 500).map(i =>
+      (i.toLong, if (i == 7) 999L else rnd.nextInt(120).toLong))
+    val cap = 128L; val nShards = 4
+    val out = graft.text.packBinsNoSplit(
+        docs.toDF("doc_id", "ntok"), "doc_id", "ntok", cap, nShards)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val brute = docs.groupBy(_._1 % nShards).flatMap { case (shard, ds) =>
+      var cum = 0L; var bin = 0L
+      ds.sortBy(d => (-d._2, d._1)).map { case (id, tok) =>
+        if (bin == 0L) { bin = 1L }
+        else if (cum > 0L && cum + tok > cap) { bin += 1; cum = 0L }
+        cum += tok
+        id -> ((shard, bin, tok))
+      }
+    }
+    assert(out == brute, s"assignment mismatch (${out.size} docs)")
+    // every bin fits the cap unless it holds a single oversized doc
+    val byBin = out.values.groupBy(v => (v._1, v._2))
+    byBin.foreach { case (b, ds) =>
+      val tot = ds.map(_._3).sum
+      assert(tot <= cap || ds.size == 1, s"bin $b overflows: $tot with ${ds.size} docs")
+    }
+    assert(byBin((7L % nShards, 1L)).size == 1, "oversized doc must sit alone in bin 1")
+  }
+
+  // --- Rproj ------------------------------------------------------------------
+
+  test("Rproj: deterministic signs, exact integer lanes, zero shuffle") {
+    val m1 = Rproj.signMatrix(16, 4)
+    val m2 = Rproj.signMatrix(16, 4)
+    val m3 = Rproj.signMatrix(16, 4, seed = 43L)
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq, "same seed must repeat")
+    assert(m1.map(_.toSeq).toSeq != m3.map(_.toSeq).toSeq, "different seed must differ")
+    assert(m1.flatten.forall(s => s == 1L || s == -1L))
+    assert(m1.flatten.count(_ == 1L) > 10 && m1.flatten.count(_ == -1L) > 10,
+      "signs should be roughly balanced")
+
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = Rproj.projectQ(vecs.toDF("vec_id", "embedding"), "embedding",
+      m1, qBits = 14, keep = Seq("vec_id"))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size == 50 * 4)
+    vecs.foreach { case (id, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 16384).toLong)
+      for (j <- 0 until 4) {
+        val want = q.indices.map(i => q(i) * m1(i)(j)).sum
+        assert(got((id, j)) == want, s"vec $id lane $j")
+      }
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"rproj must not shuffle:\n${plan.take(1200)}")
+  }
 }

@@ -525,10 +525,18 @@ class PlanQualitySpec extends SparkSuite {
     // appearing means a subtree diverged and the corpus pays twice.
     // t_prcurve joins the same list: one corpus aggregate collapses to
     // the distinct-score frame, everything after runs on that frame —
-    // a second documents scan means the cumulative diverged
+    // a second documents scan means the cumulative diverged. t_auc /
+    // t_ks LAZY-plan two scans (the offsets branch re-derives the
+    // range-partitioned frame) but the subtrees are byte-identical, so
+    // the EXECUTED plan must collapse them through ReusedExchange to
+    // one corpus read — exactly what this executed-plan check proves.
+    // ev_islands / ev_decompose / ev_mase / ev_chisq are single-pass
+    // window/aggregate chains over one collapse of the corpus
     for (name <- Seq("ev_funnel", "ev_retention", "ev_transitions",
         "ev_paths", "ev_sessionize", "ev_funnel_sessions",
-        "ev_funnel_times", "t_prcurve")) {
+        "ev_funnel_times", "t_prcurve",
+        "ev_islands", "ev_decompose", "ev_mase", "ev_chisq",
+        "t_auc", "t_ks")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
@@ -844,9 +852,22 @@ class PlanQualitySpec extends SparkSuite {
     assume(java.nio.file.Files.exists(p), s"no lockfile at $p")
     val stored = ShuffleFingerprints.parse(java.nio.file.Files.readString(p))
     val current = ShuffleFingerprints.compute(spark, dir).toMap
+    // the gate is a REGRESSION net: only an INCREASE past tolerance
+    // fails (a lost broadcast, a diverged subtree). A decrease past
+    // tolerance is logged, not failed — measured once under a loaded
+    // box (q_linkpred write 47274 -> 29476 records in a full-suite run,
+    // lockfile-exact solo): AQE's runtime join/coalesce choices can
+    // legitimately shrink executed volume under different scheduling,
+    // and "shuffled less than locked" is not a performance bug
     def off(cur: Long, st: Long, tol: Double): Boolean =
       if (st == 0L) cur != 0L
-      else math.abs(cur - st) > tol * st
+      else cur - st > tol * st
+    stored.keySet.intersect(current.keySet).toSeq.sorted.foreach { q =>
+      val (sw, sr) = stored(q); val (cw, cr) = current(q)
+      if ((sw - cw) > 0.20 * sw || (sr - cr) > 0.35 * sr)
+        info(s"$q shuffled LESS than the lockfile (write $sw -> $cw, " +
+          s"read $sr -> $cr) — consider regenerating")
+    }
     val drifted = stored.keySet.intersect(current.keySet).toSeq.sorted.flatMap { q =>
       val (sw, sr) = stored(q); val (cw, cr) = current(q)
       val bad = (if (off(cw, sw, 0.20)) Seq(s"write $sw -> $cw") else Nil) ++

@@ -166,4 +166,131 @@ class TimeseriesSpec extends SparkSuite {
     assert(ex == 1, s"cusum should shuffle once, got $ex:\n${plan.take(2500)}")
     assert(!plan.contains("collect_list"), "cusum must not fold per-entity arrays")
   }
+
+  // --- mergeIntervals -----------------------------------------------------
+
+  test("mergeIntervals merges overlap and touch, splits on gap, exact seconds") {
+    // span 10s: events at 0s, 5s (overlap), 15s (touch: starts exactly at
+    // 15s = 5s+10s end), 40s (gap of 15s -> new island); entity 2 single
+    val rows = Seq((1L, ts(0, 0), 1L), (1L, ts(0, 5), 2L),
+      (1L, ts(0, 15), 3L), (1L, ts(0, 40), 4L), (2L, ts(0, 0), 5L))
+    val out = graft.operators.Timeseries.mergeIntervals(
+        rows.toDF("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id", spanUs = 10000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(t => (t._1, t._2))
+    // day-0 epoch offset: ts(0, s) = s seconds after 86400000L*0
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 0L, 25L, 25L),   // 0-10, 5-15, 15-25 coalesce
+      (1L, 2L, 1L, 40L, 50L, 10L),  // the post-gap island
+      (2L, 1L, 1L, 0L, 10L, 10L)), s"got ${out.mkString(";")}")
+  }
+
+  test("mergeIntervals matches a brute sequential sweep on random data") {
+    val rnd = new scala.util.Random(907)
+    val rows = (0 until 400).map(i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(2), rnd.nextInt(3000)), i.toLong))
+    val span = 120000000L // 2 min
+    val out = graft.operators.Timeseries.mergeIntervals(
+        rows.toDF("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id", spanUs = span)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val brute = rows.groupBy(_._1).flatMap { case (ent, es) =>
+      val sorted = es.map(e => (e._2.getTime * 1000L, e._3)).sortBy(identity)
+      var islands = List.empty[(Long, Long, Long)] // (start, end, n)
+      sorted.foreach { case (s, _) =>
+        islands match {
+          case (st, en, n) :: rest if s <= en =>
+            islands = (st, math.max(en, s + span), n + 1) :: rest
+          case _ => islands = (s, s + span, 1L) :: islands
+        }
+      }
+      islands.reverse.zipWithIndex.map { case ((st, en, n), i) =>
+        (ent, i + 1L) -> (n, st / 1000000L, en / 1000000L, (en - st) / 1000000L) }
+    }
+    assert(out == brute, s"mismatch: ${out.size} vs ${brute.size} islands")
+  }
+
+  // --- seasonalNaiveBacktest ----------------------------------------------
+
+  test("seasonalNaiveBacktest: exact integer SAEs, RANGE lag skips gaps, MASE ratio") {
+    // 10 days hourly, holdout = last 48 buckets. cnt = 5 + (b%24==2 ? b/24 : 0):
+    // seasonal-naive error is 0 except on the %24==2 phase where it's 1.
+    // Drop bucket 50 entirely: the RANGE lag must null out t=50+24=74
+    // (skipped), NOT slide to bucket 49's count.
+    val rows = (0 until 240).filter(_ != 50).flatMap { b =>
+      val n = 5 + (if (b % 24 == 2) b / 24 else 0)
+      (0 until n).map(i => Tuple1(new Timestamp(b * 3600000L + i * 1000L)))
+    }
+    val out = graft.operators.Timeseries
+      .seasonalNaiveBacktest(rows.toDF("ts"), "ts", period = 24, holdout = 48)
+      .collect()(0)
+    // buckets with a defined prev: 24..239 minus {50, 74} -> 214 pairs;
+    // test = buckets 192..239 (48), train = the other 166
+    assert(out.getLong(0) == 166L && out.getLong(1) == 48L,
+      s"counts ${out.getLong(0)}/${out.getLong(1)}")
+    // |err| = 1 exactly on %24==2 phase buckets with prev: train has
+    // 26, 74(dropped), 98, 122, 146, 170 -> 5 ones (74 skipped);
+    // test has 194, 218 -> 2 ones
+    assert(out.getLong(2) == 5L && out.getLong(3) == 2L,
+      s"saes ${out.getLong(2)}/${out.getLong(3)}")
+    assert(out.getDouble(4) == (2.0 * 166.0) / (5.0 * 48.0))
+  }
+
+  // --- seasonalDecompose --------------------------------------------------
+
+  test("seasonalDecompose recovers an exact periodic signal with zero residual") {
+    // 4 days of hourly counts: 10/hour, except hour-of-day 3 gets 15.
+    // A perfectly periodic series has constant 2x24 MA = 48*10 + 48*(5/24)
+    // = 490 (in 48ths), detr48 = 230 on the spike phase / -10 elsewhere,
+    // per-phase seasonal mean equals detr48 exactly -> residual 0.
+    val rows = (0 until 96).flatMap { b =>
+      val n = if (b % 24 == 3) 15 else 10
+      (0 until n).map(i => Tuple1(new Timestamp(b * 3600000L + i * 1000L)))
+    }
+    val out = graft.operators.Timeseries
+      .seasonalDecompose(rows.toDF("ts"), "ts", period = 24).collect()
+    assert(out.length == 96)
+    val edge = out.filter(r => r.getLong(0) < 12 || r.getLong(0) > 83)
+    assert(edge.length == 24 && edge.forall(_.isNullAt(2)),
+      "first/last 12 buckets must have null trend")
+    val mid = out.filter(r => !r.isNullAt(2))
+    assert(mid.length == 72)
+    mid.foreach { r =>
+      val (b, cnt, trend, seas, resid) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(trend == 490L, s"bucket $b trend $trend")
+      val expSeas = if (b % 24 == 3) 230000000L else -10000000L
+      assert(seas == expSeas && resid == 0L && cnt == (if (b % 24 == 3) 15 else 10),
+        s"bucket $b: seas $seas resid $resid")
+    }
+  }
+
+  test("seasonalDecompose floor-divides negative seasonal means exactly (pmod floor)") {
+    // engineered so a phase's detrended mean is negative and NOT an
+    // integer multiple: floor semantics (toward -inf) are the contract —
+    // Spark DIV truncation would round toward zero and differ
+    val rows = (0 until 50).flatMap { b =>
+      val n = 3 + (b % 7) // period 7 pattern sampled by a period-4 decompose
+      (0 until n).map(i => Tuple1(new Timestamp(b * 3600000L + i * 1000L)))
+    }
+    val out = graft.operators.Timeseries
+      .seasonalDecompose(rows.toDF("ts"), "ts", period = 4).collect()
+    // cross-check one non-edge phase against a driver-side exact rational
+    val byB = out.map(r => r.getLong(0) -> r).toMap
+    val cnts = (0 until 50).map(b => 3L + b % 7)
+    def trend8(b: Int): Long =
+      (b - 2 to b + 2).map(cnts(_)).sum + (b - 1 to b + 1).map(cnts(_)).sum
+    val detr = (2 to 47).map(b => b -> (8L * cnts(b) - trend8(b))).toMap
+    for (h <- 0 until 4) {
+      val ds = detr.filter(_._1 % 4 == h).values.toSeq
+      val num = ds.sum * 1000000L
+      val den = ds.size.toLong
+      val expSeas = Math.floorDiv(num, den)
+      val got = byB.values.filter(r => !r.isNullAt(3) && r.getLong(0) % 4 == h)
+        .map(_.getLong(3)).toSet
+      assert(got == Set(expSeas), s"phase $h: got $got want $expSeas")
+    }
+  }
 }
