@@ -94,4 +94,47 @@ object Attribution {
     spark.createDataFrame(out)
       .toDF("channel", "conv_ppb", "conv_removed_ppb", "removal_ppm")
   }
+
+  /** Position-based ("U-shaped") multi-touch attribution — the rule-
+    * based industry staple next to the model-based
+    * [[markovRemovalEffects]]: for each conversion, the touches since
+    * the previous conversion split 40% / 20% / 40% between the first
+    * touch, the middles (evenly), and the last touch (one touch takes
+    * 100%, two split 50/50).
+    *
+    * Credits are exact integer micros: 400000 / 400000 to the ends,
+    * floor(200000/(m−2)) per middle — sums replay hash-identically (the
+    * flooring means a conversion credits ≤ 10⁶, not always exactly 10⁶;
+    * that is the documented contract, not a rounding bug to chase).
+    *
+    * Plan: ONE corpus scan, one entity-key exchange; the conversion
+    * segments are a running purchase-count frame and the within-segment
+    * ranks a second frame of the same ordered window (touches after the
+    * entity's last conversion credit nothing). Returns one row per
+    * touch channel: (channel, n_touches, credit_micro). */
+  def positionBasedAttribution(df: DataFrame, idCol: String, tsCol: String,
+      tieCol: String, typeCol: String, convType: String): DataFrame = {
+    val ord = Window.partitionBy("ent").orderBy(col("ts"), col("tie"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byEnt = Window.partitionBy("ent")
+    val seg = Window.partitionBy(col("ent"), col("segAfter"))
+    val segOrd = seg.orderBy(col("ts"), col("tie"))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("ent"), col(tsCol).as("ts"),
+        col(tieCol).as("tie"), col(typeCol).as("ch"),
+        when(col(typeCol) === convType, 1L).otherwise(0L).as("isConv"))
+      .withColumn("segAfter", sum(col("isConv")).over(run))
+      .withColumn("nConv", sum(col("isConv")).over(byEnt))
+      .filter(col("isConv") === 0L && col("segAfter") < col("nConv"))
+      .withColumn("rn", row_number().over(segOrd))
+      .withColumn("m", count(lit(1)).over(seg))
+      .withColumn("credit",
+        when(col("m") === 1L, 1000000L)
+          .when(col("m") === 2L, 500000L)
+          .when(col("rn") === 1 || col("rn") === col("m"), 400000L)
+          .otherwise(expr("200000 DIV (m - 2)")))
+      .groupBy(col("ch").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).as("credit_micro"))
+  }
 }

@@ -234,4 +234,42 @@ object ExactQuantiles {
         sum(when(col("dev") * kDen > col("mad") * kNum, 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** Winsorized robust statistics per group: clip every value into the
+    * group's exact [pLo, pHi] quantile interval and aggregate the
+    * clipped column — the standard way to report a mean that one fat
+    * tail cannot own (ad spend, request latency, doc length) while
+    * keeping every row counted, unlike trimming.
+    *
+    * The clip bounds are ACTUAL data elements from
+    * [[exactQuantilesByGroup]] (no interpolation), the clip is pure
+    * comparison/selection, and the clipped sum is centi-quantized
+    * (floor(w·100), one IEEE multiply+floor per row) before the int64
+    * aggregate — so the whole report is order-independent and replays
+    * hash-exact against SQL `quantile_disc` + the same clip. Plan:
+    * one grouped-quantile pass (~2 shuffles, no single-task group), a
+    * broadcast of the group-sized bounds table, one clip-and-aggregate
+    * corpus pass.
+    *
+    * Returns (groupCol, n, n_clip_lo, n_clip_hi, lo, hi, wsum_centi). */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, s"bad [$pLo, $pHi]")
+    val base = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val bounds = exactQuantilesByGroup(base, "g", "v", Seq(pLo, pHi))
+      .groupBy(col("g")).agg(
+        min(when(col("prob") === pLo, col("value"))).as("lo"),
+        min(when(col("prob") === pHi, col("value"))).as("hi"))
+    base.join(broadcast(bounds), "g")
+      .withColumn("w", least(greatest(col("v"), col("lo")), col("hi")))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum(floor(col("w") * 100).cast("long")).as("wsum_centi"))
+      .withColumnRenamed("g", groupCol)
+  }
 }

@@ -173,6 +173,52 @@ object Experiment {
           "CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) END").as("ks"))
   }
 
+  /** Per-period distribution drift monitor: the two-sample KS distance
+    * of EACH period's score distribution against the whole corpus —
+    * "which day's traffic stopped looking like the baseline", the
+    * always-on companion to the one-shot [[ksTwoSample]].
+    *
+    * Exactness: D must be evaluated wherever EITHER step CDF jumps;
+    * since every period observation is also a corpus observation, the
+    * corpus's distinct-score support IS the union grid — so the sup is
+    * taken over an explicit (periods × support) grid (a period-absent
+    * score contributes cnt 0 through the left join, holding that
+    * period's CDF flat exactly as the math requires). Numerators are
+    * the exact integers |cumP·nG − cumG·nP|; one IEEE division at the
+    * end. The grid is bounded by contract: quantize continuous scores
+    * first (periods · |support| rows, e.g. 365 days × 10⁵ centi-values
+    * = 4·10⁷ — domain-sized, never corpus-sized).
+    *
+    * Returns one row per period: (day, n_day, d_num, ks). */
+  def ksDriftByPeriod(df: DataFrame, tsCol: String, scoreCol: Column,
+      periodUs: Long = 86400000000L): DataFrame = {
+    require(periodUs > 0, s"bad periodUs=$periodUs")
+    val w = org.apache.spark.sql.expressions.Window
+    val g = df
+      .select(expr(s"unix_micros($tsCol) DIV $periodUs").as("day"),
+        scoreCol.cast("long").as("s"))
+      .filter(col("s").isNotNull && col("day").isNotNull)
+      .groupBy(col("day"), col("s")).agg(count(lit(1)).as("cnt"))
+    val gs = g.groupBy(col("s")).agg(sum(col("cnt")).as("gn"))
+      .withColumn("cumg", sum(col("gn")).over(
+        w.orderBy("s").rowsBetween(w.unboundedPreceding, 0)))
+      .withColumn("ng", sum(col("gn")).over(w.partitionBy()))
+    val days = g.groupBy(col("day")).agg(sum(col("cnt")).as("nd"))
+    days.crossJoin(broadcast(gs))
+      .join(g, Seq("day", "s"), "left")
+      .withColumn("cumd", sum(coalesce(col("cnt"), lit(0L))).over(
+        w.partitionBy("day").orderBy("s")
+          .rowsBetween(w.unboundedPreceding, 0)))
+      .groupBy(col("day"))
+      .agg(max(col("nd")).as("n_day"), max(col("ng")).as("ng"),
+        max(abs(col("cumd") * col("ng") - col("cumg") * col("nd")))
+          .as("d_num"))
+      .select(col("day"), col("n_day"), col("d_num"),
+        expr("CASE WHEN n_day = 0 OR ng = 0 THEN NULL ELSE " +
+          "CAST(d_num AS DOUBLE) / (CAST(n_day AS DOUBLE) * ng) END")
+          .as("ks"))
+  }
+
   /** Exact ROC-AUC of an integer score against a binary label — the
     * classifier-calibration number every quality-filter pipeline needs
     * (is this score actually ranking good docs above bad ones?).

@@ -217,6 +217,22 @@ object EventQueries {
       graft.operators.Timeseries.seasonalNaiveBacktest(
         Tables.events(s, dir), "ts", period = 24, holdout = 168)
     },
+    // position-based (U-shaped) multi-touch attribution
+    // (graft.operators.Attribution.positionBasedAttribution): 40/20/40
+    // credit in exact integer micros over purchase-delimited segments
+    "ev_position" -> { (s, dir) =>
+      graft.operators.Attribution.positionBasedAttribution(
+        Tables.events(s, dir), "user_id", "ts", "event_id",
+        "event_type", "purchase")
+    },
+    // per-day KS drift of the centi-quantized value distribution vs the
+    // whole corpus (graft.operators.Experiment.ksDriftByPeriod): sup
+    // over the exact (periods x support) grid, integer numerators
+    "ev_drift" -> { (s, dir) =>
+      graft.operators.Experiment.ksDriftByPeriod(
+        Tables.events(s, dir), "ts",
+        floor(col("value").cast("double") * 100))
+    },
     // chi-square independence: event mix vs the user_id%2 assignment arm
     // (graft.operators.Experiment.chiSquare) — bounded cell domain,
     // per-cell micro contributions floor-quantized before any sum
@@ -640,6 +656,14 @@ object EventQueries {
     // |err| sums, the identical int-product-then-divide double dag
     "ev_mase" ->
       """WITH b AS (SELECT epoch_us(ts) // 3600000000 AS bucket, count(*) AS cnt FROM events GROUP BY 1), w AS (SELECT bucket, cnt, max(cnt) OVER (ORDER BY bucket RANGE BETWEEN 24 PRECEDING AND 24 PRECEDING) AS prev, bucket > max(bucket) OVER () - 168 AS is_test FROM b), a AS (SELECT abs(cnt - prev) AS ae, is_test FROM w) SELECT count(ae) FILTER (WHERE NOT is_test) AS n_train, count(ae) FILTER (WHERE is_test) AS n_test, coalesce(CAST(sum(ae) FILTER (WHERE NOT is_test) AS BIGINT), 0) AS sae_train, coalesce(CAST(sum(ae) FILTER (WHERE is_test) AS BIGINT), 0) AS sae_test, CASE WHEN count(ae) FILTER (WHERE NOT is_test) = 0 OR count(ae) FILTER (WHERE is_test) = 0 OR coalesce(CAST(sum(ae) FILTER (WHERE NOT is_test) AS BIGINT), 0) = 0 THEN NULL ELSE CAST(coalesce(CAST(sum(ae) FILTER (WHERE is_test) AS BIGINT), 0) * count(ae) FILTER (WHERE NOT is_test) AS DOUBLE) / (CAST(coalesce(CAST(sum(ae) FILTER (WHERE NOT is_test) AS BIGINT), 0) AS DOUBLE) * count(ae) FILTER (WHERE is_test)) END AS mase FROM a""",
+    // position attribution replay: the same running conversion-count
+    // segmentation and within-segment ranks; integer micro credits
+    "ev_position" ->
+      """WITH e AS (SELECT user_id AS ent, ts, event_id AS tie, event_type AS ch, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isconv FROM events WHERE user_id IS NOT NULL), w AS (SELECT ent, ts, tie, ch, isconv, sum(isconv) OVER (PARTITION BY ent ORDER BY ts, tie ROWS UNBOUNDED PRECEDING) AS seg, sum(isconv) OVER (PARTITION BY ent) AS nconv FROM e), t AS (SELECT ent, seg, ch, ts, tie FROM w WHERE isconv = 0 AND seg < nconv), r AS (SELECT ent, seg, ch, CAST(row_number() OVER (PARTITION BY ent, seg ORDER BY ts, tie) AS BIGINT) AS rn, count(*) OVER (PARTITION BY ent, seg) AS m FROM t), c AS (SELECT ch, CASE WHEN m = 1 THEN 1000000 WHEN m = 2 THEN 500000 WHEN rn = 1 OR rn = m THEN 400000 ELSE 200000 // (m - 2) END AS credit FROM r) SELECT ch AS channel, count(*) AS n_touches, CAST(sum(credit) AS BIGINT) AS credit_micro FROM c GROUP BY 1""",
+    // drift replay: the identical (day x support) grid with a 0-filled
+    // left join holding each day's CDF flat at non-observed scores
+    "ev_drift" ->
+      """WITH g AS (SELECT epoch_us(ts) // 86400000000 AS day, CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS s, count(*) AS cnt FROM events WHERE value IS NOT NULL GROUP BY 1, 2), gs AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS gn FROM g GROUP BY 1), gc AS (SELECT s, CAST(sum(gn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumg, CAST(sum(gn) OVER () AS BIGINT) AS ng FROM gs), d AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS nd FROM g GROUP BY 1), dc AS (SELECT d.day, d.nd, gc.s, gc.cumg, gc.ng, CAST(sum(coalesce(g.cnt, 0)) OVER (PARTITION BY d.day ORDER BY gc.s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumd FROM d CROSS JOIN gc LEFT JOIN g ON g.day = d.day AND g.s = gc.s) SELECT day, max(nd) AS n_day, CAST(max(abs(cumd * ng - cumg * nd)) AS BIGINT) AS d_num, CASE WHEN max(nd) = 0 OR max(ng) = 0 THEN NULL ELSE CAST(max(abs(cumd * ng - cumg * nd)) AS DOUBLE) / (CAST(max(nd) AS DOUBLE) * max(ng)) END AS ks FROM dc GROUP BY day""",
     // chi-square replay: identical cell/margin windows over the bounded
     // domain and the identical per-cell double dag, floored to micro
     // BEFORE any cross-cell aggregation (order-independent)

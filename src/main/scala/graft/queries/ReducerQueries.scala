@@ -155,6 +155,14 @@ object ReducerQueries {
         Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
         .select(col("g").as("l_returnflag"), col("n"), col("med"),
           col("mad"), col("n_outliers"))
+    },
+    // winsorized robust stats (graft.operators.ExactQuantiles
+    // .winsorizedStats): clip to the exact per-group [p10, p90]
+    // quantile_disc elements, centi-quantized clipped sum
+    "r_winsor" -> { (s, dir) =>
+      graft.operators.ExactQuantiles.winsorizedStats(
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
+        pLo = 0.10, pHi = 0.90)
     })
 
   private val ORD = Oracles.itemOrder
@@ -185,6 +193,10 @@ object ReducerQueries {
     // MAD replay: quantile_disc twice (the pinned exactQuantiles
     // convention), deviations as raw IEEE doubles — med/mad are actual
     // data(-derived) elements, identical bit patterns in both engines
+    // winsorize replay: the same quantile_disc bounds, the same clip,
+    // floor(w*100) per row before the BIGINT sum (order-independent)
+    "r_winsor" ->
+      """WITH v AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL), b AS (SELECT g, quantile_disc(v, 0.10) AS lo, quantile_disc(v, 0.90) AS hi FROM v GROUP BY g), j AS (SELECT v.g, v.v, b.lo, b.hi, least(greatest(v.v, b.lo), b.hi) AS w FROM v JOIN b USING (g)) SELECT g AS l_returnflag, count(*) AS n, count(*) FILTER (WHERE v < lo) AS n_clip_lo, count(*) FILTER (WHERE v > hi) AS n_clip_hi, min(lo) AS lo, min(hi) AS hi, CAST(sum(CAST(floor(w * 100) AS BIGINT)) AS BIGINT) AS wsum_centi FROM j GROUP BY g""",
     "r_mad" ->
       """WITH v AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL), med AS (SELECT g, quantile_disc(v, 0.5) AS med FROM v GROUP BY g), dev AS (SELECT v.g, med, abs(v - med) AS dev FROM v JOIN med USING (g)), mad AS (SELECT g, quantile_disc(dev, 0.5) AS mad FROM dev GROUP BY g) SELECT dev.g AS l_returnflag, count(*) AS n, min(dev.med) AS med, min(mad.mad) AS mad, count(*) FILTER (WHERE dev * 1 > mad.mad * 3) AS n_outliers FROM dev JOIN mad USING (g) GROUP BY dev.g""")
 }

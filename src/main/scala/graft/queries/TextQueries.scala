@@ -204,6 +204,13 @@ object TextQueries {
         col("n_chars"), col("lang") === "en")
     },
 
+    // per-document Shannon character entropy (graft.text.charEntropy):
+    // row-local run-length histogram of the sorted char array, per-term
+    // 2^20-quantized ln before the order-independent sum, zero shuffle
+    "t_entropy" -> { (s, dir) =>
+      graft.text.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // two-sample Kolmogorov-Smirnov distance between the en / non-en
     // n_chars distributions (graft.operators.Experiment.ksTwoSample):
     // exact integer cross-multiplied numerator over the distinct-score
@@ -574,6 +581,11 @@ ${(1 to 12).map(bpeRoundSql).mkString(",\n")}"""
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok FROM documents), h AS (SELECT doc_id, list_transform(range(1, len(tok)), i -> list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)], ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)) AS hs FROM t), f AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE list_distinct(list_transform(range(1, greatest(1, len(hs) - 3) + 1), i -> list_min(hs[CAST(i AS INT):CAST(least(i + 3, len(hs)) AS INT)]))) END AS fps FROM h) SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum FROM f""",
     "t_prcurve" ->
       """WITH g AS (SELECT CAST(n_chars AS BIGINT) AS thr, count(*) FILTER (WHERE lang = 'en') AS pos, count(*) AS n FROM documents GROUP BY 1), c AS (SELECT thr, CAST(sum(pos) OVER w AS BIGINT) AS tp, CAST(sum(n) OVER w AS BIGINT) AS cn FROM g WINDOW w AS (ORDER BY thr DESC)), tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p FROM g) SELECT thr, tp, cn - tp AS fp, tp * 1000000 // cn AS prec_ppm, CASE WHEN p > 0 THEN tp * 1000000 // p END AS rec_ppm FROM c, tot""",
+    // entropy replay: per-char counts via unnest+group (same multiset
+    // as Spark's run-length fold over the sorted array), the identical
+    // quantized-ln term, sums cast back from HUGEINT
+    "t_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents), nn AS (SELECT doc_id, count(*) AS n FROM c GROUP BY 1), k AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2), e AS (SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_distinct, CAST(sum(cnt * CAST(floor(1048576.0 * ln(CAST(nn.n AS DOUBLE) / cnt)) AS BIGINT)) AS BIGINT) AS entq FROM k JOIN nn USING (doc_id) GROUP BY 1) SELECT e.doc_id, nn.n AS n_chars_total, e.n_distinct, e.entq, CAST(e.entq AS DOUBLE) / (nn.n * 1048576) AS entropy FROM e JOIN nn USING (doc_id)""",
     // KS replay: the same grouped cumulative cross-multiplication; max
     // of exact integers, one final division
     "t_ks" ->

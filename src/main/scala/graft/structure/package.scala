@@ -148,7 +148,16 @@ package object structure {
 
   /** `ak.run_lengths` — lengths of runs of equal adjacent values
     * (reference `lib/structure.py:772-795`). Single `aggregate` HOF pass
-    * with a (runs, prev, count) struct accumulator. */
+    * with a (runs, prev, count) struct accumulator.
+    *
+    * SCALE WARNING: the accumulator appends to an array, and Catalyst
+    * copies it per element — O(len²) per row. Fine on the short ragged
+    * lists this mirrors from the reference; on corpus-length arrays
+    * (hundreds+ of elements) use the O(len) run-BOUNDARY spelling
+    * instead (`filter(sequence(...))` change positions + `zip_with`
+    * shifted subtraction — see [[graft.text.charEntropy]], where the
+    * fold version measured as a stuck 25-minute task at 50k×500-char
+    * docs and the boundary version runs in seconds). */
   def runLengths(c: Column): Column = {
     val zero = struct(
       array().cast(org.apache.spark.sql.types.ArrayType(

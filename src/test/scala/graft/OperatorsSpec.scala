@@ -976,6 +976,59 @@ class OperatorsSpec extends SparkSuite {
     assert(z.getLong(2) == 0L && z.getDouble(3) == 0.0)
   }
 
+  // --- ksDriftByPeriod --------------------------------------------------------
+
+  test("ksDriftByPeriod: brute per-period sup over the union grid; flat periods ~0") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(61)
+    // 3 "days" (1s periods): days 0/2 draw 0..9, day 1 shifted up by 5
+    val rows = (0 until 900).map { i =>
+      val day = i % 3
+      val s = rnd.nextInt(10).toLong + (if (day == 1) 5 else 0)
+      (new Timestamp(day * 1000L + (i / 3)), s)
+    }
+    val out = graft.operators.Experiment.ksDriftByPeriod(
+        rows.toDF("ts", "v"), "ts", col("v"), periodUs = 1000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val all = rows.map(_._2); val nG = all.size.toLong
+    val support = all.distinct.sorted
+    for (day <- 0 to 2) {
+      val dv = rows.filter(_._1.getTime / 1000 == day).map(_._2)
+      val nD = dv.size.toLong
+      val dnum = support.map(s =>
+        math.abs(dv.count(_ <= s) * nG - all.count(_ <= s) * nD)).max
+      assert(out(day.toLong) == ((nD, dnum, dnum.toDouble / (nD.toDouble * nG))),
+        s"day $day: ${out(day.toLong)} want ($nD, $dnum)")
+    }
+    // the shifted day must drift hardest
+    assert(out(1L)._3 > out(0L)._3 && out(1L)._3 > out(2L)._3)
+  }
+
+  // --- positionBasedAttribution -----------------------------------------------
+
+  test("positionBasedAttribution: U-shaped credits, segments, uncredited tail") {
+    import java.sql.Timestamp
+    def ev(u: Long, sec: Int, id: Long, t: String) =
+      (u, new Timestamp(1000L * sec), id, t)
+    val rows = Seq(
+      // user 1: A,B,C -> buy | D -> buy | E (tail, uncredited)
+      ev(1, 1, 1, "A"), ev(1, 2, 2, "B"), ev(1, 3, 3, "C"),
+      ev(1, 4, 4, "purchase"), ev(1, 5, 5, "D"), ev(1, 6, 6, "purchase"),
+      ev(1, 7, 7, "E"),
+      // user 2: X,Y -> buy (50/50); user 3: no purchase, nothing credited
+      ev(2, 1, 8, "X"), ev(2, 2, 9, "Y"), ev(2, 3, 10, "purchase"),
+      ev(3, 1, 11, "A"), ev(3, 2, 12, "B"))
+    val out = graft.operators.Attribution.positionBasedAttribution(
+        rows.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type", "purchase")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      "A" -> ((1L, 400000L)), "B" -> ((1L, 200000L)), "C" -> ((1L, 400000L)),
+      "D" -> ((1L, 1000000L)), "X" -> ((1L, 500000L)), "Y" -> ((1L, 500000L))),
+      s"got $out")
+  }
+
   // --- packBinsNoSplit --------------------------------------------------------
 
   test("packBinsNoSplit matches a brute per-shard NFD fold; oversized docs get own bins") {
@@ -1004,6 +1057,59 @@ class OperatorsSpec extends SparkSuite {
       assert(tot <= cap || ds.size == 1, s"bin $b overflows: $tot with ${ds.size} docs")
     }
     assert(byBin((7L % nShards, 1L)).size == 1, "oversized doc must sit alone in bin 1")
+  }
+
+  // --- winsorizedStats --------------------------------------------------------
+
+  test("winsorizedStats matches a brute sorted clip under the quantile_disc rank") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 600).map(i =>
+      (if (i % 2 == 0) "a" else "b",
+        if (i % 97 == 0) 10000.0 else rnd.nextInt(1000) / 10.0))
+    val out = graft.operators.ExactQuantiles.winsorizedStats(
+        rows.toDF("g", "v"), "g", "v", pLo = 0.10, pHi = 0.90)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getLong(6)))).toMap
+    val brute = rows.groupBy(_._1).map { case (g, vs0) =>
+      val vs = vs0.map(_._2).sorted
+      def q(p: Double) = vs(math.max(1, math.ceil(p * vs.size).toInt) - 1)
+      val (lo, hi) = (q(0.10), q(0.90))
+      val w = vs.map(v => math.min(math.max(v, lo), hi))
+      g -> ((vs.size.toLong, vs.count(_ < lo).toLong, vs.count(_ > hi).toLong,
+        lo, hi, w.map(x => math.floor(x * 100).toLong).sum))
+    }
+    assert(out == brute, s"got $out\nwant $brute")
+    // the outlier spike must be clipped into hi, not dropped
+    assert(out("a")._1 == 300L && out("a")._3 > 0L)
+  }
+
+  // --- charEntropy ------------------------------------------------------------
+
+  test("charEntropy: uniform string = ln(k), constant string = 0, brute parity") {
+    def run(texts: Seq[String]) = graft.text.charEntropy(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val out = run(Seq("aaaa", "abcd", "aabb", "abcabcabc"))
+    // constant: every term ln(n/n) = 0
+    assert(out(0L) == ((4L, 1L, 0L, 0.0)))
+    // uniform over k=4: entq = 4 * floor(2^20 ln 4); entropy ~ ln 4
+    val t4 = 4L * math.floor(1048576.0 * math.log(4.0)).toLong
+    assert(out(1L)._3 == t4 && math.abs(out(1L)._4 - math.log(4.0)) < 1e-5)
+    // brute per-char-count parity on the rest
+    for ((id, text) <- Seq(2L -> "aabb", 3L -> "abcabcabc")) {
+      val n = text.length.toDouble
+      val want = text.groupBy(identity).values.map(_.length.toLong)
+        .map(c => c * math.floor(1048576.0 * math.log(n / c)).toLong).sum
+      assert(out(id)._3 == want, s"doc $id entq")
+      assert(out(id)._4 == want.toDouble / (text.length * 1048576L))
+    }
+    // zero-shuffle pin
+    val df = graft.text.charEntropy(
+      Seq((1L, "xy")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
   // --- Rproj ------------------------------------------------------------------

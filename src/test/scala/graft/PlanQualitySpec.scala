@@ -61,7 +61,11 @@ class PlanQualitySpec extends SparkSuite {
         "t_kneser",
         // personalizedPageRank ships the 1-row (n_nodes × n_seeds)
         // counts broadcast into the static teleport frame
-        "q_ppr")
+        "q_ppr",
+        // ksDriftByPeriod's evaluation grid is periods × score-support
+        // BY THE MATH (the sup must see every corpus jump point); both
+        // sides are bounded domains, the support side broadcasts
+        "ev_drift")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
@@ -532,11 +536,14 @@ class PlanQualitySpec extends SparkSuite {
     // one corpus read — exactly what this executed-plan check proves.
     // ev_islands / ev_decompose / ev_mase / ev_chisq are single-pass
     // window/aggregate chains over one collapse of the corpus
+    // ev_drift lazily derives the (day, score) aggregate three times
+    // (day totals, score totals, the grid probe) — all three subtrees
+    // must collapse to one executed corpus read, like t_auc/t_ks
     for (name <- Seq("ev_funnel", "ev_retention", "ev_transitions",
         "ev_paths", "ev_sessionize", "ev_funnel_sessions",
         "ev_funnel_times", "t_prcurve",
         "ev_islands", "ev_decompose", "ev_mase", "ev_chisq",
-        "t_auc", "t_ks")) {
+        "t_auc", "t_ks", "ev_drift", "ev_position")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
