@@ -366,7 +366,7 @@ object Relational {
     "q_linkpred" -> { (s, dir) =>
       import graft.operators.{LinkPredict, PageRank}
       val edges = PageRank.coOccurrenceEdges(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey").localCheckpoint()
       val queries = edges.select(col("src").as("node"))
         .distinct().filter(col("node") % 199 === 0)
       LinkPredict.topForQueries(edges, queries, kPerQuery = 5)
@@ -378,8 +378,10 @@ object Relational {
     // empties early
     "q_bfs" -> { (s, dir) =>
       import graft.operators.{Bfs, PageRank}
+      // edge build checkpointed: the seed subtree would otherwise pay
+      // the co-occurrence self-join a second time (the q_ppr finding)
       val edges = PageRank.coOccurrenceEdges(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey").localCheckpoint()
       val seeds = edges.select(col("src").as("node"))
         .distinct().filter(col("node") % 97 === 0)
       Bfs.distances(edges, seeds, maxHops = 4)
@@ -392,7 +394,7 @@ object Relational {
     "q_harmonic" -> { (s, dir) =>
       import graft.operators.{Bfs, PageRank}
       val edges = PageRank.coOccurrenceEdges(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey").localCheckpoint()
       val seeds = edges.select(col("src").as("node"))
         .distinct().filter(col("node") % 997 === 0)
       Bfs.harmonicCentrality(edges, seeds, maxHops = 3)
@@ -403,8 +405,14 @@ object Relational {
     // proximity to the seeds — the recommendation face
     "q_ppr" -> { (s, dir) =>
       import graft.operators.PageRank
+      // checkpoint the edge build: it feeds BOTH the seed derivation and
+      // the rank rounds, and the teleport materialization inside
+      // personalizedPageRank would otherwise pay the co-occurrence
+      // self-join twice (once per consumer job — ReuseExchange only
+      // shares subtrees within one job). Eager-at-build is the k-core/
+      // bisection precedent (measured 12.9 -> 7.4 s)
       val edges = PageRank.coOccurrenceEdges(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey").localCheckpoint()
       val seeds = edges.select(col("src").as("node"))
         .distinct().filter(col("node") % 101 === 0)
       PageRank.personalizedPageRank(edges, seeds, iterations = 6)
@@ -418,6 +426,7 @@ object Relational {
       val edges = PageRank.coOccurrenceEdges(
           Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
         .select(col("src"), col("dst"), expr("1000000 DIV w").as("w"))
+        .localCheckpoint()
       val seeds = edges.select(col("src").as("node"))
         .distinct().filter(col("node") % 97 === 0)
       Bfs.relaxDistances(edges, seeds, rounds = 3)
