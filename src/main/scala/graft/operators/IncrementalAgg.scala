@@ -52,4 +52,29 @@ object IncrementalAgg {
     states.reduce(_ unionByName _)
       .groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Incremental maintenance of an equi-JOIN view under APPEND-ONLY
+    * deltas — the other half of materialized-view refresh (this object's
+    * aggregate states cover Σ; joins need the algebraic delta rule):
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B₀  ∪  A₀ ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * Returns exactly that view-delta; the caller appends it to the
+    * stored view (parquet append / [[graft.io.GraftIO]] snapshot
+    * commit), so a refresh never rejoins the two base tables. Work per
+    * refresh: the two Δ-side joins are |Δ|-proportional (a small delta
+    * broadcasts — AQE picks that up from its actual size), and the
+    * A₀ ⋈ ΔB term probes the base table WITHOUT re-joining it to B —
+    * with bucketed/co-partitioned base layouts (`writeBucketed`) that
+    * probe is shuffle-free. Append-only is the CONTRACT: updates or
+    * deletes need retraction rows (negative multiplicities) — rejected
+    * here rather than silently mis-maintained; route keyed upserts
+    * through snapshot CDC instead. */
+  def deltaJoin(aBase: DataFrame, aDelta: DataFrame,
+      bBase: DataFrame, bDelta: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "join keys required")
+    aDelta.join(bBase, keys)
+      .unionByName(aBase.join(bDelta, keys))
+      .unionByName(aDelta.join(bDelta, keys))
+  }
 }

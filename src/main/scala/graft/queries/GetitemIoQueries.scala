@@ -355,6 +355,30 @@ object GetitemIoQueries {
           round(col("_sum_l_quantity") / col("_n"), 4).as("avg_qty"))
     },
 
+    // incremental JOIN-view maintenance (IncrementalAgg.deltaJoin): the
+    // stored base⋈base view plus the three-term delta must equal the
+    // full orders⋈customer join on the complete tables (the oracle) —
+    // refresh cost |delta|-proportional, history never rejoined
+    "io_incrjoin" -> { (s, dir) =>
+      import graft.operators.IncrementalAgg
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_incrjoin").toString + "/view"
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val (oB, oD) = (o.filter(col("o_orderkey") % 10 =!= 0),
+        o.filter(col("o_orderkey") % 10 === 0))
+      val (cB, cD) = (c.filter(col("o_custkey") % 7 =!= 0),
+        c.filter(col("o_custkey") % 7 === 0))
+      oB.join(cB, Seq("o_custkey")).write.parquet(tmp)
+      val view = s.read.parquet(tmp).unionByName(
+        IncrementalAgg.deltaJoin(oB, oD, cB, cD, Seq("o_custkey")))
+      view.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+    },
+
     // Bloom-sidecar point-equality skipping graded END TO END: a HASH-
     // distributed 8-file layout (every file's [min,max] spans the whole
     // suppkey domain — range skipping would prune NOTHING) + per-file
@@ -721,6 +745,10 @@ object GetitemIoQueries {
     // the merged state must equal the one-pass aggregate over everything
     "io_incragg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, round(sum(l_quantity) / count(*), 4) AS avg_qty FROM lineitem GROUP BY 1, 2""",
+    // the maintained join view must equal the from-scratch join on the
+    // COMPLETE tables — the delta rule's correctness in one line
+    "io_incrjoin" ->
+      """SELECT c.c_mktsegment, count(*) AS n, round(sum(o.o_totalprice), 2) AS revenue FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1""",
     "io_profile" -> Seq(
         ("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
         ("source", "string"), ("n_chars", "bigint"))

@@ -1013,6 +1013,27 @@ class ModulesSpec extends SparkSuite {
       full.count())
   }
 
+  test("IncrementalAgg.deltaJoin: maintained view equals the from-scratch join") {
+    import graft.operators.IncrementalAgg
+    val rnd = new scala.util.Random(71)
+    // keys deliberately include: base-only, delta-only (on each side),
+    // and keys whose matches exist ONLY across the delta x delta term
+    val a = (0 until 300).map(i => (rnd.nextInt(40).toLong, i.toLong))
+      .toDF("k", "av")
+    val b = (0 until 200).map(i => (rnd.nextInt(40).toLong, i * 10L))
+      .toDF("k", "bv")
+    val (aB, aD) = (a.filter($"av" % 4 =!= 0), a.filter($"av" % 4 === 0))
+    val (bB, bD) = (b.filter($"bv" % 30 =!= 0), b.filter($"bv" % 30 === 0))
+    val maintained = aB.join(bB, Seq("k"))
+      .unionByName(IncrementalAgg.deltaJoin(aB, aD, bB, bD, Seq("k")))
+    val full = a.join(b, Seq("k"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    assert(norm(maintained) == norm(full),
+      s"maintained ${maintained.count()} rows vs full ${full.count()}")
+  }
+
   test("writeManifestIncremental: delta scan equals a full rebuild") {
     val d = java.nio.file.Files.createTempDirectory("graft_incman").toString
     val df1 = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
