@@ -198,6 +198,48 @@ object Timeseries {
       .withColumnRenamed("ent", idCol)
   }
 
+  /** Per-entity daily activity FEATURE FRAME — the standard lag/rolling
+    * block a training pipeline derives from an event log before any
+    * model sees it (churn/propensity features: yesterday's activity,
+    * trailing-week volume, recency).
+    *
+    * Features per active (entity, day):
+    *   cnt / vsum_centi        — that day's events and centi-quantized
+    *                             value sum (exact int64)
+    *   lag1_cnt                — the PREVIOUS CALENDAR DAY's count via a
+    *                             RANGE [-1,-1] frame: null across gaps,
+    *                             never silently the last active day (the
+    *                             ev_mase lag discipline)
+    *   cnt_7d / days_active_7d / vsum_7d_centi — trailing-7-day RANGE
+    *                             frame sums (absent days are exact
+    *                             implicit zeros)
+    *   days_since_prev         — recency: gap to the previous ACTIVE day
+    *                             (a ROWS lag — here the jump IS the
+    *                             semantics), null on the first.
+    *
+    * Scale shape: one corpus scan collapses to (entity, day) in a
+    * map-side-combined groupBy; every window is entity-partitioned over
+    * that frame. All features are exact integers — the whole frame
+    * replays hash-identically in SQL. */
+  def activityFeatures(df: DataFrame, idCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val ord = Window.partitionBy("ent").orderBy(col("day"))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("ent"),
+        expr(s"unix_micros($tsCol) DIV 86400000000").as("day"),
+        floor(col(valCol).cast("double") * 100).cast("long").as("vq"))
+      .groupBy(col("ent"), col("day"))
+      .agg(count(lit(1)).as("cnt"), sum(col("vq")).as("vsum_centi"))
+      .withColumn("lag1_cnt", max(col("cnt")).over(ord.rangeBetween(-1, -1)))
+      .withColumn("cnt_7d", sum(col("cnt")).over(ord.rangeBetween(-6, 0)))
+      .withColumn("days_active_7d",
+        count(lit(1)).over(ord.rangeBetween(-6, 0)))
+      .withColumn("vsum_7d_centi",
+        sum(col("vsum_centi")).over(ord.rangeBetween(-6, 0)))
+      .withColumn("days_since_prev", col("day") - lag(col("day"), 1).over(ord))
+      .withColumnRenamed("ent", idCol)
+  }
+
   /** Seasonal-naïve forecast backtest on the hourly event-count series:
     * forecast ĉ(t) = c(t − period), scored by MASE (mean absolute
     * scaled error, Hyndman–Koehler 2006) — the standard "is my

@@ -217,6 +217,13 @@ object EventQueries {
       graft.operators.Timeseries.seasonalNaiveBacktest(
         Tables.events(s, dir), "ts", period = 24, holdout = 168)
     },
+    // per-user daily ML feature frame (graft.operators.Timeseries
+    // .activityFeatures): calendar-exact lag, trailing-7-day RANGE
+    // sums, recency — all exact integers
+    "ev_features" -> { (s, dir) =>
+      graft.operators.Timeseries.activityFeatures(
+        Tables.events(s, dir), "user_id", "ts", "value")
+    },
     // position-based (U-shaped) multi-touch attribution
     // (graft.operators.Attribution.positionBasedAttribution): 40/20/40
     // credit in exact integer micros over purchase-delimited segments
@@ -656,6 +663,11 @@ object EventQueries {
     // |err| sums, the identical int-product-then-divide double dag
     "ev_mase" ->
       """WITH b AS (SELECT epoch_us(ts) // 3600000000 AS bucket, count(*) AS cnt FROM events GROUP BY 1), w AS (SELECT bucket, cnt, max(cnt) OVER (ORDER BY bucket RANGE BETWEEN 24 PRECEDING AND 24 PRECEDING) AS prev, bucket > max(bucket) OVER () - 168 AS is_test FROM b), a AS (SELECT abs(cnt - prev) AS ae, is_test FROM w) SELECT count(ae) FILTER (WHERE NOT is_test) AS n_train, count(ae) FILTER (WHERE is_test) AS n_test, coalesce(CAST(sum(ae) FILTER (WHERE NOT is_test) AS BIGINT), 0) AS sae_train, coalesce(CAST(sum(ae) FILTER (WHERE is_test) AS BIGINT), 0) AS sae_test, CASE WHEN count(ae) FILTER (WHERE NOT is_test) = 0 OR count(ae) FILTER (WHERE is_test) = 0 OR coalesce(CAST(sum(ae) FILTER (WHERE NOT is_test) AS BIGINT), 0) = 0 THEN NULL ELSE CAST(coalesce(CAST(sum(ae) FILTER (WHERE is_test) AS BIGINT), 0) * count(ae) FILTER (WHERE NOT is_test) AS DOUBLE) / (CAST(coalesce(CAST(sum(ae) FILTER (WHERE NOT is_test) AS BIGINT), 0) AS DOUBLE) * count(ae) FILTER (WHERE is_test)) END AS mase FROM a""",
+    // feature-frame replay: identical RANGE/ROWS window split — the
+    // calendar lag is RANGE [-1,-1] (null across gaps), the recency lag
+    // is a ROWS lag (the gap is the feature)
+    "ev_features" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS cnt, CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS vsum_centi FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2) SELECT user_id, CAST(day AS BIGINT) AS day, cnt, vsum_centi, CAST(max(cnt) OVER (win RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS BIGINT) AS lag1_cnt, CAST(sum(cnt) OVER (win RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_7d, CAST(count(*) OVER (win RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS days_active_7d, CAST(sum(vsum_centi) OVER (win RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS vsum_7d_centi, CAST(day - lag(day) OVER (win) AS BIGINT) AS days_since_prev FROM g WINDOW win AS (PARTITION BY user_id ORDER BY day)""",
     // position attribution replay: the same running conversion-count
     // segmentation and within-segment ranks; integer micro credits
     "ev_position" ->

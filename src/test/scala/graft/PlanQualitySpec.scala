@@ -543,7 +543,7 @@ class PlanQualitySpec extends SparkSuite {
         "ev_paths", "ev_sessionize", "ev_funnel_sessions",
         "ev_funnel_times", "t_prcurve",
         "ev_islands", "ev_decompose", "ev_mase", "ev_chisq",
-        "t_auc", "t_ks", "ev_drift", "ev_position")) {
+        "t_auc", "t_ks", "ev_drift", "ev_position", "ev_features")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString

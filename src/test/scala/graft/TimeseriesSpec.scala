@@ -212,6 +212,29 @@ class TimeseriesSpec extends SparkSuite {
     assert(out == brute, s"mismatch: ${out.size} vs ${brute.size} islands")
   }
 
+  // --- activityFeatures -----------------------------------------------------
+
+  test("activityFeatures: calendar lag nulls across gaps, 7d RANGE sums, recency") {
+    // user 1 active on days 0,1,3 (gap at 2), day 10 (outside any 7d
+    // window of the earlier days)
+    def evs(day: Int, n: Int, v: Double) =
+      (0 until n).map(i => (1L, new Timestamp(day * 86400000L + i * 1000L), v))
+    val rows = evs(0, 2, 1.0) ++ evs(1, 3, 2.0) ++ evs(3, 1, 0.5) ++
+      evs(10, 4, 1.25)
+    val out = graft.operators.Timeseries.activityFeatures(
+        rows.toDF("user_id", "ts", "value"), "user_id", "ts", "value")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), if (r.isNullAt(8)) -1L else r.getLong(8)))).toMap
+    assert(out(0L) == ((2L, 200L, -1L, 2L, 1L, 200L, -1L)), s"day0 ${out(0L)}")
+    assert(out(1L) == ((3L, 600L, 2L, 5L, 2L, 800L, 1L)), s"day1 ${out(1L)}")
+    // day 3: calendar lag (day 2) is NULL — a ROWS lag would wrongly
+    // surface day 1's count; 7d window still sees days 0,1
+    assert(out(3L) == ((1L, 50L, -1L, 6L, 3L, 850L, 2L)), s"day3 ${out(3L)}")
+    // day 10: 7d window [4,10] sees only itself; recency = 7
+    assert(out(10L) == ((4L, 500L, -1L, 4L, 1L, 500L, 7L)), s"day10 ${out(10L)}")
+  }
+
   // --- seasonalNaiveBacktest ----------------------------------------------
 
   test("seasonalNaiveBacktest: exact integer SAEs, RANGE lag skips gaps, MASE ratio") {
