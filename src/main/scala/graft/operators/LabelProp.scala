@@ -80,4 +80,46 @@ object LabelProp {
     }
     labels.filter(col("label").isNotNull)
   }
+
+  /** Newman modularity of a community assignment — the quality number
+    * that tells you whether [[propagate]]'s communities are structure
+    * or noise:  Q = Σ_c [ in_c/(2m) − (tot_c/(2m))² ]  (weighted,
+    * Newman 2004). Restricted to the LABELED subgraph: edges with both
+    * endpoints labeled; `edges` is the directed-symmetric convention
+    * ([[PageRank.coOccurrenceEdges]] output), so Σw IS 2m and the
+    * per-community directed sums are exactly the 2·in / tot terms.
+    *
+    * Determinism: in/tot/2m are exact int64 sums; each community's
+    * contribution is ONE fixed double dag on those integers floored to
+    * nano units (order-independent — the caller sums `contrib_nano`
+    * for Q). The 2m scalar rides the plan as a 1-row broadcast cross
+    * (the t_bm25 scalar-subquery shape). Everything after the two
+    * edge-side aggregates is label-cardinality-sized.
+    *
+    * Returns one row per community:
+    * (label, n_nodes, in_w, tot_w, contrib_nano). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("node"), col("label"))
+      .filter(col("node").isNotNull && col("label").isNotNull)
+    val e2 = edges
+      .join(lab.select(col("node").as("src"), col("label").as("lsrc")), "src")
+      .join(lab.select(col("node").as("dst"), col("label").as("ldst")), "dst")
+      .select(col("lsrc"), col("ldst"), col("w").cast("long").as("w"))
+    val m2 = e2.agg(sum(col("w")).cast("double").as("m2"))
+    val tot = e2.groupBy(col("lsrc").as("label"))
+      .agg(sum(col("w")).as("tot_w"))
+    val inw = e2.filter(col("lsrc") === col("ldst"))
+      .groupBy(col("lsrc").as("label")).agg(sum(col("w")).as("in_w"))
+    lab.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      .join(inw, Seq("label"), "left")
+      .join(tot, Seq("label"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"),
+        coalesce(col("tot_w"), lit(0L)).as("tot_w"),
+        expr("CAST(floor((CAST(coalesce(in_w, 0) AS DOUBLE) / m2 - " +
+          "(CAST(coalesce(tot_w, 0) AS DOUBLE) / m2) * " +
+          "(CAST(coalesce(tot_w, 0) AS DOUBLE) / m2)) * 1000000000) AS BIGINT)")
+          .as("contrib_nano"))
+  }
 }

@@ -337,10 +337,28 @@ object Relational {
       val edges = PageRank.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
       val seeds = li.select(col("l_partkey").as("node")).distinct()
         .filter(col("node") % 20 === 0)
-        .withColumn("label", col("node") % 5)
+        // (node DIV 20) % 5: node % 5 would be 0 for EVERY %20 seed —
+        // a single-label (vacuous) propagation, caught by q_modularity
+        .withColumn("label", expr("(node DIV 20) % 5"))
       LabelProp.propagate(edges, seeds, 3)
         .select(col("node"), col("label"),
           col("is_seed").cast("int").as("is_seed"))
+    },
+    // Newman modularity of the label-prop communities
+    // (graft.operators.LabelProp.modularity): per-community exact
+    // in/tot weights over the labeled subgraph + a nano-floored
+    // contribution from one fixed double dag — is the assignment
+    // structure or noise, graded end to end on top of the same
+    // 3-round propagation replay
+    "q_modularity" -> { (s, dir) =>
+      import graft.operators.{LabelProp, PageRank}
+      val li = Tables.lineitem(s, dir)
+      val edges = PageRank.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+        .localCheckpoint() // feeds both propagation and scoring (q_ppr finding)
+      val seeds = li.select(col("l_partkey").as("node")).distinct()
+        .filter(col("node") % 20 === 0)
+        .withColumn("label", expr("(node DIV 20) % 5"))
+      LabelProp.modularity(edges, LabelProp.propagate(edges, seeds, 3))
     },
     // k-core (graft.operators.KCore): peel the part co-occurrence graph
     // to its 80-core — k sits inside the degree distribution, so the
@@ -511,6 +529,9 @@ object Relational {
            cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (SELECT u AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri) GROUP BY 1)
          SELECT d.node, CAST(d.deg AS BIGINT) AS deg, coalesce(c.triangles, 0) AS triangles, (2000000 * coalesce(c.triangles, 0)) // (d.deg * (d.deg - 1)) AS cc_q FROM deg d LEFT JOIN cnt c ON c.node = d.node WHERE d.deg >= 2""",
     "q_labelprop" -> labelpropOracle(3),
+    // the same 3-round propagation replay, then exact in/tot sums over
+    // the labeled subgraph + the identical nano-floored double dag
+    "q_modularity" -> modularityOracle(3),
     "q_kcore" -> kcoreOracle(80, 10),
     // wedge-join replay over the query set: common-neighbor counts + RA
     // over the DISTINCT directed edge list (coOccurrenceEdges is
@@ -600,15 +621,26 @@ object Relational {
     s"WITH $base, $peel SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e$rounds GROUP BY src"
   }
 
-  private def labelpropOracle(iters: Int): String = {
+  private def modularityOracle(iters: Int): String = {
+    val rounds = labelpropRounds(iters)
+    s"""WITH $rounds, lab AS (SELECT node, label FROM l$iters WHERE label IS NOT NULL), e2 AS (SELECT e.w, a.label AS lsrc, b.label AS ldst FROM e0 e JOIN lab a ON a.node = e.src JOIN lab b ON b.node = e.dst), m2 AS (SELECT CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS m2 FROM e2), tot AS (SELECT lsrc AS label, CAST(sum(w) AS BIGINT) AS tot_w FROM e2 GROUP BY 1), inw AS (SELECT lsrc AS label, CAST(sum(w) AS BIGINT) AS in_w FROM e2 WHERE lsrc = ldst GROUP BY 1), nn AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY 1) SELECT nn.label, nn.n_nodes, coalesce(inw.in_w, 0) AS in_w, coalesce(tot.tot_w, 0) AS tot_w, CAST(floor((CAST(coalesce(inw.in_w, 0) AS DOUBLE) / m2.m2 - (CAST(coalesce(tot.tot_w, 0) AS DOUBLE) / m2.m2) * (CAST(coalesce(tot.tot_w, 0) AS DOUBLE) / m2.m2)) * 1000000000) AS BIGINT) AS contrib_nano FROM nn LEFT JOIN inw ON inw.label = nn.label LEFT JOIN tot ON tot.label = nn.label CROSS JOIN m2"""
+  }
+
+  /** The shared label-propagation CTE chain (e0 edges, l0 seeds, l1..lN
+    * rounds) — the base both the q_labelprop grading and the modularity
+    * scoring replay from. */
+  private def labelpropRounds(iters: Int): String = {
     val base =
-      """e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey GROUP BY 1, 2), l0 AS MATERIALIZED (SELECT DISTINCT l_partkey AS node, l_partkey % 5 AS label, TRUE AS is_seed FROM lineitem WHERE l_partkey % 20 = 0)"""
+      """e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey GROUP BY 1, 2), l0 AS MATERIALIZED (SELECT DISTINCT l_partkey AS node, l_partkey // 20 % 5 AS label, TRUE AS is_seed FROM lineitem WHERE l_partkey % 20 = 0)"""
     val rounds = (1 to iters).map { i =>
       val p = i - 1
       s"v$i AS (SELECT e.dst, l.label, CAST(sum(e.w) AS BIGINT) AS s FROM e0 e JOIN l$p l ON l.node = e.src GROUP BY 1, 2), " +
         s"p$i AS (SELECT dst, label AS plabel FROM (SELECT dst, label, row_number() OVER (PARTITION BY dst ORDER BY s DESC, label) AS rn FROM v$i) WHERE rn = 1), " +
         s"l$i AS MATERIALIZED (SELECT coalesce(l.node, p.dst) AS node, CASE WHEN coalesce(l.is_seed, FALSE) THEN l.label ELSE coalesce(p.plabel, l.label) END AS label, coalesce(l.is_seed, FALSE) AS is_seed FROM l$p l FULL JOIN p$i p ON l.node = p.dst)"
     }.mkString(", ")
-    s"WITH $base, $rounds SELECT node, label, CAST(is_seed AS INT) AS is_seed FROM l$iters WHERE label IS NOT NULL"
+    s"$base, $rounds"
   }
+
+  private def labelpropOracle(iters: Int): String =
+    s"WITH ${labelpropRounds(iters)} SELECT node, label, CAST(is_seed AS INT) AS is_seed FROM l$iters WHERE label IS NOT NULL"
 }

@@ -398,6 +398,30 @@ class GraphSpec extends SparkSuite {
     assert(multi == Map(1L -> 0, 5L -> 0, 77L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
   }
 
+  test("modularity: two-triangle hand graph; restriction to labeled subgraph") {
+    import graft.operators.LabelProp
+    // two unit-weight triangles {1,2,3} {4,5,6} bridged by 3-4
+    val edges = sym((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).withColumn("w", lit(1L))
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("node", "label")
+    val out = LabelProp.modularity(edges, labels)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 2m = 14 directed; each community: in = 6 directed, tot = 7
+    val contrib = math.floor((6.0 / 14.0 - (7.0 / 14.0) * (7.0 / 14.0)) * 1e9).toLong
+    assert(out == Map(0L -> ((3L, 6L, 7L, contrib)),
+      1L -> ((3L, 6L, 7L, contrib))), s"got $out")
+    // Q = sum of contribs ~ 0.357 — the textbook two-community value
+    assert(math.abs(out.values.map(_._4).sum / 1e9 - 5.0 / 14.0) < 1e-6)
+    // unlabeled nodes drop: labeling only one triangle restricts the
+    // subgraph to it (2m = 6, one community holding everything -> Q = 0)
+    val half = LabelProp.modularity(edges,
+      Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("node", "label")).collect()
+    assert(half.length == 1 && half(0).getLong(4) == 0L,
+      s"got ${half.mkString}")
+  }
+
   test("perSourceDistances: independent traversals per root; harmonic ppm sums") {
     import graft.operators.Bfs
     // path 1-2-3-4-5 plus isolated edge 8-9; roots {1, 4, 8}

@@ -65,7 +65,10 @@ class PlanQualitySpec extends SparkSuite {
         // ksDriftByPeriod's evaluation grid is periods × score-support
         // BY THE MATH (the sup must see every corpus jump point); both
         // sides are bounded domains, the support side broadcasts
-        "ev_drift")
+        "ev_drift",
+        // modularity ships the 1-row 2m total as a broadcast cross into
+        // the label-cardinality report frame (the t_bm25 shape)
+        "q_modularity")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
