@@ -895,24 +895,27 @@ class OperatorsSpec extends SparkSuite {
   // --- rocAuc ---------------------------------------------------------------
 
   test("rocAuc equals brute pair counting with ties, nulls count as negative") {
-    val rnd = new scala.util.Random(11)
-    val rows = (0 until 300).map { i =>
-      val s = rnd.nextInt(20).toLong
-      // higher scores more likely positive -> AUC strictly between .5 and 1
-      val lab: Option[Boolean] =
-        if (i % 17 == 0) None else Some(rnd.nextInt(20) < s + 3)
-      (s, lab)
+    for (seed <- Seq(11, 313, 7001)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 300).map { i =>
+        val s = rnd.nextInt(20).toLong
+        // higher scores more likely positive -> AUC strictly between .5 and 1
+        val lab: Option[Boolean] =
+          if (i % 17 == 0) None else Some(rnd.nextInt(20) < s + 3)
+        (s, lab)
+      }
+      val out = graft.operators.Experiment.rocAuc(
+        rows.toDF("s", "y"), col("s"), col("y")).collect()(0)
+      val pos = rows.filter(_._2.contains(true)).map(_._1)
+      val neg = rows.filter(!_._2.contains(true)).map(_._1)
+      val pairs2 = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      assert(out.getLong(0) == pos.size && out.getLong(1) == neg.size)
+      assert(out.getLong(2) == pairs2,
+        s"seed $seed: pairs2 ${out.getLong(2)} != $pairs2")
+      assert(out.getDouble(3) == pairs2.toDouble / (2.0 * pos.size * neg.size))
+      assert(out.getDouble(3) > 0.5 && out.getDouble(3) < 1.0)
     }
-    val out = graft.operators.Experiment.rocAuc(
-      rows.toDF("s", "y"), col("s"), col("y")).collect()(0)
-    val pos = rows.filter(_._2.contains(true)).map(_._1)
-    val neg = rows.filter(!_._2.contains(true)).map(_._1)
-    val pairs2 = (for (p <- pos; n <- neg)
-      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
-    assert(out.getLong(0) == pos.size && out.getLong(1) == neg.size)
-    assert(out.getLong(2) == pairs2, s"pairs2 ${out.getLong(2)} != $pairs2")
-    assert(out.getDouble(3) == pairs2.toDouble / (2.0 * pos.size * neg.size))
-    assert(out.getDouble(3) > 0.5 && out.getDouble(3) < 1.0)
   }
 
   test("rocAuc: perfect separation = 1, reversed = 0, one-class = null") {
@@ -1032,6 +1035,27 @@ class OperatorsSpec extends SparkSuite {
   // --- packBinsNoSplit --------------------------------------------------------
 
   test("packBinsNoSplit matches a brute per-shard NFD fold; oversized docs get own bins") {
+    // multi-seed: zero-token docs and duplicate token counts included
+    for (seed <- Seq(23, 509, 9091)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 500).map(i =>
+        (i.toLong, if (i == 7) 999L else rnd.nextInt(120).toLong))
+      val cap = 128L; val nShards = 4
+      val out = graft.text.packBinsNoSplit(
+          docs.toDF("doc_id", "ntok"), "doc_id", "ntok", cap, nShards)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val brute = docs.groupBy(_._1 % nShards).flatMap { case (shard, ds) =>
+        var cum = 0L; var bin = 0L
+        ds.sortBy(d => (-d._2, d._1)).map { case (id, tok) =>
+          if (bin == 0L) { bin = 1L }
+          else if (cum > 0L && cum + tok > cap) { bin += 1; cum = 0L }
+          cum += tok
+          id -> ((shard, bin, tok))
+        }
+      }
+      assert(out == brute, s"seed $seed: assignment mismatch (${out.size} docs)")
+    }
     val rnd = new scala.util.Random(23)
     val docs = (0 until 500).map(i =>
       (i.toLong, if (i == 7) 999L else rnd.nextInt(120).toLong))
@@ -1040,16 +1064,6 @@ class OperatorsSpec extends SparkSuite {
         docs.toDF("doc_id", "ntok"), "doc_id", "ntok", cap, nShards)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
-    val brute = docs.groupBy(_._1 % nShards).flatMap { case (shard, ds) =>
-      var cum = 0L; var bin = 0L
-      ds.sortBy(d => (-d._2, d._1)).map { case (id, tok) =>
-        if (bin == 0L) { bin = 1L }
-        else if (cum > 0L && cum + tok > cap) { bin += 1; cum = 0L }
-        cum += tok
-        id -> ((shard, bin, tok))
-      }
-    }
-    assert(out == brute, s"assignment mismatch (${out.size} docs)")
     // every bin fits the cap unless it holds a single oversized doc
     val byBin = out.values.groupBy(v => (v._1, v._2))
     byBin.foreach { case (b, ds) =>

@@ -187,7 +187,8 @@ class TimeseriesSpec extends SparkSuite {
   }
 
   test("mergeIntervals matches a brute sequential sweep on random data") {
-    val rnd = new scala.util.Random(907)
+    for (seed <- Seq(907, 11213, 65537)) {
+    val rnd = new scala.util.Random(seed)
     val rows = (0 until 400).map(i =>
       (rnd.nextInt(5).toLong, ts(rnd.nextInt(2), rnd.nextInt(3000)), i.toLong))
     val span = 120000000L // 2 min
@@ -209,7 +210,9 @@ class TimeseriesSpec extends SparkSuite {
       islands.reverse.zipWithIndex.map { case ((st, en, n), i) =>
         (ent, i + 1L) -> (n, st / 1000000L, en / 1000000L, (en - st) / 1000000L) }
     }
-    assert(out == brute, s"mismatch: ${out.size} vs ${brute.size} islands")
+    assert(out == brute,
+      s"seed $seed: mismatch ${out.size} vs ${brute.size} islands")
+    }
   }
 
   // --- activityFeatures -----------------------------------------------------
