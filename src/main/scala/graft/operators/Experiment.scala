@@ -173,6 +173,58 @@ object Experiment {
           "CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) END").as("ks"))
   }
 
+  /** Gini coefficient of a non-negative integer measure — corpus
+    * concentration in one number (how much of the token/length/spend
+    * mass sits in how few rows), the inequality yardstick next to
+    * [[ksTwoSample]]'s drift distance.
+    *
+    * Same scale shape as [[rocAuc]]: group by distinct value (map-side
+    * combined), two-level prefix scan over the range-partitioned value
+    * domain, offsets branch aggregating BOTH count and mass so its
+    * subtree stays byte-identical for ReuseExchange. The discrete
+    * Lorenz-trapezoid closed form stays in exact int64:
+    *
+    *   g_num = N·W − Σ_s cnt_s·(2·cumMass_s − mass_s),  G = g_num/(N·W)
+    *
+    * (equivalently g_num = ½·Σᵢⱼ|xᵢ−xⱼ| — differential-pinned). Bound:
+    * N·W < 2⁶³ — quantize the measure down if count×total mass can
+    * exceed it. Negative values are rejected (Gini is defined on
+    * non-negative measures); null values drop. Returns one row:
+    * (n, total, g_num, gini — null on an empty or zero-mass corpus). */
+  def gini(df: DataFrame, valueCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val g = df.select(valueCol.cast("long").as("s"))
+      .filter(col("s").isNotNull)
+      .groupBy(col("s")).agg(count(lit(1)).as("cnt"), sum(col("s")).as("m"))
+    val tagged = g.repartitionByRange(col("s"))
+      .withColumn("pid", spark_partition_id())
+    val wLoc = w.partitionBy(col("pid")).orderBy(col("s"))
+      .rowsBetween(w.unboundedPreceding, 0)
+    val loc = tagged.withColumn("lm", sum(col("m")).over(wLoc))
+    val prevPids = w.orderBy("pid").rowsBetween(w.unboundedPreceding, -1)
+    val allPids = w.orderBy(lit(1))
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val offs = tagged.groupBy(col("pid"))
+      .agg(sum(col("m")).as("pm"), sum(col("cnt")).as("pn"))
+      .withColumn("offm", coalesce(sum(col("pm")).over(prevPids), lit(0L)))
+      .withColumn("totn", sum(col("pn")).over(allPids))
+      .withColumn("totw", sum(col("pm")).over(allPids))
+      .select(col("pid"), col("offm"), col("totn"), col("totw"))
+    val out = loc.join(broadcast(offs), "pid")
+      .withColumn("cumm", col("offm") + col("lm"))
+      .agg(min(col("s")).as("min_s"), max(col("totn")).as("n"),
+        max(col("totw")).as("total"),
+        sum(col("cnt") * (lit(2L) * col("cumm") - col("m"))).as("tsum"))
+    // the min_s guard is data-dependent, so it stays IN the plan: a
+    // negative value nulls the report rather than emitting a wrong G
+    out.select(col("n"), col("total"),
+      expr("CASE WHEN min_s < 0 THEN NULL ELSE n * total - tsum END")
+        .as("g_num"),
+      expr("CASE WHEN min_s < 0 OR n = 0 OR total = 0 THEN NULL ELSE " +
+        "CAST(n * total - tsum AS DOUBLE) / (CAST(n AS DOUBLE) * total) END")
+        .as("gini"))
+  }
+
   /** Per-period distribution drift monitor: the two-sample KS distance
     * of EACH period's score distribution against the whole corpus —
     * "which day's traffic stopped looking like the baseline", the

@@ -204,6 +204,13 @@ object TextQueries {
         col("n_chars"), col("lang") === "en")
     },
 
+    // corpus length-concentration Gini (graft.operators.Experiment
+    // .gini): exact Lorenz-trapezoid integers over the grouped value
+    // domain, the rocAuc two-level scan
+    "t_gini" -> { (s, dir) =>
+      graft.operators.Experiment.gini(Tables.documents(s, dir), col("n_chars"))
+    },
+
     // per-document Shannon character entropy (graft.text.charEntropy):
     // row-local run-length histogram of the sorted char array, per-term
     // 2^20-quantized ln before the order-independent sum, zero shuffle
@@ -581,6 +588,10 @@ ${(1 to 12).map(bpeRoundSql).mkString(",\n")}"""
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok FROM documents), h AS (SELECT doc_id, list_transform(range(1, len(tok)), i -> list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split_regex(tok[CAST(i AS INT)] || ' ' || tok[CAST(i+1 AS INT)], ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007)) AS hs FROM t), f AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE list_distinct(list_transform(range(1, greatest(1, len(hs) - 3) + 1), i -> list_min(hs[CAST(i AS INT):CAST(least(i + 3, len(hs)) AS INT)]))) END AS fps FROM h) SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum FROM f""",
     "t_prcurve" ->
       """WITH g AS (SELECT CAST(n_chars AS BIGINT) AS thr, count(*) FILTER (WHERE lang = 'en') AS pos, count(*) AS n FROM documents GROUP BY 1), c AS (SELECT thr, CAST(sum(pos) OVER w AS BIGINT) AS tp, CAST(sum(n) OVER w AS BIGINT) AS cn FROM g WINDOW w AS (ORDER BY thr DESC)), tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p FROM g) SELECT thr, tp, cn - tp AS fp, tp * 1000000 // cn AS prec_ppm, CASE WHEN p > 0 THEN tp * 1000000 // p END AS rec_ppm FROM c, tot""",
+    // Gini replay: identical grouped cumulative-mass trapezoids; all
+    // sums cast back from HUGEINT before the integer products
+    "t_gini" ->
+      """WITH g AS (SELECT CAST(n_chars AS BIGINT) AS s, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS m FROM documents WHERE n_chars IS NOT NULL GROUP BY 1), c AS (SELECT s, cnt, m, CAST(sum(m) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumm FROM g), t AS (SELECT min(s) AS min_s, CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS total, CAST(sum(cnt * (2 * cumm - m)) AS BIGINT) AS tsum FROM c) SELECT n, total, CASE WHEN min_s < 0 THEN NULL ELSE n * total - tsum END AS g_num, CASE WHEN min_s < 0 OR n = 0 OR total = 0 THEN NULL ELSE CAST(n * total - tsum AS DOUBLE) / (CAST(n AS DOUBLE) * total) END AS gini FROM t""",
     // entropy replay: per-char counts via unnest+group (same multiset
     // as Spark's run-length fold over the sorted array), the identical
     // quantized-ln term, sums cast back from HUGEINT

@@ -979,6 +979,30 @@ class OperatorsSpec extends SparkSuite {
     assert(z.getLong(2) == 0L && z.getDouble(3) == 0.0)
   }
 
+  // --- gini -------------------------------------------------------------------
+
+  test("gini equals the pairwise |xi-xj| identity; uniform = 0; negative nulls") {
+    for (seed <- Seq(3, 47, 1009)) {
+      val rnd = new scala.util.Random(seed)
+      val xs = (0 until 250).map(_ => rnd.nextInt(500).toLong)
+      val out = graft.operators.Experiment.gini(
+        xs.map(Tuple1(_)).toDF("v"), col("v")).collect()(0)
+      // g_num = half the pairwise absolute-difference sum (exact identity)
+      val pair2 = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+      assert(out.getLong(0) == xs.size && out.getLong(1) == xs.sum)
+      assert(out.getLong(2) * 2 == pair2,
+        s"seed $seed: g_num ${out.getLong(2)} vs pairwise/2 ${pair2 / 2}")
+      assert(out.getDouble(3) ==
+        out.getLong(2).toDouble / (xs.size.toDouble * xs.sum))
+    }
+    val unif = graft.operators.Experiment.gini(
+      Seq.fill(40)(Tuple1(7L)).toDF("v"), col("v")).collect()(0)
+    assert(unif.getLong(2) == 0L && unif.getDouble(3) == 0.0)
+    val neg = graft.operators.Experiment.gini(
+      Seq(Tuple1(5L), Tuple1(-1L)).toDF("v"), col("v")).collect()(0)
+    assert(neg.isNullAt(2) && neg.isNullAt(3), "negative input must null out")
+  }
+
   // --- ksDriftByPeriod --------------------------------------------------------
 
   test("ksDriftByPeriod: brute per-period sup over the union grid; flat periods ~0") {
