@@ -113,9 +113,18 @@ object Partitions {
       idCol: String, outCol: String = "rn"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    // localCheckpoint freezes the sampled range bounds: withLrn and offs
+    // join on pid, which is only consistent when both branches read the
+    // SAME physical partitioning — without the materialization that
+    // rests on ReuseExchange (AQE replanning / pruning divergence could
+    // re-sample bounds per branch and misalign every offset). The
+    // checkpointed frame is the minimal (id, k) pair — the bytes the
+    // range exchange already writes — so this is one shuffle-equivalent
+    // local write, not a second corpus pass.
     val tagged = df.select(col(idCol).as("id"), key.as("k"))
       .repartitionByRange(col("k"), col("id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val withLrn = tagged.withColumn("lrn",
       row_number().over(Window.partitionBy("pid").orderBy("k", "id")))
     val offs = withLrn.groupBy(col("pid")).agg(count(lit(1)).as("n"))

@@ -549,6 +549,19 @@ object GraftIO {
     }))
   }
 
+  /** A fresh local scratch directory registered for JVM-exit cleanup —
+    * the per-invocation staging convention for query lambdas that must
+    * hold a path themselves (sidecar writers, time-travel stores) rather
+    * than round-trip through [[stageParquet]]. Without the registration,
+    * every plan build (fingerprints, grading, plan-quality passes) leaks
+    * one directory per invocation. */
+  def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    stageCleanupHook
+    stagedLocalDirs.add(d): Unit
+    d.toString
+  }
+
   /** Materialize `df` to parquet at a PER-INVOCATION unique staging path
     * and read it back — the inter-stage boundary for multi-phase pipelines
     * (cuts recompute of the upstream plan AND restores scan statistics,

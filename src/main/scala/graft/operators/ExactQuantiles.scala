@@ -168,8 +168,18 @@ object ExactQuantiles {
     val base = df.select(col(groupCol).as("g"),
         col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull && col("g").isNotNull)
+    // localCheckpoint freezes the sampled range bounds: loc and cnts
+    // join on pid, which is only consistent when both read the SAME
+    // physical partitioning — without the materialization that premise
+    // rests on ReuseExchange (column pruning or AQE replanning could
+    // give the two branches independently sampled bounds and silently
+    // misalign every offset). The checkpointed frame is the minimal
+    // (g, v) projection — the same bytes the range exchange already
+    // writes once — so the cost is one shuffle-equivalent local write
+    // at any corpus size, not a second corpus pass.
     val parts = base.repartitionByRange(col("g"), col("v"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val loc = parts.withColumn("lrn", row_number().over(
       Window.partitionBy(col("pid"), col("g")).orderBy(col("v"))))
     // (pid, g) grain: <= #partitions rows per group; both windows below

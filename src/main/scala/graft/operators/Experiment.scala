@@ -147,8 +147,15 @@ object Experiment {
       .filter(col("s").isNotNull)
       .groupBy(col("s"))
       .agg(sum(col("ina")).as("ca"), sum(lit(1L) - col("ina")).as("cb"))
+    // localCheckpoint freezes the sampled range bounds: the loc and offs
+    // branches below join on pid, which is only consistent if BOTH read
+    // the SAME physical partitioning — an optimizer-dependent premise
+    // (ReuseExchange) without the materialization, a physical fact with
+    // it. The frame is domain-sized (distinct scores), so the cost is
+    // bounded at any corpus size.
     val tagged = g.repartitionByRange(col("s"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val wLoc = w.partitionBy(col("pid")).orderBy(col("s"))
       .rowsBetween(w.unboundedPreceding, 0)
     val loc = tagged
@@ -187,8 +194,9 @@ object Experiment {
     *   g_num = N·W − Σ_s cnt_s·(2·cumMass_s − mass_s),  G = g_num/(N·W)
     *
     * (equivalently g_num = ½·Σᵢⱼ|xᵢ−xⱼ| — differential-pinned). Bound:
-    * N·W < 2⁶³ — quantize the measure down if count×total mass can
-    * exceed it. Negative values are rejected (Gini is defined on
+    * N·W < 2⁶² — the intermediate Σ cnt·(2·cumMass − mass) can approach
+    * 2·N·W, so overflow begins a factor of 2 before N·W itself hits
+    * int64; quantize the measure down if count×total mass can exceed it. Negative values are rejected (Gini is defined on
     * non-negative measures); null values drop. Returns one row:
     * (n, total, g_num, gini — null on an empty or zero-mass corpus). */
   def gini(df: DataFrame, valueCol: Column): DataFrame = {
@@ -196,8 +204,11 @@ object Experiment {
     val g = df.select(valueCol.cast("long").as("s"))
       .filter(col("s").isNotNull)
       .groupBy(col("s")).agg(count(lit(1)).as("cnt"), sum(col("s")).as("m"))
+    // localCheckpoint: freeze the range bounds so the pid-offset join's
+    // premise is physical, not ReuseExchange-dependent (see ksTwoSample)
     val tagged = g.repartitionByRange(col("s"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val wLoc = w.partitionBy(col("pid")).orderBy(col("s"))
       .rowsBetween(w.unboundedPreceding, 0)
     val loc = tagged.withColumn("lm", sum(col("m")).over(wLoc))
@@ -306,18 +317,17 @@ object Experiment {
       .filter(col("s").isNotNull)
       .groupBy(col("s"))
       .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    // localCheckpoint: freeze the range bounds so the pid-offset join's
+    // premise is physical, not ReuseExchange-dependent (see ksTwoSample).
+    // It also guarantees the one-corpus-scan property outright — both
+    // branches now read the materialized domain-sized frame.
     val tagged = g.repartitionByRange(col("s"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val wLoc = w.partitionBy(col("pid")).orderBy(col("s"))
       .rowsBetween(w.unboundedPreceding, -1)
     val loc = tagged
       .withColumn("lneg", coalesce(sum(col("neg")).over(wLoc), lit(0L)))
-    // the offsets branch aggregates BOTH pos and neg and the class
-    // totals come from IT — so its subtree below the range exchange is
-    // byte-identical to the local branch's and ReuseExchange collapses
-    // the two into ONE corpus read (a neg-only aggregate here would
-    // prune pos, diverge the subtrees, and scan the corpus twice —
-    // pinned by the executed-plan one-scan check in PlanQualitySpec)
     val offs = tagged.groupBy(col("pid"))
       .agg(sum(col("neg")).as("nn"), sum(col("pos")).as("np"))
       .withColumn("offn", coalesce(sum(col("nn")).over(

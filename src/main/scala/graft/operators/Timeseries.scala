@@ -182,7 +182,10 @@ object Timeseries {
     val ord = Window.partitionBy("ent").orderBy(col("s_us"), col("tie"))
     val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.filter(col(idCol).isNotNull)
+    // a null ts would yield a null s_us that sorts FIRST, takes flag 0
+    // through the when/otherwise, and lands in a spurious island 0 with
+    // null bounds — filter it out like every other timeseries operator
+    df.filter(col(idCol).isNotNull && col(tsCol).isNotNull)
       .select(col(idCol).as("ent"), col(tieCol).as("tie"),
         unix_micros(col(tsCol)).as("s_us"),
         (unix_micros(col(tsCol)) + spanUs).as("e_us"))

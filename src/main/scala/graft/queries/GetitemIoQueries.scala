@@ -128,8 +128,7 @@ object GetitemIoQueries {
     // parquet write -> re-read round-trip (from_parquet/to_parquet §2.1):
     // the aggregate over the re-read copy must equal the direct oracle
     "io_roundtrip" -> { (s, dir) =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_rt").toString + "/li"
+      val tmp = graft.io.GraftIO.scratchDir("graft_rt") + "/li"
       Tables.lineitem(s, dir)
         .filter(col("l_quantity") >= 40)
         .write.mode("overwrite").parquet(tmp)
@@ -144,8 +143,7 @@ object GetitemIoQueries {
     // null-fills the old files' missing columns — the aggregate proves
     // both the union schema and the null-fill are exact
     "io_evolve" -> { (s, dir) =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_evolve").toString + "/docs"
+      val tmp = graft.io.GraftIO.scratchDir("graft_evolve") + "/docs"
       val docs = Tables.documents(s, dir)
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"), col("text"))
@@ -167,8 +165,7 @@ object GetitemIoQueries {
     // l_quantity recovered purely from the merged parquet statistics —
     // a footer/stats bug fails the hash against the data-derived oracle.
     "io_manifest" -> { (s, dir) =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_manifest").toString + "/li"
+      val tmp = graft.io.GraftIO.scratchDir("graft_manifest") + "/li"
       graft.io.GraftIO.toParquetWithMetadata(
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
@@ -197,8 +194,7 @@ object GetitemIoQueries {
     // fewer files than the full scan; here DuckDB pins that pruning
     // never changes the answer)
     "io_skipping" -> { (s, dir) =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_skipq").toString + "/li"
+      val tmp = graft.io.GraftIO.scratchDir("graft_skipq") + "/li"
       graft.io.GraftIO.toParquetWithMetadata(
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
@@ -220,8 +216,7 @@ object GetitemIoQueries {
     // byte-identical); the post-merge aggregate must equal the oracle's
     // simulated merge over the raw table
     "io_upsert" -> { (s, dir) =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_upsert").toString + "/ord"
+      val tmp = graft.io.GraftIO.scratchDir("graft_upsert") + "/ord"
       val ord = Tables.orders(s, dir)
       graft.io.GraftIO.toParquetWithMetadata(
         ord.repartitionByRange(8, col("o_orderkey")), tmp)
@@ -249,8 +244,7 @@ object GetitemIoQueries {
       // MUTATES the store, so runs must not share one) — steady-state
       // time is the snapshot-read + vacuum path, not the fixture build
       val pristine = storeCache.computeIfAbsent("tt:" + dir, _ => {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_tt").toString + "/ord"
+        val base = graft.io.GraftIO.scratchDir("graft_tt") + "/ord"
         val ord = Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_totalprice"))
         graft.io.GraftIO.toParquetWithMetadata(
@@ -273,8 +267,7 @@ object GetitemIoQueries {
           bump6.unionByName(fresh2), "o_orderkey")
         base
       })
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_tt_run").toString + "/ord"
+      val tmp = graft.io.GraftIO.scratchDir("graft_tt_run") + "/ord"
       copyTree(pristine, tmp)
       def snap(tag: String, v: Int) =
         graft.io.GraftIO.fromParquetSnapshot(s, tmp, v)
@@ -302,8 +295,7 @@ object GetitemIoQueries {
     "io_cdc" -> { (s, dir) =>
       // snapshotDiff only READS the store — one shared fixture per JVM
       val tmp = storeCache.computeIfAbsent("cdc:" + dir, _ => {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_cdc").toString + "/ord"
+        val base = graft.io.GraftIO.scratchDir("graft_cdc") + "/ord"
         val ord = Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_totalprice"))
         graft.io.GraftIO.toParquetWithMetadata(
@@ -337,8 +329,7 @@ object GetitemIoQueries {
     // path whose cost is |delta|, not |corpus|
     "io_incragg" -> { (s, dir) =>
       import graft.operators.IncrementalAgg
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_incragg").toString + "/state"
+      val tmp = graft.io.GraftIO.scratchDir("graft_incragg") + "/state"
       val li = Tables.lineitem(s, dir)
       val groups = Seq("l_returnflag", "l_linestatus")
       IncrementalAgg.buildState(li.filter(col("l_orderkey") % 10 =!= 0),
@@ -361,8 +352,7 @@ object GetitemIoQueries {
     // refresh cost |delta|-proportional, history never rejoined
     "io_incrjoin" -> { (s, dir) =>
       import graft.operators.IncrementalAgg
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_incrjoin").toString + "/view"
+      val tmp = graft.io.GraftIO.scratchDir("graft_incrjoin") + "/view"
       val o = Tables.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       val c = Tables.customer(s, dir)
@@ -386,8 +376,7 @@ object GetitemIoQueries {
     // whose bloom admits the key (ModulesSpec pins the file-count
     // reduction; DuckDB pins that pruning never changes the answer)
     "io_bloomskip" -> { (s, dir) =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_bloom").toString + "/li"
+      val tmp = graft.io.GraftIO.scratchDir("graft_bloom") + "/li"
       graft.io.GraftIO.toParquet(
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
@@ -406,8 +395,7 @@ object GetitemIoQueries {
     // aggregate as the parquet roundtrip, proving the format path and the
     // text-codec edge cases (quoting, nulls) preserve values exactly
     "io_csv" -> { (s, dir) =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_csv").toString + "/li"
+      val tmp = graft.io.GraftIO.scratchDir("graft_csv") + "/li"
       val src = Tables.lineitem(s, dir).filter(col("l_quantity") >= 40)
       src.write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.schema(src.schema).option("header", "true").csv(tmp)
@@ -417,8 +405,7 @@ object GetitemIoQueries {
 
     // ORC round-trip — the other columnar at-rest format, native reader
     "io_orc" -> { (s, dir) =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_orc").toString + "/li"
+      val tmp = graft.io.GraftIO.scratchDir("graft_orc") + "/li"
       Tables.lineitem(s, dir).filter(col("l_quantity") >= 40)
         .write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
@@ -430,8 +417,7 @@ object GetitemIoQueries {
     // minimum end-to-end slice: the re-read scan is pruned to
     // items.quantity by the TransformFieldPruning rule)
     "io_nested" -> { (s, dir) =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_nested_rt").toString + "/ord"
+      val tmp = graft.io.GraftIO.scratchDir("graft_nested_rt") + "/ord"
       Tables.ordersNested(s, dir).write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp).select(col("o_orderkey"),
         round(graft.reducers.sumList(
@@ -442,8 +428,7 @@ object GetitemIoQueries {
     // lib/io/text.py:54-127): one string row per line, parsed back with
     // codegen'd split — the log-ingestion shape
     "io_text" -> { (s, dir) =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_txt").toString + "/docs"
+      val tmp = graft.io.GraftIO.scratchDir("graft_txt") + "/docs"
       Tables.documents(s, dir)
         .select(concat_ws("|", col("lang"), col("n_chars")).as("value"))
         .write.mode("overwrite").text(tmp)
@@ -457,8 +442,7 @@ object GetitemIoQueries {
 
     // json lines write -> schema'd re-read round-trip (from_json/to_json)
     "io_json_roundtrip" -> { (s, dir) =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_js").toString + "/docs"
+      val tmp = graft.io.GraftIO.scratchDir("graft_js") + "/docs"
       Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
         .write.mode("overwrite").json(tmp)
       s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(tmp)

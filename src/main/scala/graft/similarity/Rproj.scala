@@ -49,9 +49,21 @@ object Rproj {
   def projectQ(df: DataFrame, vecCol: String, signs: Array[Array[Long]],
       qBits: Int, keep: Seq[String]): DataFrame = {
     require(qBits >= 1 && qBits <= 24, s"bad qBits=$qBits")
+    require(signs.nonEmpty && signs.forall(_.length == signs(0).length),
+      "projectQ: signs must be a non-empty rectangular d x k matrix")
+    val d = signs.length
     val k = signs(0).length
     val scale = lit((1L << qBits).toDouble)
-    val qa = transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long"))
+    // a row whose vector length differs from d would otherwise DEGRADE
+    // silently: zip_with pads the short side with nulls and the sum
+    // aggregate nulls the lane — a dimension mismatch must fail loudly,
+    // not surface as missing lanes (the when/raise_error coerces: the
+    // NullType else-branch widens to the array type)
+    val qa = when(size(col(vecCol)) === lit(d),
+      transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")))
+      .otherwise(raise_error(concat(
+        lit(s"projectQ: vector dimension != $d (got "),
+        size(col(vecCol)).cast("string"), lit(")"))))
     val lanes: Seq[Column] = (0 until k).map { j =>
       val sj = typedLit(signs.map(_(j)).toSeq)
       struct(lit(j).cast("int").as("j"),

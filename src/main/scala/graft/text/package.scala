@@ -1346,8 +1346,13 @@ package object text {
     val g = df.filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).cast("long").as("thr"))
       .agg(count(when(labelCol, 1)).as("pos"), count(lit(1)).as("n"))
+    // localCheckpoint freezes the sampled range bounds: the pid-offset
+    // join below is only consistent if both branches read the SAME
+    // physical partitioning — a fact after materializing, an optimizer
+    // premise (ReuseExchange) before. Domain-sized (distinct scores).
     val tagged = g.repartitionByRange(col("thr").desc)
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val wLoc = Window.partitionBy(col("pid")).orderBy(col("thr").desc)
     val loc = tagged
       .withColumn("ltp", sum(col("pos")).over(wLoc))

@@ -2,8 +2,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Dev smoke tool: runs the flagship SparkEntry.entry and prints the row
-  * count (the driver's smoke check, runnable locally; see
-  * .claude/skills/verify/SKILL.md). */
+  * count (a local replica of the CI smoke check). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

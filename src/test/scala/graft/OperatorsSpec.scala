@@ -1180,4 +1180,22 @@ class OperatorsSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"rproj must not shuffle:\n${plan.take(1200)}")
   }
+
+  test("Rproj: dimension mismatch fails loudly, never silent null lanes") {
+    val m = Rproj.signMatrix(8, 2)
+    val bad = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(5)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Rproj.projectQ(bad, "embedding", m, qBits = 10, keep = Seq("vec_id"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("vector dimension != 8")),
+      s"expected the dimension error, got: $e")
+    // ragged-free input still projects
+    val ok = Rproj.projectQ(bad.filter($"vec_id" === 1L), "embedding", m,
+      qBits = 10, keep = Seq("vec_id")).collect()
+    assert(ok.length == 2)
+  }
 }

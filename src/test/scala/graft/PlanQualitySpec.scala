@@ -532,21 +532,16 @@ class PlanQualitySpec extends SparkSuite {
     // appearing means a subtree diverged and the corpus pays twice.
     // t_prcurve joins the same list: one corpus aggregate collapses to
     // the distinct-score frame, everything after runs on that frame —
-    // a second documents scan means the cumulative diverged. t_auc /
-    // t_ks LAZY-plan two scans (the offsets branch re-derives the
-    // range-partitioned frame) but the subtrees are byte-identical, so
-    // the EXECUTED plan must collapse them through ReusedExchange to
-    // one corpus read — exactly what this executed-plan check proves.
     // ev_islands / ev_decompose / ev_mase / ev_chisq are single-pass
     // window/aggregate chains over one collapse of the corpus
     // ev_drift lazily derives the (day, score) aggregate three times
     // (day totals, score totals, the grid probe) — all three subtrees
-    // must collapse to one executed corpus read, like t_auc/t_ks
+    // must collapse to one executed corpus read
     for (name <- Seq("ev_funnel", "ev_retention", "ev_transitions",
         "ev_paths", "ev_sessionize", "ev_funnel_sessions",
-        "ev_funnel_times", "t_prcurve",
+        "ev_funnel_times",
         "ev_islands", "ev_decompose", "ev_mase", "ev_chisq",
-        "t_auc", "t_ks", "ev_drift", "ev_position", "ev_features")) {
+        "ev_drift", "ev_position", "ev_features")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
@@ -554,6 +549,25 @@ class PlanQualitySpec extends SparkSuite {
       val scans = "Scan parquet".r.findAllIn(plan).size
       assert(scans == 1,
         s"$name reads the corpus $scans times:\n${plan.take(3000)}")
+    }
+    // t_auc / t_ks / t_gini / t_prcurve materialize (localCheckpoint)
+    // the domain-sized tagged frame so the pid-offset join's
+    // partitioning premise is physical, not ReuseExchange-dependent:
+    // the one corpus scan happens in the materialization job (a single
+    // linear scan->aggregate->exchange lineage with nothing to
+    // diverge), and the FINAL plan must read only the checkpointed RDD
+    // — any parquet scan left here means a subtree escaped the
+    // materialization and the corpus pays twice.
+    for (name <- Seq("t_auc", "t_ks", "t_gini", "t_prcurve")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans == 0,
+        s"$name re-reads the corpus past the checkpoint ($scans scans):\n${plan.take(3000)}")
+      assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"),
+        s"$name: checkpointed frame missing from the plan:\n${plan.take(3000)}")
     }
   }
 

@@ -186,6 +186,21 @@ class TimeseriesSpec extends SparkSuite {
       (2L, 1L, 1L, 0L, 10L, 10L)), s"got ${out.mkString(";")}")
   }
 
+  test("mergeIntervals drops null ids AND null timestamps (no spurious island 0)") {
+    val rows = Seq(
+      (Option(1L), Option(ts(0, 0)), 1L),
+      (Option(1L), Option.empty[java.sql.Timestamp], 2L), // null ts: dropped
+      (Option.empty[Long], Option(ts(0, 5)), 3L),         // null id: dropped
+      (Option(1L), Option(ts(0, 40)), 4L))
+    val out = graft.operators.Timeseries.mergeIntervals(
+        rows.toDF("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id", spanUs = 10000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq((1L, 1L, 1L, 0L, 10L), (1L, 2L, 1L, 40L, 50L)),
+      s"got ${out.mkString(";")}")
+  }
+
   test("mergeIntervals matches a brute sequential sweep on random data") {
     for (seed <- Seq(907, 11213, 65537)) {
     val rnd = new scala.util.Random(seed)
