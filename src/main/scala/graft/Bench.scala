@@ -226,11 +226,86 @@ object Bench {
     val contended = passes.last.contended // false iff some pass was clean
     // merged view: per-query min(steady) across attempts; `first` from the
     // first attempt (the only genuinely cold one); runs summed
-    val merged: Map[String, QTime] = passes.flatMap(_.results.toSeq)
+    val merged0: Map[String, QTime] = passes.flatMap(_.results.toSeq)
       .groupBy(_._1).map { case (k, vs) =>
         k -> QTime(vs.map(_._2.steady).min, vs.head._2.first,
           vs.map(_._2.runs).sum)
       }.toMap
+
+    // Per-query steady-profile lockfile (r9 verdict ask #2): the suite's
+    // calibration gates catch SUSTAINED load, but a 1.5-1.9x ambient haze
+    // slides under the 2x trip and becomes the round's official per-query
+    // record (r9: s_cartesian 4.54 s in a "clean" artifact vs ~1.1 steady).
+    // docs/BENCH_STEADY.json holds the committed idle close-out profile;
+    // after the pass, every query whose time exceeds profileK x its
+    // profile entry (and an absolute floor — sub-second wobble is JIT
+    // depth, not load) earns an idle-wait plus targeted re-runs, and the
+    // artifact reports what stayed over in `over_profile` instead of
+    // presenting a phantom as the record. Regenerate on INTENTIONAL
+    // performance changes with SPARK_GRAFT_WRITE_PROFILE=1 (same
+    // discipline as the plan fingerprints; PlanQualitySpec pins key
+    // symmetry so the profile can't silently go stale).
+    val profilePath =
+      sys.env.getOrElse("SPARK_GRAFT_PROFILE", "docs/BENCH_STEADY.json")
+    val profileK = sys.env.getOrElse("SPARK_GRAFT_PROFILE_K", "2.0").toDouble
+    val profileFloor =
+      sys.env.getOrElse("SPARK_GRAFT_PROFILE_FLOOR", "0.5").toDouble
+    val profile: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(profilePath)), "UTF-8")
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val suspects = merged0.keys.toSeq.sorted.filter { k =>
+      profile.get(k).exists(p =>
+        merged0(k).steady > profileK * p && merged0(k).steady > profileFloor)
+    }
+    def rerun(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        dt
+      }
+      math.min(once(), once())
+    }
+    val merged: Map[String, QTime] =
+      if (suspects.isEmpty) merged0
+      else {
+        System.err.println(s"[bench] ${suspects.size} queries over " +
+          f"$profileK%.1fx their steady profile — idle-wait + targeted re-run: " +
+          suspects.mkString(", "))
+        waitForIdle()
+        merged0 ++ suspects.map { k =>
+          val again = rerun(k)
+          System.err.println(
+            f"[bench] rerun $k%-20s ${merged0(k).steady}%8.2fs -> $again%.2fs " +
+              f"(profile ${profile(k)}%.2fs)")
+          k -> QTime(math.min(merged0(k).steady, again), merged0(k).first,
+            merged0(k).runs + 2)
+        }
+      }
+    // what is STILL over profile after the targeted re-run: annotated in
+    // the artifact so a hazy entry reads as hazy, never as the record
+    val overProfile = merged.toSeq.sortBy(_._1).collect {
+      case (k, v) if profile.get(k).exists(p =>
+        v.steady > profileK * p && v.steady > profileFloor) =>
+        k -> (v.steady / profile(k))
+    }
+    if (sys.env.contains("SPARK_GRAFT_WRITE_PROFILE")) {
+      val body = merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => f""""$k": ${v.steady}%.3f""" }
+        .mkString("{\n  ", ",\n  ", "\n}\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(profilePath),
+        body.getBytes("UTF-8")): Unit
+      System.err.println(
+        s"[bench] wrote ${merged.size}-query steady profile to $profilePath")
+    }
     val totalMin =
       if (merged.nonEmpty) merged.values.map(_.steady).sum else 0.0
     // calibration metadata from the decision pass: the clean one, else the
@@ -262,7 +337,12 @@ object Bench {
       .drop(1).takeWhile(_._2 < 300).map(_._1).toSeq
     val wj = jitBound.mkString("{", ",", "}")
     val passTotals = passes.map(p => fmt(p.total)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","n_queries":${merged.size},"cal_start":${fmt(pass.calStart)},"cal_end":${fmt(pass.calEnd)},"cal_max":${fmt(pass.cals.max)},"cal_raw_max":${fmt(pass.calsRaw.max)},"cal_tripped_n":${pass.trippedSamples},"cal_ref":${fmt(calRef)},"load_start":${fmt(pass.loadStart)},"load_avg":${fmt(loadAvg())},"contended":$contended,"attempts":${passes.size},"pass_totals":$passTotals,"retried":$retried,"steady_min_runs":3,"action":"noop-write","warmup_ratio_gt2":$wj,"queries":$qs,"sf":"$sfDir"}""")
+    val overJson = overProfile.iterator
+      .map { case (k, r) => s""""$k":${f"$r%.2f"}""" }
+      .scanLeft(("", 0)) { case ((_, len), s) => (s, len + s.length + 1) }
+      .drop(1).takeWhile(_._2 < 300).map(_._1).toSeq
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","n_queries":${merged.size},"cal_start":${fmt(pass.calStart)},"cal_end":${fmt(pass.calEnd)},"cal_max":${fmt(pass.cals.max)},"cal_raw_max":${fmt(pass.calsRaw.max)},"cal_tripped_n":${pass.trippedSamples},"cal_ref":${fmt(calRef)},"load_start":${fmt(pass.loadStart)},"load_avg":${fmt(loadAvg())},"contended":$contended,"attempts":${passes.size},"pass_totals":$passTotals,"retried":$retried,"profile_n":${profile.size},"profile_rerun_n":${suspects.size},"over_profile":$overJson,"steady_min_runs":3,"action":"noop-write","warmup_ratio_gt2":$wj,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,6 +57,14 @@ object GraftIO {
   def fromParquetProjected(spark: SparkSession, path: String,
       leaves: Seq[String]): DataFrame = {
     val full = spark.read.parquet(path).schema
+    spark.read.schema(pruneLeaves(full, leaves)).parquet(path)
+  }
+
+  /** Prune `full` down to the requested dot-path leaves (list levels are
+    * transparent) — the shared projection kernel behind
+    * [[fromParquetProjected]] and [[fromJsonProjected]]. */
+  private[io] def pruneLeaves(full: StructType,
+      leaves: Seq[String]): StructType = {
     def prune(st: StructType, paths: Seq[Seq[String]]): StructType =
       StructType(st.fields.flatMap { f =>
         val sub = paths.filter(_.head == f.name)
@@ -74,8 +82,25 @@ object GraftIO {
         a.copy(elementType = pruneType(a.elementType, rest))
       case other => other
     }
-    val pruned = prune(full, leaves.map(_.split('.').toSeq))
-    spark.read.schema(pruned).parquet(path)
+    prune(full, leaves.map(_.split('.').toSeq))
+  }
+
+  /** JSON leaf projection — the `from_json` face of the necessary-columns
+    * optimizer (the reference pins this on JSON explicitly,
+    * tests/test_io_json.py:106-140 test_json_column_projection1/2). For
+    * JSON the read SCHEMA is the projection mechanism: Spark's parser
+    * token-skips every field absent from it, so an untouched sibling is
+    * never tokenized, allocated, or carried — the textual bytes are still
+    * read once (no columnar footer to skip with), which is exactly the
+    * reference's JSON posture too. Nested dot-paths prune INSIDE records:
+    * "meta.lang" reads one leaf of the struct and drops its siblings from
+    * the scan's requiredSchema. */
+  def fromJsonProjected(spark: SparkSession, path: String,
+      leaves: Seq[String], fullSchema: Option[StructType] = None,
+      lineDelimited: Boolean = true): DataFrame = {
+    val full = fullSchema.getOrElse(
+      fromJson(spark, path, None, 1.0, lineDelimited).schema)
+    fromJson(spark, path, Some(pruneLeaves(full, leaves)), 1.0, lineDelimited)
   }
 
   /** `to_parquet` (reference `parquet.py:515-726`): one file per partition

@@ -454,6 +454,17 @@ object EventQueries {
         col("ts"), col("value"))
     },
 
+    // stream-stream interval-join audit (Streaming.intervalJoinAudit):
+    // exact micro-batch replay of purchaseAttribution under the st_late
+    // displaced-arrival model — per purchase, the matches the streaming
+    // join emits AND the ones it misses to the late-input drop (the
+    // min-of-sides watermark contract pinned against real MemoryStream
+    // runs in ModulesSpec/IjoinProbeSpec, equality-drops included)
+    "st_ijoin" -> { (s, dir) =>
+      graft.streaming.Streaming.intervalJoinAudit(Tables.events(s, dir),
+        expr("greatest(event_id + (((event_id % 97) * 37) % 21 - 10) * 50, 0) DIV 1000"))
+    },
+
     // batch face of Streaming.streamingNearDupFilter (stateful simhash
     // near-dup tagging). Keeper choice is arrival-order-dependent, so only
     // the order-independent total is emitted — rows-only driver check; the
@@ -722,6 +733,11 @@ object EventQueries {
       """WITH g AS (SELECT user_id, event_type, count(*) AS n_dupes, min(ts) AS mt FROM events GROUP BY 1, 2), f AS (SELECT g.user_id, g.event_type, g.n_dupes, g.mt, min(e.event_id) AS first_eid FROM g JOIN events e ON e.user_id = g.user_id AND e.event_type = g.event_type AND e.ts = g.mt GROUP BY 1, 2, 3, 4) SELECT user_id, event_type, n_dupes, CAST(floor(epoch(mt)) AS BIGINT) AS first_ts, first_eid FROM f""",
     "st_late" ->
       """WITH e AS (SELECT greatest(event_id + (((event_id % 97) * 37) % 21 - 10) * 50, 0) // 1000 AS b, epoch_us(ts) // 1000000 AS sec, value FROM events), bm AS (SELECT b, max(sec) AS bmax FROM e GROUP BY b), w AS (SELECT b, max(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600 AS wm FROM bm), j AS (SELECT (e.sec // 300) * 300 AS ws, e.value, (w.wm IS NOT NULL AND (e.sec // 300) * 300 + 300 <= w.wm) AS late FROM e JOIN w USING (b)) SELECT ws, count(*) FILTER (WHERE NOT late) AS n_kept, round(sum(value) FILTER (WHERE NOT late), 2) AS sum_value, count(*) FILTER (WHERE late) AS n_late FROM j GROUP BY ws""",
+    // interval-join audit replay: identical batch assignment, per-side
+    // running-max watermarks (min-of-sides), equality-drops late rule,
+    // pure-batch ideal join as the miss baseline
+    "st_ijoin" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, greatest(event_id + (((event_id % 97) * 37) % 21 - 10) * 50, 0) // 1000 AS b, epoch_us(ts) // 1000000 AS sec FROM events WHERE event_type IN ('click', 'purchase')), bm AS (SELECT b, max(CASE WHEN event_type = 'click' THEN sec END) AS cmax, max(CASE WHEN event_type = 'purchase' THEN sec END) AS pmax FROM e GROUP BY b), w AS (SELECT b, CASE WHEN max(cmax) OVER pw IS NOT NULL AND max(pmax) OVER pw IS NOT NULL THEN least(max(cmax) OVER pw, max(pmax) OVER pw) - 600 END AS wm FROM bm WINDOW pw AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), t AS (SELECT e.*, (w.wm IS NOT NULL AND e.sec <= w.wm) AS late FROM e JOIN w USING (b)), c AS (SELECT user_id AS cu, sec AS csec, late AS clate FROM t WHERE event_type = 'click'), p AS (SELECT user_id AS pu, sec AS psec, late AS plate, event_id FROM t WHERE event_type = 'purchase') SELECT p.event_id, count(c.cu) AS n_ideal, count(*) FILTER (WHERE c.cu IS NOT NULL AND NOT c.clate AND NOT p.plate) AS n_stream, count(c.cu) - count(*) FILTER (WHERE c.cu IS NOT NULL AND NOT c.clate AND NOT p.plate) AS n_missed FROM p LEFT JOIN c ON p.pu = c.cu AND c.csec >= p.psec - 600 AND c.csec <= p.psec GROUP BY p.event_id""",
     "st_json_typed" ->
       """SELECT user_id, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_null FROM events GROUP BY 1""",
     "ev_range" ->

@@ -450,6 +450,26 @@ object GetitemIoQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
     },
 
+    // JSON column projection graded END TO END (reference
+    // test_io_json.py:106-140): documents nested into a record column,
+    // re-read through fromJsonProjected touching only meta.lang and
+    // meta.n_chars — the text leaf is never tokenized (requiredSchema
+    // pruning pinned in ModulesSpec; DuckDB pins that the pruned read
+    // still recovers the exact aggregate)
+    "io_json_prune" -> { (s, dir) =>
+      val tmp = graft.io.GraftIO.scratchDir("graft_jsprune") + "/docs"
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          struct(col("lang"), col("n_chars"), col("text")).as("meta"))
+        .write.mode("overwrite").json(tmp)
+      graft.io.GraftIO.fromJsonProjected(s, tmp,
+          Seq("meta.lang", "meta.n_chars"),
+          Some(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, meta STRUCT<lang: STRING, n_chars: BIGINT, text: STRING>")))
+        .groupBy(col("meta.lang").as("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("meta.n_chars")).as("total_chars"))
+    },
+
     // multimodal decode stub through the typed mapPartitions pipeline
     "mm_meta" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -744,6 +764,9 @@ object GetitemIoQueries {
     "io_nested" ->
       """SELECT l_orderkey AS o_orderkey, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY 1""",
     "io_json_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1""",
+    // pruned-JSON read must recover the identical aggregate
+    "io_json_prune" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1""",
     "io_text" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1""",

@@ -389,6 +389,35 @@ object Relational {
         .distinct().filter(col("node") % 199 === 0)
       LinkPredict.topForQueries(edges, queries, kPerQuery = 5)
     },
+    // link-prediction QUALITY gate (the q_labelprop lesson: a replay
+    // oracle validates the computation, not the configuration): hold out
+    // a deterministic 1/13 of undirected co-occurrence edges, predict
+    // top-10 neighbors for the query nodes on the REMAINING graph, and
+    // grade precision@10 against the held-out truth — a vacuous seed or
+    // scoring regression drops prec_ppm even while values stay
+    // oracle-exact. The ppm floor is pinned in GraphSpec against the
+    // random-pair baseline.
+    "q_linkpred_prec" -> { (s, dir) =>
+      import graft.operators.{LinkPredict, PageRank}
+      val all = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey").localCheckpoint()
+      val hold = expr("pmod(least(src, dst) * 31 + greatest(src, dst), 13) = 0")
+      val train = all.filter(!hold)
+      val test = all.filter(hold && col("src") < col("dst"))
+        .select(col("src").as("hu"), col("dst").as("hv"))
+      val queries = test.select(col("hu").as("node")).distinct()
+        .filter(col("node") % 7 === 0)
+      val preds = LinkPredict.topForQueries(train, queries, kPerQuery = 10)
+        .select(col("u"), col("v"),
+          least(col("u"), col("v")).as("hu"),
+          greatest(col("u"), col("v")).as("hv"))
+      preds.join(test.withColumn("hit", lit(1L)), Seq("hu", "hv"), "left")
+        .agg(count_distinct(col("u")).as("n_queries"),
+          count(lit(1)).as("n_preds"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("n_queries"), col("n_preds"), col("n_hits"),
+          expr("n_hits * 1000000 DIV n_preds").as("prec_ppm"))
+    },
     // multi-source BFS (graft.operators.Bfs): exact hop distance from
     // the node%97==0 seed set within 4 hops, frontier-delta rounds.
     // BFS distance is a fixpoint (min over paths), so the oracle's
@@ -434,6 +463,36 @@ object Relational {
       val seeds = edges.select(col("src").as("node"))
         .distinct().filter(col("node") % 101 === 0)
       PageRank.personalizedPageRank(edges, seeds, iterations = 6)
+    },
+    // PPR QUALITY gate: personalization must CONCENTRATE rank mass on
+    // the seed set far beyond what uniform PageRank gives the same
+    // nodes — one row of seed-share ppm for both, all integer (share =
+    // seed_mass DIV (total DIV 1e6): overflow-free at any node count).
+    // n_seeds rides along so an accidentally-empty seed config is a
+    // visible hash mismatch, not a silently-degenerate-but-exact replay
+    // (the q_labelprop lesson). The concentration floor is pinned in
+    // GraphSpec.
+    "q_ppr_quality" -> { (s, dir) =>
+      import graft.operators.PageRank
+      val edges = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey").localCheckpoint()
+      val seeds = edges.select(col("src").as("node"))
+        .distinct().filter(col("node") % 101 === 0)
+      def seedShare(ranks: org.apache.spark.sql.DataFrame, out: String) =
+        ranks.join(seeds.withColumn("is_seed", lit(1)), Seq("node"), "left")
+          .agg(sum(col("pr")).as("tot"),
+            sum(when(col("is_seed").isNotNull, col("pr")).otherwise(lit(0L)))
+              .as("sm"),
+            sum(when(col("is_seed").isNotNull, 1L).otherwise(0L)).as("ns"))
+          .select(col("ns"), expr("sm DIV (tot DIV 1000000)").as(out))
+      val ppr = seedShare(
+        PageRank.personalizedPageRank(edges, seeds, iterations = 6),
+        "ppr_seed_ppm")
+      val pr = seedShare(
+        PageRank.pageRank(edges, iterations = 6, handleDangling = false),
+        "pr_seed_ppm")
+      ppr.select(col("ns").as("n_seeds"), col("ppr_seed_ppm"))
+        .crossJoin(pr.select(col("pr_seed_ppm")))
     },
     // bounded Bellman-Ford shortest paths over affinity costs
     // (1e6 DIV co-occurrence weight — heavier co-purchase = cheaper
@@ -545,6 +604,23 @@ object Relational {
            cn AS (SELECT a.src AS u, b.src AS v, count(*) AS inter, CAST(sum(1000000000 // a.cdeg) AS BIGINT) AS ra_1e9 FROM tag a JOIN q ON a.src = q.node JOIN tag b ON a.dst = b.dst AND a.src <> b.src GROUP BY 1, 2),
            sc AS (SELECT u, v, inter, du.deg + dv.deg - inter AS uni, inter * 1000000 // (du.deg + dv.deg - inter) AS jac_ppm, ra_1e9 FROM cn JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v)
          SELECT u, CAST(rank AS INT) AS rank, v, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni, CAST(jac_ppm AS BIGINT) AS jac_ppm, ra_1e9 FROM (SELECT *, row_number() OVER (PARTITION BY u ORDER BY jac_ppm DESC, v) AS rank FROM sc) WHERE rank <= 5""",
+    // precision@10 replay: identical hold-out split, train-graph wedge
+    // scoring, rank cut, and hit join — one integer row
+    "q_linkpred_prec" ->
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+           tr AS MATERIALIZED (SELECT src, dst FROM e0 WHERE (least(src, dst) * 31 + greatest(src, dst)) % 13 <> 0),
+           te AS MATERIALIZED (SELECT src AS hu, dst AS hv FROM e0 WHERE (least(src, dst) * 31 + greatest(src, dst)) % 13 = 0 AND src < dst),
+           deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM tr GROUP BY 1),
+           tag AS MATERIALIZED (SELECT e.src, e.dst, d.deg AS cdeg FROM tr e JOIN deg d ON d.node = e.dst),
+           q AS (SELECT DISTINCT hu AS node FROM te WHERE hu % 7 = 0),
+           cn AS (SELECT a.src AS u, b.src AS v, count(*) AS inter FROM tag a JOIN q ON a.src = q.node JOIN tag b ON a.dst = b.dst AND a.src <> b.src GROUP BY 1, 2),
+           sc AS (SELECT u, v, inter * 1000000 // (du.deg + dv.deg - inter) AS jac_ppm FROM cn JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+           pred AS (SELECT u, v FROM (SELECT *, row_number() OVER (PARTITION BY u ORDER BY jac_ppm DESC, v) AS rank FROM sc) WHERE rank <= 10),
+           h AS (SELECT pred.u, CASE WHEN te.hu IS NOT NULL THEN 1 ELSE 0 END AS hit FROM pred LEFT JOIN te ON te.hu = least(pred.u, pred.v) AND te.hv = greatest(pred.u, pred.v))
+         SELECT count(DISTINCT u) AS n_queries, count(*) AS n_preds, CAST(sum(hit) AS BIGINT) AS n_hits, CAST(sum(hit) AS BIGINT) * 1000000 // count(*) AS prec_ppm FROM h""",
+    // seed-share concentration replay: the two 6-round fixed-point
+    // chains (personalized + uniform) over one shared graph prefix
+    "q_ppr_quality" -> pprQualityOracle(6),
     // fixed 4-round min-unroll: dist(v) = min over rounds of first
     // reach — exact for any early frontier exhaustion (min is a
     // fixpoint, extra rounds are identity)
@@ -568,6 +644,26 @@ object Relational {
         s"r$i AS (SELECT t.node, t.tele + 85 * coalesce(c.c, 0) // 100 AS pr FROM tele t LEFT JOIN c$i c ON c.dst = t.node)"
     }.mkString(", ")
     s"WITH $base, $rounds SELECT node, CAST(pr AS BIGINT) AS pr FROM r$iters"
+  }
+
+  /** The q_ppr_quality replay: both rank chains (personalized a_i,
+    * uniform b_i — the dangling term is identically 0 on the symmetric
+    * co-occurrence graph, matching handleDangling = false) over ONE
+    * shared graph prefix, reduced to the two integer seed-share ppm
+    * numbers (share = seed_mass // (total // 1e6), overflow-free). */
+  private def pprQualityOracle(iters: Int): String = {
+    val base =
+      """e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey GROUP BY 1, 2), nodes AS MATERIALIZED (SELECT src AS node FROM e0 UNION SELECT dst FROM e0), outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e0 GROUP BY 1), nn AS (SELECT count(*) AS n FROM nodes), s0 AS (SELECT node FROM nodes WHERE node % 101 = 0), ns AS (SELECT count(*) AS c FROM s0), tele AS MATERIALIZED (SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 150000000 * (SELECT n FROM nn) // (SELECT c FROM ns) ELSE 0 END AS tele FROM nodes n LEFT JOIN s0 s ON n.node = s.node), a0 AS (SELECT node, tele AS pr FROM tele), b0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes)"""
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"ac$i AS (SELECT e.dst, CAST(sum((r.pr // o.out_w) * e.w) AS BIGINT) AS c FROM e0 e JOIN outw o ON e.src = o.src JOIN a$p r ON r.node = e.src GROUP BY 1), " +
+        s"a$i AS (SELECT t.node, t.tele + 85 * coalesce(c.c, 0) // 100 AS pr FROM tele t LEFT JOIN ac$i c ON c.dst = t.node), " +
+        s"bc$i AS (SELECT e.dst, CAST(sum((r.pr // o.out_w) * e.w) AS BIGINT) AS c FROM e0 e JOIN outw o ON e.src = o.src JOIN b$p r ON r.node = e.src GROUP BY 1), " +
+        s"b$i AS (SELECT n.node, 150000000 + 85 * coalesce(c.c, 0) // 100 AS pr FROM nodes n LEFT JOIN bc$i c ON c.dst = n.node)"
+    }.mkString(", ")
+    s"""WITH $base, $rounds SELECT (SELECT c FROM ns) AS n_seeds,
+       (SELECT CAST(sum(CASE WHEN s.node IS NOT NULL THEN r.pr ELSE 0 END) // (sum(r.pr) // 1000000) AS BIGINT) FROM a$iters r LEFT JOIN s0 s ON r.node = s.node) AS ppr_seed_ppm,
+       (SELECT CAST(sum(CASE WHEN s.node IS NOT NULL THEN r.pr ELSE 0 END) // (sum(r.pr) // 1000000) AS BIGINT) FROM b$iters r LEFT JOIN s0 s ON r.node = s.node) AS pr_seed_ppm"""
   }
 
   private def ssspOracle(rounds: Int): String = {

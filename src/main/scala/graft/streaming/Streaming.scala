@@ -131,6 +131,87 @@ object Streaming {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Exact micro-batch replay of [[purchaseAttribution]]'s stream-stream
+    * interval join — the batch face that grades the one streaming
+    * behavior a streaming run cannot show: which (purchase, click)
+    * matches the join MISSES because late input was dropped or
+    * watermark-expired state was already evicted.
+    *
+    * Replay contract — pinned against REAL MemoryStream runs in
+    * ModulesSpec (IjoinProbe scenarios), including the boundary cases:
+    *   - each SIDE carries its own watermark (the filter runs before
+    *     withWatermark), and the operator sees their MIN (Spark's
+    *     default multipleWatermarkPolicy): W(k) = min(max click-second,
+    *     max purchase-second over STRICTLY earlier batches) − delaySec,
+    *     null until BOTH sides have appeared (an absent side holds the
+    *     watermark at −inf — measured: wm stays epoch 0).
+    *   - late-input drop, both sides: a row of batch k with
+    *     sec <= W(k) never enters the join (EQUALITY DROPS — measured:
+    *     a purchase exactly AT the watermark is counted in
+    *     numRowsDroppedByWatermark).
+    *   - state eviction needs NO term of its own: Spark derives each
+    *     side's state watermark FROM the join condition (clicks evicted
+    *     only once c_sec + rangeSec < W, purchases once p_sec < W), so
+    *     an in-state row is evicted only when every purchase/click that
+    *     could still match it would itself be dropped as late input —
+    *     measured: a click with c <= W < c+range stayed in state and
+    *     matched an on-time purchase. For the INNER join the observable
+    *     contract is exactly: emitted ⟺ the range condition holds and
+    *     NEITHER row was late on arrival.
+    *
+    * Scale shape: ONE corpus scan splits into the two sides; the pair
+    * probe is an equi-join on the user key (time bounds as residuals —
+    * per-user candidate groups are bounded by the join's own range
+    * premise); the watermark table is micro-batch-count-sized and
+    * broadcast. All arithmetic on integer epoch seconds — the DuckDB
+    * oracle replays it verbatim (sub-second watermark effects are
+    * outside the integer-seconds contract by construction). Returns one
+    * row per purchase: (event_id, n_ideal, n_stream, n_missed) where
+    * n_ideal is the PURE batch interval join over every row — so a
+    * match streaming lost to a late arrival is a visible miss, the
+    * number a streaming run can never report about itself. */
+  def intervalJoinAudit(events: DataFrame,
+      batchCol: org.apache.spark.sql.Column,
+      delaySec: Long = 600L, rangeSec: Long = 600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(batchCol.as("b"), col("user_id"), col("event_type"),
+        col("event_id"), expr("unix_micros(ts) DIV 1000000").as("sec"))
+    val wmW = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-batch per-side maxima -> per-side running max over earlier
+    // batches -> min-of-sides watermark; micro-batch-count-sized frame
+    val wm = e.groupBy(col("b"))
+      .agg(max(when(col("event_type") === "click", col("sec"))).as("cmax"),
+        max(when(col("event_type") === "purchase", col("sec"))).as("pmax"))
+      .withColumn("wm",
+        when(max(col("cmax")).over(wmW).isNotNull &&
+             max(col("pmax")).over(wmW).isNotNull,
+          least(max(col("cmax")).over(wmW), max(col("pmax")).over(wmW))
+            - delaySec))
+      .select(col("b"), col("wm"))
+    // late flag, NOT a filter: n_ideal is the PURE batch join over every
+    // row, so a match lost to the late-input drop is a visible miss
+    val tagged = e.join(broadcast(wm), "b")
+      .withColumn("late", col("wm").isNotNull && col("sec") <= col("wm"))
+    val clicks = tagged.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("sec").as("csec"),
+        col("late").as("clate"))
+    val purchases = tagged.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("sec").as("psec"),
+        col("late").as("plate"), col("event_id"))
+    val pairs = purchases.join(clicks,
+      col("pu") === col("cu") &&
+        col("csec") >= col("psec") - rangeSec && col("csec") <= col("psec"),
+      "left")
+    pairs.groupBy(col("event_id"))
+      .agg(count(col("cu")).as("n_ideal"),
+        count(when(!col("clate") && !col("plate"), 1)).as("n_stream"))
+      .select(col("event_id"), col("n_ideal"), col("n_stream"),
+        (col("n_ideal") - col("n_stream")).as("n_missed"))
+  }
+
   /** Watermarked per-window distinct-user estimate PLUS the mergeable HLL
     * sketch state itself. The streamed sketches land in the sink next to
     * the estimates, so any coarser rollup (hourly→daily→monthly distinct

@@ -156,18 +156,23 @@ package object strings {
     * engine-independent) plus the dictionary itself as a second frame —
     * the (value, code) pairs the reference stores as the Arrow dictionary.
     *
-    * Scale shape: one distinct shuffle over the values, then a window
-    * ONLY over the distinct set (dictionary-sized by this operator's
-    * premise — if the cardinality is corpus-sized, dictionary encoding is
-    * the wrong tool and this is the right place to find out), then a
-    * broadcast join back, so the corpus itself is never re-shuffled. */
+    * Scale shape: one distinct shuffle over the values, then the
+    * generalized two-level rank ([[graft.core.Partitions.globalRankBy]])
+    * over the distinct set — range-partitioned local ranks plus bounded
+    * per-partition offsets, so a HIGH-cardinality column degrades
+    * gracefully into parallel partitions instead of funneling the whole
+    * dictionary through one unpartitioned window task — then a broadcast
+    * join back, so the corpus itself is never re-shuffled. (The
+    * dictionary is still dictionary-sized by premise; the rank no longer
+    * depends on that premise to stay off a single task.) */
   def toCategorical(df: org.apache.spark.sql.DataFrame, valueCol: String,
       codeCol: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     require(!df.columns.contains(codeCol),
       s"toCategorical: input already has a column named '$codeCol'")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol))
-    val dict = df.select(col(valueCol)).distinct()
-      .withColumn(codeCol, (dense_rank().over(w) - 1).cast("long"))
+    // distinct values double as the rank tiebreak id (trivially unique)
+    val dict = graft.core.Partitions.globalRankBy(
+        df.select(col(valueCol)).distinct(), col(valueCol), valueCol, codeCol)
+      .select(col(valueCol), (col(codeCol) - 1).cast("long").as(codeCol))
     (df.join(broadcast(dict), valueCol), dict)
   }
 

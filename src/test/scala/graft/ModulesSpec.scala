@@ -190,6 +190,88 @@ class ModulesSpec extends SparkSuite {
     }
   }
 
+  test("streaming interval join: real run matches the intervalJoinAudit replay") {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1000000200L
+    def t(min: Int) = new java.sql.Timestamp((base + min * 60L) * 1000L)
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
+    val joined = graft.streaming.Streaming.purchaseAttribution(
+      ms.toDF().toDF("user_id", "event_type", "ts", "value"))
+      .select($"p_user", unix_timestamp($"p_ts").as("psec"),
+        unix_timestamp($"c_ts").as("csec"))
+    val q = joined.writeStream.format("memory").queryName("st_ijoin_t")
+      .outputMode("append").start()
+    def batch(rows: (Long, String, java.sql.Timestamp, Double)*): Unit = {
+      ms.addData(rows: _*); q.processAllAvailable()
+    }
+    // b0: same-batch match (P1 u1 x C1); watermark still -inf
+    batch((1L, "click", t(0), 0.0), (2L, "click", t(2), 0.0),
+      (1L, "purchase", t(5), 9.0))
+    // b1: far click; the MIN-of-sides watermark is held back by the
+    // purchase side (pmax t(5)), so nothing below drops yet
+    batch((9L, "click", t(30), 0.0))
+    // b2 (W = min(t(30), t(5)) - 10min = t(-5)): everything on time —
+    // P2 x C2, P1 x C6 (click joins STORED purchase), P3 x C5 (purchase
+    // joins STORED click) all emit
+    batch((2L, "purchase", t(8), 9.0), (9L, "purchase", t(35), 9.0),
+      (1L, "click", t(3), 0.0))
+    // b3 (W = min(t(30), t(35)) - 10min = t(20)): C7 t(27) on time,
+    // joins P3 from state
+    batch((9L, "click", t(27), 0.0))
+    // b4: same-batch far pair advances BOTH sides
+    batch((5L, "click", t(100), 0.0), (5L, "purchase", t(101), 9.0))
+    // b5 (W = min(t(100), t(101)) - 10min = t(90)): P6 u1 t(6) is LATE
+    // input — both its ideal clicks are lost
+    batch((1L, "purchase", t(6), 9.0))
+    // b6 (W = t(90)): C9 u9 t(31) is LATE — its ideal match P3 is lost
+    batch((9L, "click", t(31), 0.0))
+    q.stop()
+    val emitted = spark.table("st_ijoin_t").as[(Long, Long, Long)]
+      .collect().toSet
+    val expect = Set(
+      (1L, base + 300L, base + 0L),      // P1 x C1 same batch
+      (1L, base + 300L, base + 180L),    // P1 x C6 purchase-in-state
+      (2L, base + 480L, base + 120L),    // P2 x C2 click-in-state
+      (9L, base + 2100L, base + 1800L),  // P3 x C5 click-in-state
+      (9L, base + 2100L, base + 1620L),  // P3 x C7 purchase-in-state
+      (5L, base + 6060L, base + 6000L))  // P5 x C8 same batch
+    assert(emitted == expect, s"stream emitted $emitted")
+    // the replay with the SAME batch assignment must reproduce every
+    // emitted count AND expose the late-input misses streaming hides
+    val rows = Seq(
+      (0L, 1L, "click", 10L, t(0)), (0L, 2L, "click", 11L, t(2)),
+      (0L, 1L, "purchase", 100L, t(5)),
+      (1L, 9L, "click", 12L, t(30)),
+      (2L, 2L, "purchase", 101L, t(8)), (2L, 9L, "purchase", 102L, t(35)),
+      (2L, 1L, "click", 13L, t(3)),
+      (3L, 9L, "click", 14L, t(27)),
+      (4L, 5L, "click", 15L, t(100)), (4L, 5L, "purchase", 103L, t(101)),
+      (5L, 1L, "purchase", 104L, t(6)),
+      (6L, 9L, "click", 16L, t(31)))
+      .toDF("b", "user_id", "event_type", "event_id", "ts")
+    val audit = graft.streaming.Streaming
+      .intervalJoinAudit(rows, $"b")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(audit(100L) == ((2L, 2L, 0L)), s"P1: $audit")
+    assert(audit(101L) == ((1L, 1L, 0L)), s"P2: $audit")
+    assert(audit(102L) == ((3L, 2L, 1L)), s"P3: $audit") // C9 late
+    assert(audit(103L) == ((1L, 1L, 0L)), s"P5: $audit")
+    assert(audit(104L) == ((2L, 0L, 2L)), s"P6: $audit") // P6 itself late
+    // parity: per purchase, the replay's n_stream equals the real run
+    val streamCounts = emitted.toSeq.groupBy(_._1)
+      .map { case (k, v) => k -> v.size.toLong }
+    val replayCounts = audit.collect {
+      case (eid, (_, ns, _)) if ns > 0 =>
+        eid match { case 100L => 1L -> ns; case 101L => 2L -> ns
+          case 102L => 9L -> ns; case 103L => 5L -> ns }
+    }
+    assert(replayCounts.toMap == streamCounts,
+      s"replay $replayCounts vs stream $streamCounts")
+  }
+
   test("streaming EWMA converges to the batch closed form per user") {
     implicit val s: SparkSession = spark
     val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
@@ -1844,6 +1926,47 @@ class ModulesSpec extends SparkSuite {
     val cols = nc.values.head.toSet
     assert(cols == Set("l_orderkey", "l_quantity"),
       s"scan should read exactly the needed columns, got $cols")
+  }
+
+  test("json column projection reaches the scan's requiredSchema (flat + nested)") {
+    // the reference pins its crown-jewel projection on JSON explicitly
+    // (tests/test_io_json.py:106-140 test_json_column_projection1/2);
+    // this is the Spark-side equivalent: untouched fields must be absent
+    // from the JSON scan's requiredSchema (never tokenized), and the
+    // pruned read must still produce the full-read values
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsproj").toString
+    graft.core.Tables.documents(spark, dir)
+      .select($"doc_id",
+        struct($"lang", $"n_chars", $"text").as("meta"))
+      .write.mode("overwrite").json(tmp)
+    val ddl = "doc_id BIGINT, meta STRUCT<lang: STRING, n_chars: BIGINT, text: STRING>"
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+
+    // flat: a top-level projection prunes natively through Catalyst
+    val flat = graft.io.GraftIO.fromJson(spark, tmp, Some(sch))
+      .select($"doc_id")
+    val ncf = graft.inspect.Inspect.necessaryColumns(flat).values.head.toSet
+    assert(ncf == Set("doc_id"),
+      s"flat JSON projection should read exactly doc_id, got $ncf")
+
+    // nested: fromJsonProjected prunes INSIDE the record — the text
+    // sibling must vanish from the scan schema
+    val proj = graft.io.GraftIO.fromJsonProjected(spark, tmp,
+      Seq("meta.lang", "meta.n_chars"), Some(sch))
+    val ncp = graft.inspect.Inspect.necessaryColumns(proj).values.head.mkString(";")
+    assert(ncp.contains("meta.lang") && ncp.contains("meta.n_chars") &&
+      !ncp.contains("text") && !ncp.contains("doc_id"),
+      s"nested JSON projection should read exactly the two meta leaves, got $ncp")
+
+    // and the pruned read recovers the full-read values
+    val a = proj.groupBy($"meta.lang".as("lang"))
+      .agg(sum($"meta.n_chars").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = graft.io.GraftIO.fromJson(spark, tmp, Some(sch))
+      .groupBy($"meta.lang".as("lang"))
+      .agg(sum($"meta.n_chars").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, s"pruned read changed the answer: $a vs $b")
   }
 
   test("inspect: nested-field pruning reaches the scan (SchemaPruning)") {

@@ -68,7 +68,11 @@ class PlanQualitySpec extends SparkSuite {
         "ev_drift",
         // modularity ships the 1-row 2m total as a broadcast cross into
         // the label-cardinality report frame (the t_bm25 shape)
-        "q_modularity")
+        "q_modularity",
+        // the PPR-quality report crosses its two 1-ROW seed-share
+        // aggregates into one report row (the d_lsh_quality shape); the
+        // underlying rank chains inherit q_ppr/q_pagerank's allowances
+        "q_ppr_quality")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }

@@ -66,6 +66,29 @@ class StringsSpec extends SparkSuite {
     intercept[IllegalArgumentException] { toCategorical(coded, "lang", "code") }
   }
 
+  test("toCategorical ranks the dictionary two-level, never one task per dictionary") {
+    // high-cardinality dictionary (every value distinct): the rank must
+    // run range-partitioned + bounded offsets (globalRankBy), not one
+    // unpartitioned dense_rank window funneling the dictionary through a
+    // single task
+    val df = (0 until 500).map(i => (i.toLong, f"v$i%05d")).toDF("id", "v")
+    val (coded, dict) = toCategorical(df, "v", "code")
+    val codes = dict.orderBy($"code").as[(String, Long)].collect()
+    assert(codes.map(_._2).toSeq == (0L until 500L),
+      "codes must be dense 0..n-1")
+    assert(codes.map(_._1).toSeq == codes.map(_._1).sorted.toSeq,
+      "codes must follow sorted value order")
+    assert(coded.count() == 500)
+    val plan = dict.queryExecution.executedPlan.toString
+    // the dictionary-sized rank is partitioned by pid; the only
+    // unpartitioned window runs over the bounded per-range-partition
+    // offsets frame (<= shuffle.partitions rows)
+    assert(plan.contains("windowspecdefinition(pid"),
+      s"dictionary rank is not pid-partitioned:\n${plan.take(2000)}")
+    assert("Exchange SinglePartition".r.findAllIn(plan).size <= 1,
+      s"dictionary funnels through a single task:\n${plan.take(2000)}")
+  }
+
   test("nested-depth application via transform") {
     val got = Seq(Seq("aB", "cD")).toDF("xs")
       .select(transform($"xs", x => swapcase(x)))
