@@ -947,4 +947,25 @@ class PlanQualitySpec extends SparkSuite {
     assert(stale.isEmpty,
       s"lockfile entries for queries that no longer exist (regenerate): $stale")
   }
+
+  test("steady-profile lockfile covers exactly the query set") {
+    // docs/BENCH_STEADY.json is the committed idle per-query profile
+    // Bench compares each run against (over-profile queries earn an
+    // idle-wait + targeted re-run and an `over_profile` annotation in
+    // the artifact — the r9 phantom-entry fix). VALUES are
+    // hardware-dependent and regenerate with
+    // SPARK_GRAFT_WRITE_PROFILE=1 runMain graft.Bench; this pins the
+    // KEY SET symmetrically so a new query can't ship unprofiled and a
+    // deleted one can't leave a dead row.
+    val p = java.nio.file.Paths.get("docs/BENCH_STEADY.json")
+    assume(java.nio.file.Files.exists(p), s"no profile at $p")
+    val keys = """"([^"]+)"\s*:\s*[0-9.]+""".r
+      .findAllMatchIn(java.nio.file.Files.readString(p))
+      .map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet -- keys
+    val stale = keys -- SparkEntry.queries.keySet
+    assert(missing.isEmpty && stale.isEmpty,
+      "steady profile out of sync (SPARK_GRAFT_WRITE_PROFILE=1 runMain " +
+        s"graft.Bench): missing=$missing stale=$stale")
+  }
 }
