@@ -26,6 +26,7 @@ each doc's bin is determined by the previous doc's bin and the fit test.)
 Usage: binpack_validate.py <sf_dir> <t_binpack_dump_dir> [cap] [nshards]
 Prints one line per invariant; exits 1 on any violation.
 """
+import os
 import sys
 
 import duckdb
@@ -34,13 +35,16 @@ def main():
     sf, dump = sys.argv[1], sys.argv[2]
     cap = int(sys.argv[3]) if len(sys.argv) > 3 else 128
     nsh = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    docs = f"{sf}/documents.parquet"
+    if os.path.isdir(docs):  # ScaleGen writes a directory of part files
+        docs = f"{docs}/*.parquet"
     con = duckdb.connect()
     con.execute(f"""
       CREATE VIEW o AS SELECT doc_id, shard, bin_id, n_tok
         FROM read_parquet('{dump}/*.parquet');
       CREATE VIEW d AS SELECT doc_id, doc_id % {nsh} AS shard,
           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
-        FROM read_parquet('{sf}/documents.parquet') WHERE doc_id IS NOT NULL;
+        FROM read_parquet('{docs}') WHERE doc_id IS NOT NULL;
     """)
     fails = 0
     def check(name, sql):
