@@ -454,6 +454,20 @@ object EventQueries {
         col("ts"), col("value"))
     },
 
+    // batch face of Streaming.valueAlerts (flatMapGroupsWithState
+    // threshold alerting) — the last streaming behavior without a graded
+    // face: with the canonical (ts, event_id) processing order, the
+    // state machine's emissions are exactly the rows where the per-user
+    // cumulative value crosses a multiple of the step. Replayed in exact
+    // centi-int64 (a running DOUBLE sum would hash-diverge: DuckDB's
+    // segment-tree window re-associates additions); the floor-division
+    // is spelled sign-safely via pmod so Spark's truncating DIV matches
+    // DuckDB's flooring // on any value domain. Streaming parity (same
+    // emissions under in-order arrival) is pinned in ModulesSpec.
+    "st_alerts" -> { (s, dir) =>
+      graft.streaming.Streaming.thresholdAlertsReplay(Tables.events(s, dir))
+    },
+
     // stream-stream interval-join audit (Streaming.intervalJoinAudit):
     // exact micro-batch replay of purchaseAttribution under the st_late
     // displaced-arrival model — per purchase, the matches the streaming
@@ -733,6 +747,10 @@ object EventQueries {
       """WITH g AS (SELECT user_id, event_type, count(*) AS n_dupes, min(ts) AS mt FROM events GROUP BY 1, 2), f AS (SELECT g.user_id, g.event_type, g.n_dupes, g.mt, min(e.event_id) AS first_eid FROM g JOIN events e ON e.user_id = g.user_id AND e.event_type = g.event_type AND e.ts = g.mt GROUP BY 1, 2, 3, 4) SELECT user_id, event_type, n_dupes, CAST(floor(epoch(mt)) AS BIGINT) AS first_ts, first_eid FROM f""",
     "st_late" ->
       """WITH e AS (SELECT greatest(event_id + (((event_id % 97) * 37) % 21 - 10) * 50, 0) // 1000 AS b, epoch_us(ts) // 1000000 AS sec, value FROM events), bm AS (SELECT b, max(sec) AS bmax FROM e GROUP BY b), w AS (SELECT b, max(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600 AS wm FROM bm), j AS (SELECT (e.sec // 300) * 300 AS ws, e.value, (w.wm IS NOT NULL AND (e.sec // 300) * 300 + 300 <= w.wm) AS late FROM e JOIN w USING (b)) SELECT ws, count(*) FILTER (WHERE NOT late) AS n_kept, round(sum(value) FILTER (WHERE NOT late), 2) AS sum_value, count(*) FILTER (WHERE late) AS n_late FROM j GROUP BY ws""",
+    // threshold-alert replay: canonical-order centi-exact cumulative,
+    // floor-div crossings (// floors natively here)
+    "st_alerts" ->
+      """WITH c AS (SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS n_events, CAST(sum(CAST(round(coalesce(value, 0) * 100, 0) AS BIGINT)) OVER w AS BIGINT) AS cum, CAST(round(coalesce(value, 0) * 100, 0) AS BIGINT) AS vc FROM events WHERE user_id IS NOT NULL WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT user_id, n_events, cum AS total_centi FROM c WHERE cum // 10000 > (cum - vc) // 10000""",
     // interval-join audit replay: identical batch assignment, per-side
     // running-max watermarks (min-of-sides), equality-drops late rule,
     // pure-batch ideal join as the miss baseline

@@ -226,6 +226,33 @@ object Streaming {
         graft.sketches.Sketches.hllSketch(col("user_id")).as("user_sketch"))
       .select(col("w.start").as("ws"), col("approx_users"), col("user_sketch"))
 
+  /** Batch face of [[valueAlerts]]: with the canonical (ts, event_id)
+    * processing order, the state machine's emissions are exactly the
+    * rows where the per-user cumulative value crosses a multiple of the
+    * step. Replayed in exact centi-int64 — a running DOUBLE sum would
+    * hash-diverge across engines (DuckDB's segment-tree window
+    * re-associates additions) — and the floor division is spelled
+    * sign-safely via pmod, so Spark's truncating DIV matches DuckDB's
+    * flooring `//` on any value domain. One shuffle on the user key;
+    * windows entity-partitioned. Graded as `st_alerts`; streaming
+    * parity under in-order arrival pinned in ModulesSpec. Returns one
+    * row per crossing: (user_id, n_events, total_centi). */
+  def thresholdAlertsReplay(events: DataFrame,
+      stepCenti: Long = 10000L): DataFrame = {
+    require(stepCenti > 0, s"bad stepCenti=$stepCenti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(coalesce(value, 0) * 100, 0) AS BIGINT)").as("vc"))
+      .withColumn("n_events", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("vc")).over(w))
+      .filter(expr(s"(cum - pmod(cum, $stepCenti)) DIV $stepCenti > " +
+        s"((cum - vc) - pmod(cum - vc, $stepCenti)) DIV $stepCenti"))
+      .select(col("user_id"), col("n_events"), col("cum").as("total_centi"))
+  }
+
   /** Custom per-key state machine via flatMapGroupsWithState — the
     * "arbitrary stateful op" tier that windows can't express: tracks a
     * running per-user (count, sum, max) and EMITS A ROW ONLY WHEN the

@@ -272,6 +272,43 @@ class ModulesSpec extends SparkSuite {
       s"replay $replayCounts vs stream $streamCounts")
   }
 
+  test("valueAlerts: real stateful run matches the thresholdAlertsReplay batch face") {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1000000200L
+    def t(min: Int) = new java.sql.Timestamp((base + min * 60L) * 1000L)
+    // per-user in-order arrival (one event per user per batch): the
+    // state machine's emissions then equal the canonical-order replay.
+    // u1 crosses 100 at event 2 (120) and 200 at event 3 (210); u2
+    // jumps two multiples in ONE event (250 -> single emission); u3
+    // never crosses (40 + 50 = 90)
+    val batches = Seq(
+      Seq((1L, 60.0, t(0)), (2L, 250.0, t(0)), (3L, 40.0, t(0))),
+      Seq((1L, 60.0, t(1)), (3L, 50.0, t(1))),
+      Seq((1L, 90.0, t(2))))
+    val ms = MemoryStream[(Long, Double, java.sql.Timestamp)]
+    val alerts = graft.streaming.Streaming.valueAlerts(
+      ms.toDF().toDF("user_id", "value", "ts"))
+    val q = alerts.toDF("user_id", "n", "total").writeStream
+      .format("memory").queryName("st_alerts_t").outputMode("append").start()
+    batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("st_alerts_t")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == Set((1L, 2L, 120.0), (1L, 3L, 210.0), (2L, 1L, 250.0)),
+      s"streamed $streamed")
+    // the batch face on the same rows (event_id = arrival rank) must
+    // emit the identical crossing set, in exact centi units
+    val rows = batches.zipWithIndex.flatMap { case (b, i) =>
+      b.map { case (u, v, ts) => (u, i.toLong * 10 + u, ts, v) }
+    }.toDF("user_id", "event_id", "ts", "value")
+    val replay = graft.streaming.Streaming.thresholdAlertsReplay(rows)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(replay == streamed.map { case (u, n, tot) =>
+      (u, n, math.round(tot * 100)) }, s"replay $replay vs $streamed")
+  }
+
   test("streaming EWMA converges to the batch closed form per user") {
     implicit val s: SparkSession = spark
     val src = graft.streaming.Streaming.readEvents(spark, eventsStreamDir)
