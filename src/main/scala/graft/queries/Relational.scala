@@ -396,7 +396,12 @@ object Relational {
     // grade precision@10 against the held-out truth — a vacuous seed or
     // scoring regression drops prec_ppm even while values stay
     // oracle-exact. The ppm floor is pinned in GraphSpec against the
-    // random-pair baseline.
+    // random-pair baseline. SCALE NOTE: the query set here is the
+    // held-out nodes — corpus-proportional BY DESIGN for the graded
+    // scales (sf0.01/sf1 hash-exact); a precision audit at 100 TB
+    // samples a FIXED query budget instead (the wedge probe is ~1/7 of
+    // the all-pairs cost with this set — ~2e9 wedge rows at sf5,
+    // measured-and-refused; see SCALE_SOAK "round-10 sf5 sweep").
     "q_linkpred_prec" -> { (s, dir) =>
       import graft.operators.{LinkPredict, PageRank}
       val all = PageRank.coOccurrenceEdges(

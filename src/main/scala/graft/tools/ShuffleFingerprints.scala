@@ -42,7 +42,10 @@ object ShuffleFingerprints {
     "str_entities", "d_pipeline", "d_clusters", "d_minhash_lsh",
     "d_simhash_pairs", "d_ngram", "t_bm25", "t_qnorm", "t_tfidf",
     "ev_markov", "ev_funnel_sessions", "r_quantiles_grp", "t_quality",
-    "q_linkpred", "q_bfs", "sim_cov")
+    "q_linkpred", "q_bfs", "sim_cov",
+    // r10 additions: the two graph quality gates (q_ppr_quality now
+    // tops the steady profile) and the interval-join audit
+    "q_ppr_quality", "q_linkpred_prec", "st_ijoin")
 
   private final class Acc extends SparkListener {
     val wRecs = new AtomicLong; val rRecs = new AtomicLong
