@@ -257,16 +257,39 @@ object Bench {
         """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // Suite-total haze trigger (r10 verdict ask #5): entries at 1.5-1.9x
+    // profile slide under the 2x per-entry trip and become the round's
+    // official record (r10: q_pagerank 1.59x, q_modularity 1.80x). When
+    // the SUITE total runs >1.1x the profile sum over shared keys — the
+    // signature of ambient haze rather than one slow query — tighten the
+    // per-entry re-run trip to 1.4x so the whole hazy band gets an
+    // idle-wait plus targeted re-run, not just the >2x outliers.
+    val sharedKeys = merged0.keys.filter(profile.contains).toSeq
+    val profSum = sharedKeys.map(profile).sum
+    val sharedSum = sharedKeys.map(merged0(_).steady).sum
+    val suiteHazy = profSum > 0 && sharedSum > 1.1 * profSum
+    val tripK = if (suiteHazy) 1.4 else profileK
+    if (suiteHazy) System.err.println(
+      f"[bench] suite total $sharedSum%.1fs > 1.1x profile sum $profSum%.1fs " +
+        f"— tightening re-run trip to ${tripK}%.1fx")
     val suspects = merged0.keys.toSeq.sorted.filter { k =>
       profile.get(k).exists(p =>
-        merged0(k).steady > profileK * p && merged0(k).steady > profileFloor)
+        merged0(k).steady > tripK * p && merged0(k).steady > profileFloor)
     }
     def rerun(name: String): Double = {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
+        // a FAILED re-run must never become the record: merged takes
+        // min(original, rerun), so returning the failure's elapsed time
+        // would bias the official steady value in the fast direction
+        // (the phantom-entry class this guard exists to eliminate)
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] rerun $name failed: ${e.getMessage}")
+          spark.sharedState.cacheManager.clearCache()
+          return Double.MaxValue
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         dt
@@ -277,7 +300,7 @@ object Bench {
       if (suspects.isEmpty) merged0
       else {
         System.err.println(s"[bench] ${suspects.size} queries over " +
-          f"$profileK%.1fx their steady profile — idle-wait + targeted re-run: " +
+          f"$tripK%.1fx their steady profile — idle-wait + targeted re-run: " +
           suspects.mkString(", "))
         waitForIdle()
         merged0 ++ suspects.map { k =>
@@ -293,7 +316,7 @@ object Bench {
     // the artifact so a hazy entry reads as hazy, never as the record
     val overProfile = merged.toSeq.sortBy(_._1).collect {
       case (k, v) if profile.get(k).exists(p =>
-        v.steady > profileK * p && v.steady > profileFloor) =>
+        v.steady > tripK * p && v.steady > profileFloor) =>
         k -> (v.steady / profile(k))
     }
     if (sys.env.contains("SPARK_GRAFT_WRITE_PROFILE")) {
@@ -342,7 +365,7 @@ object Bench {
       .scanLeft(("", 0)) { case ((_, len), s) => (s, len + s.length + 1) }
       .drop(1).takeWhile(_._2 < 300).map(_._1).toSeq
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","n_queries":${merged.size},"cal_start":${fmt(pass.calStart)},"cal_end":${fmt(pass.calEnd)},"cal_max":${fmt(pass.cals.max)},"cal_raw_max":${fmt(pass.calsRaw.max)},"cal_tripped_n":${pass.trippedSamples},"cal_ref":${fmt(calRef)},"load_start":${fmt(pass.loadStart)},"load_avg":${fmt(loadAvg())},"contended":$contended,"attempts":${passes.size},"pass_totals":$passTotals,"retried":$retried,"profile_n":${profile.size},"profile_rerun_n":${suspects.size},"over_profile":$overJson,"steady_min_runs":3,"action":"noop-write","warmup_ratio_gt2":$wj,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","n_queries":${merged.size},"cal_start":${fmt(pass.calStart)},"cal_end":${fmt(pass.calEnd)},"cal_max":${fmt(pass.cals.max)},"cal_raw_max":${fmt(pass.calsRaw.max)},"cal_tripped_n":${pass.trippedSamples},"cal_ref":${fmt(calRef)},"load_start":${fmt(pass.loadStart)},"load_avg":${fmt(loadAvg())},"contended":$contended,"attempts":${passes.size},"pass_totals":$passTotals,"retried":$retried,"profile_n":${profile.size},"profile_rerun_n":${suspects.size},"suite_hazy":$suiteHazy,"profile_trip":${fmt(tripK)},"over_profile":$overJson,"steady_min_runs":3,"action":"noop-write","warmup_ratio_gt2":$wj,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -152,7 +152,9 @@ object Experiment {
     // the SAME physical partitioning — an optimizer-dependent premise
     // (ReuseExchange) without the materialization, a physical fact with
     // it. The frame is domain-sized (distinct scores), so the cost is
-    // bounded at any corpus size.
+    // bounded at any corpus size. Disk cost: the checkpoint writes the
+    // same bytes the range exchange itself already wrote — one extra
+    // local copy of the domain-sized frame, never a second corpus pass.
     val tagged = g.repartitionByRange(col("s"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
@@ -189,14 +191,19 @@ object Experiment {
     * combined), two-level prefix scan over the range-partitioned value
     * domain, offsets branch aggregating BOTH count and mass so its
     * subtree stays byte-identical for ReuseExchange. The discrete
-    * Lorenz-trapezoid closed form stays in exact int64:
+    * Lorenz-trapezoid closed form stays in exact int64, spelled to keep
+    * every intermediate within N·W:
     *
-    *   g_num = N·W − Σ_s cnt_s·(2·cumMass_s − mass_s),  G = g_num/(N·W)
+    *   g_num = N·W − Σ_s cnt_s·mass_s − 2·Σ_s cnt_s·(cumMass_s − mass_s)
+    *         (≡ N·W − Σ cnt·(2·cumMass − mass)),   G = g_num/(N·W)
     *
-    * (equivalently g_num = ½·Σᵢⱼ|xᵢ−xⱼ| — differential-pinned). Bound:
-    * N·W < 2⁶² — the intermediate Σ cnt·(2·cumMass − mass) can approach
-    * 2·N·W, so overflow begins a factor of 2 before N·W itself hits
-    * int64; quantize the measure down if count×total mass can exceed it. Negative values are rejected (Gini is defined on
+    * (equivalently g_num = ½·Σᵢⱼ|xᵢ−xⱼ| — differential-pinned). Both
+    * partial sums are term-wise non-negative and bounded by N·W
+    * (Σ cnt·mass = Σ cnt²·s ≤ N·Σ cnt·s; Σ cnt·(cum−m) ≤ N·W/2 since
+    * g_num ≥ 0), so the full int64 domain N·W < 2⁶³ holds — the earlier
+    * 2·cumMass spelling overflowed a factor of 2 sooner (its per-term
+    * 2·cum can hit 2·W). Quantize the measure down if count×total mass
+    * can exceed 2⁶³. Negative values are rejected (Gini is defined on
     * non-negative measures); null values drop. Returns one row:
     * (n, total, g_num, gini — null on an empty or zero-mass corpus). */
   def gini(df: DataFrame, valueCol: Column): DataFrame = {
@@ -205,7 +212,9 @@ object Experiment {
       .filter(col("s").isNotNull)
       .groupBy(col("s")).agg(count(lit(1)).as("cnt"), sum(col("s")).as("m"))
     // localCheckpoint: freeze the range bounds so the pid-offset join's
-    // premise is physical, not ReuseExchange-dependent (see ksTwoSample)
+    // premise is physical, not ReuseExchange-dependent (see ksTwoSample).
+    // Disk cost: the same domain-sized bytes the range exchange already
+    // writes — one extra local copy, never a second corpus pass.
     val tagged = g.repartitionByRange(col("s"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
@@ -223,16 +232,21 @@ object Experiment {
       .select(col("pid"), col("offm"), col("totn"), col("totw"))
     val out = loc.join(broadcast(offs), "pid")
       .withColumn("cumm", col("offm") + col("lm"))
+      // s1 = Σ cnt·m and b = Σ cnt·(cum − m): both term-wise >= 0 and
+      // bounded by N·W, where the old single Σ cnt·(2·cum − m) put a
+      // 2·cum (up to 2·W) inside every term — the factor-2 domain loss
       .agg(min(col("s")).as("min_s"), max(col("totn")).as("n"),
         max(col("totw")).as("total"),
-        sum(col("cnt") * (lit(2L) * col("cumm") - col("m"))).as("tsum"))
+        sum(col("cnt") * col("m")).as("s1"),
+        sum(col("cnt") * (col("cumm") - col("m"))).as("b"))
     // the min_s guard is data-dependent, so it stays IN the plan: a
     // negative value nulls the report rather than emitting a wrong G
     out.select(col("n"), col("total"),
-      expr("CASE WHEN min_s < 0 THEN NULL ELSE n * total - tsum END")
+      expr("CASE WHEN min_s < 0 THEN NULL ELSE n * total - s1 - 2 * b END")
         .as("g_num"),
       expr("CASE WHEN min_s < 0 OR n = 0 OR total = 0 THEN NULL ELSE " +
-        "CAST(n * total - tsum AS DOUBLE) / (CAST(n AS DOUBLE) * total) END")
+        "CAST(n * total - s1 - 2 * b AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * total) END")
         .as("gini"))
   }
 
@@ -320,7 +334,9 @@ object Experiment {
     // localCheckpoint: freeze the range bounds so the pid-offset join's
     // premise is physical, not ReuseExchange-dependent (see ksTwoSample).
     // It also guarantees the one-corpus-scan property outright — both
-    // branches now read the materialized domain-sized frame.
+    // branches now read the materialized domain-sized frame. Disk cost:
+    // the same domain-sized bytes the range exchange already writes —
+    // one extra local copy, never a second corpus pass.
     val tagged = g.repartitionByRange(col("s"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()

@@ -58,9 +58,14 @@ object Rproj {
     // silently: zip_with pads the short side with nulls and the sum
     // aggregate nulls the lane — a dimension mismatch must fail loudly,
     // not surface as missing lanes (the when/raise_error coerces: the
-    // NullType else-branch widens to the array type)
-    val qa = when(size(col(vecCol)) === lit(d),
-      transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")))
+    // NullType else-branch widens to the array type). A NULL vector is
+    // handled explicitly FIRST: it passes through as null lanes (the
+    // missing-embedding convention every consumer already handles) —
+    // routing it into the otherwise branch would fire raise_error with a
+    // null-concat message, failing loudly but saying nothing.
+    val qa = when(col(vecCol).isNull, lit(null))
+      .when(size(col(vecCol)) === lit(d),
+        transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")))
       .otherwise(raise_error(concat(
         lit(s"projectQ: vector dimension != $d (got "),
         size(col(vecCol)).cast("string"), lit(")"))))

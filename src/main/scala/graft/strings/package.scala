@@ -161,19 +161,31 @@ package object strings {
     * over the distinct set — range-partitioned local ranks plus bounded
     * per-partition offsets, so a HIGH-cardinality column degrades
     * gracefully into parallel partitions instead of funneling the whole
-    * dictionary through one unpartitioned window task — then a broadcast
-    * join back, so the corpus itself is never re-shuffled. (The
-    * dictionary is still dictionary-sized by premise; the rank no longer
-    * depends on that premise to stay off a single task.) */
+    * dictionary through one unpartitioned window task. The join back is
+    * broadcast only when the dictionary is COUNTED small enough
+    * (`broadcastMaxDict` entries — the count reads the rank's already-
+    * checkpointed frame, one cheap domain-sized job): a genuinely
+    * high-cardinality column degrades to a shuffle join instead of the
+    * forced-broadcast OOM a hint would override Spark's size safety
+    * into. */
   def toCategorical(df: org.apache.spark.sql.DataFrame, valueCol: String,
-      codeCol: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      codeCol: String, broadcastMaxDict: Long = 1000000L)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     require(!df.columns.contains(codeCol),
       s"toCategorical: input already has a column named '$codeCol'")
-    // distinct values double as the rank tiebreak id (trivially unique)
+    require(valueCol != "__graft_cat_v" && codeCol != "__graft_cat_rn",
+      "toCategorical: '__graft_cat_v'/'__graft_cat_rn' are reserved")
+    // distinct values double as the rank tiebreak id (trivially unique).
+    // Internal names for the rank call: globalRankBy's output carries its
+    // own "k" column, so a value column literally named "k" (or a code
+    // column named like the rank) would otherwise collide ambiguously.
     val dict = graft.core.Partitions.globalRankBy(
-        df.select(col(valueCol)).distinct(), col(valueCol), valueCol, codeCol)
-      .select(col(valueCol), (col(codeCol) - 1).cast("long").as(codeCol))
-    (df.join(broadcast(dict), valueCol), dict)
+        df.select(col(valueCol).as("__graft_cat_v")).distinct(),
+        col("__graft_cat_v"), "__graft_cat_v", "__graft_cat_rn")
+      .select(col("__graft_cat_v").as(valueCol),
+        (col("__graft_cat_rn") - 1).cast("long").as(codeCol))
+    val dictJ = if (dict.count() <= broadcastMaxDict) broadcast(dict) else dict
+    (df.join(dictJ, valueCol), dict)
   }
 
   /** Unicode normalization (UAX #15) — the Arrow `utf8_normalize`

@@ -1349,7 +1349,9 @@ package object text {
     // localCheckpoint freezes the sampled range bounds: the pid-offset
     // join below is only consistent if both branches read the SAME
     // physical partitioning — a fact after materializing, an optimizer
-    // premise (ReuseExchange) before. Domain-sized (distinct scores).
+    // premise (ReuseExchange) before. Domain-sized (distinct scores);
+    // disk cost: the same bytes the range exchange already writes —
+    // one extra local copy, never a second corpus pass.
     val tagged = g.repartitionByRange(col("thr").desc)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()

@@ -1003,6 +1003,26 @@ class OperatorsSpec extends SparkSuite {
     assert(neg.isNullAt(2) && neg.isNullAt(3), "negative input must null out")
   }
 
+  test("gini stays exact at the N*W < 2^63 overflow edge") {
+    // a single row at 2^62: N*W = 2^62 is in-domain for the split-sum
+    // spelling (s1 <= N*W, b <= N*W/2), but the old Σ cnt·(2·cum − m)
+    // form evaluated 2·cum = 2^63 inside the aggregate — int64 overflow
+    // a factor of 2 before N*W itself leaves the domain
+    val top = 1L << 62
+    val one = graft.operators.Experiment.gini(
+      Seq(Tuple1(top)).toDF("v"), col("v")).collect()(0)
+    assert(one.getLong(0) == 1L && one.getLong(1) == top)
+    assert(one.getLong(2) == 0L && one.getDouble(3) == 0.0,
+      s"single-row gini must be exactly 0, got ${one.getLong(2)}")
+    // two rows at the very top of the doubled domain: N·W = 2^63 − 2
+    val v = top - 2L // W = 2^62 − 1, N·W = 2^63 − 2 < 2^63
+    val two = graft.operators.Experiment.gini(
+      Seq(Tuple1(v), Tuple1(1L)).toDF("v"), col("v")).collect()(0)
+    // g_num = half the pairwise |xi−xj| sum = v − 1
+    assert(two.getLong(2) == v - 1L,
+      s"expected ${v - 1L}, got ${two.getLong(2)}")
+  }
+
   // --- ksDriftByPeriod --------------------------------------------------------
 
   test("ksDriftByPeriod: brute per-period sup over the union grid; flat periods ~0") {
@@ -1197,5 +1217,22 @@ class OperatorsSpec extends SparkSuite {
     val ok = Rproj.projectQ(bad.filter($"vec_id" === 1L), "embedding", m,
       qBits = 10, keep = Seq("vec_id")).collect()
     assert(ok.length == 2)
+  }
+
+  test("Rproj: NULL vector passes through as null lanes, never a null raise_error") {
+    // size(null) is null, so a NULL vector would otherwise fall into the
+    // otherwise branch and fire raise_error with a null-concat message —
+    // failing loudly while saying nothing. Nulls are the missing-embedding
+    // convention and must pass through as null projections.
+    val m = Rproj.signMatrix(4, 3)
+    val rows = Seq((1L, Array.fill(4)(0.5f)), (2L, null))
+      .toDF("vec_id", "embedding")
+    val got = Rproj.projectQ(rows, "embedding", m, qBits = 10,
+      keep = Seq("vec_id")).collect()
+    assert(got.length == 6, s"both rows must project k=3 lanes: ${got.length}")
+    val nullLanes = got.filter(_.getLong(0) == 2L)
+    assert(nullLanes.length == 3 && nullLanes.forall(_.isNullAt(2)),
+      "null vector must yield null proj_q lanes")
+    assert(got.filter(_.getLong(0) == 1L).forall(!_.isNullAt(2)))
   }
 }

@@ -89,6 +89,52 @@ class StringsSpec extends SparkSuite {
       s"dictionary funnels through a single task:\n${plan.take(2000)}")
   }
 
+  test("toCategorical degrades to a shuffle join past the counted dictionary bound") {
+    // high-cardinality column with the bound forced low: the join back
+    // must NOT be a forced broadcast (the r10 soft premise — a hint that
+    // overrides Spark's size safety turns high cardinality into an OOM
+    // instead of a shuffle join)
+    val df = (0 until 200).map(i => (i.toLong, f"w$i%05d")).toDF("id", "v")
+    // disable stats-based auto-broadcast: the failure mode under test is
+    // the forced HINT overriding Spark's size safety — only a hint can
+    // broadcast with the threshold off, so any BroadcastHashJoin below
+    // would be the regression
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (coded, dict) = toCategorical(df, "v", "code", broadcastMaxDict = 10)
+      assert(dict.count() == 200)
+      val plan = coded.queryExecution.executedPlan.toString
+      // the only broadcast allowed is globalRankBy's internal pid-offset
+      // join (bounded: one row per range partition) — the VALUE-keyed
+      // dict join must not be broadcast
+      assert(!plan.contains("BroadcastHashJoin [v#"),
+        s"dict join still force-broadcasts past the counted bound:\n${plan.take(2000)}")
+      assert(plan.contains("SortMergeJoin [v#") ||
+        plan.contains("ShuffledHashJoin [v#"),
+        s"expected a shuffle join on the value key:\n${plan.take(2000)}")
+      // values still code correctly on the shuffle path
+      val got = coded.filter($"id" === 137L).select($"code").as[Long].head
+      assert(got == 137L) // w00137 ranks 137th in sorted order
+      // under the bound the counted gate still applies the broadcast hint
+      val (codedB, _) = toCategorical(df, "v", "code", broadcastMaxDict = 1000)
+      assert(codedB.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "small dict must still broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("toCategorical survives a value column literally named 'k'") {
+    // globalRankBy's output frame carries its own internal "k" column —
+    // before the internal-name indirection a value column named "k"
+    // produced an ambiguous-reference AnalysisException
+    val df = Seq((1L, "b"), (2L, "a"), (3L, "b")).toDF("id", "k")
+    val (coded, dict) = toCategorical(df, "k", "code")
+    assert(dict.as[(String, Long)].collect().sortBy(_._2).toSeq ==
+      Seq(("a", 0L), ("b", 1L)))
+    assert(coded.select($"id", $"code").as[(Long, Long)].collect()
+      .sortBy(_._1).toSeq == Seq((1L, 1L), (2L, 0L), (3L, 1L)))
+  }
+
   test("nested-depth application via transform") {
     val got = Seq(Seq("aB", "cD")).toDF("xs")
       .select(transform($"xs", x => swapcase(x)))
