@@ -15,6 +15,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // adversarial-config selector (config-robustness matrix): a named
+    // graft.core.SessionConfigs preset — the driver leaves it unset
+    // (default); tools/config_matrix.sh sweeps the presets and asserts
+    // every deterministic query dumps hash-identically under each
+    val confName = sys.env.getOrElse("SPARK_GRAFT_CONF", "default")
+    graft.core.SessionConfigs(spark, confName)
+    System.err.println(s"[verify] session config preset: $confName")
     new java.io.File(outDir).mkdirs()
     // subset filter for local iteration (same contract as Bench); the
     // driver leaves it unset and gets the full dump
