@@ -479,6 +479,20 @@ object EventQueries {
         expr("greatest(event_id + (((event_id % 97) * 37) % 21 - 10) * 50, 0) DIV 1000"))
     },
 
+    // LEFT-OUTER face of the stream-stream interval join
+    // (Streaming.intervalJoinOuterAudit): same displaced-arrival model
+    // as st_ijoin, plus the eviction-emission contract measured in
+    // IjoinProbeSpec — outer_null says whether the streaming run ever
+    // emits the "no clicks" null row for this purchase (strict p < W on
+    // the FINAL min-of-sides watermark; never while a side is absent).
+    // n_ideal > 0 with outer_null = 1 is the poisoned case the audit
+    // surfaces: the stream actively reports "no attributable click" for
+    // a purchase that ideally had some.
+    "st_ijoin_outer" -> { (s, dir) =>
+      graft.streaming.Streaming.intervalJoinOuterAudit(Tables.events(s, dir),
+        expr("greatest(event_id + (((event_id % 97) * 37) % 21 - 10) * 50, 0) DIV 1000"))
+    },
+
     // batch face of Streaming.streamingNearDupFilter (stateful simhash
     // near-dup tagging). Keeper choice is arrival-order-dependent, so only
     // the order-independent total is emitted — rows-only driver check; the
@@ -756,6 +770,12 @@ object EventQueries {
     // pure-batch ideal join as the miss baseline
     "st_ijoin" ->
       """WITH e AS (SELECT event_id, user_id, event_type, greatest(event_id + (((event_id % 97) * 37) % 21 - 10) * 50, 0) // 1000 AS b, epoch_us(ts) // 1000000 AS sec FROM events WHERE event_type IN ('click', 'purchase')), bm AS (SELECT b, max(CASE WHEN event_type = 'click' THEN sec END) AS cmax, max(CASE WHEN event_type = 'purchase' THEN sec END) AS pmax FROM e GROUP BY b), w AS (SELECT b, CASE WHEN max(cmax) OVER pw IS NOT NULL AND max(pmax) OVER pw IS NOT NULL THEN least(max(cmax) OVER pw, max(pmax) OVER pw) - 600 END AS wm FROM bm WINDOW pw AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), t AS (SELECT e.*, (w.wm IS NOT NULL AND e.sec <= w.wm) AS late FROM e JOIN w USING (b)), c AS (SELECT user_id AS cu, sec AS csec, late AS clate FROM t WHERE event_type = 'click'), p AS (SELECT user_id AS pu, sec AS psec, late AS plate, event_id FROM t WHERE event_type = 'purchase') SELECT p.event_id, count(c.cu) AS n_ideal, count(*) FILTER (WHERE c.cu IS NOT NULL AND NOT c.clate AND NOT p.plate) AS n_stream, count(c.cu) - count(*) FILTER (WHERE c.cu IS NOT NULL AND NOT c.clate AND NOT p.plate) AS n_missed FROM p LEFT JOIN c ON p.pu = c.cu AND c.csec >= p.psec - 600 AND c.csec <= p.psec GROUP BY p.event_id""",
+    // outer interval-join audit: the st_ijoin replay plus the final
+    // min-of-sides watermark (ALL batches — the flush-eviction no-data
+    // batch runs with it) and the strict p < W eviction rule measured in
+    // IjoinProbeSpec
+    "st_ijoin_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, greatest(event_id + (((event_id % 97) * 37) % 21 - 10) * 50, 0) // 1000 AS b, epoch_us(ts) // 1000000 AS sec FROM events WHERE event_type IN ('click', 'purchase')), bm AS (SELECT b, max(CASE WHEN event_type = 'click' THEN sec END) AS cmax, max(CASE WHEN event_type = 'purchase' THEN sec END) AS pmax FROM e GROUP BY b), w AS (SELECT b, CASE WHEN max(cmax) OVER pw IS NOT NULL AND max(pmax) OVER pw IS NOT NULL THEN least(max(cmax) OVER pw, max(pmax) OVER pw) - 600 END AS wm FROM bm WINDOW pw AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), wf AS (SELECT CASE WHEN max(CASE WHEN event_type = 'click' THEN sec END) IS NOT NULL AND max(CASE WHEN event_type = 'purchase' THEN sec END) IS NOT NULL THEN least(max(CASE WHEN event_type = 'click' THEN sec END), max(CASE WHEN event_type = 'purchase' THEN sec END)) - 600 END AS w FROM e), t AS (SELECT e.*, (w.wm IS NOT NULL AND e.sec <= w.wm) AS late FROM e JOIN w USING (b)), c AS (SELECT user_id AS cu, sec AS csec, late AS clate FROM t WHERE event_type = 'click'), p AS (SELECT user_id AS pu, sec AS psec, late AS plate, event_id FROM t WHERE event_type = 'purchase'), g AS (SELECT p.event_id, p.psec, p.plate, count(c.cu) AS n_ideal, count(*) FILTER (WHERE c.cu IS NOT NULL AND NOT c.clate AND NOT p.plate) AS n_stream FROM p LEFT JOIN c ON p.pu = c.cu AND c.csec >= p.psec - 600 AND c.csec <= p.psec GROUP BY 1, 2, 3) SELECT event_id, n_ideal, n_stream, n_ideal - n_stream AS n_missed, CAST(CASE WHEN NOT plate AND n_stream = 0 AND (SELECT w FROM wf) IS NOT NULL AND psec < (SELECT w FROM wf) THEN 1 ELSE 0 END AS BIGINT) AS outer_null FROM g""",
     "st_json_typed" ->
       """SELECT user_id, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_null FROM events GROUP BY 1""",
     "ev_range" ->

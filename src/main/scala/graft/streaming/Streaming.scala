@@ -131,6 +131,28 @@ object Streaming {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** LEFT-OUTER face of [[purchaseAttribution]]: every purchase emits,
+    * matched or not — but in streaming the null-joined row for an
+    * unmatched purchase is emitted only when the purchase's STATE is
+    * evicted (no future click can legally match it anymore), so emission
+    * time depends on the watermark even when the match set does not.
+    * That eviction-emission boundary is what IjoinProbeSpec pins and
+    * [[intervalJoinOuterAudit]] replays. */
+  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+  }
+
   /** Exact micro-batch replay of [[purchaseAttribution]]'s stream-stream
     * interval join — the batch face that grades the one streaming
     * behavior a streaming run cannot show: which (purchase, click)
@@ -210,6 +232,88 @@ object Streaming {
         count(when(!col("clate") && !col("plate"), 1)).as("n_stream"))
       .select(col("event_id"), col("n_ideal"), col("n_stream"),
         (col("n_ideal") - col("n_stream")).as("n_missed"))
+  }
+
+  /** Exact micro-batch replay of [[purchaseAttributionOuter]] — the
+    * LEFT-OUTER stream-stream interval join, where streaming semantics
+    * genuinely bite: the null-joined row for an unmatched purchase is
+    * emitted only at STATE EVICTION, so whether it is ever emitted
+    * depends on the watermark even when the match set does not.
+    *
+    * Replay contract, measured against REAL MemoryStream runs
+    * (IjoinProbeSpec outer scenarios + tools/OuterIjoinProbe):
+    *   - matches: identical to [[intervalJoinAudit]]'s inner contract
+    *     (min-of-sides watermark, equality-drops late rule);
+    *   - null row: emitted iff the purchase arrived on time, emitted
+    *     ZERO matches, and the FINAL watermark passed it STRICTLY
+    *     (p_sec < W_final — measured: W == p does NOT emit, W == p+60
+    *     does). W_final = min of the two sides' all-batches maxima −
+    *     delay, null while either side has never appeared (an absent
+    *     side holds the watermark at −inf; measured: no null rows
+    *     without advancement). Spark flushes the eviction in the extra
+    *     no-data micro-batch after the last data batch, which is why
+    *     W_final includes the LAST batch's data (unlike the per-batch
+    *     late-input watermark, which is strictly-earlier-batches).
+    *   - a LATE purchase emits nothing at all — dropped before state,
+    *     so it gets neither matches nor a null row.
+    *
+    * Scale shape: [[intervalJoinAudit]]'s (one corpus scan, user-keyed
+    * equi-join with residual time bounds, broadcast micro-batch-sized
+    * watermark table) plus ONE extra 1-row aggregate for the final
+    * watermark, broadcast into the per-purchase frame. Returns one row
+    * per purchase: (event_id, n_ideal, n_stream, n_missed, outer_null)
+    * — outer_null ∈ {0,1} is whether the streaming run ever tells you
+    * this purchase had no attributable click; n_ideal > 0 with
+    * n_stream = 0 and outer_null = 1 is the poisoned case the audit
+    * exists for: the stream REPORTS "no clicks" for a purchase that
+    * ideally had some. */
+  def intervalJoinOuterAudit(events: DataFrame,
+      batchCol: org.apache.spark.sql.Column,
+      delaySec: Long = 600L, rangeSec: Long = 600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(batchCol.as("b"), col("user_id"), col("event_type"),
+        col("event_id"), expr("unix_micros(ts) DIV 1000000").as("sec"))
+    val wmW = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = e.groupBy(col("b"))
+      .agg(max(when(col("event_type") === "click", col("sec"))).as("cmax"),
+        max(when(col("event_type") === "purchase", col("sec"))).as("pmax"))
+      .withColumn("wm",
+        when(max(col("cmax")).over(wmW).isNotNull &&
+             max(col("pmax")).over(wmW).isNotNull,
+          least(max(col("cmax")).over(wmW), max(col("pmax")).over(wmW))
+            - delaySec))
+      .select(col("b"), col("wm"))
+    // FINAL watermark: min of the two sides' all-rows maxima − delay —
+    // the value the flush-eviction no-data batch runs with
+    val wf = e.agg(
+      max(when(col("event_type") === "click", col("sec"))).as("cm"),
+      max(when(col("event_type") === "purchase", col("sec"))).as("pm"))
+      .select(when(col("cm").isNotNull && col("pm").isNotNull,
+        least(col("cm"), col("pm")) - delaySec).as("wf"))
+    val tagged = e.join(broadcast(wm), "b")
+      .withColumn("late", col("wm").isNotNull && col("sec") <= col("wm"))
+    val clicks = tagged.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("sec").as("csec"),
+        col("late").as("clate"))
+    val purchases = tagged.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("sec").as("psec"),
+        col("late").as("plate"), col("event_id"))
+    val pairs = purchases.join(clicks,
+      col("pu") === col("cu") &&
+        col("csec") >= col("psec") - rangeSec && col("csec") <= col("psec"),
+      "left")
+    pairs.groupBy(col("event_id"), col("psec"), col("plate"))
+      .agg(count(col("cu")).as("n_ideal"),
+        count(when(!col("clate") && !col("plate"), 1)).as("n_stream"))
+      .crossJoin(broadcast(wf))
+      .select(col("event_id"), col("n_ideal"), col("n_stream"),
+        (col("n_ideal") - col("n_stream")).as("n_missed"),
+        when(!col("plate") && col("n_stream") === 0 &&
+          col("wf").isNotNull && col("psec") < col("wf"), 1L)
+          .otherwise(0L).as("outer_null"))
   }
 
   /** Watermarked per-window distinct-user estimate PLUS the mergeable HLL

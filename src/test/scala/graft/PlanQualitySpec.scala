@@ -72,7 +72,10 @@ class PlanQualitySpec extends SparkSuite {
         // the PPR-quality report crosses its two 1-ROW seed-share
         // aggregates into one report row (the d_lsh_quality shape); the
         // underlying rank chains inherit q_ppr/q_pagerank's allowances
-        "q_ppr_quality")
+        "q_ppr_quality",
+        // the outer interval-join audit crosses the 1-ROW final-
+        // watermark aggregate into the per-purchase frame (broadcast)
+        "st_ijoin_outer")
       assert(crossByDesign(name) || !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to a nested-loop join:\n$plan")
     }
