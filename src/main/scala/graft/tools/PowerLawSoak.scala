@@ -112,6 +112,12 @@ object PowerLawSoak {
     val alpha = if (args.length > 2) args(2).toDouble else 1.1
     val maxGroup = if (args.length > 3) args(3).toLong else 100000L
     val cap = if (args.length > 4) args(4).toInt else 512
+    // optional comma-set of family-op tags to run (SPARK_GRAFT_SOAK_ONLY
+    // env; default: everything) — lets a wall-clock-bounded harness chunk
+    // the ~20-min full family into <10-min runs; the corpus build and
+    // capped-edge measurement always run (they are the graph)
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").toSet)
+    def want(tag: String): Boolean = only.forall(_.contains(tag))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -193,15 +199,15 @@ object PowerLawSoak {
     }
 
     // the full graph family on the capped edges
-    timed("pageRank(6)") {
+    if (want("pagerank")) timed("pageRank(6)") {
       PageRank.pageRank(edges, 6, handleDangling = false)
         .write.format("noop").mode("overwrite").save()
     }
-    timed("pageRank conv (tolUnits=0)") {
+    if (want("pagerank_conv")) timed("pageRank conv (tolUnits=0)") {
       PageRank.pageRank(edges, 6, handleDangling = false, tolUnits = 0L)
         .write.format("noop").mode("overwrite").save()
     }
-    timed("triangles") {
+    if (want("triangles")) timed("triangles") {
       Triangles.triangleCounts(edges)
         .write.format("noop").mode("overwrite").save()
     }
@@ -209,38 +215,42 @@ object PowerLawSoak {
     // replace the two edge-superlinear walls at 100x — DOULION edge
     // sampling (p=0.2 → (p·m)^1.5 wedge stream) and the landmark
     // harmonic estimate (k traversals instead of |V|)
-    timed("triangleCountApprox p=0.2") {
+    if (want("tri_exact_count")) timed("triangleCount (exact global)") {
+      println(s"[plsoak] tri exact global = " +
+        s"${Triangles.triangleCount(edges).head().getLong(0)}")
+    }
+    if (want("tri_approx")) timed("triangleCountApprox p=0.2") {
       val r = Triangles.triangleCountApprox(edges, pPpm = 200000L).head()
       println(s"[plsoak] tri approx: sampled=${r.getLong(1)}/${r.getLong(0)} " +
         s"tri_sampled=${r.getLong(2)} est=${r.getLong(3)}")
     }
-    timed("harmonicEstimate (pivots %199)") {
+    if (want("harm_est")) timed("harmonicEstimate (pivots %199)") {
       val piv = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 199 === 0)
       Bfs.harmonicEstimate(edges, piv, maxHops = 3)
         .write.format("noop").mode("overwrite").save()
     }
-    timed("clusteringCoefficient") {
+    if (want("clustcoef")) timed("clusteringCoefficient") {
       Triangles.clusteringCoefficient(edges)
         .write.format("noop").mode("overwrite").save()
     }
-    timed("labelProp(3)") {
+    if (want("labelprop")) timed("labelProp(3)") {
       val seeds = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 20 === 0)
         .select(col("node"), (col("node") % 5).as("label"))
       LabelProp.propagate(edges, seeds, 3)
         .write.format("noop").mode("overwrite").save()
     }
-    timed("kCore(3)") {
+    if (want("kcore")) timed("kCore(3)") {
       KCore.kCore(edges, 3).write.format("noop").mode("overwrite").save()
     }
-    timed("bfs(4 hops)") {
+    if (want("bfs")) timed("bfs(4 hops)") {
       val seeds = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 97 === 0)
       Bfs.distances(edges, seeds, maxHops = 4)
         .write.format("noop").mode("overwrite").save()
     }
-    timed("sssp(3 rounds)") {
+    if (want("sssp")) timed("sssp(3 rounds)") {
       val seeds = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 97 === 0)
       Bfs.relaxDistances(
@@ -248,19 +258,19 @@ object PowerLawSoak {
           expr("1000000 DIV w").as("w")), seeds, 3)
         .write.format("noop").mode("overwrite").save()
     }
-    timed("personalizedPageRank(6)") {
+    if (want("ppr")) timed("personalizedPageRank(6)") {
       val seeds = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 101 === 0)
       PageRank.personalizedPageRank(edges, seeds, 6)
         .write.format("noop").mode("overwrite").save()
     }
-    timed("harmonicCentrality(3)") {
+    if (want("harmonic")) timed("harmonicCentrality(3)") {
       val seeds = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 199 === 0)
       Bfs.harmonicCentrality(edges, seeds, maxHops = 3)
         .write.format("noop").mode("overwrite").save()
     }
-    timed("linkPredict.topForQueries") {
+    if (want("linkpred")) timed("linkPredict.topForQueries") {
       val qs = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 199 === 0)
       LinkPredict.topForQueries(edges, qs, kPerQuery = 5)
