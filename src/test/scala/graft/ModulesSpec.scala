@@ -272,6 +272,88 @@ class ModulesSpec extends SparkSuite {
       s"replay $replayCounts vs stream $streamCounts")
   }
 
+  test("streaming OUTER interval join: real run matches intervalJoinOuterAudit incl. null rows") {
+    // the inner-parity scenario plus the two purchases that exercise the
+    // eviction-emission contract: u7 t(40) unmatched and EVICTED by the
+    // final watermark t(90) -> its null row must appear in the real run
+    // and as outer_null=1 in the replay; u8 t(99) unmatched but NEVER
+    // evicted (99 > 90 never holds... 99 < 90 is false) -> no null row
+    // ever (the recent-purchase blind spot)
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1000000200L
+    def t(min: Int) = new java.sql.Timestamp((base + min * 60L) * 1000L)
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
+    val joined = graft.streaming.Streaming.purchaseAttributionOuter(
+      ms.toDF().toDF("user_id", "event_type", "ts", "value"))
+      .select($"p_user", unix_timestamp($"p_ts").as("psec"),
+        unix_timestamp($"c_ts").as("csec"))
+    val q = joined.writeStream.format("memory").queryName("st_oij_t")
+      .outputMode("append").start()
+    def batch(rows: (Long, String, java.sql.Timestamp, Double)*): Unit = {
+      ms.addData(rows: _*); q.processAllAvailable()
+    }
+    batch((1L, "click", t(0), 0.0), (2L, "click", t(2), 0.0),
+      (1L, "purchase", t(5), 9.0))
+    batch((9L, "click", t(30), 0.0))
+    batch((2L, "purchase", t(8), 9.0), (9L, "purchase", t(35), 9.0),
+      (1L, "click", t(3), 0.0), (7L, "purchase", t(40), 9.0))
+    batch((9L, "click", t(27), 0.0))
+    batch((5L, "click", t(100), 0.0), (5L, "purchase", t(101), 9.0),
+      (8L, "purchase", t(99), 9.0))
+    batch((1L, "purchase", t(6), 9.0))
+    batch((9L, "click", t(31), 0.0))
+    q.stop()
+    val emitted = spark.table("st_oij_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val matches = Set[(Long, Long, Option[Long])](
+      (1L, base + 300L, Some(base + 0L)),
+      (1L, base + 300L, Some(base + 180L)),
+      (2L, base + 480L, Some(base + 120L)),
+      (9L, base + 2100L, Some(base + 1800L)),
+      (9L, base + 2100L, Some(base + 1620L)),
+      (5L, base + 6060L, Some(base + 6000L)))
+    // exactly ONE null row: u7 (evicted, unmatched); u8 stays in state
+    assert(emitted == matches + ((7L, base + 2400L, None)),
+      s"stream emitted $emitted")
+    val rows = Seq(
+      (0L, 1L, "click", 10L, t(0)), (0L, 2L, "click", 11L, t(2)),
+      (0L, 1L, "purchase", 100L, t(5)),
+      (1L, 9L, "click", 12L, t(30)),
+      (2L, 2L, "purchase", 101L, t(8)), (2L, 9L, "purchase", 102L, t(35)),
+      (2L, 1L, "click", 13L, t(3)), (2L, 7L, "purchase", 105L, t(40)),
+      (3L, 9L, "click", 14L, t(27)),
+      (4L, 5L, "click", 15L, t(100)), (4L, 5L, "purchase", 103L, t(101)),
+      (4L, 8L, "purchase", 106L, t(99)),
+      (5L, 1L, "purchase", 104L, t(6)),
+      (6L, 9L, "click", 16L, t(31)))
+      .toDF("b", "user_id", "event_type", "event_id", "ts")
+    val audit = graft.streaming.Streaming
+      .intervalJoinOuterAudit(rows, $"b")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(audit(100L) == ((2L, 2L, 0L, 0L)), s"P1: $audit")
+    assert(audit(101L) == ((1L, 1L, 0L, 0L)), s"P2: $audit")
+    assert(audit(102L) == ((3L, 2L, 1L, 0L)), s"P3 (C9 late): $audit")
+    assert(audit(103L) == ((1L, 1L, 0L, 0L)), s"P5: $audit")
+    // P6 arrived LATE: no matches AND no null row (dropped before state)
+    assert(audit(104L) == ((2L, 0L, 2L, 0L)), s"P6 late purchase: $audit")
+    // u7: unmatched, evicted by W_final = t(90) -> the null row
+    assert(audit(105L) == ((0L, 0L, 0L, 1L)), s"P7 evicted-null: $audit")
+    // u8: unmatched but 99 !< 90 -> never evicted, no null row
+    assert(audit(106L) == ((0L, 0L, 0L, 0L)), s"P8 in-state: $audit")
+    // parity: the replay's outer_null set IS the real run's null-row set
+    val streamNullUsers = emitted.collect { case (u, _, None) => u }
+    val replayNullUsers = audit.collect {
+      case (105L, (_, _, _, 1L)) => 7L
+      case (106L, (_, _, _, 1L)) => 8L
+    }.toSet
+    assert(replayNullUsers == streamNullUsers,
+      s"replay nulls $replayNullUsers vs stream $streamNullUsers")
+  }
+
   test("valueAlerts: real stateful run matches the thresholdAlertsReplay batch face") {
     implicit val s: SparkSession = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
