@@ -2,6 +2,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Pure trip-selection for the steady-profile guard (unit-tested in
+    * BenchLogicSpec): given the merged per-query steady times and the
+    * committed idle profile, pick the re-run trip factor and the suspect
+    * set. Per-entry: a query re-runs when over `trip` x its profile AND
+    * over the absolute floor (sub-second wobble is JIT depth, not load).
+    * Suite-level (r10 verdict ask #5): when the total over shared keys
+    * exceeds 1.1x the profile sum — ambient haze, not one slow query —
+    * the trip tightens from `profileK` to 1.4 so the whole hazy band
+    * re-runs, not just the >2x outliers. */
+  def hazeTrip(steady: Map[String, Double], profile: Map[String, Double],
+      profileK: Double, floor: Double): (Boolean, Double, Seq[String]) = {
+    val shared = steady.keys.filter(profile.contains).toSeq
+    val profSum = shared.map(profile).sum
+    val suiteHazy = profSum > 0 && shared.map(steady).sum > 1.1 * profSum
+    val trip = if (suiteHazy) 1.4 else profileK
+    val suspects = steady.keys.toSeq.sorted.filter { k =>
+      profile.get(k).exists(p => steady(k) > trip * p && steady(k) > floor)
+    }
+    (suiteHazy, trip, suspects)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -259,23 +281,16 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     // Suite-total haze trigger (r10 verdict ask #5): entries at 1.5-1.9x
     // profile slide under the 2x per-entry trip and become the round's
-    // official record (r10: q_pagerank 1.59x, q_modularity 1.80x). When
-    // the SUITE total runs >1.1x the profile sum over shared keys — the
-    // signature of ambient haze rather than one slow query — tighten the
-    // per-entry re-run trip to 1.4x so the whole hazy band gets an
-    // idle-wait plus targeted re-run, not just the >2x outliers.
-    val sharedKeys = merged0.keys.filter(profile.contains).toSeq
-    val profSum = sharedKeys.map(profile).sum
-    val sharedSum = sharedKeys.map(merged0(_).steady).sum
-    val suiteHazy = profSum > 0 && sharedSum > 1.1 * profSum
-    val tripK = if (suiteHazy) 1.4 else profileK
+    // official record (r10: q_pagerank 1.59x, q_modularity 1.80x). The
+    // selection logic is the pure [[hazeTrip]] (unit-tested); when the
+    // suite total runs >1.1x the profile sum, the per-entry trip
+    // tightens to 1.4x so the whole hazy band re-runs.
+    val (suiteHazy, tripK, suspects) = hazeTrip(
+      merged0.map { case (k, v) => k -> v.steady },
+      profile, profileK, profileFloor)
     if (suiteHazy) System.err.println(
-      f"[bench] suite total $sharedSum%.1fs > 1.1x profile sum $profSum%.1fs " +
+      f"[bench] suite total over 1.1x the profile sum " +
         f"— tightening re-run trip to ${tripK}%.1fx")
-    val suspects = merged0.keys.toSeq.sorted.filter { k =>
-      profile.get(k).exists(p =>
-        merged0(k).steady > tripK * p && merged0(k).steady > profileFloor)
-    }
     def rerun(name: String): Double = {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
