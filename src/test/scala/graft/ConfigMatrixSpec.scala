@@ -38,11 +38,14 @@ class ConfigMatrixSpec extends SparkSuite {
     "q_skew_build", "s_runlengths", "g_slice_rows",
     // joins/aggregates incl. broadcast hints
     "q1_agg", "q5_join", "q_topk_group",
-    // eager-loop graph family (plan picks + checkpointed rounds)
+    // eager-loop graph family (plan picks + checkpointed rounds) +
+    // the r11 approximate faces (deterministic samplers + count-driven
+    // scale-ups — new machinery the matrix must cover)
     "q_pagerank", "q_triangles", "q_kcore",
+    "q_triangles_approx", "q_harmonic_approx",
     // dedup / text / similarity / events waves
     "d_minhash", "t_pack", "t_split", "sim_topk",
-    "ev_funnel", "ev_asof", "st_ijoin", "st_alerts")
+    "ev_funnel", "ev_asof", "st_ijoin", "st_ijoin_outer", "st_alerts")
 
   private def canonCell(v: Any): String = v match {
     case null => "NULL"
