@@ -573,6 +573,33 @@ class GraphSpec extends SparkSuite {
       s"DOULION estimate drifted: est=$est exact=$exact relErr=$relErr")
   }
 
+  test("approx faces collapse to the exact operators at the degenerate point") {
+    // p = 1 (pPpm = 1e6): every edge survives, the DIV chain is the
+    // identity -> the DOULION estimate must EQUAL the exact global
+    // count, and the sampled edge set must be the whole canonical set
+    val edges = PageRank.coOccurrenceEdges(
+      spark.read.parquet(s"$dir/lineitem.parquet"),
+      "l_orderkey", "l_partkey").localCheckpoint()
+    val exact = graft.operators.Triangles.triangleCount(edges)
+      .collect()(0).getLong(0)
+    val r = graft.operators.Triangles.triangleCountApprox(edges,
+      pPpm = 1000000L).collect()(0)
+    assert(r.getLong(1) == r.getLong(0), "p=1 must sample every edge")
+    assert(r.getLong(2) == exact && r.getLong(3) == exact,
+      s"p=1 estimate must equal exact: $r vs $exact")
+    // pivots = ALL nodes: harm_sum_ppm(v) is then EXACTLY the truncated
+    // harmonic centrality of v (symmetric graph: d(p,v) = d(v,p)), i.e.
+    // the transpose of harmonicCentrality's per-root sums
+    import graft.operators.Bfs
+    val nodes = edges.select($"src".as("node")).distinct()
+    val exactH = Bfs.harmonicCentrality(edges, nodes, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val estAll = Bfs.harmonicEstimate(edges, nodes, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // harm_sum_ppm
+    assert(estAll == exactH,
+      "all-pivots harm_sum_ppm must equal exact per-root harmonic transposed")
+  }
+
   test("harmonicEstimate: pivot estimate tracks exact all-roots harmonic") {
     // accuracy gate for the landmark estimator: at sf0.001 the exact
     // ALL-roots truncated harmonic is feasible (200 nodes); a %13 pivot
