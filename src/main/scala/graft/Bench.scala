@@ -3,23 +3,45 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** Per-entry effective re-run trip factor (unit-tested in
+    * BenchLogicSpec). Three rules, composed by taking the tightest that
+    * applies:
+    *   - base: the configured `profileK` (default 2.0);
+    *   - suite haze (r10 verdict ask #5): when the suite total exceeds
+    *     1.1x the profile sum, tighten to min(1.4, profileK) — the min
+    *     so a profileK configured BELOW 1.4 is never loosened by a hazy
+    *     suite (r11 advice);
+    *   - heavy entry (r11 verdict ask #2): entries whose profile exceeds
+    *     `heavyProfile` (1.5 s — the suite's top ~25) trip at
+    *     min(1.5, base) REGARDLESS of suite health. R11 measured why the
+    *     suite trigger alone is insufficient: a 1.04x-calm suite still
+    *     recorded q_triangles at 1.81x and str_linkage at 1.59x profile.
+    *     For a multi-second entry 1.5x is seconds of phantom, and the
+    *     re-run budget is a handful of queries; for sub-second entries
+    *     the same band is JIT wobble, so the rule keys on profile size. */
+  def entryTrip(profileSec: Double, suiteHazy: Boolean, profileK: Double,
+      heavyProfile: Double = 1.5): Double = {
+    val base = if (suiteHazy) math.min(1.4, profileK) else profileK
+    if (profileSec > heavyProfile) math.min(1.5, base) else base
+  }
+
   /** Pure trip-selection for the steady-profile guard (unit-tested in
     * BenchLogicSpec): given the merged per-query steady times and the
-    * committed idle profile, pick the re-run trip factor and the suspect
-    * set. Per-entry: a query re-runs when over `trip` x its profile AND
-    * over the absolute floor (sub-second wobble is JIT depth, not load).
-    * Suite-level (r10 verdict ask #5): when the total over shared keys
-    * exceeds 1.1x the profile sum — ambient haze, not one slow query —
-    * the trip tightens from `profileK` to 1.4 so the whole hazy band
-    * re-runs, not just the >2x outliers. */
+    * committed idle profile, pick the suite-level trip factor and the
+    * suspect set. Per-entry: a query re-runs when over its
+    * [[entryTrip]] x its profile AND over the absolute floor
+    * (sub-second wobble is JIT depth, not load). The returned `trip` is
+    * the suite-level base (reported in the artifact as `profile_trip`);
+    * heavy entries may have tripped at the tighter 1.5x. */
   def hazeTrip(steady: Map[String, Double], profile: Map[String, Double],
       profileK: Double, floor: Double): (Boolean, Double, Seq[String]) = {
     val shared = steady.keys.filter(profile.contains).toSeq
     val profSum = shared.map(profile).sum
     val suiteHazy = profSum > 0 && shared.map(steady).sum > 1.1 * profSum
-    val trip = if (suiteHazy) 1.4 else profileK
+    val trip = if (suiteHazy) math.min(1.4, profileK) else profileK
     val suspects = steady.keys.toSeq.sorted.filter { k =>
-      profile.get(k).exists(p => steady(k) > trip * p && steady(k) > floor)
+      profile.get(k).exists(p =>
+        steady(k) > entryTrip(p, suiteHazy, profileK) * p && steady(k) > floor)
     }
     (suiteHazy, trip, suspects)
   }
@@ -267,6 +289,17 @@ object Bench {
     // performance changes with SPARK_GRAFT_WRITE_PROFILE=1 (same
     // discipline as the plan fingerprints; PlanQualitySpec pins key
     // symmetry so the profile can't silently go stale).
+    //
+    // REPRICING RULE (r11 hygiene ask #8, the str_categorical precedent):
+    // when a DELIBERATE cost change lands in an operator (an extra
+    // guard job, a new gate, a plan change), the affected entries are
+    // repriced in docs/BENCH_STEADY.json IN THE SAME COMMIT — measured
+    // on an idle box, full-suite runs only (half-suite runs measure
+    // lower steadies because codegen eviction pressure is lower, and a
+    // minima-merged profile then chronically trips the suite guard).
+    // A stale profile turns every intentional change into a phantom
+    // "regression" annotation; a same-commit repricing keeps the
+    // lockfile meaning "idle steady for the code as committed".
     val profilePath =
       sys.env.getOrElse("SPARK_GRAFT_PROFILE", "docs/BENCH_STEADY.json")
     val profileK = sys.env.getOrElse("SPARK_GRAFT_PROFILE_K", "2.0").toDouble
@@ -331,7 +364,8 @@ object Bench {
     // the artifact so a hazy entry reads as hazy, never as the record
     val overProfile = merged.toSeq.sortBy(_._1).collect {
       case (k, v) if profile.get(k).exists(p =>
-        v.steady > tripK * p && v.steady > profileFloor) =>
+        v.steady > entryTrip(p, suiteHazy, profileK) * p &&
+          v.steady > profileFloor) =>
         k -> (v.steady / profile(k))
     }
     if (sys.env.contains("SPARK_GRAFT_WRITE_PROFILE")) {

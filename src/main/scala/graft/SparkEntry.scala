@@ -64,5 +64,6 @@ object SparkEntry {
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
     _root_.graft.queries.DedupQueries.aux ++
       _root_.graft.queries.SimilarityQueries.aux ++
-      _root_.graft.queries.Relational.aux
+      _root_.graft.queries.Relational.aux ++
+      _root_.graft.queries.EventQueries.aux
 }

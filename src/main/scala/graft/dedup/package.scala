@@ -431,6 +431,72 @@ package object dedup {
     * pass. Output volume is ≤ w rows per row — linear in the corpus by
     * construction, the property that makes this blocking usable at
     * 100 TB where key-blocking quadratics blow up. */
+  /** Equality-blocked candidate pairs for record linkage — the classic
+    * blocking strategy (pairs only WITHIN a block, join stays equi-keyed,
+    * never all-pairs across blocks), now with the `groupCap` discipline
+    * the rest of the engine's quadratic candidate generators carry
+    * (the [[graft.operators.PageRank.coOccurrenceEdges]] precedent;
+    * r11 verdict Next #1).
+    *
+    * Why the cap is load-bearing at scale: a FIXED-domain blocking key
+    * (brand, country, category — str_linkage's p_brand has ~25 values)
+    * makes block size LINEAR in the corpus, so pair volume per block is
+    * quadratic — at 100x the data that is 10,000x the verify-kernel
+    * evaluations, concentrated in as many tasks as there are blocks.
+    * With `blockCap > 0`, blocks holding more than `blockCap` rows are
+    * DROPPED, bounding every block's cost at blockCap²/2 pairs.
+    * Dropped, not truncated: truncating a block would keep an
+    * arbitrary partition-order-dependent subset of its pairs — a
+    * nondeterministic half-answer; a dropped block is a documented,
+    * COUNTED refusal, reported through the plan-native `observe`
+    * metric `"linkage_block_cap"` (fields `dropped_blocks`,
+    * `kept_blocks`) so a pipeline can alert instead of silently
+    * running a 10,000x job. The oversized blocks are exactly the ones
+    * a linkage practitioner re-blocks on a finer key (brand+container,
+    * not brand) — the cap converts a latent quadratic into an explicit
+    * re-blocking decision.
+    *
+    * The gate costs one map-side-combined count shuffled on the SAME
+    * key as the self-join plus a co-partitioned semi-join — no new
+    * shuffle key enters the plan. With `blockCap = 0` (the default)
+    * the plan is byte-identical to the bare blocked self-join.
+    *
+    * Output: one row per unordered candidate pair, every payload
+    * column of `df` carried twice under `a_`/`b_` prefixes, ordered
+    * `a_<idCol> < b_<idCol>`; rows with a NULL block key never pair
+    * (SQL equality semantics, same as the bare self-join). The verify
+    * kernel (Jaro-Winkler, Levenshtein, ...) is the caller's —
+    * blocking and matching compose, as in the reference's ER surface. */
+  def blockedPairs(df: DataFrame, blockCol: Column, idCol: String,
+      blockCap: Int = 0): DataFrame = {
+    require(df.columns.contains(idCol), s"missing id column $idCol")
+    require(!df.columns.contains("__blk"),
+      "column name __blk is reserved by blockedPairs")
+    val base = df.withColumn("__blk", blockCol).filter(col("__blk").isNotNull)
+    val src =
+      if (blockCap <= 0) base
+      else {
+        val kept = base.groupBy(col("__blk"))
+          .agg(count(lit(1)).as("n_rows"))
+          .observe("linkage_block_cap",
+            sum(when(col("n_rows") > blockCap, 1L).otherwise(0L))
+              .as("dropped_blocks"),
+            sum(when(col("n_rows") <= blockCap, 1L).otherwise(0L))
+              .as("kept_blocks"))
+          .filter(col("n_rows") <= blockCap)
+          .select(col("__blk"))
+        base.join(kept, Seq("__blk"), "left_semi")
+      }
+    val payload = df.columns.toSeq
+    val aSide = src.select(col("__blk") +:
+      payload.map(c => col(c).as(s"a_$c")): _*)
+    val bSide = src.select(col("__blk") +:
+      payload.map(c => col(c).as(s"b_$c")): _*)
+    aSide.join(bSide, Seq("__blk"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .drop("__blk")
+  }
+
   def sortedNeighborhoodPairs(df: DataFrame, key: Column, idCol: String,
       w: Int): DataFrame = {
     require(w > 0, s"window must be positive, got $w")

@@ -137,6 +137,20 @@ object Bfs {
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint()
+    perSourceDistancesPinned(e, seeds, maxHops, seedCol)
+  }
+
+  /** [[perSourceDistances]] over an ALREADY-normalized-and-pinned edge
+    * frame — columns (src, dst) long, non-null, localCheckpoint()ed by
+    * the caller. Exists so callers that need the pinned frame for OTHER
+    * jobs too (harmonicEstimate's N-count) materialize the edge list
+    * ONCE: the public face's unconditional normalize+checkpoint made
+    * the estimate copy the whole edge list twice, a real cost at soak
+    * scale (26M edges) and part of the measured +29% the estimate paid
+    * over its own traversals (r11 verdict Next #7). */
+  private[graft] def perSourceDistancesPinned(e: DataFrame, seeds: DataFrame,
+      maxHops: Int, seedCol: String = "node"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     var reached = seeds.select(col(seedCol).cast("long").as("root"))
       .filter(col("root").isNotNull).distinct()
       .withColumn("node", col("root")).withColumn("dist", lit(0))
@@ -209,7 +223,7 @@ object Bfs {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint() // feeds N-count + k traversal rounds
+      .localCheckpoint() // pinned ONCE: feeds N-count + k traversal rounds
     // N over the SYMMETRIC edge list: src covers every node
     val n = e.select(col("src")).distinct().count()
     val p = pivots.select(col(seedCol).cast("long").as("node"))
@@ -217,12 +231,28 @@ object Bfs {
       .localCheckpoint() // feeds k-count + the traversal seed
     val k = p.count()
     require(k > 0, "harmonicEstimate: empty pivot set")
-    perSourceDistances(e, p, maxHops)
+    // the Pinned face reuses the frame pinned above — the public face
+    // would copy the whole edge list into block storage a second time
+    // (r11 verdict Next #7: the estimate must not cost more than its
+    // own traversals)
+    perSourceDistancesPinned(e, p, maxHops)
       .filter(col("dist") > 0)
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_pivots"),
         sum(expr("1000000 DIV dist")).as("harm_sum_ppm"))
+      // scale-up in DECIMAL(38,0) 128-bit arithmetic (r11 advice): the
+      // bare int64 product harm_sum_ppm * (n-1) overflows at the scale
+      // this face targets (worst case harm_sum_ppm = k*10^6, so the
+      // product ~ k*10^6*n — past 2^63 around n ~ 2*10^8 under the
+      // %499-modulus pivot convention where k grows with n). The
+      // decimal product is exact; values are bit-identical to the old
+      // spelling everywhere it didn't overflow, and the only remaining
+      // bound is the answer itself: est_ppm <= 10^6*(n-1) < 2^63 for
+      // any n < 9.2*10^12 nodes. Matches the DuckDB replay, whose
+      // sum() already widens to HUGEINT (128-bit) — the old spelling
+      // silently DIVERGED from its own oracle past the int64 wall.
       .select(col("node"), col("n_pivots"), col("harm_sum_ppm"),
-        expr(s"harm_sum_ppm * ${n - 1} DIV $k").as("est_ppm"))
+        expr(s"CAST(harm_sum_ppm AS DECIMAL(38,0)) * ${n - 1} DIV $k")
+          .as("est_ppm"))
   }
 }

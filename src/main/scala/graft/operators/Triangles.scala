@@ -180,9 +180,11 @@ object Triangles {
     * Returns ONE row (n_edges, n_edges_sampled, tri_sampled,
     * est_triangles): the exact sampled count rides along so the graded
     * face hashes deterministically and the estimate's provenance is
-    * auditable; est_triangles is the integer DIV chain
-    * ((tri·10⁶ DIV pPpm)·10⁶ DIV pPpm)·10⁶ DIV pPpm — deterministic,
-    * within 3 ulp-of-DIV of the real-valued estimator. */
+    * auditable; est_triangles = floor(tri·10¹⁸ / pPpm³) computed
+    * exactly in DECIMAL(38,0) — deterministic, 0 ulp from the
+    * real-valued estimator, defined whenever the estimate itself fits
+    * int64 (true count ≲ 9.2·10¹⁸; the r11 int64 chain overflowed
+    * three orders of magnitude earlier). */
   /** The sampled canonical edge set [[triangleCountApprox]] counts
     * over — exposed so Verify can dump it (`aux_tri_edges`) for the
     * structural DuckDB replay (the aux_minhash_sigs precedent: Spark's
@@ -211,8 +213,19 @@ object Triangles {
       .agg((sum(col("triangles")) / 3).cast("long").as("tri_sampled"))
       .select(lit(m).as("n_edges"), lit(ms).as("n_edges_sampled"),
         coalesce(col("tri_sampled"), lit(0L)).as("tri_sampled"),
-        expr(s"((coalesce(tri_sampled, 0) * 1000000 DIV $pPpm) " +
-          s"* 1000000 DIV $pPpm) * 1000000 DIV $pPpm").as("est_triangles"))
+        // single-DIV exact form in DECIMAL(38,0) 128-bit arithmetic
+        // (r11 advice): est = floor(tri * 10^18 / pPpm^3). The old
+        // three-step int64 chain ((tri*10^6 DIV p)*10^6 DIV p)*10^6
+        // DIV p overflowed its intermediates (up to tri*10^18/p^2) at
+        // tri_sampled ~ p^2 * 2^63/10^18 — ~3.7e11 at p = 0.2, inside
+        // the operator's stated target scale. The decimal product
+        // tri*10^18 is exact for tri < 10^20; the only remaining bound
+        // is the ANSWER itself: est < 2^63, i.e. the operator is defined
+        // whenever the true triangle count fits int64 (~9.2e18) —
+        // matching DuckDB's HUGEINT replay of the same formula.
+        expr(s"CAST(coalesce(tri_sampled, 0) AS DECIMAL(38,0)) " +
+          s"* 1000000000000000000 DIV ${pPpm * pPpm * pPpm}")
+          .as("est_triangles"))
   }
 
   /** Per-node local clustering coefficient — the standard graph-quality

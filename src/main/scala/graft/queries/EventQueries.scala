@@ -493,16 +493,19 @@ object EventQueries {
         expr("greatest(event_id + (((event_id % 97) * 37) % 21 - 10) * 50, 0) DIV 1000"))
     },
 
-    // batch face of Streaming.streamingNearDupFilter (stateful simhash
-    // near-dup tagging). Keeper choice is arrival-order-dependent, so only
-    // the order-independent total is emitted — rows-only driver check; the
-    // semantics are pinned by ModulesSpec's streaming + batch tests.
+    // CANONICAL-ORDER face of the stateful simhash near-dup filter
+    // (Streaming.nearDupFilterCanonical, r11 verdict Next #5): the same
+    // per-block greedy state machine as streamingNearDupFilter, run
+    // under the DEFINED ascending-id arrival order — per-doc rows, full
+    // DuckDB oracle (recursive state-machine replay over the dumped
+    // aux_neardup_sigs signatures). Streaming parity (real
+    // flatMapGroupsWithState run, one doc per micro-batch in id order,
+    // identical rows) is pinned in ModulesSpec; arrival-order-dependence
+    // is thereby confined to the live stream, never the graded surface.
     "st_neardup" -> { (s, dir) =>
-      graft.streaming.Streaming.streamingNearDupFilter(
+      graft.streaming.Streaming.nearDupFilterCanonical(
           Tables.documents(s, dir), "doc_id", "text")
         .toDF("id", "dup_of", "dist")
-        .agg(count(lit(1)).as("n_docs"),
-          count(when(col("dist") === 0, 1)).as("n_exact_dups"))
     },
 
     // interval-join attribution (the batch face of
@@ -783,5 +786,26 @@ object EventQueries {
     "ev_overlap" ->
       """WITH p AS (SELECT event_id AS pid, ts - INTERVAL 5 MINUTE AS pstart, ts + INTERVAL 5 MINUTE AS pend FROM events WHERE event_type = 'purchase' AND value > 200), e AS (SELECT event_id AS eid, ts - INTERVAL 3 MINUTE AS estart, ts + INTERVAL 3 MINUTE AS eend FROM events WHERE event_type = 'error' AND value > 150) SELECT count(*) AS n_pairs, count(DISTINCT pid) AS n_purchases, count(DISTINCT eid) AS n_errors FROM p JOIN e ON p.pstart <= e.eend AND e.estart <= p.pend""",
     "st_attrib" ->
-      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'), p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') SELECT p.user_id, count(DISTINCT p.event_id) AS n_purchases, count(c.ts) AS n_clicks_attributed FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE GROUP BY p.user_id""")
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'), p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') SELECT p.user_id, count(DISTINCT p.event_id) AS n_purchases, count(c.ts) AS n_clicks_attributed FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE GROUP BY p.user_id""",
+
+    // the canonical near-dup replay (r11 verdict Next #5): the per-block
+    // greedy state machine walked by a recursive accumulator over the
+    // dumped signatures — keepers carried as a struct list, match = min
+    // Hamming <= 6 tie-broken to the LATEST keeper (max id: the
+    // streaming `seen` list is prepend-ordered), state append gated at
+    // 4096. blk = sh >>> 32 (top 16 of 48 bits); xor/bit_count replay
+    // the codegen'd kernel exactly on the dumped 48-bit values.
+    "st_neardup" ->
+      """WITH RECURSIVE sigs AS (SELECT id, sh, sh // 4294967296 AS blk FROM '__OUTDIR__/aux_neardup_sigs/*.parquet'), seq AS (SELECT blk, id, sh, row_number() OVER (PARTITION BY blk ORDER BY id) AS rn FROM sigs), acc AS (SELECT blk, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS INT) AS dist, CAST([] AS STRUCT(kid BIGINT, ksh BIGINT)[]) AS keepers FROM (SELECT DISTINCT blk FROM seq) UNION ALL SELECT blk, rn, id, CASE WHEN dmin IS NULL THEN -1 ELSE list_max(list_transform(list_filter(keepers, k -> bit_count(xor(k.ksh, sh)) = dmin), k -> k.kid)) END AS dup_of, CAST(coalesce(dmin, -1) AS INT) AS dist, CASE WHEN dmin IS NULL AND len(keepers) < 4096 THEN list_append(keepers, {'kid': id, 'ksh': sh}) ELSE keepers END AS keepers FROM (SELECT s.blk, s.rn, s.id, s.sh, a.keepers, list_min(list_transform(list_filter(a.keepers, k -> bit_count(xor(k.ksh, s.sh)) <= 6), k -> bit_count(xor(k.ksh, s.sh)))) AS dmin FROM acc a JOIN seq s ON s.blk = a.blk AND s.rn = a.rn + 1) t) SELECT id, dup_of, dist FROM acc WHERE rn > 0""")
+
+  /** Auxiliary dump grounding st_neardup's structural replay: the
+    * (id, simhash48) signature frame — expression-identical to the
+    * frame nearDupFilterCanonical builds (the aux_minhash_sigs
+    * precedent: the hash is not SQL-replayable, the state machine over
+    * the dumped values is). */
+  val aux: Map[String, Q] = Map(
+    "aux_neardup_sigs" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id").cast("long").as("id"),
+        graft.dedup.simHash48(col("text")).as("sh"))
+    })
 }

@@ -178,6 +178,45 @@ object GetitemIoQueries {
           sum(q.getField("nulls")).as("null_qty"))
     },
 
+    // the reference's report=True read graded end-to-end (r11 verdict
+    // Next #3; reference io.py:651-695, parquet.py:36-61: a failed read
+    // yields EMPTY data plus an error record — never a failed job).
+    // Four single-file layouts from documents, file 2 OVERWRITTEN with
+    // non-parquet bytes; graded output is the per-file report JOINED
+    // with a per-file aggregate of the SURVIVING data, so the oracle
+    // checks both halves of the contract at once: the corrupt file
+    // reports status='error' with zero rows and NULL data aggregates,
+    // and every other file's data comes back bit-exact (nothing
+    // dropped, nothing shifted between files).
+    "io_report" -> { (s, dir) =>
+      val tmp = graft.io.GraftIO.scratchDir("graft_report")
+      val docs = Tables.documents(s, dir)
+      val paths = (0 to 3).map(i => s"$tmp/f$i")
+      (0 to 3).foreach { i =>
+        docs.filter(pmod(col("doc_id"), lit(4)) === i)
+          .select(col("doc_id"), col("n_chars"))
+          .coalesce(1).write.mode("overwrite").parquet(paths(i))
+      }
+      // deterministic corruption: f2's data file becomes bytes with no
+      // parquet footer (the reference's failed-read class)
+      new java.io.File(paths(2)).listFiles()
+        .filter(f => f.getName.startsWith("part-"))
+        .foreach { f => java.nio.file.Files.write(f.toPath,
+          "NOT A PARQUET FILE".getBytes("UTF-8")): Unit }
+      val (data, report) = graft.io.GraftIO.fromParquetWithReport(s, paths)
+      import s.implicits._
+      val lookup = paths.zipWithIndex
+        .map { case (p, i) => (p, i.toLong) }.toDF("path", "file_id")
+      val perFile = data
+        .groupBy(pmod(col("doc_id"), lit(4)).as("file_id"))
+        .agg(count(lit(1)).as("n_data"), sum(col("n_chars")).as("sum_chars"))
+      report.join(lookup, "path")
+        .select(col("file_id"), col("status"), col("rows").as("n_report"))
+        .join(perFile, Seq("file_id"), "left")
+        .select(col("file_id"), col("status"), col("n_report"),
+          coalesce(col("n_data"), lit(0L)).as("n_data"), col("sum_chars"))
+    },
+
     // one-pass corpus profiling (graft.inspect.Inspect.profile): the
     // Deequ-style per-column data-quality report — totals, nulls, exact
     // distinct counts, min/max renderings — as ONE aggregate melted to a
@@ -730,6 +769,11 @@ object GetitemIoQueries {
     // the manifest aggregates must equal the data-derived truth
     "io_manifest" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_rows, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, CAST(count(*) - count(l_quantity) AS BIGINT) AS null_qty FROM lineitem""",
+    // report replay: per-file expectations derive purely from the % 4
+    // split — the corrupt file (2) reports error/0/NULL, the rest
+    // report their exact counts and data sums
+    "io_report" ->
+      """WITH per AS (SELECT doc_id % 4 AS file_id, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sc FROM documents GROUP BY 1) SELECT file_id, CASE WHEN file_id = 2 THEN 'error' ELSE 'ok' END AS status, CASE WHEN file_id = 2 THEN 0 ELSE cnt END AS n_report, CASE WHEN file_id = 2 THEN 0 ELSE cnt END AS n_data, CASE WHEN file_id = 2 THEN NULL ELSE sc END AS sum_chars FROM per""",
     "io_skipping" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000 GROUP BY 1""",
     "io_bloomskip" ->

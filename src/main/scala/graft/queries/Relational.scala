@@ -247,19 +247,40 @@ object Relational {
           round(negate(col("col.np")), 2).as("price"))
     },
 
-    // mergeable-sketch aggregates (graft.sketches.Sketches): distinct-count
-    // (HLL) and quantile (KLL-style) state that shuffles KB-sized summaries
-    // instead of raw values. Estimates, so no SQL oracle (driver does the
-    // rows-only check); SketchesSpec asserts error bounds vs exact answers.
+    // mergeable-sketch aggregates, FULLY oracled (r11 verdict Next #4):
+    // the engine's own deterministic xxhash64 sketch states — HLL
+    // registers (Sketches.hllRegisters, 512/group) and a bottom-k KMV
+    // value sample (Sketches.bottomKSample, 1024/group) — built by
+    // bounded partial+final aggregates, dumped as aux_hll_regs /
+    // aux_qsketch_samp, with the ESTIMATE ARITHMETIC (harmonic-sum
+    // integer estimator, lower-median pick) replayed by DuckDB over the
+    // dumps (the aux_tri_edges precedent: the hash is not
+    // SQL-replayable, the arithmetic on the dumped state is).
+    // Estimator ACCURACY vs exact answers stays pinned in
+    // RangeJoinSketchSpec; the binary Datasketches faces remain for
+    // cross-run union (io_incragg exercises merge).
     "q_sketch" -> { (s, dir) =>
       import graft.sketches.Sketches
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          Sketches.hllEstimate(col("l_partkey")).as("approx_parts"),
-          Sketches.hllEstimate(col("l_suppkey")).as("approx_supp"),
-          Sketches.quantileApprox(col("l_quantity"), lit(0.5)).as("median_qty"),
-          count(lit(1)).as("n"))
+      val li = Tables.lineitem(s, dir)
+      val grp = col("l_returnflag")
+      val ests = Sketches.hllEstimateFromRegisters(
+        Sketches.hllRegisters(li, grp, col("l_partkey"), "parts")
+          .unionByName(
+            Sketches.hllRegisters(li, grp, col("l_orderkey"), "orders")))
+      val med = Sketches.sampleLowerMedian(Sketches.bottomKSample(
+        li, grp, Seq(col("l_orderkey"), col("l_linenumber")),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)"), 1024))
+      li.groupBy(grp).agg(count(lit(1)).as("n"))
+        .join(ests.filter(col("field") === "parts")
+          .select(col("grp").as("l_returnflag"), col("est").as("approx_parts")),
+          "l_returnflag")
+        .join(ests.filter(col("field") === "orders")
+          .select(col("grp").as("l_returnflag"), col("est").as("approx_orders")),
+          "l_returnflag")
+        .join(med.select(col("grp").as("l_returnflag"),
+          col("median_v").as("median_q100")), "l_returnflag")
+        .select(col("l_returnflag"), col("approx_parts"),
+          col("approx_orders"), col("median_q100"), col("n"))
     },
 
     // PageRank over the part co-purchase graph (parts sharing an order,
@@ -551,8 +572,28 @@ object Relational {
     *    seed-share reduction over these instead of recomputing 12 rank
     *    CTEs in one query (the sf5 replay spilled past 78 GB; the rank
     *    chains themselves stay fully oracle-proven via q_ppr and
-    *    q_pagerank). */
+    *    q_pagerank).
+    *  - aux_hll_regs / aux_qsketch_samp: q_sketch's deterministic HLL
+    *    register frame and bottom-k KMV quantity sample — the estimate
+    *    arithmetic replays over these (r11 verdict Next #4). */
   val aux: Map[String, Q] = Map(
+    // q_sketch's deterministic sketch states (must stay expression-
+    // identical to the builders inside q_sketch — the
+    // sampledCanonicalEdges discipline): the merged HLL register frame
+    // for both fields and the exploded bottom-k quantity sample
+    "aux_hll_regs" -> { (s, dir) =>
+      import graft.sketches.Sketches
+      val li = Tables.lineitem(s, dir)
+      Sketches.hllRegisters(li, col("l_returnflag"), col("l_partkey"), "parts")
+        .unionByName(
+          Sketches.hllRegisters(li, col("l_returnflag"), col("l_orderkey"), "orders"))
+    },
+    "aux_qsketch_samp" -> { (s, dir) =>
+      import graft.sketches.Sketches
+      Sketches.bottomKSample(Tables.lineitem(s, dir), col("l_returnflag"),
+        Seq(col("l_orderkey"), col("l_linenumber")),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)"), 1024)
+    },
     "aux_tri_edges" -> { (s, dir) =>
       graft.operators.Triangles.sampledCanonicalEdges(
         graft.operators.PageRank.coOccurrenceEdges(
@@ -603,6 +644,13 @@ object Relational {
       """SELECT l_suppkey, CAST(rn AS INT) AS rn, l_orderkey, l_linenumber, round(l_extendedprice,2) AS price FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) t WHERE rn <= 3""",
     "q_topk_group" ->
       """SELECT l_suppkey, CAST(rn AS INT) AS rn, l_orderkey, l_linenumber, round(l_extendedprice,2) AS price FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) t WHERE rn <= 3""",
+    // sketch replay (r11 verdict Next #4): the estimate arithmetic over
+    // the dumped deterministic states — HLL harmonic-sum integer
+    // estimator (HUGEINT here, DECIMAL(38,0) on the Spark side;
+    // two-step // == single // for positive integers) and the KMV
+    // lower-median pick; the exact n replays straight from lineitem
+    "q_sketch" ->
+      """WITH regs AS (SELECT * FROM '__OUTDIR__/aux_hll_regs/*.parquet'), ss AS (SELECT grp, field, CAST(sum(CAST(power(2, 48 - r) AS BIGINT)) + (512 - count(*)) * 281474976710656 AS BIGINT) AS ssum FROM regs GROUP BY 1, 2), est AS (SELECT grp, field, CAST(CAST(719783 AS HUGEINT) * 262144 * 281474976710656 // ssum // 1000000 AS BIGINT) AS est FROM ss), samp AS (SELECT * FROM '__OUTDIR__/aux_qsketch_samp/*.parquet'), med AS (SELECT grp, v AS median_q100 FROM (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn, count(*) OVER (PARTITION BY grp) AS cnt FROM samp) t WHERE rn = (cnt + 1) // 2), nn AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1) SELECT nn.l_returnflag, p.est AS approx_parts, su.est AS approx_orders, med.median_q100, nn.n FROM nn JOIN est p ON p.grp = nn.l_returnflag AND p.field = 'parts' JOIN est su ON su.grp = nn.l_returnflag AND su.field = 'orders' JOIN med ON med.grp = nn.l_returnflag""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "q_window_frames" ->
@@ -781,8 +829,10 @@ object Relational {
   /** The q_triangles_approx replay: the q_triangles degree-ordered
     * closure, but over the DUMPED sampled canonical edges (aux_tri_edges
     * — Spark's xxhash64 sampler is not SQL-replayable, so the dump
-    * grounds the replay; the closure arithmetic and the 1/p³ DIV chain
-    * are replayed in full). n_edges (pre-sample) recomputes from
+    * grounds the replay; the closure arithmetic and the exact
+    * floor(tri·10¹⁸/p³) scale-up are replayed in full — HUGEINT here,
+    * DECIMAL(38,0) on the Spark side, identical values wherever the
+    * estimate fits int64). n_edges (pre-sample) recomputes from
     * lineitem. */
   private def trianglesApproxOracle(pPpm: Long): String =
     s"""WITH s AS (SELECT a, b FROM '__OUTDIR__/aux_tri_edges/*.parquet'),
@@ -790,7 +840,7 @@ object Relational {
         deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM s UNION ALL SELECT b FROM s) GROUP BY 1),
         o AS MATERIALIZED (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND s.a < s.b) THEN s.a ELSE s.b END AS u, CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND s.a < s.b) THEN s.b ELSE s.a END AS v, CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND s.a < s.b) THEN db.deg ELSE da.deg END AS dv FROM s JOIN deg da ON da.node = s.a JOIN deg db ON db.node = s.b),
         tri AS (SELECT count(*) AS t FROM o o1 JOIN o o2 ON o1.u = o2.u AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)) JOIN o oe ON oe.u = o1.v AND oe.v = o2.v)
-      SELECT (SELECT count(*) FROM e0) AS n_edges, (SELECT count(*) FROM s) AS n_edges_sampled, (SELECT t FROM tri) AS tri_sampled, (((SELECT t FROM tri) * 1000000 // $pPpm * 1000000 // $pPpm * 1000000 // $pPpm)) AS est_triangles"""
+      SELECT (SELECT count(*) FROM e0) AS n_edges, (SELECT count(*) FROM s) AS n_edges_sampled, (SELECT t FROM tri) AS tri_sampled, CAST(CAST((SELECT t FROM tri) AS HUGEINT) * 1000000000000000000 // ${pPpm * pPpm * pPpm} AS BIGINT) AS est_triangles"""
 
   private def bfsOracle(hops: Int): String = {
     val base =

@@ -113,22 +113,27 @@ object StringQueries {
           size(filter(col("vs"), x => x.isNotNull)).cast("long").as("n_ok"))
     },
 
-    // fuzzy record linkage (graft.functions.StringSimExprs
-    // .jaroWinklerSim): brand-blocked candidate pairs of part names,
-    // Jaro-Winkler >= 0.9 survivors. The kernel is a codegen'd Catalyst
-    // expression with the STANDARD semantics (0.7 boost threshold,
-    // p=0.1, l<=4) DuckDB implements natively — the oracle grades the
-    // kernel itself, pair for pair, at 6 decimals. Blocking keeps the
-    // join equi-keyed (never all-pairs across blocks).
+    // fuzzy record linkage (graft.dedup.blockedPairs +
+    // graft.functions.StringSimExprs.jaroWinklerSim): brand-blocked
+    // candidate pairs of part names, Jaro-Winkler >= 0.9 survivors. The
+    // kernel is a codegen'd Catalyst expression with the STANDARD
+    // semantics (0.7 boost threshold, p=0.1, l<=4) DuckDB implements
+    // natively — the oracle grades the kernel itself, pair for pair, at
+    // 6 decimals. Blocking keeps the join equi-keyed (never all-pairs
+    // across blocks); the 50k block cap is the counted guard for the
+    // fixed-domain-key quadratic (r11 verdict Next #1 — ~25 brands
+    // means block size grows linearly with the corpus; the cap is in
+    // the GRADED plan and in the oracle's HAVING gate, so the refusal
+    // semantics are themselves oracle-checked; no tested sf reaches it:
+    // sf5 = 40k rows/brand. StringsSpec pins the dropping path).
     "str_linkage" -> { (s, dir) =>
       import graft.functions.StringSimExprs.jaroWinklerSim
       val p = Tables.part(s, dir)
         .select(col("p_partkey").as("k"), col("p_name").as("nm"),
           col("p_brand").as("b"))
-      p.as("a").join(p.as("c"),
-          col("a.b") === col("c.b") && col("a.k") < col("c.k"))
-        .select(col("a.k").as("k1"), col("c.k").as("k2"),
-          jaroWinklerSim(col("a.nm"), col("c.nm")).as("jw"))
+      graft.dedup.blockedPairs(p, col("b"), "k", blockCap = 50000)
+        .select(col("a_k").as("k1"), col("b_k").as("k2"),
+          jaroWinklerSim(col("a_nm"), col("b_nm")).as("jw"))
         .filter(col("jw") >= 0.9)
         .select(col("k1"), col("k2"), round(col("jw"), 6).as("jw"))
     },
@@ -204,9 +209,11 @@ object StringQueries {
 
   val oracle: Map[String, String] = Map(
     // DuckDB's native jaro_winkler_similarity IS the reference
-    // implementation of the kernel under test
+    // implementation of the kernel under test; the HAVING gate replays
+    // blockedPairs' 50k block cap so the refusal semantics are graded,
+    // not just the happy path
     "str_linkage" ->
-      """SELECT a.p_partkey AS k1, c.p_partkey AS k2, round(jaro_winkler_similarity(a.p_name, c.p_name), 6) AS jw FROM part a JOIN part c ON a.p_brand = c.p_brand AND a.p_partkey < c.p_partkey WHERE jaro_winkler_similarity(a.p_name, c.p_name) >= 0.9""",
+      """WITH kept AS (SELECT p_brand FROM part GROUP BY 1 HAVING count(*) <= 50000) SELECT a.p_partkey AS k1, c.p_partkey AS k2, round(jaro_winkler_similarity(a.p_name, c.p_name), 6) AS jw FROM part a JOIN part c ON a.p_brand = c.p_brand AND a.p_partkey < c.p_partkey JOIN kept kb ON kb.p_brand = a.p_brand WHERE jaro_winkler_similarity(a.p_name, c.p_name) >= 0.9""",
     // blocking + matching + WITH RECURSIVE min-label closure (the
     // d_clusters replay pattern) over the same rank-window candidates
     "str_entities" ->

@@ -43,6 +43,9 @@ class ConfigMatrixSpec extends SparkSuite {
     // scale-ups — new machinery the matrix must cover)
     "q_pagerank", "q_triangles", "q_kcore",
     "q_triangles_approx", "q_harmonic_approx",
+    // r12: the two queries that LEFT the rows-only allowlist (their
+    // determinism claim is new) + the capped linkage build
+    "q_sketch", "st_neardup", "str_linkage",
     // dedup / text / similarity / events waves
     "d_minhash", "t_pack", "t_split", "sim_topk",
     "ev_funnel", "ev_asof", "st_ijoin", "st_ijoin_outer", "st_alerts")

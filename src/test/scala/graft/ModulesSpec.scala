@@ -24,9 +24,11 @@ class ModulesSpec extends SparkSuite {
     // landing without an oracle silently downgrades to a rows-only check.
     // Additions to the allowlist must be approximate BY NATURE (sketch
     // estimates, order-dependent streaming state), not merely hard to SQL.
-    val rowsOnlyByNature = Set(
-      "q_sketch",   // DataSketches HLL / KLL estimates
-      "st_neardup") // keeper choice depends on arrival order
+    // EMPTY as of r12: q_sketch's states are now the engine's own
+    // deterministic xxhash64 registers/samples (dumped and replayed),
+    // and st_neardup grades its canonical-order face — every graded
+    // query carries a full DuckDB oracle
+    val rowsOnlyByNature = Set.empty[String]
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnlyByNature,
       s"queries without an oracle beyond the allowlist: ${unoracled -- rowsOnlyByNature}; " +
@@ -509,6 +511,40 @@ class ModulesSpec extends SparkSuite {
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
+  }
+
+  test("near-dup canonical face == real streaming run fed in id order") {
+    // the st_neardup grading premise (r11 verdict Next #5): under the
+    // DEFINED arrival order — ascending id, one doc per micro-batch —
+    // the live flatMapGroupsWithState run must emit row-for-row what
+    // nearDupFilterCanonical computes in batch. Docs engineered so
+    // blocks hold real near-dup chains (shared prefixes => simhash
+    // proximity) and at least one min-distance tie exercises the
+    // latest-keeper tie-break.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the fixture's near-dup cluster lives at the TAIL doc_ids (the
+    // generator appends mutated copies) — take the last 60
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).takeRight(60)
+    val canon = graft.streaming.Streaming.nearDupFilterCanonical(
+        docs.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().sortBy(_._1).toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streaming.streamingNearDupFilter(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .toDF("id", "dup_of", "dist")
+      .writeStream.format("memory").queryName("t_nd_canon")
+      .outputMode("append").start()
+    docs.foreach { d => ms.addData(d); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("t_nd_canon").as[(Long, Long, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(streamed == canon,
+      s"canonical face diverged from the id-ordered stream:\n" +
+        s"stream=${streamed.take(8)}\ncanon =${canon.take(8)}")
+    assert(canon.exists(_._2 >= 0L), "fixture produced no dup rows — vacuous")
   }
 
   test("streaming incremental LSH ingest (foreachBatch) = batch corpus pairs") {
@@ -2417,6 +2453,43 @@ class ModulesSpec extends SparkSuite {
     assert(data.count() == 2)
     val st = report.orderBy($"input").select($"status").as[String].collect()
     assert(st(1) == "ok" && st(0).startsWith("error"))
+  }
+
+  test("io: report read survives a CORRUPT file; contrast with ignoreCorruptFiles") {
+    // the io_report fixture class (r11 verdict Next #3): a truncated/
+    // garbage parquet file among good ones. The report face must (a)
+    // keep every good file's rows bit-exact, (b) carry an explicit
+    // per-file error row — against Spark's ignoreCorruptFiles, which
+    // yields the same surviving data but SILENTLY (no record that
+    // anything was skipped; at 100 TB that silence is data loss with
+    // no audit trail).
+    val tmp = graft.io.GraftIO.scratchDir("graft_report_spec")
+    val src = spark.range(100).selectExpr("id", "id * 7 AS v")
+    val paths = (0 to 2).map(i => s"$tmp/f$i")
+    (0 to 2).foreach { i =>
+      src.filter($"id" % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(paths(i))
+    }
+    new java.io.File(paths(1)).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .foreach { f => java.nio.file.Files.write(f.toPath,
+        "garbage, not parquet".getBytes("UTF-8")): Unit }
+    val (data, report) = graft.io.GraftIO.fromParquetWithReport(spark, paths)
+    // good files' data survives exactly: ids with id%3 in {0,2}
+    val got = data.select($"id").as[Long].collect().sorted.toSeq
+    val want = (0L until 100L).filter(i => i % 3 != 1)
+    assert(got == want, "good files' rows must survive the bad file intact")
+    val rows = report.orderBy($"path").collect()
+    assert(rows.map(_.getAs[String]("status")).toSeq == Seq("ok", "error", "ok"))
+    assert(rows(1).getAs[Long]("rows") == 0L &&
+      rows(1).getAs[String]("error").nonEmpty,
+      "the corrupt file must report an explicit error record")
+    // the ignoreCorruptFiles contrast: same surviving data, no report
+    val silent = spark.read
+      .option("ignoreCorruptFiles", "true").parquet(paths: _*)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(silent == want,
+      "ignoreCorruptFiles drops the same file — but records nothing")
   }
 
   test("extensions: kernels are callable from pure SQL") {

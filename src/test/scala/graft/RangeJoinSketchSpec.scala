@@ -138,6 +138,49 @@ class RangeJoinSketchSpec extends SparkSuite {
     }
   }
 
+  test("replayable HLL face: estimate tracks exact distincts; registers merge") {
+    // the q_sketch face (r11 verdict Next #4): deterministic xxhash64
+    // registers + integer harmonic-sum estimator — an exact regression
+    // pin, not a statistical assertion. Raw-estimator validity needs
+    // n >= ~2.5m (m=512): l_orderkey qualifies at sf0.01.
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val exact = li.select(countDistinct($"l_orderkey")).as[Long].head()
+    assert(exact > 2L * Sketches.HLL_M, s"fixture too small for the raw face: $exact")
+    val est = Sketches.hllEstimateFromRegisters(
+        Sketches.hllRegisters(li, lit("all"), $"l_orderkey", "ok"))
+      .select($"est").as[Long].head()
+    val relErr = math.abs(est - exact).toDouble / exact
+    assert(relErr < 0.15, s"est=$est exact=$exact relErr=$relErr " +
+      "(sigma ~ 1.04/sqrt(512) ~ 4.6%)")
+    // mergeability: per-group register frames unioned + re-maxed give
+    // the GLOBAL registers exactly (max is associative), so the merged
+    // estimate IS the global estimate
+    val perGroup = Sketches.hllRegisters(li, $"l_returnflag", $"l_orderkey", "ok")
+    val remerged = Sketches.hllEstimateFromRegisters(
+        perGroup.groupBy(lit("all").as("grp"), $"field", $"bucket")
+          .agg(max($"r").cast("int").as("r")))
+      .select($"est").as[Long].head()
+    assert(remerged == est, s"merged registers must reproduce the global estimate")
+  }
+
+  test("bottom-k KMV sample: lower median lands near the exact median") {
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val med = Sketches.sampleLowerMedian(Sketches.bottomKSample(
+        li, lit("all"), Seq($"l_orderkey", $"l_linenumber"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)"), 1024))
+      .select($"median_v").as[Long].head()
+    val n = li.count()
+    // the sampled median must split the full data near 0.5 (binomial
+    // tail at k=1024: p deviates by > 5% with prob < 1e-3; values are
+    // integers 100..5000 so ties make the split a range, not a point)
+    val below = li.filter(expr("CAST(round(l_quantity * 100) AS BIGINT)") <= med)
+      .count().toDouble / n
+    val strictly = li.filter(expr("CAST(round(l_quantity * 100) AS BIGINT)") < med)
+      .count().toDouble / n
+    assert(strictly <= 0.55 && below >= 0.45,
+      s"sampled median $med splits at [<$strictly, <=$below] — off 0.5")
+  }
+
   test("quantileApprox returns a real element splitting the data near p") {
     val li = graft.core.Tables.lineitem(spark, dir)
     val n = li.count()

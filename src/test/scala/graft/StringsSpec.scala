@@ -135,6 +135,46 @@ class StringsSpec extends SparkSuite {
       .sortBy(_._1).toSeq == Seq((1L, 1L), (2L, 0L), (3L, 1L)))
   }
 
+  test("blockedPairs blockCap: oversized block dropped and counted, " +
+      "small blocks byte-identical — under the forced-shuffle config") {
+    // the str_linkage guard (r11 verdict Next #1): a fixed-domain
+    // blocking key makes block size linear in the corpus; the cap must
+    // DROP (never truncate) an oversized block, count it via the
+    // plan-native observe metric, and leave every other block's pairs
+    // untouched. Forced-shuffle config (the suite-join discipline):
+    // broadcast + AQE coalescing would otherwise hide the join shape
+    // the cap exists to protect.
+    val savedB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedC = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val cool = Seq((1L, "aaa", "B1"), (2L, "aab", "B1"),
+        (3L, "zzz", "B2"), (4L, "zzy", "B2"), (5L, "mmm", null))
+      val hot = (1 to 50).map(i => (100L + i, s"hot$i", "B9"))
+      val df = (cool ++ hot).toDF("id", "nm", "blk")
+      val capped = graft.dedup.blockedPairs(df, $"blk", "id", blockCap = 10)
+      val got = capped.collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+      // B9 (50 rows > cap) erased; B1/B2 intact; NULL block never pairs
+      assert(got == Set((1L, 2L), (3L, 4L)),
+        s"cap must drop exactly the hot block's pairs: $got")
+      val m = capped.queryExecution.observedMetrics("linkage_block_cap")
+      assert(m.getAs[Long]("dropped_blocks") == 1L &&
+        m.getAs[Long]("kept_blocks") == 2L, s"metric row: $m")
+      // cap 0 (off) and cap wider than every block agree with the bare
+      // blocked self-join, payload carried through both sides
+      val off = graft.dedup.blockedPairs(df, $"blk", "id")
+        .select($"a_id", $"b_id", $"a_nm", $"b_nm").collect().toSet
+      val wide = graft.dedup.blockedPairs(df, $"blk", "id", blockCap = 1000)
+        .select($"a_id", $"b_id", $"a_nm", $"b_nm").collect().toSet
+      assert(off == wide && off.size == 1 + 1 + 50 * 49 / 2)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", savedC)
+    }
+  }
+
   test("nested-depth application via transform") {
     val got = Seq(Seq("aB", "cD")).toDF("xs")
       .select(transform($"xs", x => swapcase(x)))

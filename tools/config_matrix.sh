@@ -19,15 +19,27 @@
 set -euo pipefail
 SF=${1:-/root/testdata/sf0.01}
 ROOT=${2:-/tmp/graft_confmatrix}
-# q_sketch/st_neardup: approximate/arrival-order faces, documented
-# config-dependent (partitioning-dependent tie-breaks); everything else
-# must be bit-identical across configs.
-ALLOW="q_sketch,st_neardup"
+# r12: the allowlist is EMPTY — q_sketch now grades deterministic
+# register/sample states and st_neardup grades its canonical-order
+# face, so every dump must be bit-identical across configs. The
+# --allow mechanism stays for future approximate faces.
+ALLOW=""
 mkdir -p "$ROOT"
 for c in default no-reuse no-broadcast aqe-off shuffle7; do
   echo "== verify under preset: $c"
-  SPARK_GRAFT_CONF=$c sbt -batch "runMain graft.Verify $SF $ROOT/$c" \
-    2>&1 | grep -E "\[verify\]|error" || true
+  # r11 advice: (a) clear the preset's dump dir first — a crashed
+  # partial run must never leave stale dumps a later compare can pass
+  # on; (b) propagate sbt's exit status — `| grep || true` swallowed a
+  # failed Verify, letting the gate report clean on missing output.
+  rm -rf "$ROOT/$c"
+  LOG="$ROOT/verify_$c.log"
+  if ! SPARK_GRAFT_CONF=$c sbt -batch "runMain graft.Verify $SF $ROOT/$c" \
+      >"$LOG" 2>&1; then
+    echo "!! Verify FAILED under preset $c — last 40 log lines:"
+    tail -40 "$LOG"
+    exit 1
+  fi
+  grep -E "\[verify\]" "$LOG" | tail -5 || true
 done
 echo "== oracle check (DuckDB) on the default dump"
 python3 tools/check.py "$SF" "$ROOT/default"
