@@ -101,7 +101,20 @@ object Tables {
     * reference's partitionwise `map_partitions` ops.
     */
   def ordersNested(spark: SparkSession, dir: String): DataFrame =
+    // explicit-width repartition on the group key BEFORE the collect_list
+    // aggregate: partial aggregation cannot reduce a list-building agg
+    // (it only wraps rows — same bytes cross the exchange either way),
+    // but it CAN serialize it — the fixture corpora are one parquet
+    // split, so the partial ObjectHashAggregate ran at scan parallelism
+    // (1 task) while 31 cores idled; and an explicit count keeps AQE
+    // from byte-coalescing the ragged build that ~25 downstream nested
+    // queries start from. Same single exchange as before (the groupBy
+    // reuses the repartition's partitioning), now raw-row-shuffled and
+    // aggregated at full width. At scale the scan is already wide and
+    // this is the same shuffle the aggregate would plan anyway.
     lineitem(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("l_orderkey"))
       .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(
         sort_array(collect_list(struct(

@@ -472,6 +472,8 @@ package object dedup {
     require(df.columns.contains(idCol), s"missing id column $idCol")
     require(!df.columns.contains("__blk"),
       "column name __blk is reserved by blockedPairs")
+    require(!df.columns.contains("__salt"),
+      "column name __salt is reserved by blockedPairs")
     val base = df.withColumn("__blk", blockCol).filter(col("__blk").isNotNull)
     val src =
       if (blockCap <= 0) base
@@ -488,13 +490,36 @@ package object dedup {
         base.join(kept, Seq("__blk"), "left_semi")
       }
     val payload = df.columns.toSeq
+    // SALTED sub-blocking (guide §2.5): the block key has a small fixed
+    // domain by the operator's nature (~25 brands), so the bare __blk
+    // equi-join runs in at most |domain| tasks — and AQE's byte-based
+    // coalescing, blind to the quadratic pair OUTPUT, merges those tiny
+    // inputs further (measured at sf0.1: the whole 8M-pair Jaro-Winkler
+    // verify ran in ONE task, 3.45 s of a 3.6 s query). Each a-row gets
+    // a deterministic sub-block salt from its id hash; the b-side
+    // replicates into every salt lane, so each unordered pair meets in
+    // exactly one (__blk, __salt) bucket — the pair set is byte-
+    // identical, only its task placement changes. Cost: the b-side
+    // shuffles saltN x its rows (linear, the standard salting price);
+    // per-task pair work drops to blockCap²/saltN. saltN derives from
+    // the session shuffle width (capped 64 — replication is corpus-
+    // linear, so the cap bounds the price at production widths), and
+    // both sides carry an EXPLICIT partition count, which AQE never
+    // re-coalesces.
+    val saltN = math.max(1, math.min(64,
+      df.sparkSession.sessionState.conf.numShufflePartitions))
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val aSide = src.select(col("__blk") +:
-      payload.map(c => col(c).as(s"a_$c")): _*)
+        pmod(xxhash64(col(idCol)), lit(saltN.toLong)).as("__salt") +:
+        payload.map(c => col(c).as(s"a_$c")): _*)
+      .repartition(nParts, col("__blk"), col("__salt"))
     val bSide = src.select(col("__blk") +:
-      payload.map(c => col(c).as(s"b_$c")): _*)
-    aSide.join(bSide, Seq("__blk"))
+        explode(array((0 until saltN).map(i => lit(i.toLong)): _*)).as("__salt") +:
+        payload.map(c => col(c).as(s"b_$c")): _*)
+      .repartition(nParts, col("__blk"), col("__salt"))
+    aSide.join(bSide, Seq("__blk", "__salt"))
       .filter(col(s"a_$idCol") < col(s"b_$idCol"))
-      .drop("__blk")
+      .drop("__blk", "__salt")
   }
 
   def sortedNeighborhoodPairs(df: DataFrame, key: Column, idCol: String,
@@ -880,8 +905,16 @@ package object dedup {
     * signatures ONCE, dedups against the store, and appends them. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 32): DataFrame =
-    df.select(col(idCol).as("id"),
-      minHashSignature(wordShingles(col(textCol), n), k).as("sig"))
+    // under-parallel input guard (the d_ngram discipline): k xxh64 lanes
+    // over every shingle is the CPU-heavy part of the LSH pipelines, and
+    // the fixture corpora are one parquet split — without the guard the
+    // whole signature build runs serially (measured 0.4-0.5 s single-task
+    // stages inside d_lsh_quality/d_minhash_lsh at sf0.1). No-op on any
+    // real corpus (scan splits >= shuffle width).
+    graft.core.Partitions.ensureMinParallelism(df, col(idCol),
+        df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("id"),
+        minHashSignature(wordShingles(col(textCol), n), k).as("sig"))
 
   /** Incremental near-dup ingest — the production pattern batch-full
     * [[minhashLshPairs]] and the streaming near-dup filter bracket: each

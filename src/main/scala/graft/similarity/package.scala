@@ -428,9 +428,19 @@ package object similarity {
         explode(col("gs")).as("gstr"))
       .select(col("uid"), col("nsh"), xxhash64(col("gstr")).as("g"))
       .distinct()
-    val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    // ONE explicit-width g-keyed exchange for all three g-consumers
+    // (the df-cap aggregate and both self-join sides): the bare join
+    // would plan its own hash(g) exchange and let AQE byte-coalesce it
+    // — but the pair stream this stage GENERATES is the quadratic
+    // sum(df²) term AQE cannot see from input bytes (measured at
+    // sf0.1: the generation stage ran 2.5s under-parallel; an explicit
+    // width is never re-coalesced). groupBy(g) on the repartitioned
+    // frame needs no further exchange.
+    val invR = inv.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col("g"))
+    val rare = invR.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") <= dfCap).select(col("g"))
-    val invf = inv.join(rare, "g")
+    val invf = invR.join(rare, "g")
     // The pair aggregate groups by (uid, nid) ONLY — 16-byte keys. The
     // pair stream is the quadratic term (sum over grams of df^2 rows,
     // ~10^8 at sf0.1), so every byte of partial-agg key is paid 10^8

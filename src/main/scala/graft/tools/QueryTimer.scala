@@ -12,12 +12,17 @@ object QueryTimer {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: QueryTimer <sfDir> <query> [query...]")
     val dir = args(0)
-    val spark = SparkSession.builder().master(
+    val b0 = SparkSession.builder().master(
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false")
+    // ad-hoc conf overrides for A/B timing: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .foldLeft(b0) { case (b, Array(k, v)) => b.config(k, v) }
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- args.drop(1)) {
       val fn = graft.SparkEntry.queries.getOrElse(q,

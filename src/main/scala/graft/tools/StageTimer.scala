@@ -20,8 +20,13 @@ object StageTimer {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val i = s.stageInfo
         val dur = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1000.0
+        val m = i.taskMetrics
         if (dur > 0.15)
-          println(f"[stage] ${i.stageId}%4d ${dur}%6.2fs tasks=${i.numTasks}%3d")
+          println(f"[stage] ${i.stageId}%4d ${dur}%6.2fs tasks=${i.numTasks}%3d " +
+            f"run=${m.executorRunTime / 1000.0}%.2f deser=${m.executorDeserializeTime / 1000.0}%.2f " +
+            f"gc=${m.jvmGCTime / 1000.0}%.2f fetchWait=${m.shuffleReadMetrics.fetchWaitTime / 1000.0}%.2f " +
+            f"shRead=${m.shuffleReadMetrics.totalBytesRead / 1048576.0}%.1fMB " +
+            f"cpu=${m.executorCpuTime / 1e9}%.2f")
       }
     })
     val t0 = System.nanoTime()
