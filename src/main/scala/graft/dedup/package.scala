@@ -880,7 +880,13 @@ package object dedup {
         graft.functions.HashExprs.minHashSignaturePoly(
           wordShingles(col(textCol), n), k)
       else minHashSignature(wordShingles(col(textCol), n), k)
-    val sigs = df.select(col(idCol).as("id"), sigExpr.as("sig"))
+    // under-parallel input guard before the k-lane hash build (same
+    // reasoning as minhashSignatures below): the cached first
+    // materialization otherwise runs at scan parallelism — one task on
+    // the one-split fixture corpora
+    val sigs = graft.core.Partitions.ensureMinParallelism(df, col(idCol),
+        df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("id"), sigExpr.as("sig"))
       .cache() // reused 3x (banding + both sides of the candidate join)
     val buckets = sigs.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))

@@ -40,11 +40,20 @@ object Bfs {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint() // scanned once per round; pin the blocks
 
-    var reached = seeds.select(col(seedCol).cast("long").as("node"))
+    val hop0 = seeds.select(col(seedCol).cast("long").as("node"))
       .filter(col("node").isNotNull).distinct()
       .withColumn("dist", lit(0))
       .localCheckpoint()
-    var frontier = reached.select(col("node"))
+    // the reached set is the UNION OF PINNED PER-HOP FRAMES (disjoint by
+    // the anti-join), read lazily wherever it is consumed — the old
+    // spelling re-materialized the whole accumulated set every hop
+    // (union + localCheckpoint), an O(|reached|) copy per hop that
+    // dominates once the traversal saturates; the union of checkpointed
+    // blocks costs nothing to "build" and each consumer streams the
+    // same bytes the copy would have written.
+    val hops = scala.collection.mutable.ArrayBuffer(hop0)
+    def reached(): DataFrame = hops.reduce(_.unionAll(_))
+    var frontier = hop0.select(col("node"))
     var frontierSize = frontier.count()
 
     var hop = 0
@@ -55,19 +64,20 @@ object Bfs {
         else frontier.withColumnRenamed("node", "src")
       val next = e.join(probe, "src")
         .select(col("dst").as("node")).distinct()
-        // shuffled-hash anti-probe: `reached` is node-sized and already
-        // materialized; sort-merge would sort both sides per hop
-        .join(reached.select(col("node")).hint("shuffle_hash"),
-          Seq("node"), "left_anti")
+        // no join hint: the hop frames are materialized, so AQE re-plans
+        // this anti-join from REAL sizes and converts the reached side to
+        // a broadcast while it is small (forcing shuffle_hash here
+        // measured +1.5s/+2.7s on q_harmonic/q_harmonic_approx)
+        .join(reached().select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint()
       frontierSize = next.count() // one action: sizes the broadcast AND the exit test
       if (frontierSize > 0L) {
-        reached = reached.union(next).localCheckpoint()
+        hops += next
         frontier = next.select(col("node"))
       }
     }
-    reached
+    reached()
   }
 
   /** Weighted shortest paths by bounded Bellman-Ford relaxation:
@@ -160,11 +170,16 @@ object Bfs {
   private[graft] def perSourceDistancesPinned(e: DataFrame, seeds: DataFrame,
       maxHops: Int, seedCol: String = "node"): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    var reached = seeds.select(col(seedCol).cast("long").as("root"))
+    val hop0 = seeds.select(col(seedCol).cast("long").as("root"))
       .filter(col("root").isNotNull).distinct()
       .withColumn("node", col("root")).withColumn("dist", lit(0))
       .localCheckpoint()
-    var frontier = reached.select(col("root"), col("node"))
+    // union-of-pinned-hops, as in [[distances]]: no O(|reached|) copy
+    // per hop — the per-source frame is Σ|reach| rows and the old
+    // re-checkpoint paid that sum again every hop
+    val hops = scala.collection.mutable.ArrayBuffer(hop0)
+    def reached(): DataFrame = hops.reduce(_.unionAll(_))
+    var frontier = hop0.select(col("root"), col("node"))
     var frontierSize = frontier.count()
     var hop = 0
     while (hop < maxHops && frontierSize > 0L) {
@@ -173,17 +188,17 @@ object Bfs {
       val probe = if (frontierSize <= 5000000L) broadcast(renamed) else renamed
       val next = e.join(probe, "src")
         .select(col("root"), col("dst").as("node")).distinct()
-        .join(reached.select(col("root"), col("node")).hint("shuffle_hash"),
+        .join(reached().select(col("root"), col("node")),
           Seq("root", "node"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint()
       frontierSize = next.count()
       if (frontierSize > 0L) {
-        reached = reached.union(next).localCheckpoint()
+        hops += next
         frontier = next.select(col("root"), col("node"))
       }
     }
-    reached
+    reached()
   }
 
   /** Harmonic centrality of each seed within `maxHops`:

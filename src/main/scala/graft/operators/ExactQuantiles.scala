@@ -102,20 +102,25 @@ object ExactQuantiles {
         (if (dLo.isNaN) lit(true) else col("v") >= lit(dLo)) &&
           (if (dHi.isNaN) lit(true) else col("v") <= lit(dHi))
       }.reduce(_ || _)
+      // each branch encodes (prob index, bucket) in ONE long
+      // (i << 24 | bucket; bucket <= 2^(log2Buckets+1) <= 2^21 < 2^24 for
+      // any allowed log2Buckets, and i is the tiny prob index): a primitive-long explode + single-key aggregate
+      // replaces the old array-of-struct explode + 2-column groupBy —
+      // the round-1 scan is the operator's dominant cost (it reads the
+      // WHOLE column) and per-row allocation was most of it.
       val branches = active.zip(shifts).map { case ((s, i), sh) =>
         when(sv >= lit(s.lo) && sv <= lit(s.hi),
-          struct(lit(i).as("i"),
-            QuantileExprs.sortableBucket(sv, s.lo, sh).as("b")))
+          lit(i.toLong << 24) + QuantileExprs.sortableBucket(sv, s.lo, sh))
       }
       val hist = base
         .filter(pre)
-        .select(explode(filter(array(branches: _*), x => x.isNotNull)).as("s"))
-        .groupBy(col("s.i").as("i"), col("s.b").as("b"))
+        .select(explode(filter(array(branches: _*), x => x.isNotNull)).as("ib"))
+        .groupBy(col("ib"))
         .agg(count(lit(1)).as("c"))
         .collect() // bounded: <= probs * 2^(log2Buckets+1) rows
-        .groupBy(_.getInt(0))
+        .groupBy(r => (r.getLong(0) >>> 24).toInt)
         .map { case (i, rows) =>
-          i -> rows.map(r => r.getLong(1) -> r.getLong(2))
+          i -> rows.map(r => (r.getLong(0) & ((1L << 24) - 1)) -> r.getLong(1))
             .sortBy(_._1).toVector }
       active.zip(shifts).foreach { case ((s, i), sh) =>
         var k = s.k

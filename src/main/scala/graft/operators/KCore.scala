@@ -120,9 +120,7 @@ object KCore {
       val dec = e.join(probe, "dst")
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
       deg = deg.filter(col("deg") >= k)
-        // shuffled-hash: both sides node-sized and unsorted; sort-merge
-        // would add two sorts per peel round for no benefit
-        .join(dec.hint("shuffle_hash"), Seq("node"), "left")
+        .join(dec, Seq("node"), "left")
         .select(col("node"),
           (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
         .localCheckpoint()

@@ -67,11 +67,8 @@ object LabelProp {
       // label: one edge shuffle + (dst,label) partial agg + max_by over
       // an ordering struct (sum DESC via negation-free struct compare:
       // greatest (s, -label) == largest sum, then smallest label)
-      // shuffled-hash with the node-sized label frame as build side: the
-      // sort-merge alternative re-sorts the checkpointed edge blocks
-      // every round (guide §3.1 — same reasoning as PageRank's rounds)
       val votes = e.join(labels.select(col("node").as("src"),
-          col("label")).hint("shuffle_hash"), "src")
+          col("label")), "src")
         .groupBy(col("dst"), col("label"))
         .agg(sum(col("w")).as("s"))
         .groupBy(col("dst"))
@@ -80,8 +77,7 @@ object LabelProp {
       // synchronized update: seeds clamp, non-seeds adopt the vote or
       // carry forward. The previous frame is referenced twice (vote
       // join + carry) — checkpoint keeps the plan flat per round.
-      labels = labels.join(votes.hint("shuffle_hash"),
-          labels("node") === votes("dst"), "full")
+      labels = labels.join(votes, labels("node") === votes("dst"), "full")
         .select(
           coalesce(col("node"), col("dst")).as("node"),
           when(coalesce(col("is_seed"), lit(false)), col("label"))
@@ -113,10 +109,8 @@ object LabelProp {
     val lab = labels.select(col("node"), col("label"))
       .filter(col("node").isNotNull && col("label").isNotNull)
     val e2 = edges
-      .join(lab.select(col("node").as("src"), col("label").as("lsrc"))
-        .hint("shuffle_hash"), "src")
-      .join(lab.select(col("node").as("dst"), col("label").as("ldst"))
-        .hint("shuffle_hash"), "dst")
+      .join(lab.select(col("node").as("src"), col("label").as("lsrc")), "src")
+      .join(lab.select(col("node").as("dst"), col("label").as("ldst")), "dst")
       .select(col("lsrc"), col("ldst"), col("w").cast("long").as("w"))
     val m2 = e2.agg(sum(col("w")).cast("double").as("m2"))
     val tot = e2.groupBy(col("lsrc").as("label"))

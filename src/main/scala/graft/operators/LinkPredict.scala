@@ -58,8 +58,16 @@ object LinkPredict {
     // on dst; the result is the shared subtree both wedge sides reuse.
     val centerDeg = deg.select(col("node").as("dst"), col("deg").as("cdeg"))
     // shuffled-hash: the degree frame is node-sized; sort-merge would
-    // sort the full edge list just to attach one long per dst
-    val tagged0 = e.join(centerDeg.hint("shuffle_hash"), "dst")
+    // sort the full edge list just to attach one long per dst. The
+    // explicit-width repartition REPLACES the ENSURE_REQUIREMENTS
+    // exchange the join would plan anyway (same key, same bytes) but is
+    // never AQE-byte-coalesced: the wedge stage downstream generates
+    // sum(deg^2) rows from kilobyte inputs, exactly the compute-dense /
+    // byte-sparse shape the coalescer serializes (measured 16-wide on
+    // 32 cores at sf0.1).
+    val tagged0 = e.repartition(
+        e.sparkSession.sessionState.conf.numShufflePartitions, col("dst"))
+      .join(centerDeg.hint("shuffle_hash"), "dst")
     val tagged = if (hubCap > 0) tagged0.filter(col("cdeg") <= hubCap) else tagged0
 
     val left = tagged.select(col("dst").as("cw"), col("src").as("u"), col("cdeg"))
@@ -108,8 +116,16 @@ object LinkPredict {
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val centerDeg = deg.select(col("node").as("dst"), col("deg").as("cdeg"))
     // shuffled-hash: the degree frame is node-sized; sort-merge would
-    // sort the full edge list just to attach one long per dst
-    val tagged0 = e.join(centerDeg.hint("shuffle_hash"), "dst")
+    // sort the full edge list just to attach one long per dst. The
+    // explicit-width repartition REPLACES the ENSURE_REQUIREMENTS
+    // exchange the join would plan anyway (same key, same bytes) but is
+    // never AQE-byte-coalesced: the wedge stage downstream generates
+    // sum(deg^2) rows from kilobyte inputs, exactly the compute-dense /
+    // byte-sparse shape the coalescer serializes (measured 16-wide on
+    // 32 cores at sf0.1).
+    val tagged0 = e.repartition(
+        e.sparkSession.sessionState.conf.numShufflePartitions, col("dst"))
+      .join(centerDeg.hint("shuffle_hash"), "dst")
     val tagged = if (hubCap > 0) tagged0.filter(col("cdeg") <= hubCap) else tagged0
 
     val q = queries.select(col(queryCol).cast("long").as("src")).distinct()

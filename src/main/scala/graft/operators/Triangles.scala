@@ -134,14 +134,8 @@ object Triangles {
     val corners: DataFrame = if (m < broadcastEdgeThreshold) {
       // oriented adjacency: duplicate-free by construction (o is a
       // projection of distinct canonical edges), so array_intersect's
-      // set semantics return each closing corner exactly once.
-      // localCheckpoint: the frame feeds TWO BroadcastExchanges (the u
-      // and v attaches are differently-aliased projections, so
-      // ReuseExchange cannot serve the second) — pinned once, both
-      // broadcasts build from blocks instead of re-running the
-      // adjacency aggregate over the edge exchange.
+      // set semantics return each closing corner exactly once
       val adj = o.groupBy(col("u")).agg(collect_list(col("v")).as("nb"))
-        .localCheckpoint()
       val closed = o
         .join(broadcast(adj), "u")
         .join(broadcast(adj.select(col("u").as("v"), col("nb").as("nb2"))), "v")
