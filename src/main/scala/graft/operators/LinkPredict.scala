@@ -53,21 +53,29 @@ object LinkPredict {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // the degree frame is NODE-sized: pin it once and COUNT it (the
+    // pageRank broadcastNodeThreshold / toCategorical counted-gate
+    // precedent). Under the gate every degree attach BROADCASTS — the
+    // wedge-pair frame (the operator's big intermediate: sum(deg) to
+    // sum(deg^2) rows) is then never shuffled just to pick up one long
+    // per endpoint (measured at sf0.1 on the holdout face: the du/dv
+    // attaches were 225 + 297 MB of pair-frame shuffle read); above the
+    // gate, shuffled-hash with the node-sized build.
+    val useB = deg.count() <= 5000000L
+    def attach(d: DataFrame): DataFrame =
+      if (useB) broadcast(d) else d.hint("shuffle_hash")
 
     // edge tagged with its dst's degree: the wedge-center key. One join
     // on dst; the result is the shared subtree both wedge sides reuse.
+    // Explicit-width repartition on the wedge-center key: the wedge
+    // stage downstream generates sum(deg^2) rows from kilobyte inputs,
+    // exactly the compute-dense / byte-sparse shape AQE's byte-based
+    // coalescer serializes (measured 16-wide on 32 cores at sf0.1).
     val centerDeg = deg.select(col("node").as("dst"), col("deg").as("cdeg"))
-    // shuffled-hash: the degree frame is node-sized; sort-merge would
-    // sort the full edge list just to attach one long per dst. The
-    // explicit-width repartition REPLACES the ENSURE_REQUIREMENTS
-    // exchange the join would plan anyway (same key, same bytes) but is
-    // never AQE-byte-coalesced: the wedge stage downstream generates
-    // sum(deg^2) rows from kilobyte inputs, exactly the compute-dense /
-    // byte-sparse shape the coalescer serializes (measured 16-wide on
-    // 32 cores at sf0.1).
     val tagged0 = e.repartition(
         e.sparkSession.sessionState.conf.numShufflePartitions, col("dst"))
-      .join(centerDeg.hint("shuffle_hash"), "dst")
+      .join(attach(centerDeg), "dst")
     val tagged = if (hubCap > 0) tagged0.filter(col("cdeg") <= hubCap) else tagged0
 
     val left = tagged.select(col("dst").as("cw"), col("src").as("u"), col("cdeg"))
@@ -78,10 +86,11 @@ object LinkPredict {
       .agg(count(lit(1)).as("inter"),
         sum(expr("1000000000 DIV cdeg")).as("ra_1e9"))
 
-    // union size from the two endpoint degrees — pair-sized joins only
+    // union size from the two endpoint degrees — never a pair-frame
+    // shuffle under the gate
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
-    common.join(du.hint("shuffle_hash"), "u").join(dv.hint("shuffle_hash"), "v")
+    common.join(attach(du), "u").join(attach(dv), "v")
       .select(col("u"), col("v"), col("inter"),
         (col("du") + col("dv") - col("inter")).as("uni"),
         expr("inter * 1000000 DIV (du + dv - inter)").as("jac_ppm"),
@@ -114,18 +123,24 @@ object LinkPredict {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // the degree frame is NODE-sized: pin it once and COUNT it (the
+    // pageRank broadcastNodeThreshold / toCategorical counted-gate
+    // precedent). Under the gate every degree attach BROADCASTS — the
+    // wedge-pair frame (the operator's big intermediate: sum(deg) to
+    // sum(deg^2) rows) is then never shuffled just to pick up one long
+    // per endpoint (measured at sf0.1 on the holdout face: the du/dv
+    // attaches were 225 + 297 MB of pair-frame shuffle read); above the
+    // gate, shuffled-hash with the node-sized build.
+    val useB = deg.count() <= 5000000L
+    def attach(d: DataFrame): DataFrame =
+      if (useB) broadcast(d) else d.hint("shuffle_hash")
     val centerDeg = deg.select(col("node").as("dst"), col("deg").as("cdeg"))
-    // shuffled-hash: the degree frame is node-sized; sort-merge would
-    // sort the full edge list just to attach one long per dst. The
-    // explicit-width repartition REPLACES the ENSURE_REQUIREMENTS
-    // exchange the join would plan anyway (same key, same bytes) but is
-    // never AQE-byte-coalesced: the wedge stage downstream generates
-    // sum(deg^2) rows from kilobyte inputs, exactly the compute-dense /
-    // byte-sparse shape the coalescer serializes (measured 16-wide on
-    // 32 cores at sf0.1).
+    // explicit-width repartition: see topPairs (the wedge stage is the
+    // coalescer blind spot)
     val tagged0 = e.repartition(
         e.sparkSession.sessionState.conf.numShufflePartitions, col("dst"))
-      .join(centerDeg.hint("shuffle_hash"), "dst")
+      .join(attach(centerDeg), "dst")
     val tagged = if (hubCap > 0) tagged0.filter(col("cdeg") <= hubCap) else tagged0
 
     val q = queries.select(col(queryCol).cast("long").as("src")).distinct()
@@ -143,7 +158,7 @@ object LinkPredict {
 
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
-    val scored = common.join(du.hint("shuffle_hash"), "u").join(dv.hint("shuffle_hash"), "v")
+    val scored = common.join(attach(du), "u").join(attach(dv), "v")
       .select(col("u"), col("v"), col("inter"),
         (col("du") + col("dv") - col("inter")).as("uni"),
         expr("inter * 1000000 DIV (du + dv - inter)").as("jac_ppm"),

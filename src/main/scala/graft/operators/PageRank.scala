@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * (its export list `/root/reference/src/dask_awkward/__init__.py:1-108`
   * is array-structural); this is a Spark-native superset built the way
   * Catalyst wants iteration expressed: ONE lazy plan whose per-iteration
-  * join/aggregate subtrees all hang off the SAME edges frame, so the
-  * edges-side Exchange is planned once and `ReuseExchange` serves every
-  * iteration from the first shuffle's files.
+  * join/aggregate subtrees all hang off the SAME pinned edge frame.
+  * (r12 lesson: ReuseExchange alone is NOT enough — it shares only the
+  * shuffle FILES, and every operator above the reused exchange — the
+  * weight aggregate, the out-weight join — re-executed per round; the
+  * static frames are now localCheckpointed once, rounds read blocks.)
   *
   * Numerics are INTEGER-EXACT by construction: ranks live in fixed-point
   * `scale` units (int64), every division is integer `DIV`, every sum is
@@ -155,7 +157,8 @@ object PageRank {
   def pageRank(edges: DataFrame, iterations: Int, scale: Long = 1000000000L,
       dampNum: Int = 85, dampDen: Int = 100, handleDangling: Boolean = true,
       stageEvery: Int = 0, tolUnits: Long = -1L,
-      symmetric: Boolean = false): DataFrame = {
+      symmetric: Boolean = false,
+      broadcastNodeThreshold: Long = 5000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
@@ -183,19 +186,26 @@ object PageRank {
     val teleport = (dampDen - dampNum).toLong * scale / dampDen
 
     def roundOn(eoF: DataFrame, nodesF: DataFrame, dangF: => DataFrame,
-        nNF: => DataFrame)(ranks: DataFrame): DataFrame = {
-      // both per-round joins are shuffled-hash with a NODE-sized build
-      // side (ranks; contrib after the dst aggregate): no per-round
-      // sorts of the edge frame or the node frames, and the build side
-      // is bounded per partition at any scale because partition count
-      // grows with the corpus (the same contract as the dst aggregate
-      // itself). Measured on the sf0.1 graded faces: each rank round's
-      // main stage dropped ~2x once the three SMJ sorts left the loop.
-      val contrib = eoF.join(ranks.hint("shuffle_hash"),
-          eoF("src") === ranks("node"))
+        nNF: => DataFrame, bcastNodes: Boolean)(ranks: DataFrame): DataFrame = {
+      // Join strategy per round, by a COUNTED gate (the toCategorical /
+      // Bfs-frontier precedent, threshold [[broadcastNodeThreshold]]):
+      //  - node frame small enough (any graph this side of ~5M nodes):
+      //    BROADCAST the rank/contrib frames — the pinned edge frame is
+      //    then read as blocks with NO exchange at all, and the only
+      //    per-round shuffle is the map-combined (dst, c) partial frame
+      //    (measured at sf0.1: each round stage had been re-reading a
+      //    38 MB edge exchange; broadcast rounds move ~1% of that).
+      //  - above the gate: shuffled-hash with the node-sized build side
+      //    (no per-round sorts; partition count scales with the corpus,
+      //    so the per-partition build stays bounded at any size).
+      val ranksIn =
+        if (bcastNodes) broadcast(ranks) else ranks.hint("shuffle_hash")
+      val contrib = eoF.join(ranksIn, eoF("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("(pr DIV out_w) * w")).as("c"))
-      val base = nodesF.join(contrib.hint("shuffle_hash"),
+      val contribIn =
+        if (bcastNodes) broadcast(contrib) else contrib.hint("shuffle_hash")
+      val base = nodesF.join(contribIn,
         nodesF("node") === contrib("dst"), "left")
       if (handleDangling) {
         val dang = ranks.join(dangF, "node", "left_semi")
@@ -210,10 +220,26 @@ object PageRank {
           (lit(teleport) +
             expr(s"$dampNum * coalesce(c, 0) DIV $dampDen")).as("pr"))
     }
+    // the static frames are PINNED for the lazy path too: ReuseExchange
+    // only shares the shuffle FILES — everything above the reused
+    // exchange (the edge-weight final aggregate, the out-weight join,
+    // the node projection) re-executed in EVERY round's stage, and for
+    // a computed edge frame that re-aggregation is the per-round cost
+    // floor (measured at sf0.1: each of q_ppr's round stages carried
+    // ~8 core-s re-running the 2.4M-entry weight aggregate it read
+    // through the reused exchange). One edge-sized + one node-sized
+    // materialization — the same price the convergence path, KCore and
+    // Bfs already pay — and every round becomes a block read.
+    val eoPin = eo.localCheckpoint()
+    val nodesPin = nodes.localCheckpoint()
+    lazy val dangPin = dangNodes.localCheckpoint()
+    lazy val nNPin = nN.localCheckpoint()
+    // counted broadcast gate: one free count of the pinned node frame
+    val bcastNodes = nodesPin.count() <= broadcastNodeThreshold
     def round(ranks: DataFrame): DataFrame =
-      roundOn(eo, nodes, dangNodes, nN)(ranks)
+      roundOn(eoPin, nodesPin, dangPin, nNPin, bcastNodes)(ranks)
 
-    var ranks = nodes.select(col("node"), lit(scale).as("pr"))
+    var ranks = nodesPin.select(col("node"), lit(scale).as("pr"))
     if (tolUnits >= 0L) {
       // eager convergence-checked rounds: the rank frame is node-sized
       // (never corpus-sized), so per-round materialization + the max-diff
@@ -227,13 +253,8 @@ object PageRank {
       // convergence face cost 2.2x the fixed-round face for the same 6
       // rounds). Checkpoint the static frames ONCE; rounds then re-read
       // blocks instead of recomputing lineage.
-      val eoCk = eo.localCheckpoint()
-      val nodesCk = nodes.localCheckpoint()
-      lazy val dangCk = dangNodes.localCheckpoint()
-      lazy val nNCk = nN.localCheckpoint()
-      def roundCk(ranks: DataFrame): DataFrame =
-        roundOn(eoCk, nodesCk, dangCk, nNCk)(ranks)
-      ranks = nodesCk.select(col("node"), lit(scale).as("pr")).localCheckpoint()
+      def roundCk(ranks: DataFrame): DataFrame = round(ranks)
+      ranks = nodesPin.select(col("node"), lit(scale).as("pr")).localCheckpoint()
       var i = 0
       var converged = false
       while (i < iterations && !converged) {
@@ -291,7 +312,8 @@ object PageRank {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iterations: Int, scale: Long = 1000000000L, dampNum: Int = 85,
       dampDen: Int = 100, seedCol: String = "node",
-      symmetric: Boolean = false): DataFrame = {
+      symmetric: Boolean = false,
+      broadcastNodeThreshold: Long = 5000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
@@ -324,16 +346,22 @@ object PageRank {
           expr(s"$teleBase * n_nodes DIV n_seeds")).otherwise(lit(0L))
           .as("tele"))
       .localCheckpoint()
-    // shuffled-hash joins round-for-round as in [[pageRank]]: node-sized
-    // build sides, no per-round sort of the reused edge exchange
-    val eo = e.join(outw.hint("shuffle_hash"), "src")
+    // Pinned ONCE for the same reason as pageRank's eoPin: exchange reuse
+    // does not cover the weight aggregate / out-weight join ABOVE the
+    // exchange, which otherwise re-executes in every round's stage.
+    val eo = e.join(outw.hint("shuffle_hash"), "src").localCheckpoint()
+    // counted broadcast gate as in [[pageRank]] (tele is the node frame,
+    // already pinned — the count reads blocks)
+    val bcastNodes = tele.count() <= broadcastNodeThreshold
     def round(ranks: DataFrame): DataFrame = {
-      val contrib = eo.join(ranks.hint("shuffle_hash"),
-          eo("src") === ranks("node"))
+      val ranksIn =
+        if (bcastNodes) broadcast(ranks) else ranks.hint("shuffle_hash")
+      val contrib = eo.join(ranksIn, eo("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("(pr DIV out_w) * w")).as("c"))
-      tele.join(contrib.hint("shuffle_hash"),
-          tele("node") === contrib("dst"), "left")
+      val contribIn =
+        if (bcastNodes) broadcast(contrib) else contrib.hint("shuffle_hash")
+      tele.join(contribIn, tele("node") === contrib("dst"), "left")
         .select(col("node"),
           (col("tele") +
             expr(s"$dampNum * coalesce(c, 0) DIV $dampDen")).as("pr"))

@@ -136,11 +136,18 @@ object Triangles {
       // projection of distinct canonical edges), so array_intersect's
       // set semantics return each closing corner exactly once
       val adj = o.groupBy(col("u")).agg(collect_list(col("v")).as("nb"))
-      val closed = o
-        .join(broadcast(adj), "u")
-        .join(broadcast(adj.select(col("u").as("v"), col("nb").as("nb2"))), "v")
-        .select(col("u"), col("v"),
-          array_intersect(col("nb"), col("nb2")).as("ws"))
+      // BOTH attaches broadcast the IDENTICAL adj plan (qualified join
+      // condition instead of a renamed projection): the two
+      // BroadcastExchanges canonicalize equal, so ReuseExchange builds
+      // the adjacency aggregate ONCE and ships it once — the renamed
+      // variant built it twice (a second full pass over the oriented
+      // edge exchange + a second collect_list).
+      val adjB = broadcast(adj)
+      val closed = o.select(col("u"), col("v"))
+        .join(adjB, "u")
+        .as("l").join(adjB.as("r"), col("l.v") === col("r.u"))
+        .select(col("l.u").as("u"), col("l.v").as("v"),
+          array_intersect(col("l.nb"), col("r.nb")).as("ws"))
         .filter(size(col("ws")) > 0)
       // corner attribution without a triangle-row stream: the closing
       // corners w each credit 1 (one row per triangle), u and v each
