@@ -162,13 +162,17 @@ object PageRank {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    // the out-weight aggregate is NODE-sized: pinned first, because it
+    // feeds everything (the edge attach, the node frame, the dangling
+    // probe) — one aggregation instead of one per consumer
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+      .localCheckpoint()
     // `symmetric = true` asserts every node occurs as a src (the
     // coOccurrenceEdges contract: each in-edge has its mirror), so the
     // node frame IS the out-weight frame's key set — the union+distinct
     // over both endpoint columns (a second full edge pass + a 2x-edge
-    // exchange) collapses into a projection of the aggregate the plan
-    // already pays for. Identical node set by construction.
+    // exchange) collapses into a projection of the pinned aggregate.
+    // Identical node set by construction.
     val nodes =
       if (symmetric) outw.select(col("src").as("node"))
       else e.select(col("src").as("node"))
@@ -177,12 +181,6 @@ object PageRank {
     // node count — both joined back as 1-row broadcasts per round
     lazy val dangNodes = nodes.join(outw, nodes("node") === outw("src"), "left_anti")
     lazy val nN = nodes.agg(count(lit(1)).as("n_nodes"))
-    // edge-side join subtree shared verbatim by every iteration: keep the
-    // projection byte-identical so ReuseExchange can serve all rounds.
-    // shuffled-hash (guide §3.1): out_w builds a node-sized per-partition
-    // hash table; sort-merge would re-sort the EDGE side above the reused
-    // exchange in every round — rounds pay the sort, not the shuffle.
-    val eo = e.join(outw.hint("shuffle_hash"), "src")
     val teleport = (dampDen - dampNum).toLong * scale / dampDen
 
     def roundOn(eoF: DataFrame, nodesF: DataFrame, dangF: => DataFrame,
@@ -230,12 +228,19 @@ object PageRank {
     // through the reused exchange). One edge-sized + one node-sized
     // materialization — the same price the convergence path, KCore and
     // Bfs already pay — and every round becomes a block read.
-    val eoPin = eo.localCheckpoint()
     val nodesPin = nodes.localCheckpoint()
     lazy val dangPin = dangNodes.localCheckpoint()
     lazy val nNPin = nN.localCheckpoint()
     // counted broadcast gate: one free count of the pinned node frame
     val bcastNodes = nodesPin.count() <= broadcastNodeThreshold
+    // out-weight attach under the SAME gate: broadcast means the pinned
+    // edge frame is built map-only over the edge aggregate's output —
+    // no edge-sized exchange anywhere in the prelude; above the gate,
+    // shuffled-hash (node-sized per-partition build, no sorts)
+    val eoPin = e.join(
+        if (bcastNodes) broadcast(outw) else outw.hint("shuffle_hash"),
+        "src")
+      .localCheckpoint()
     def round(ranks: DataFrame): DataFrame =
       roundOn(eoPin, nodesPin, dangPin, nNPin, bcastNodes)(ranks)
 
@@ -318,6 +323,7 @@ object PageRank {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+      .localCheckpoint() // node-sized; feeds the edge attach AND the node frame
     // same contract as [[pageRank]]'s `symmetric`: node set == out-weight
     // key set, skipping the union+distinct second edge pass
     val nodes =
@@ -346,13 +352,18 @@ object PageRank {
           expr(s"$teleBase * n_nodes DIV n_seeds")).otherwise(lit(0L))
           .as("tele"))
       .localCheckpoint()
-    // Pinned ONCE for the same reason as pageRank's eoPin: exchange reuse
-    // does not cover the weight aggregate / out-weight join ABOVE the
-    // exchange, which otherwise re-executes in every round's stage.
-    val eo = e.join(outw.hint("shuffle_hash"), "src").localCheckpoint()
     // counted broadcast gate as in [[pageRank]] (tele is the node frame,
     // already pinned — the count reads blocks)
     val bcastNodes = tele.count() <= broadcastNodeThreshold
+    // Pinned ONCE for the same reason as pageRank's eoPin: exchange reuse
+    // does not cover the weight aggregate / out-weight join ABOVE the
+    // exchange, which otherwise re-executes in every round's stage. The
+    // attach itself is gated like the rounds: broadcast under the node
+    // threshold (map-only pin build, no edge exchange), shuffled-hash above.
+    val eo = e.join(
+        if (bcastNodes) broadcast(outw) else outw.hint("shuffle_hash"),
+        "src")
+      .localCheckpoint()
     def round(ranks: DataFrame): DataFrame = {
       val ranksIn =
         if (bcastNodes) broadcast(ranks) else ranks.hint("shuffle_hash")
