@@ -236,10 +236,20 @@ object PageRank {
     // out-weight attach under the SAME gate: broadcast means the pinned
     // edge frame is built map-only over the edge aggregate's output —
     // no edge-sized exchange anywhere in the prelude; above the gate,
-    // shuffled-hash (node-sized per-partition build, no sorts)
+    // shuffled-hash (node-sized per-partition build, no sorts).
+    // LINEAGE BREAK (r12 verdict #1): outw derives FROM e, and its
+    // checkpointed LogicalRDD keeps e's `src` exprId — the analyzer's
+    // DeduplicateRelations cannot re-alias a LogicalRDD that is not a
+    // duplicate relation, so the self-referential join threw
+    // [INTERNAL_ERROR] "conflicting references in Join" under the
+    // adversarial config matrix. Fresh alias on the build-side key
+    // (new exprId by construction) makes the join unambiguous under
+    // every config; same rows, one extra column dropped.
+    val outwB = outw.select(col("src").as("ow_src"), col("out_w"))
     val eoPin = e.join(
-        if (bcastNodes) broadcast(outw) else outw.hint("shuffle_hash"),
-        "src")
+        if (bcastNodes) broadcast(outwB) else outwB.hint("shuffle_hash"),
+        col("src") === col("ow_src"))
+      .drop("ow_src")
       .localCheckpoint()
     def round(ranks: DataFrame): DataFrame =
       roundOn(eoPin, nodesPin, dangPin, nNPin, bcastNodes)(ranks)
@@ -360,9 +370,13 @@ object PageRank {
     // exchange, which otherwise re-executes in every round's stage. The
     // attach itself is gated like the rounds: broadcast under the node
     // threshold (map-only pin build, no edge exchange), shuffled-hash above.
+    // Same lineage break as pageRank's eoPin: outw's checkpointed frame
+    // keeps e's `src` exprId, so the build side gets a fresh-aliased key.
+    val outwB = outw.select(col("src").as("ow_src"), col("out_w"))
     val eo = e.join(
-        if (bcastNodes) broadcast(outw) else outw.hint("shuffle_hash"),
-        "src")
+        if (bcastNodes) broadcast(outwB) else outwB.hint("shuffle_hash"),
+        col("src") === col("ow_src"))
+      .drop("ow_src")
       .localCheckpoint()
     def round(ranks: DataFrame): DataFrame = {
       val ranksIn =
