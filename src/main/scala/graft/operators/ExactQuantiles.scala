@@ -246,17 +246,26 @@ object ExactQuantiles {
     val base = df.select(col(groupCol).as("g"),
         col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull && col("g").isNotNull)
-    // med/mad are GROUP-sized (one row per group — the same bounded
-    // contract winsorizedStats already broadcasts its bounds table
-    // under): broadcast them so the corpus-sized dev frame is never
-    // shuffled by g just to attach one double per group
-    val med = exactQuantilesByGroup(base, "g", "v", Seq(0.5))
-      .select(col("g"), col("value").as("med"))
-    val dev = base.join(broadcast(med), "g")
+    // med/mad are GROUP-sized (one row per group): broadcast them so
+    // the corpus-sized dev frame is never shuffled by g just to attach
+    // one double per group — but GATED on a counted byte budget (r12
+    // advice: group cardinality is unbounded — a near-unique group
+    // column would make an unconditional broadcast corpus-sized).
+    // Pin first so the count and the join read the same blocks; above
+    // the gate, shuffled-hash with the group-sized build side.
+    def gated(d: DataFrame): DataFrame = {
+      val pinned = d.localCheckpoint()
+      if (graft.core.Broadcasts.fits(pinned.count(), pinned.schema))
+        broadcast(pinned)
+      else pinned.hint("shuffle_hash")
+    }
+    val med = gated(exactQuantilesByGroup(base, "g", "v", Seq(0.5))
+      .select(col("g"), col("value").as("med")))
+    val dev = base.join(med, "g")
       .select(col("g"), col("med"), abs(col("v") - col("med")).as("dev"))
-    val mad = exactQuantilesByGroup(dev, "g", "dev", Seq(0.5))
-      .select(col("g"), col("value").as("mad"))
-    dev.join(broadcast(mad), "g")
+    val mad = gated(exactQuantilesByGroup(dev, "g", "dev", Seq(0.5))
+      .select(col("g"), col("value").as("mad")))
+    dev.join(mad, "g")
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
         first(col("med")).as("med"),
@@ -292,7 +301,14 @@ object ExactQuantiles {
       .groupBy(col("g")).agg(
         min(when(col("prob") === pLo, col("value"))).as("lo"),
         min(when(col("prob") === pHi, col("value"))).as("hi"))
-    base.join(broadcast(bounds), "g")
+      .localCheckpoint() // group-sized; pinned so the gate count is free
+    // same counted byte-gate as madOutliers (group cardinality is
+    // unbounded; an unconditional broadcast would be too)
+    val boundsIn =
+      if (graft.core.Broadcasts.fits(bounds.count(), bounds.schema))
+        broadcast(bounds)
+      else bounds.hint("shuffle_hash")
+    base.join(boundsIn, "g")
       .withColumn("w", least(greatest(col("v"), col("lo")), col("hi")))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n"),

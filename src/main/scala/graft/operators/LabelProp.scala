@@ -45,7 +45,8 @@ object LabelProp {
     * nodes (unreachable from any seed within `iterations` hops) are
     * omitted. */
   def propagate(edges: DataFrame, seeds: DataFrame, iterations: Int,
-      nodeCol: String = "node", labelCol: String = "label"): DataFrame = {
+      nodeCol: String = "node", labelCol: String = "label",
+      edgesPinned: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     // pinned ONCE: every round is its own eager job (the per-round label
     // checkpoint), so a lazy edge frame would re-run its whole upstream
@@ -53,9 +54,13 @@ object LabelProp {
     // per round — ReuseExchange only shares within one job. Same
     // flat-cost-per-round discipline as Bfs/KCore; measured at sf0.1 it
     // takes the 3-round propagation from 3x to 1x the edge-build cost.
-    val e = edges.select(col("src").cast("long").as("src"),
+    // `edgesPinned = true` skips the pin when the CALLER already
+    // localCheckpointed the edge frame (the q_modularity shape, which
+    // pins it for the scoring pass too) — the r12 unconditional pin
+    // copied those blocks a second time for nothing (verdict #5).
+    val eNorm = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint()
+    val e = if (edgesPinned) eNorm else eNorm.localCheckpoint()
     val seed = seeds.select(col(nodeCol).cast("long").as("node"),
         col(labelCol).cast("long").as("label"))
       .groupBy(col("node")).agg(min(col("label")).as("label"))
@@ -106,20 +111,37 @@ object LabelProp {
     * Returns one row per community:
     * (label, n_nodes, in_w, tot_w, contrib_nano). */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    // the label frame is node-sized and consumed by BOTH endpoint
+    // attaches: pin it once and gate the broadcast on a counted
+    // byte-budget (the rank-family precedent) — above the gate the
+    // planner falls back to its own choice, below it both attaches are
+    // map-side and the edge frame is never shuffled here at all
     val lab = labels.select(col("node"), col("label"))
       .filter(col("node").isNotNull && col("label").isNotNull)
+      .localCheckpoint()
+    val bcastLab = lab.count() <=
+      graft.core.Broadcasts.rowGate(lab.schema)
+    def attach(d: DataFrame): DataFrame = if (bcastLab) broadcast(d) else d
+    // ONE pass over the labeled edge set computes BOTH per-community
+    // sums (in_w as a conditional sum inside the tot aggregate), and 2m
+    // is the sum of tot_w over the label-sized aggregate — the old
+    // spelling consumed e2 three times (m2, tot, inw), re-running the
+    // two label joins per consumer (broadcast joins leave no exchange
+    // for ReuseExchange to share). Same exact int64 sums, one
+    // edge pass instead of three (guide §2.3/§2.4).
     val e2 = edges
-      .join(lab.select(col("node").as("src"), col("label").as("lsrc")), "src")
-      .join(lab.select(col("node").as("dst"), col("label").as("ldst")), "dst")
+      .join(attach(lab.select(col("node").as("src"), col("label").as("lsrc"))), "src")
+      .join(attach(lab.select(col("node").as("dst"), col("label").as("ldst"))), "dst")
       .select(col("lsrc"), col("ldst"), col("w").cast("long").as("w"))
-    val m2 = e2.agg(sum(col("w")).cast("double").as("m2"))
-    val tot = e2.groupBy(col("lsrc").as("label"))
-      .agg(sum(col("w")).as("tot_w"))
-    val inw = e2.filter(col("lsrc") === col("ldst"))
-      .groupBy(col("lsrc").as("label")).agg(sum(col("w")).as("in_w"))
+    val sums = e2.groupBy(col("lsrc").as("label"))
+      .agg(sum(col("w")).as("tot_w"),
+        sum(when(col("lsrc") === col("ldst"), col("w")).otherwise(lit(0L)))
+          .as("in_w"))
+      .localCheckpoint() // label-sized; feeds m2 AND the report join
+    val m2 = sums.agg(sum(col("tot_w")).cast("double").as("m2"))
     lab.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
-      .join(inw, Seq("label"), "left")
-      .join(tot, Seq("label"), "left")
+      .join(sums.select(col("label"), col("in_w")), Seq("label"), "left")
+      .join(sums.select(col("label"), col("tot_w")), Seq("label"), "left")
       .crossJoin(broadcast(m2))
       .select(col("label"), col("n_nodes"),
         coalesce(col("in_w"), lit(0L)).as("in_w"),

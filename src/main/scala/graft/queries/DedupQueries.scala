@@ -87,11 +87,18 @@ object DedupQueries {
     // complementing the ScalaTest recall bounds
     "d_lsh_quality" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
+      // BOTH legs are consumed twice (their count aggregate + the TP
+      // join), and both end in aggregates whose upstream re-runs per
+      // consumer — pin the pair-sized outputs once (the q_ppr finding;
+      // r13): the n-gram truth pipeline and the LSH pipeline each run
+      // ONCE instead of twice, for the price of two pair-list writes
       val truth = ngramJaccardPairs(docs, "doc_id", "text",
         n = 2, minJaccardPct = 50).select(col("id1"), col("id2"))
+        .localCheckpoint()
       val pred = minhashLshPairs(docs, "doc_id", "text")
         .filter(col("est_jaccard") >= 0.5)
         .select(col("id1").as("p1"), col("id2").as("p2"))
+        .localCheckpoint()
       val tp = pred.join(truth,
         col("p1") === col("id1") && col("p2") === col("id2"))
       truth.agg(count(lit(1)).as("n_truth"))

@@ -380,7 +380,8 @@ object Relational {
       val seeds = li.select(col("l_partkey").as("node")).distinct()
         .filter(col("node") % 20 === 0)
         .withColumn("label", expr("(node DIV 20) % 5"))
-      LabelProp.modularity(edges, LabelProp.propagate(edges, seeds, 3))
+      LabelProp.modularity(edges,
+        LabelProp.propagate(edges, seeds, 3, edgesPinned = true))
     },
     // k-core (graft.operators.KCore): peel the part co-occurrence graph
     // to its 80-core — k sits inside the degree distribution, so the
@@ -540,13 +541,18 @@ object Relational {
               .as("sm"),
             sum(when(col("is_seed").isNotNull, 1L).otherwise(0L)).as("ns"))
           .select(col("ns"), expr("sm DIV (tot DIV 1000000)").as(out))
+      // ONE rank-statics build feeds both runs (r12 verdict #4): the
+      // out-weight aggregate, the gate count and the edge-sized
+      // out-weight attach are identical for PPR and uniform PR — the
+      // query used to pay each twice.
+      val statics = Some(PageRank.rankStatics(edges))
       val ppr = seedShare(
         PageRank.personalizedPageRank(edges, seeds, iterations = 6,
-        symmetric = true),
+        symmetric = true, statics = statics),
         "ppr_seed_ppm")
       val pr = seedShare(
         PageRank.pageRank(edges, iterations = 6, handleDangling = false,
-        symmetric = true),
+        symmetric = true, statics = statics),
         "pr_seed_ppm")
       ppr.select(col("ns").as("n_seeds"), col("ppr_seed_ppm"))
         .crossJoin(pr.select(col("pr_seed_ppm")))

@@ -85,8 +85,11 @@ class GraphSpec extends SparkSuite {
     val full = collectMap[Long, Long](
       PageRank.pageRank(edges, 30, handleDangling = false))
     assert(early == full, "early-exit must be bit-identical to the full run")
-    assert(errBuf.toString.contains("converged after 1 of 30 rounds"),
-      s"expected round-1 convergence, stderr: ${errBuf.toString}")
+    // probes run every SECOND round (r13 serial-floor cut), so the
+    // round-1 fixpoint is detected after round 2 — round 2 is identity
+    // (hence the bit-identity assert above), and rounds 3..30 skip
+    assert(errBuf.toString.contains("converged after 2 of 30 rounds"),
+      s"expected round-2 convergence detection, stderr: ${errBuf.toString}")
     // non-fixpoint graph: the checked path must still match the lazy path
     // round for round even when it never converges inside the budget
     val star = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
@@ -396,6 +399,22 @@ class GraphSpec extends SparkSuite {
     val multi = collectMap[Long, Int](
       Bfs.distances(edges, Seq(1L, 5L, 77L).toDF("node"), maxHops = 10))
     assert(multi == Map(1L -> 0, 5L -> 0, 77L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
+  test("bfs: deep traversal crosses reached-set compaction boundaries intact") {
+    import graft.operators.Bfs
+    // 9-node path: 8 hops from node 1, so the k-compacted accumulator
+    // (compactEvery = 2) compacts several times mid-traversal — exact
+    // distances must be unaffected (r13: the reached-set respelling)
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (8L, 9L))
+    val got = collectMap[Long, Int](
+      Bfs.distances(edges, Seq(1L).toDF("node"), maxHops = 20))
+    assert(got == (1 to 9).map(i => i.toLong -> (i - 1)).toMap)
+    // per-source face, same depth
+    val per = Bfs.perSourceDistances(edges, Seq(1L, 9L).toDF("node"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(per((1L, 9L)) == 8 && per((9L, 1L)) == 8 && per((1L, 5L)) == 4)
   }
 
   test("modularity: two-triangle hand graph; restriction to labeled subgraph") {
