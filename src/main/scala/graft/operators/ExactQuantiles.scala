@@ -59,22 +59,45 @@ object ExactQuantiles {
     val base = df.select(v.as("v")).filter(col("v").isNotNull)
     val sv = QuantileExprs.doubleSortableBits(col("v"))
 
-    // pass 1: n, min, max — min/max on the DOUBLE column (same order)
-    val head = base.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
-    val n = head.getLong(0)
+    // FUSED first pass (r13, guide §2.4 — remove a full corpus scan):
+    // the old pass 1 (count + min/max) and the old round 1 EACH read
+    // the entire column, and round 1's explode carried one branch per
+    // prob over the IDENTICAL [global min, max] range — |probs|x the
+    // full row stream for the same information. One unconditional
+    // histogram over the FULL sortable-long range replaces both: the
+    // bucket counts give every prob its starting range AND n (the
+    // histogram total), with no branch array and no explode. Rounds
+    // still converge in <= 6 total scans (round 0 removes log2Buckets
+    // bits of the 64-bit span exactly like any other round).
+    val shift0 = 64 - log2Buckets
+    val h0 = base
+      .select(QuantileExprs.sortableBucket(sv, Long.MinValue, shift0).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect() // bounded: <= 2^log2Buckets rows
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toVector
+    val n = h0.iterator.map(_._2).sum
     if (n == 0L)
       return probs.toDF("prob").select(col("prob"),
         lit(null).cast("double").as("value"))
 
-    val glo = QuantileExprs.toSortable(head.getDouble(1))
-    val ghi = QuantileExprs.toSortable(head.getDouble(2))
     // quantile_disc rank: k = max(1, ceil(p*n)), 1-based k-th smallest
     final case class St(var k: Long, var lo: Long, var hi: Long,
       var done: Boolean = false)
     val st = probs.map { p =>
-      St(math.max(1L, math.ceil(p * n).toLong), glo, ghi)
+      St(math.max(1L, math.ceil(p * n).toLong), Long.MinValue, Long.MaxValue)
     }.toArray
-    st.foreach(s => if (s.lo == s.hi) s.done = true)
+    // walk the shared round-0 histogram per prob: narrow each range to
+    // its rank's bucket (the same arithmetic as the loop's else-branch;
+    // shift0 >= 44 > 0, so round 0 is never terminal)
+    st.foreach { s =>
+      var k = s.k
+      var j = 0
+      while (h0(j)._2 < k) { k -= h0(j)._2; j += 1 }
+      val b = h0(j)._1
+      s.lo = Long.MinValue + (b << shift0)
+      s.hi = s.lo + ((1L << shift0) - 1L)
+      s.k = k
+    }
 
     var guard = 0
     while (st.exists(!_.done)) {
@@ -82,49 +105,56 @@ object ExactQuantiles {
       require(guard <= 8, "bisection failed to converge (impossible: " +
         "each round removes >= log2Buckets bits)") // 64/12 -> <= 6 rounds
       val active = st.zipWithIndex.filter(!_._1.done)
-      // per-prob shift: bucket = (sv - lo) >>> shift, <= 2^(log2Buckets+1)
+      // IDENTICAL ranges share one scan branch and one bucket walk
+      // (common: adjacent probs whose ranks landed in the same bucket
+      // last round — each scanned row then feeds ONE branch, not one
+      // per prob)
+      val ginfo = active.map { case (s, _) => (s.lo, s.hi) }.distinct
+      val gid = ginfo.zipWithIndex.toMap
+      // per-range shift: bucket = (sv - lo) >>> shift, <= 2^(log2Buckets+1)
       // buckets; shift 0 means buckets are single values (terminal round)
-      val shifts = active.map { case (s, _) =>
-        val dist = s.hi - s.lo // exact UNSIGNED distance (lo <= hi signed)
+      val shifts = ginfo.map { case (lo, hi) =>
+        val dist = hi - lo // exact UNSIGNED distance (lo <= hi signed)
         val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(dist)
         math.max(0, bitlen - log2Buckets)
       }
-      // one scan: per-prob double-range prefilter, OR'd (pushdown-able —
+      // one scan: per-range double prefilter, OR'd (pushdown-able —
       // parquet row-group min/max stats evaluate range disjunctions, so
-      // once the ranges narrow past round 1 the scan prunes almost
-      // everything instead of re-reading the [p_min, p_max] envelope).
-      // A NaN endpoint (NaN is above +Inf in the sortable order) would
+      // once the ranges narrow past round 0 the scan prunes almost
+      // everything instead of re-reading the whole column). A NaN
+      // endpoint (NaN is above +Inf in the sortable order) would
       // false-out a double comparison — drop that side of that range;
-      // the per-prob sortable-long branch conditions stay exact either way
-      val pre = active.map { case (s, _) =>
-        val dLo = QuantileExprs.fromSortable(s.lo)
-        val dHi = QuantileExprs.fromSortable(s.hi)
+      // the per-range sortable-long branch conditions stay exact either way
+      val pre = ginfo.map { case (lo, hi) =>
+        val dLo = QuantileExprs.fromSortable(lo)
+        val dHi = QuantileExprs.fromSortable(hi)
         (if (dLo.isNaN) lit(true) else col("v") >= lit(dLo)) &&
           (if (dHi.isNaN) lit(true) else col("v") <= lit(dHi))
       }.reduce(_ || _)
-      // each branch encodes (prob index, bucket) in ONE long
-      // (i << 24 | bucket; bucket <= 2^(log2Buckets+1) <= 2^21 < 2^24 for
-      // any allowed log2Buckets, and i is the tiny prob index): a primitive-long explode + single-key aggregate
-      // replaces the old array-of-struct explode + 2-column groupBy —
-      // the round-1 scan is the operator's dominant cost (it reads the
-      // WHOLE column) and per-row allocation was most of it.
-      val branches = active.zip(shifts).map { case ((s, i), sh) =>
-        when(sv >= lit(s.lo) && sv <= lit(s.hi),
-          lit(i.toLong << 24) + QuantileExprs.sortableBucket(sv, s.lo, sh))
+      // each branch encodes (range index, bucket) in ONE long
+      // (g << 24 | bucket; bucket <= 2^(log2Buckets+1) <= 2^21 < 2^24 for
+      // any allowed log2Buckets, and g is the tiny range index): a
+      // primitive-long explode + single-key aggregate, no struct arrays
+      val branches = ginfo.zip(shifts).zipWithIndex.map {
+        case (((lo, hi), sh), g) =>
+          when(sv >= lit(lo) && sv <= lit(hi),
+            lit(g.toLong << 24) + QuantileExprs.sortableBucket(sv, lo, sh))
       }
       val hist = base
         .filter(pre)
         .select(explode(filter(array(branches: _*), x => x.isNotNull)).as("ib"))
         .groupBy(col("ib"))
         .agg(count(lit(1)).as("c"))
-        .collect() // bounded: <= probs * 2^(log2Buckets+1) rows
+        .collect() // bounded: <= ranges * 2^(log2Buckets+1) rows
         .groupBy(r => (r.getLong(0) >>> 24).toInt)
-        .map { case (i, rows) =>
-          i -> rows.map(r => (r.getLong(0) & ((1L << 24) - 1)) -> r.getLong(1))
+        .map { case (g, rows) =>
+          g -> rows.map(r => (r.getLong(0) & ((1L << 24) - 1)) -> r.getLong(1))
             .sortBy(_._1).toVector }
-      active.zip(shifts).foreach { case ((s, i), sh) =>
+      active.foreach { case (s, _) =>
+        val g = gid((s.lo, s.hi))
+        val sh = shifts(g)
         var k = s.k
-        val buckets = hist(i)
+        val buckets = hist(g)
         var j = 0
         while (buckets(j)._2 < k) { k -= buckets(j)._2; j += 1 }
         val b = buckets(j)._1

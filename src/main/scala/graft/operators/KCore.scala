@@ -103,8 +103,11 @@ object KCore {
         throw new IllegalStateException(
           s"kCore(k=$k) did not converge in $maxRounds peel rounds — " +
             "raise maxRounds for deep-degeneracy graphs (e.g. long paths)")
+      // referenced twice (count + probe), but BOTH consumers are a
+      // codegen'd filter over the already-pinned degree blocks — the
+      // r12 per-round localCheckpoint here bought nothing and cost one
+      // eager job per peel round (r13 serial-floor pass)
       val dead = deg.filter(col("deg") < k).select(col("node"))
-        .localCheckpoint() // referenced twice (count + probe); node-sized
       val nDead = dead.count()
       if (nDead == 0L) return deg
       // edges from ANY src into this round's dead set, counted per src:
