@@ -94,8 +94,12 @@ object Bfs {
     * probe side is a union of at most this many pinned frames before it
     * is re-checkpointed into one. Small enough that per-hop probe cost
     * stays flat at any traversal depth, large enough that shallow graded
-    * traversals (3-4 hops) never pay a copy. */
-  private val compactEvery = 2
+    * traversals (<= 4 hops) NEVER pay a copy — measured isolated at
+    * sf0.1 (warm): a cadence of 2 compacted once at hop 2 and cost
+    * q_bfs 3.06 -> 3.30 s / q_harmonic 3.79 -> 4.01 s vs the r12
+    * union-of-all spelling; at 4 both recover (3.02 / 3.42) and the
+    * deep-traversal probe bound is kept. */
+  private val compactEvery = 4
 
   /** Weighted shortest paths by bounded Bellman-Ford relaxation:
     * `rounds` synchronized min-plus rounds over integer edge costs —

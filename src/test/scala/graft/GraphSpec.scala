@@ -404,7 +404,7 @@ class GraphSpec extends SparkSuite {
   test("bfs: deep traversal crosses reached-set compaction boundaries intact") {
     import graft.operators.Bfs
     // 9-node path: 8 hops from node 1, so the k-compacted accumulator
-    // (compactEvery = 2) compacts several times mid-traversal — exact
+    // (compactEvery = 4) compacts mid-traversal — exact
     // distances must be unaffected (r13: the reached-set respelling)
     val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (6L, 7L), (7L, 8L), (8L, 9L))
